@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship query on /root/testdata/sf0.001;
+``queries()`` exposes every declared operator from SURVEY.md §2;
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each
+SQL-expressible query (omitted => rows-only check).
 """
 
 from __future__ import annotations
@@ -12,27 +11,51 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SF0001 = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: fraud-style scoring over lineitem ⋈ orders —
+    scan -> broadcast-stats standard scale -> logistic score with
+    published weights -> top-100 by score. Touches scan, join,
+    aggregate-broadcast, codegen'd column math, and top-k in one DAG
+    (SURVEY.md §7 Milestone 0)."""
+    li = spark.read.parquet(f"{SF0001}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF0001}/orders.parquet")
+    stats = li.agg(
+        F.avg("l_extendedprice").alias("mu_p"),
+        F.stddev_samp("l_extendedprice").alias("sd_p"),
+        F.avg("l_quantity").alias("mu_q"),
+        F.stddev_samp("l_quantity").alias("sd_q"),
+    )
+    z_p = (F.col("l_extendedprice") - F.col("mu_p")) / F.col("sd_p")
+    z_q = (F.col("l_quantity") - F.col("mu_q")) / F.col("sd_q")
+    logit = F.lit(-1.0) + F.lit(0.7) * z_p + F.lit(0.4) * z_q + F.lit(6.0) * F.col("l_discount")
+    score = F.lit(1.0) / (F.lit(1.0) + F.exp(-logit))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "o_custkey",
+            F.col("o_orderstatus"),
+            F.round(score, 6).alias("fraud_score"),
+        )
+        .orderBy(F.desc("fraud_score"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(100)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from fraud_detection_spark.registry import load_all
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from fraud_detection_spark.registry import load_all
+
+    return {name: q.oracle for name, q in load_all().items() if q.oracle is not None}

@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline declared queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q_...": sec, ...}, "sf": 0.1}
+
+Each query is fully materialized via the noop sink (no driver collect,
+no result-size bias). Use BENCH_EXPLAIN=1 to dump formatted physical
+plans instead of timing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Headline set: covers scan/filter/agg, shuffled + broadcast joins,
+# SQL windows, event-time windows, ML scoring/metrics, text analytics,
+# dedup and similarity search. (The heavy pairwise/LSH ops are
+# correctness-gated but benched separately — they would dominate the
+# wall-clock and hide regressions in the common path.)
+HEADLINE = [
+    "q_scan",
+    "q_project",
+    "q_filter_threshold",
+    "q_groupby_count",
+    "q_mean_std",
+    "q_histogram",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_window_rank",
+    "q_topk",
+    "q_standard_scale",
+    "q_lr_proba",
+    "q_shap_linear",
+    "q_confusion",
+    "q_auc",
+    "q_roc_points",
+    "q_tumbling_window",
+    "q_session_window",
+    "q_stream_dedup",
+    "q_token_freq",
+    "q_quality_score",
+    "q_doc_stats",
+    "q_dedup_exact",
+    "q_fingerprint",
+    "q_knn_cosine",
+    "q_array_ops",
+]
+
+
+def sf_from_dir(path: str) -> float:
+    base = os.path.basename(path.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from fraud_detection_spark.registry import load_all
+    from fraud_detection_spark.session import get_spark
+
+    registry = load_all()
+    spark = get_spark("fds-bench")
+    explain = os.environ.get("BENCH_EXPLAIN") == "1"
+
+    # warm the JVM/session so the first timed query isn't paying startup
+    spark.range(1000).summary().collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        q = registry[name]
+        if explain:
+            print(f"=== {name} ===", file=sys.stderr)
+            q.fn(spark, SF_DIR).explain("formatted")
+            continue
+        t0 = time.perf_counter()
+        q.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    if explain:
+        return
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_from_dir(SF_DIR),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,130 @@
+"""Distributed SMOTE oversampling — the reference's one genuinely
+custom operator (imblearn SMOTE at preprocess.py:43-44 and inside each
+CV fold at train_model.py:65-66,91-92), re-designed for Spark.
+
+Algorithm (SMOTE, Chawla et al. 2002): for each synthetic sample, take
+a minority row x, one of its k nearest minority neighbours x_nn, and
+emit x + γ·(x_nn − x) with γ ∈ [0,1), until classes balance.
+
+Spark design (fraud-shaped data: minority ≪ majority):
+1. class counts — one tiny aggregate;
+2. the minority feature matrix is collected once and **broadcast**
+   (the standard fraud regime: minority is orders of magnitude smaller
+   than the table; 1M rows × 30 doubles ≈ 240 MB broadcast upper
+   bound). kNN over the minority matrix is computed once, chunked.
+3. synthesis is fully distributed: ``spark.range(n_needed)`` partitions
+   the synthetic-id space and every row is a *pure function of its id*
+   (base row = id mod m, neighbour choice and γ from a multiplicative
+   hash of the id) — deterministic under any partitioning / retry,
+   no RNG state, no shuffle, no driver generation.
+
+When the minority side itself is too large to broadcast, swap step 2
+for ``BucketedRandomProjectionLSH.approxSimilarityJoin`` on the
+minority self-join (same interpolation afterwards); the synthesis
+contract (pure function of synthetic id) is unchanged.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_HASH = 2654435761  # Knuth multiplicative hash constant
+
+
+def _knn_indices(mat: np.ndarray, k: int, chunk: int = 2048) -> np.ndarray:
+    """Exact kNN over the (small, broadcastable) minority matrix.
+    Chunked O(m²) distance computation; returns (m, k) neighbour ids
+    (self excluded)."""
+    m = mat.shape[0]
+    k = min(k, m - 1)
+    sq = (mat * mat).sum(axis=1)
+    out = np.empty((m, k), dtype=np.int64)
+    for start in range(0, m, chunk):
+        end = min(start + chunk, m)
+        d = sq[start:end, None] - 2.0 * (mat[start:end] @ mat.T) + sq[None, :]
+        for i in range(start, end):
+            d[i - start, i] = np.inf  # exclude self
+        out[start:end] = np.argsort(d, axis=1, kind="stable")[:, :k]
+    return out
+
+
+def smote_oversample(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    minority_label: int = 1,
+    k: int = 5,
+    seed: int = 42,
+    order_col: str | None = None,
+) -> DataFrame:
+    """Return ``df`` (features + label + is_synthetic=0) unioned with
+    synthetic minority rows (is_synthetic=1) until classes balance.
+
+    ``order_col``: column to sort the minority rows by before indexing,
+    making the synthesis deterministic regardless of scan order.
+    """
+    spark = df.sparkSession
+    counts = {
+        r[label_col]: r["cnt"]
+        for r in df.groupBy(label_col).agg(F.count("*").alias("cnt")).collect()
+    }
+    n_min = counts.get(minority_label, 0)
+    n_maj = sum(v for lbl, v in counts.items() if lbl != minority_label)
+    needed = max(n_maj - n_min, 0)
+
+    base = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("int").alias(label_col),
+        F.lit(0).alias("is_synthetic"),
+    )
+    if needed == 0 or n_min < 2:
+        return base
+
+    minority = df.filter(F.col(label_col) == minority_label)
+    if order_col is not None:
+        minority = minority.orderBy(order_col)
+    mat = np.asarray(
+        minority.select(*[F.col(c).cast("double") for c in feature_cols])
+        .toPandas()
+        .values,
+        dtype=np.float64,
+    )
+    knn = _knn_indices(mat, k)
+    k_eff = knn.shape[1]
+    bc = spark.sparkContext.broadcast((mat, knn))
+
+    out_schema = T.StructType(
+        [T.StructField(c, T.DoubleType(), True) for c in feature_cols]
+    )
+
+    def synthesize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat_b, knn_b = bc.value
+        m = mat_b.shape[0]
+        for pdf in batches:
+            ids = pdf["id"].values.astype(np.int64)
+            base_idx = ids % m
+            nn_slot = (ids // m) % k_eff
+            nn_idx = knn_b[base_idx, nn_slot]
+            # deterministic γ ∈ [0,1): multiplicative hash of the id
+            gamma = (((ids * _HASH + seed) % 1_000_000) / 1_000_000.0)[:, None]
+            x = mat_b[base_idx]
+            synth = x + gamma * (mat_b[nn_idx] - x)
+            yield pd.DataFrame(synth, columns=feature_cols)
+
+    synth_df = (
+        spark.range(needed)
+        .mapInPandas(synthesize, schema=out_schema)
+        .select(
+            *feature_cols,
+            F.lit(int(minority_label)).alias(label_col),
+            F.lit(1).alias("is_synthetic"),
+        )
+    )
+    return base.unionByName(synth_df)

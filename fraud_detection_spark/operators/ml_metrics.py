@@ -1,0 +1,403 @@
+"""ML feature/metric operators, SQL-expressible form.
+
+A deterministic "published model" over lineitem lets the DuckDB oracle
+replicate every scoring/metric query exactly (SURVEY.md §2f strategy:
+store coefficients as literals):
+
+    label  = 1 iff l_returnflag = 'R'          (the 'fraud' class)
+    x1     = l_quantity
+    x2     = l_discount
+    x3     = l_extendedprice / 100000
+    logit  = -2.0 + 0.03*x1 + 9.0*x2 + 0.8*x3
+    score  = sigmoid(logit)
+
+Reference parity:
+- predict / predict_proba      -> evaluate_model.py:26-27, deploy.py:36-37
+- standard scaling (z-score)   -> train_model.py:36-40 (fit on stats,
+  transform via broadcast — no shuffle of the fact table)
+- SHAP LinearExplainer         -> explain_model.py:24-27: w·(x−μ)
+- simplified attribution w·x   -> xai_tasks.py:102-115
+- confusion matrix             -> evaluate_model.py:31
+- precision/recall/F1          -> evaluate_model.py:45
+- ROC curve / AUC              -> evaluate_model.py:49-50,
+  train_model.py:83 — AUC via tie-aware Mann–Whitney rank-sum; ROC via
+  score-binned cumulative sums (the scale-safe two-pass form, see
+  SURVEY.md §4.2)
+- stratified split / K folds   -> preprocess.py:36-38, train_model.py:49
+  — deterministic multiplicative-hash bucketing instead of RNG so the
+  assignment is stable across retries and partitionings.
+
+Scale posture: scoring is pure whole-stage-codegen column math; μ/σ and
+rank statistics are tiny aggregates broadcast back; the only ordered
+window (q_auc) ranks *rounded* scores and is documented as the
+test-scale form — q_roc_points is the binned form that survives 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fraud_detection_spark.functions import pround
+from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.sources import load_table
+
+# Published model coefficients (literals on both engines).
+B0, W_QTY, W_DISC, W_PRICE = -2.0, 0.03, 9.0, 0.8
+
+# SQL fragment computing (label, score) from lineitem — shared by oracles.
+SCORED_SQL = (
+    "SELECT l_orderkey, l_linenumber, "
+    "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+    + sql_round(
+        "1.0 / (1.0 + EXP(-(-2.0 + 0.03 * l_quantity + 9.0 * l_discount "
+        "+ 0.8 * (l_extendedprice / 100000.0))))",
+        6,
+    )
+    + " AS score FROM lineitem"
+)
+
+
+def scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> (l_orderkey, l_linenumber, label, score).
+
+    Score is rounded to 6 decimals *before* any ranking so tie structure
+    is identical across engines.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    logit = (
+        F.lit(B0)
+        + F.lit(W_QTY) * F.col("l_quantity")
+        + F.lit(W_DISC) * F.col("l_discount")
+        + F.lit(W_PRICE) * (F.col("l_extendedprice") / 100000.0)
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+    )
+
+
+@query(
+    "q_lr_proba",
+    oracle=SCORED_SQL,
+    tags=("ml", "scoring"),
+)
+def q_lr_proba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict_proba: sigmoid(w·x + b). Ref: model.predict_proba(X)[:,1]
+    evaluate_model.py:27 / predict_single.py:31."""
+    return scored(spark, sf_dir)
+
+
+@query(
+    "q_lr_predict",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}) "
+        "SELECT l_orderkey, l_linenumber, label, "
+        "CASE WHEN score > 0.5 THEN 1 ELSE 0 END AS prediction FROM s"
+    ),
+    tags=("ml", "scoring"),
+)
+def q_lr_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """predict: class = score > 0.5. Ref: model.predict evaluate_model.py:26."""
+    s = scored(spark, sf_dir)
+    return s.select(
+        "l_orderkey",
+        "l_linenumber",
+        "label",
+        F.when(F.col("score") > 0.5, 1).otherwise(0).alias("prediction"),
+    )
+
+
+@query(
+    "q_standard_scale",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        + sql_round("(l_quantity - AVG(l_quantity) OVER ()) / STDDEV_SAMP(l_quantity) OVER ()", 6)
+        + " AS z_qty, "
+        + sql_round("(l_extendedprice - AVG(l_extendedprice) OVER ()) / STDDEV_SAMP(l_extendedprice) OVER ()", 6)
+        + " AS z_price FROM lineitem"
+    ),
+    tags=("ml", "feature"),
+)
+def q_standard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StandardScaler transform z=(x−μ)/σ. Ref: train_model.py:36-40.
+
+    Spark plan: one tiny agg (μ,σ) -> broadcast cross-join back onto the
+    fact table -> pure column math. No shuffle of lineitem itself; the
+    oracle's window-over-() form is only for DuckDB equivalence."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.avg("l_quantity").alias("mu_q"),
+        F.stddev_samp("l_quantity").alias("sd_q"),
+        F.avg("l_extendedprice").alias("mu_p"),
+        F.stddev_samp("l_extendedprice").alias("sd_p"),
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            pround((F.col("l_quantity") - F.col("mu_q")) / F.col("sd_q"), 6).alias("z_qty"),
+            pround((F.col("l_extendedprice") - F.col("mu_p")) / F.col("sd_p"), 6).alias("z_price"),
+        )
+    )
+
+
+@query(
+    "q_shap_linear",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        + sql_round("0.03 * (l_quantity - AVG(l_quantity) OVER ())", 6) + " AS shap_qty, "
+        + sql_round("9.0 * (l_discount - AVG(l_discount) OVER ())", 6) + " AS shap_disc, "
+        + sql_round("0.8 * (l_extendedprice / 100000.0 - AVG(l_extendedprice / 100000.0) OVER ())", 6)
+        + " AS shap_price FROM lineitem"
+    ),
+    tags=("ml", "explain"),
+)
+def q_shap_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHAP LinearExplainer (interventional): φᵢ = wᵢ·(xᵢ − μᵢ).
+    Ref: explain_model.py:24-27 — for linear models SHAP is exactly
+    coef ⊙ (x − μ_background); no shap library needed, pure column math
+    with broadcast background means."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.avg("l_quantity").alias("mu_q"),
+        F.avg("l_discount").alias("mu_d"),
+        F.avg(F.col("l_extendedprice") / 100000.0).alias("mu_p"),
+    )
+    return (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            pround(F.lit(W_QTY) * (F.col("l_quantity") - F.col("mu_q")), 6).alias("shap_qty"),
+            pround(F.lit(W_DISC) * (F.col("l_discount") - F.col("mu_d")), 6).alias("shap_disc"),
+            pround(
+                F.lit(W_PRICE) * (F.col("l_extendedprice") / 100000.0 - F.col("mu_p")), 6
+            ).alias("shap_price"),
+        )
+    )
+
+
+@query(
+    "q_linear_attr",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, "
+        + sql_round("0.03 * l_quantity", 6) + " AS attr_qty, "
+        + sql_round("9.0 * l_discount", 6) + " AS attr_disc, "
+        + sql_round("0.8 * l_extendedprice / 100000.0", 6) + " AS attr_price FROM lineitem"
+    ),
+    tags=("ml", "explain"),
+)
+def q_linear_attr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified linear attribution wᵢ·xᵢ (no centering).
+    Ref: coefs * x_arr[0] xai_tasks.py:102-115."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        pround(F.lit(W_QTY) * F.col("l_quantity"), 6).alias("attr_qty"),
+        pround(F.lit(W_DISC) * F.col("l_discount"), 6).alias("attr_disc"),
+        pround(F.lit(W_PRICE) * F.col("l_extendedprice") / 100000.0, 6).alias("attr_price"),
+    )
+
+
+@query(
+    "q_confusion",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}) "
+        "SELECT label, CASE WHEN score > 0.5 THEN 1 ELSE 0 END AS prediction, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM s GROUP BY label, prediction"
+    ),
+    tags=("ml", "metric"),
+)
+def q_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix as (label, prediction, n) triples.
+    Ref: confusion_matrix(y_test, y_pred) evaluate_model.py:31."""
+    s = scored(spark, sf_dir)
+    return (
+        s.withColumn("prediction", F.when(F.col("score") > 0.5, 1).otherwise(0))
+        .groupBy("label", "prediction")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_prf",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), c AS ("
+        "SELECT SUM(CASE WHEN label = 1 AND score > 0.5 THEN 1 ELSE 0 END) AS tp, "
+        "SUM(CASE WHEN label = 0 AND score > 0.5 THEN 1 ELSE 0 END) AS fp, "
+        "SUM(CASE WHEN label = 1 AND score <= 0.5 THEN 1 ELSE 0 END) AS fn, "
+        "SUM(CASE WHEN label = 0 AND score <= 0.5 THEN 1 ELSE 0 END) AS tn FROM s) "
+        "SELECT " + sql_round("tp * 1.0 / NULLIF(tp + fp, 0)", 6) + " AS precision_1, "
+        + sql_round("tp * 1.0 / NULLIF(tp + fn, 0)", 6) + " AS recall_1, "
+        + sql_round("2.0 * tp / NULLIF(2.0 * tp + fp + fn, 0)", 6) + " AS f1_1, "
+        "CAST(tp + fn AS BIGINT) AS support_1, "
+        "CAST(tn + fp AS BIGINT) AS support_0 FROM c"
+    ),
+    tags=("ml", "metric"),
+)
+def q_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1/support for the positive class.
+    Ref: classification_report evaluate_model.py:45 — conditional sums,
+    one aggregate pass."""
+    s = scored(spark, sf_dir)
+    pred = F.col("score") > 0.5
+    lab = F.col("label") == 1
+    agg = s.agg(
+        F.sum(F.when(lab & pred, 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~lab & pred, 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(lab & ~pred, 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~lab & ~pred, 1).otherwise(0)).alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    return agg.select(
+        pround(tp * 1.0 / F.nullif(tp + fp, F.lit(0)), 6).alias("precision_1"),
+        pround(tp * 1.0 / F.nullif(tp + fn, F.lit(0)), 6).alias("recall_1"),
+        pround(2.0 * tp / F.nullif(2.0 * tp + fp + fn, F.lit(0)), 6).alias("f1_1"),
+        (tp + fn).cast("bigint").alias("support_1"),
+        (tn + fp).cast("bigint").alias("support_0"),
+    )
+
+
+@query(
+    "q_auc",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), r AS ("
+        "SELECT label, "
+        "RANK() OVER (ORDER BY score) + (COUNT(*) OVER (PARTITION BY score) - 1) / 2.0 AS arank "
+        "FROM s) "
+        "SELECT " + sql_round(
+            "(SUM(CASE WHEN label = 1 THEN arank ELSE 0 END) "
+            "- SUM(label) * (SUM(label) + 1) / 2.0) "
+            "/ (SUM(label) * (COUNT(*) - SUM(label)))", 6)
+        + " AS auc FROM r"
+    ),
+    tags=("ml", "metric"),
+)
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via tie-aware Mann–Whitney rank-sum:
+    AUC = (Σ rank⁺ − n⁺(n⁺+1)/2) / (n⁺ n⁻), with average ranks over
+    score ties (scores pre-rounded so tie structure matches the oracle).
+    Ref: roc_auc_score train_model.py:83 / evaluate_model.py:50.
+
+    Note: the global RANK() is a single ordered window — fine at test
+    scale; the 100 TB path is the binned q_roc_points + trapezoid
+    (SURVEY.md §4.2)."""
+    s = scored(spark, sf_dir)
+    w_rank = Window.orderBy("score")
+    w_ties = Window.partitionBy("score")
+    r = s.select(
+        "label",
+        (F.rank().over(w_rank) + (F.count("*").over(w_ties) - 1) / 2.0).alias("arank"),
+    )
+    n_pos = F.sum("label")
+    n_all = F.count("*")
+    return r.agg(
+        pround(
+            (F.sum(F.when(F.col("label") == 1, F.col("arank")).otherwise(0.0))
+             - n_pos * (n_pos + 1) / 2.0)
+            / (n_pos * (n_all - n_pos)),
+            6,
+        ).alias("auc")
+    )
+
+
+@query(
+    "q_roc_points",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), b AS ("
+        "SELECT CAST(FLOOR(score * 50) AS BIGINT) AS bucket, "
+        "SUM(label) AS pos, COUNT(*) - SUM(label) AS neg FROM s GROUP BY bucket), "
+        "c AS (SELECT bucket, "
+        "SUM(pos) OVER (ORDER BY bucket DESC) AS cum_pos, "
+        "SUM(neg) OVER (ORDER BY bucket DESC) AS cum_neg, "
+        "SUM(pos) OVER () AS tot_pos, SUM(neg) OVER () AS tot_neg FROM b) "
+        "SELECT bucket, " + sql_round("cum_pos * 1.0 / tot_pos", 6) + " AS tpr, "
+        + sql_round("cum_neg * 1.0 / tot_neg", 6) + " AS fpr FROM c"
+    ),
+    tags=("ml", "metric"),
+)
+def q_roc_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned ROC curve — the scale-safe two-pass form: histogram scores
+    into 50 buckets (one aggregate), then a cumulative window over the
+    ~50-row bucket table only. Ref: roc_curve evaluate_model.py:49."""
+    s = scored(spark, sf_dir)
+    b = (
+        s.groupBy(F.floor(F.col("score") * 50).cast("bigint").alias("bucket"))
+        .agg(
+            F.sum("label").alias("pos"),
+            (F.count("*") - F.sum("label")).alias("neg"),
+        )
+    )
+    w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = b.select(
+        "bucket",
+        F.sum("pos").over(w_cum).alias("cum_pos"),
+        F.sum("neg").over(w_cum).alias("cum_neg"),
+        F.sum("pos").over(w_all).alias("tot_pos"),
+        F.sum("neg").over(w_all).alias("tot_neg"),
+    )
+    return c.select(
+        "bucket",
+        pround(F.col("cum_pos") * 1.0 / F.col("tot_pos"), 6).alias("tpr"),
+        pround(F.col("cum_neg") * 1.0 / F.col("tot_neg"), 6).alias("fpr"),
+    )
+
+
+@query(
+    "q_fold_assign",
+    oracle=(
+        "SELECT (l_orderkey * 9973 + l_linenumber) % 5 AS fold, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY fold, label"
+    ),
+    tags=("ml", "split"),
+)
+def q_fold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5-fold assignment via multiplicative hash of the
+    row key — stable across retries/partitionings (SURVEY.md §4.3),
+    unlike RNG folds. Ref: StratifiedKFold(n_splits=5, random_state=42)
+    train_model.py:49."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            ((F.col("l_orderkey") * 9973 + F.col("l_linenumber")) % 5).alias("fold"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        )
+        .groupBy("fold", "label")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_split",
+    oracle=(
+        "SELECT CASE WHEN (l_orderkey * 2654435761 + l_linenumber) % 1000 < 800 "
+        "THEN 1 ELSE 0 END AS is_train, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM lineitem GROUP BY is_train, label"
+    ),
+    tags=("ml", "split"),
+)
+def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~80/20 train/test split via Knuth multiplicative
+    hash of the row key. Ref: train_test_split(test_size=0.2,
+    stratify=y, random_state=42) preprocess.py:36-38 — hash bucketing
+    replaces RNG so the split is reproducible on any cluster layout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            F.when(
+                (F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber")) % 1000 < 800, 1
+            ).otherwise(0).alias("is_train"),
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        )
+        .groupBy("is_train", "label")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,262 @@
+"""Text-analysis operators over the ``documents`` table — the
+LLM-data-pipeline surface mandated by BASELINE.json: tokenization,
+token statistics, quality scoring, language ID, document
+fingerprinting, n-grams, and one-vs-corpus Jaccard similarity.
+
+Scale posture: everything is built-in column functions (split /
+explode / regexp) running inside whole-stage codegen; the only
+shuffles are the final group-bys. The Jaccard query broadcasts the
+query document's token set (tiny) so the corpus side never shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fraud_detection_spark.functions import pround
+from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.sources import load_table
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+
+
+@query(
+    "q_doc_stats",
+    oracle=(
+        "SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        + sql_round("AVG(n_chars)", 4) + " AS avg_chars, "
+        "CAST(MAX(n_chars) AS BIGINT) AS max_chars "
+        "FROM documents GROUP BY source, lang"
+    ),
+    tags=("text", "agg"),
+)
+def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus profile: doc counts and length stats by source × language."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        pround(F.avg("n_chars"), 4).alias("avg_chars"),
+        F.max("n_chars").cast("bigint").alias("max_chars"),
+    )
+
+
+@query(
+    "q_token_freq",
+    oracle=(
+        "SELECT w AS token, CAST(COUNT(*) AS BIGINT) AS cnt FROM ("
+        "SELECT unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> '' GROUP BY w ORDER BY cnt DESC, token LIMIT 20"
+    ),
+    tags=("text",),
+)
+def q_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word frequency: split → explode → count → top-20 (deterministic
+    tie-break on token). The classic map-side-combinable token count."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_token_count",
+    oracle=(
+        "SELECT doc_id, "
+        "CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens, "
+        "CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents"
+    ),
+    tags=("text",),
+)
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways: whitespace tokens and a BPE-ish regex
+    pre-tokenizer (letter runs / digit runs / other) — the standard
+    LLM-pipeline size estimate."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).cast(
+            "bigint"
+        ).alias("n_bpe_tokens"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle=(
+        "WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS w FROM documents), "
+        "m AS (SELECT doc_id, n_chars, len(w) AS n_tok, "
+        "len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) AS n_stop, "
+        "len(list_filter(w, x -> len(x) >= 6)) AS n_long FROM t) "
+        "SELECT doc_id, " + sql_round("n_chars * 1.0 / n_tok", 6) + " AS avg_word_len, "
+        + sql_round("n_stop * 1.0 / n_tok", 6) + " AS stopword_ratio, "
+        + sql_round("n_long * 1.0 / n_tok", 6) + " AS long_word_ratio, "
+        "CASE WHEN n_tok >= 20 AND n_stop > 0 THEN 1 ELSE 0 END AS passes_quality "
+        "FROM m"
+    ),
+    tags=("text", "quality"),
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: average word length, stopword ratio,
+    long-word ratio, and a boolean gate (length + stopword presence) —
+    the C4/Gopher-style quality-filter shape."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    n_long = F.size(F.filter(w, lambda x: F.length(x) >= 6))
+    return d.select(
+        "doc_id",
+        pround(F.col("n_chars") * 1.0 / n_tok, 6).alias("avg_word_len"),
+        pround(n_stop * 1.0 / n_tok, 6).alias("stopword_ratio"),
+        pround(n_long * 1.0 / n_tok, 6).alias("long_word_ratio"),
+        F.when((n_tok >= 20) & (n_stop > 0), 1).otherwise(0).alias("passes_quality"),
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=(
+        "WITH g AS (SELECT doc_id, lang, CASE "
+        "WHEN regexp_matches(text, '[一-鿿]') THEN 'zh' "
+        "WHEN regexp_matches(text, '[ñ¿¡]') THEN 'es' "
+        "WHEN regexp_matches(text, '[äöüß]') THEN 'de' "
+        "ELSE 'en' END AS guess FROM documents) "
+        "SELECT lang, guess, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY lang, guess"
+    ),
+    tags=("text", "langid"),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class language-ID heuristic (script detection tier of
+    an n-gram language identifier), cross-tabulated against the labeled
+    ``lang`` column. Pure regexp — no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    guess = (
+        F.when(F.col("text").rlike("[一-鿿]"), "zh")
+        .when(F.col("text").rlike("[ñ¿¡]"), "es")
+        .when(F.col("text").rlike("[äöüß]"), "de")
+        .otherwise("en")
+    )
+    return (
+        d.select("doc_id", "lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@query(
+    "q_fingerprint",
+    oracle=(
+        "SELECT doc_id, list_reduce("
+        "list_transform(string_split(text, ' '), w -> CAST(ascii(w) + len(w) AS BIGINT)), "
+        "(h, x) -> (h * 31 + x) % 1000000007) AS fp FROM documents"
+    ),
+    tags=("text", "hash"),
+)
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polynomial rolling-hash document fingerprint:
+    fp = fold(tokens, (h, w) -> (31h + ascii(w₀)+|w|) mod 1e9+7).
+    Engine-portable (pure arithmetic, no engine hash function), computed
+    with F.aggregate — Spark's fold over array columns."""
+    d = load_table(spark, sf_dir, "documents")
+    vals = F.transform(
+        F.split("text", " "),
+        lambda w: (F.ascii(w) + F.length(w)).cast("bigint"),
+    )
+    # list_reduce has no initial accumulator: seed with element 0, fold the rest
+    fp = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda h, x: (h * 31 + x) % 1000000007,
+    )
+    return d.select("doc_id", fp.alias("fp"))
+
+
+@query(
+    "q_ngram",
+    oracle=(
+        "WITH t AS (SELECT string_split(text, ' ') AS w FROM documents), "
+        "b AS (SELECT list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i + 1]) AS bgs FROM t) "
+        "SELECT bg AS bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM "
+        "(SELECT unnest(bgs) AS bg FROM b) GROUP BY bg "
+        "ORDER BY cnt DESC, bigram LIMIT 20"
+    ),
+    tags=("text", "ngram"),
+)
+def q_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word bigrams (MLlib NGram semantics, expression form): zip each
+    token with its successor, count, top-20 with deterministic
+    tie-break."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    bigrams = F.expr(
+        "transform(sequence(0, size(split(text, ' ')) - 2), "
+        "i -> concat(split(text, ' ')[i], ' ', split(text, ' ')[i + 1]))"
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+@query(
+    "q_jaccard_topk",
+    oracle=(
+        "WITH tok AS (SELECT DISTINCT doc_id, w FROM "
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), "
+        "qt AS (SELECT w FROM tok WHERE doc_id = 0), "
+        "sizes AS (SELECT doc_id, COUNT(*) AS sz FROM tok GROUP BY doc_id), "
+        "inter AS (SELECT t.doc_id, COUNT(*) AS i FROM tok t JOIN qt ON t.w = qt.w "
+        "WHERE t.doc_id <> 0 GROUP BY t.doc_id), "
+        "qs AS (SELECT COUNT(*) AS qsz FROM qt) "
+        "SELECT s.doc_id, " + sql_round("COALESCE(i, 0) * 1.0 / (sz + qsz - COALESCE(i, 0))", 6) + " AS jaccard "
+        "FROM sizes s LEFT JOIN inter ON s.doc_id = inter.doc_id CROSS JOIN qs "
+        "WHERE s.doc_id <> 0 ORDER BY jaccard DESC, s.doc_id LIMIT 10"
+    ),
+    tags=("text", "similarity"),
+)
+def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard similarity of every document against a query
+    document (doc_id=0), top-10 — the n-gram-Jaccard near-dup primitive
+    in one-vs-corpus form (pairwise form is q_dedup_near via LSH).
+
+    Spark plan: the query doc's token set is a tiny broadcast; the
+    corpus side is one explode + semi-join-style aggregation — linear
+    in corpus size, no quadratic blowup."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("w"))
+    q_tokens = tok.filter(F.col("doc_id") == 0).select(F.col("w").alias("qw"))
+    sizes = tok.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        tok.filter(F.col("doc_id") != 0)
+        .join(F.broadcast(q_tokens), F.col("w") == F.col("qw"))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("i"))
+    )
+    qsz = q_tokens.agg(F.count("*").alias("qsz"))
+    return (
+        sizes.filter(F.col("doc_id") != 0)
+        .join(inter, "doc_id", "left")
+        .crossJoin(F.broadcast(qsz))
+        .select(
+            "doc_id",
+            pround(
+                F.coalesce(F.col("i"), F.lit(0)) * 1.0
+                / (F.col("sz") + F.col("qsz") - F.coalesce(F.col("i"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("jaccard"), F.asc("doc_id"))
+        .limit(10)
+    )

@@ -1,0 +1,86 @@
+"""Declared-query registry.
+
+Every engine operator that the driver verifies is registered here as a
+named query: a callable ``(spark, sf_dir) -> DataFrame`` plus, when the
+semantics are SQL-expressible, the equivalent DuckDB oracle SQL. The
+driver hash-compares Spark output against the oracle (order-insensitive,
+columns sorted by name), so:
+
+- every computed column is aliased identically on both sides;
+- double outputs are rounded on BOTH sides (default 4-6 decimals) so
+  summation-order jitter cannot flip the hash;
+- integer aggregates are cast to BIGINT on both sides (DuckDB SUM(int)
+  is HUGEINT otherwise);
+- raw timestamps are never emitted — epoch seconds (BIGINT) instead,
+  which is timezone-independent in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def sql_round(expr: str, n: int) -> str:
+    """Portable rounding for oracle SQL: FLOOR(x*10^n + 0.5)/10^n.
+
+    Spark's ROUND goes through the decimal string representation
+    (HALF_UP on the shortest repr) while DuckDB rounds the binary
+    double — they disagree on values like 37704.575. This formula is
+    pure IEEE double arithmetic, so both engines produce bit-identical
+    results; the Spark twin is fraud_detection_spark.functions.pround.
+    """
+    p = 10 ** n
+    return f"FLOOR(({expr}) * {p} + 0.5) / {p}"
+
+
+@dataclass
+class Query:
+    name: str
+    fn: QueryFn
+    oracle: str | None = None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+
+REGISTRY: dict[str, Query] = {}
+
+
+def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+    """Decorator registering a declared query.
+
+    ``oracle`` is ANSI SQL runnable by DuckDB against pre-registered
+    views (region nation customer supplier part orders lineitem events
+    documents embeddings). ``None`` => rows-only check (non-SQL-
+    expressible op: RNG, LSH, ML training, ...).
+    """
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Query]:
+    """Import every operator module so decorators run, then return REGISTRY."""
+    from fraud_detection_spark.operators import (  # noqa: F401
+        aggregates,
+        dedup,
+        ml_metrics,
+        multimodal,
+        relational,
+        similarity,
+        text,
+        windows,
+    )
+    from fraud_detection_spark.ml import queries as ml_queries  # noqa: F401
+    from fraud_detection_spark.sources import synthetic  # noqa: F401
+
+    return REGISTRY
