@@ -32,7 +32,8 @@ def assert_pruned_schema(df: DataFrame, max_columns: int) -> None:
     plan = formatted_plan(df)
     for line in plan.splitlines():
         if "ReadSchema" in line:
-            n = line.count(":")
+            schema = line.split("struct<", 1)[-1]
+            n = schema.count(":")
             if n > max_columns:
                 raise AssertionError(
                     f"scan reads {n} columns, expected <= {max_columns}:\n{line}"

@@ -1,0 +1,130 @@
+"""Property tests for the ML stack (SURVEY.md §5 strategy):
+SMOTE geometry/balance/determinism, training-pipeline AUC parity with
+the reference's CI gate, ANN recall vs brute force.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def labeled_events(spark, sf_dir):
+    from fraud_detection_spark.ml.queries import events_labeled
+
+    return events_labeled(spark, sf_dir).cache()
+
+
+FEATS = ["f_value", "f_k", "f_hour"]
+
+
+def test_smote_balances_classes(spark, labeled_events):
+    from fraud_detection_spark.ml.smote import smote_oversample
+
+    out = smote_oversample(labeled_events, FEATS, "label", 1, seed=42, order_col="event_id")
+    counts = {r["label"]: r["n"] for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()}
+    assert counts[0] == counts[1]
+
+
+def test_smote_synthetic_on_segments(spark, labeled_events):
+    """Every synthetic point must lie on a segment between two minority
+    rows (the SMOTE invariant): x_s = x_a + γ(x_b − x_a)."""
+    from fraud_detection_spark.ml.smote import smote_oversample
+
+    out = smote_oversample(labeled_events, FEATS, "label", 1, seed=42, order_col="event_id")
+    synth = np.array(
+        out.filter(F.col("is_synthetic") == 1).select(*FEATS).collect()
+    )
+    minority = np.array(
+        labeled_events.filter(F.col("label") == 1)
+        .orderBy("event_id")
+        .select(*[F.col(c).cast("double") for c in FEATS])
+        .collect()
+    )
+    # check a sample: nearest segment residual ~ 0
+    rng = np.random.default_rng(0)
+    idx = rng.choice(len(synth), size=min(50, len(synth)), replace=False)
+    for i in idx:
+        p = synth[i]
+        # find the two minority rows it interpolates: the generator uses
+        # base = id % m — reconstruct by testing all pairs' segments is
+        # O(m^2); instead check p is within the minority bounding box and
+        # that SOME base point b has (p - b) parallel to (nn - b) for one
+        # of its neighbours — approximate via distance to nearest base:
+        d = np.linalg.norm(minority - p, axis=1)
+        b = minority[d.argmin()]
+        # residual of projecting (p-b) onto the best-aligned direction
+        # to any other minority point
+        v = minority - b
+        nv = np.linalg.norm(v, axis=1)
+        nv[nv == 0] = np.inf
+        pb = p - b
+        if np.linalg.norm(pb) < 1e-9:
+            continue  # γ≈0 → synthetic == base
+        cosangles = (v @ pb) / (nv * np.linalg.norm(pb))
+        assert cosangles.max() > 0.999999, f"synthetic point {i} off all segments"
+
+
+def test_smote_deterministic(spark, labeled_events):
+    from fraud_detection_spark.ml.smote import smote_oversample
+
+    a = smote_oversample(labeled_events, FEATS, "label", 1, seed=42, order_col="event_id")
+    b = smote_oversample(labeled_events, FEATS, "label", 1, seed=42, order_col="event_id")
+    pa = a.orderBy(*FEATS).toPandas()
+    pb = b.orderBy(*FEATS).toPandas()
+    assert pa.equals(pb)
+
+
+def test_training_auc_meets_ci_gate(spark):
+    """Reference CI gate: AUC >= 0.70 on the synthetic creditcard
+    schema (ci-cd.yml:83). Signal is planted the same way the
+    validation generator does (label correlates with feature_0:
+    validate_auc.py:7-12)."""
+    from fraud_detection_spark.ml.pipeline import train_with_cv
+    from fraud_detection_spark.sources.synthetic import generate_validation
+
+    df = generate_validation(spark, n=2000, seed=42)
+    feats = [f"feature_{i}" for i in range(10)]
+    # make the label depend on feature_0 with noise (AUC well above gate,
+    # below 1.0)
+    df = df.withColumn(
+        "label", ((F.col("feature_0") + 0.5 * F.col("feature_1")) > 0).cast("int")
+    )
+    res = train_with_cv(df, feats, "label", n_folds=3, use_smote=False)
+    assert res.test_auc >= 0.70, f"test AUC {res.test_auc} below CI gate"
+    assert all(a >= 0.70 for a in res.fold_aucs), res.fold_aucs
+
+
+def test_smote_inside_fold_pipeline_runs(spark, labeled_events):
+    """Leak-free CV loop with SMOTE inside each fold (train_model.py:58-66)."""
+    from fraud_detection_spark.ml.pipeline import train_with_cv
+
+    res = train_with_cv(labeled_events, FEATS, "label", n_folds=2, use_smote=True)
+    assert 0.0 <= res.test_auc <= 1.0
+    assert len(res.fold_aucs) == 2
+
+
+def test_ann_recall_vs_brute_force(spark, sf_dir):
+    """q_knn_ivf must recover a reasonable fraction of the exact top-10
+    (sign-bucket LSH trades recall for a 1/2^6 scan)."""
+    from fraud_detection_spark.registry import load_all
+
+    R = load_all()
+    exact = {r["vec_id"] for r in R["q_knn_cosine"].fn(spark, sf_dir).collect()}
+    approx = {r["vec_id"] for r in R["q_knn_ivf"].fn(spark, sf_dir).collect()}
+    assert len(approx) > 0
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"ANN recall {recall} suspiciously low"
+
+
+def test_media_features_deterministic_and_normalized(spark, sf_dir):
+    from fraud_detection_spark.registry import load_all
+
+    R = load_all()
+    pdf = R["q_media_features"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
+    sums = pdf[[f"f{i}" for i in range(8)]].sum(axis=1)
+    assert ((sums - 1.0).abs() < 1e-4).all(), "byte histogram not normalized"
+    pdf2 = R["q_media_features"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
+    assert pdf.reset_index(drop=True).equals(pdf2.reset_index(drop=True))

@@ -1,0 +1,55 @@
+"""Physical-plan guardrails: the properties that matter at 100 TB —
+pushdown, pruning, broadcast — asserted at test scale so regressions
+are caught before they cost a cluster.
+"""
+
+from __future__ import annotations
+
+from fraud_detection_spark.plans.checks import (
+    assert_broadcast_join,
+    assert_no_cartesian,
+    assert_pruned_schema,
+    assert_pushed_filter,
+    formatted_plan,
+)
+from fraud_detection_spark.registry import load_all
+
+
+def test_filter_pushdown(spark, sf_dir):
+    R = load_all()
+    assert_pushed_filter(R["q_filter_threshold"].fn(spark, sf_dir), "GreaterThan(value,80.0)")
+    assert_pushed_filter(R["q_point_lookup"].fn(spark, sf_dir), "EqualTo(c_custkey,42)")
+
+
+def test_column_pruning(spark, sf_dir):
+    R = load_all()
+    # q_scan selects 4 of 11 lineitem columns — scan must not read more
+    assert_pruned_schema(R["q_scan"].fn(spark, sf_dir), 4)
+    assert_pruned_schema(R["q_project"].fn(spark, sf_dir), 4)
+
+
+def test_dim_joins_broadcast(spark, sf_dir):
+    R = load_all()
+    assert_broadcast_join(R["q_join_broadcast"].fn(spark, sf_dir))
+    assert_broadcast_join(R["q_knn_cosine"].fn(spark, sf_dir))
+    assert_no_cartesian(R["q_jaccard_topk"].fn(spark, sf_dir))
+
+
+def test_topk_avoids_global_sort(spark, sf_dir):
+    R = load_all()
+    plan = formatted_plan(R["q_topk"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scoring_stays_in_codegen(spark, sf_dir):
+    """The logistic-score pipeline must be pure whole-stage codegen —
+    no Python evaluation (BatchEvalPython) in the hot path."""
+    R = load_all()
+    for q in ("q_lr_proba", "q_shap_linear", "q_standard_scale"):
+        plan = formatted_plan(R[q].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{q} fell back to Python:\n{plan}"
+        # AQE-wrapped plans (isFinalPlan=false) don't annotate codegen ids
+        # until execution; either marker proves the JVM path
+        assert "codegen id" in plan or "AdaptiveSparkPlan" in plan, (
+            f"{q} has no codegen span:\n{plan}"
+        )
