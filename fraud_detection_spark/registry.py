@@ -76,6 +76,7 @@ def load_all() -> dict[str, Query]:
         ml_metrics,
         multimodal,
         relational,
+        relational2,
         similarity,
         text,
         windows,
