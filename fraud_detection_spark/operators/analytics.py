@@ -1,0 +1,278 @@
+"""Analytical patterns: canonical TPC-H-shaped queries, as-of join,
+unpivot, and a salted skew join — the OLAP idioms a production engine
+must plan well (pyspark guide §"Common OLAP patterns").
+
+Scale posture notes per query below; the TPC-H shapes are the
+benchmark-grade plans (pruned scans, partial aggs, broadcast dims,
+AQE-coalesced shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fraud_detection_spark.functions import pround
+from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.sources import load_table
+
+
+@query(
+    "q_tpch_q1",
+    oracle=(
+        "SELECT l_returnflag, l_linestatus, "
+        + sql_round("SUM(l_quantity)", 2) + " AS sum_qty, "
+        + sql_round("SUM(l_extendedprice)", 2) + " AS sum_base_price, "
+        + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2) + " AS sum_disc_price, "
+        + sql_round("SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2) + " AS sum_charge, "
+        + sql_round("AVG(l_quantity)", 4) + " AS avg_qty, "
+        + sql_round("AVG(l_extendedprice)", 4) + " AS avg_price, "
+        + sql_round("AVG(l_discount)", 6) + " AS avg_disc, "
+        "CAST(COUNT(*) AS BIGINT) AS count_order "
+        "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
+        "GROUP BY l_returnflag, l_linestatus"
+    ),
+    tags=("tpch", "agg"),
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary report): 2-key group-by with 8
+    aggregates over a date-filtered scan. The canonical partial-agg
+    shape: each partition pre-aggregates to ≤|groups| rows before the
+    single small shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            pround(F.sum(disc_price), 2).alias("sum_disc_price"),
+            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
+            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            pround(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q3",
+    oracle=(
+        "SELECT l_orderkey, "
+        + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2) + " AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "WHERE c_mktsegment = 'BUILDING' "
+        "AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00' "
+        "AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00' "
+        "GROUP BY l_orderkey ORDER BY revenue DESC, l_orderkey LIMIT 10"
+    ),
+    tags=("tpch", "join"),
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 (shipping priority): selective filters on all three
+    tables (pushed to each scan) -> join -> group -> top-10. Customer
+    side shrinks to one segment before the join; AQE picks broadcast
+    when the filtered side fits."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-03-15 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q_tpch_q5",
+    oracle=(
+        "SELECT n_name, "
+        + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2) + " AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "JOIN region ON n_regionkey = r_regionkey "
+        "WHERE r_name = 'ASIA' GROUP BY n_name"
+    ),
+    tags=("tpch", "join"),
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local supplier volume): 6-table star join with
+    broadcast dims (supplier/nation/region) and the classic
+    same-nation customer⋈supplier condition."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+@query(
+    "q_tpch_q6",
+    oracle=(
+        "SELECT " + sql_round("SUM(l_extendedprice * l_discount)", 2) + " AS revenue "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00' "
+        "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
+    ),
+    tags=("tpch", "filter"),
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure scan-filter-aggregate —
+    every predicate pushes to parquet row-group stats; the canonical
+    'filters reach the reader' probe."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+@query(
+    "q_asof_join",
+    oracle=(
+        "SELECT e.event_id, e.user_id, "
+        "CAST(epoch_ns(p.ts) // 1000000000 AS BIGINT) AS last_purchase_ts "
+        "FROM events e ASOF LEFT JOIN "
+        "(SELECT user_id, ts FROM events WHERE event_type = 'purchase') p "
+        "ON e.user_id = p.user_id AND e.ts >= p.ts "
+        "WHERE e.event_type = 'click'"
+    ),
+    tags=("join", "asof"),
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join — for every click, the most recent preceding purchase
+    by the same user. Spark has no native ASOF JOIN (DuckDB does — the
+    oracle uses it); composed here as the union-window idiom:
+    union both sides tagged, then last_value(purchase_ts) IGNORE NULLS
+    over (user, time) — one shuffle on user_id, no range cross join.
+    The same plan shape scales to any history length (state is one
+    value per user, not a buffer)."""
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_last = tagged.withColumn(
+        "last_purchase_ns", F.last("purchase_ts", ignorenulls=True).over(w)
+    )
+    return with_last.filter(F.col("event_type") == "click").select(
+        "event_id",
+        "user_id",
+        F.expr("last_purchase_ns div 1000000000").alias("last_purchase_ts"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle=(
+        "SELECT l_orderkey, l_linenumber, rate_kind, rate FROM ("
+        "SELECT l_orderkey, l_linenumber, 'discount' AS rate_kind, l_discount AS rate FROM lineitem "
+        "UNION ALL "
+        "SELECT l_orderkey, l_linenumber, 'tax' AS rate_kind, l_tax AS rate FROM lineitem)"
+    ),
+    tags=("reshape",),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide -> long) via stack(): the melt operation — the
+    inverse of q_pivot. One pass, no shuffle (row expansion only)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(2, 'discount', l_discount, 'tax', l_tax) AS (rate_kind, rate)"
+        ),
+    )
+
+
+@query(
+    "q_skew_join_salted",
+    oracle=(
+        "WITH f AS (SELECT event_id, "
+        "CASE WHEN value < 90 THEN 0 ELSE event_id % 100 END AS hot_key, value FROM events), "
+        "d AS (SELECT DISTINCT CASE WHEN value < 90 THEN 0 ELSE event_id % 100 END AS hot_key "
+        "FROM events), "
+        "dim AS (SELECT hot_key, hot_key * 10 AS weight FROM d) "
+        "SELECT f.hot_key, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(dim.weight) AS BIGINT) AS wsum "
+        "FROM f JOIN dim ON f.hot_key = dim.hot_key GROUP BY f.hot_key"
+    ),
+    tags=("join", "skew"),
+)
+def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-join with explicit salting: ~90% of fact rows share
+    hot_key=0 (engineered skew). The fact side gets a random-free salt
+    (event_id % NSALT); the dim side is exploded across all salts; the
+    join key becomes (key, salt) so the hot key spreads over NSALT
+    tasks. Result is salt-invariant — the oracle computes the plain
+    join. (AQE skew-split is the automatic alternative; salting is the
+    portable, partition-count-independent form.)"""
+    NSALT = 8
+    ev = load_table(spark, sf_dir, "events")
+    hot_key = F.when(F.col("value") < 90, F.lit(0)).otherwise(F.col("event_id") % 100)
+    f = ev.select(
+        "event_id",
+        hot_key.cast("bigint").alias("hot_key"),
+        (F.col("event_id") % NSALT).alias("salt"),
+    )
+    dim_salted = (
+        f.select(F.col("hot_key").alias("d_key"))
+        .distinct()
+        .withColumn("weight", F.col("d_key") * 10)
+        .crossJoin(F.broadcast(spark.range(NSALT).select(F.col("id").alias("d_salt"))))
+    )
+    joined = f.join(
+        dim_salted,
+        (F.col("hot_key") == F.col("d_key")) & (F.col("salt") == F.col("d_salt")),
+    ).select("hot_key", "weight")
+    return joined.groupBy("hot_key").agg(
+        F.count("*").alias("n"),
+        F.sum("weight").cast("bigint").alias("wsum"),
+    )
