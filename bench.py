@@ -52,6 +52,12 @@ HEADLINE = [
     "q_fingerprint",
     "q_knn_cosine",
     "q_array_ops",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_asof_join",
+    "q_unpivot",
 ]
 
 

@@ -80,6 +80,7 @@ def load_all() -> dict[str, Query]:
         relational2,
         similarity,
         text,
+        udf_examples,
         windows,
     )
     from fraud_detection_spark.ml import queries as ml_queries  # noqa: F401
