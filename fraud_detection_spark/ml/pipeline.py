@@ -51,23 +51,55 @@ def add_weight_col(df: DataFrame, label_col: str, weight_col: str = "weight") ->
     )
 
 
-def build_pipeline(feature_cols: list[str], label_col: str, weight_col: str | None) -> Pipeline:
-    """VectorAssembler -> StandardScaler(withMean) -> LogisticRegression."""
-    stages = [
+def build_pipeline(
+    feature_cols: list[str],
+    label_col: str,
+    weight_col: str | None,
+    algo: str = "lr",
+) -> Pipeline:
+    """VectorAssembler -> StandardScaler(withMean) -> classifier.
+
+    algo='lr'  : LogisticRegression — the reference's shipped/served
+                 model (models/logistic_model.joblib, api/app.py:44).
+    algo='gbt' : GBTClassifier — the MLlib gradient-boosted-trees
+                 stand-in for the reference's XGBClassifier generation
+                 (train_model.py:69-80: 100 trees, depth 5, lr 0.1;
+                 params mirrored). xgboost.spark.SparkXGBClassifier is
+                 a drop-in here when the xgboost package is available —
+                 gated because this container ships without it.
+    """
+    stages: list = [
         VectorAssembler(inputCols=feature_cols, outputCol="features_raw"),
         StandardScaler(
             inputCol="features_raw", outputCol="features", withMean=True, withStd=True
         ),
-        LogisticRegression(
-            featuresCol="features",
-            labelCol=label_col,
-            weightCol=weight_col,
-            maxIter=50,
-            regParam=0.0,
-        )
-        if weight_col
-        else LogisticRegression(featuresCol="features", labelCol=label_col, maxIter=50),
     ]
+    if algo == "gbt":
+        from pyspark.ml.classification import GBTClassifier
+
+        stages.append(
+            GBTClassifier(
+                featuresCol="features",
+                labelCol=label_col,
+                maxIter=20,  # trees (reference uses 100; bounded for tests)
+                maxDepth=5,
+                stepSize=0.1,
+                seed=42,
+                **({"weightCol": weight_col} if weight_col else {}),
+            )
+        )
+    elif algo == "lr":
+        stages.append(
+            LogisticRegression(
+                featuresCol="features",
+                labelCol=label_col,
+                maxIter=50,
+                regParam=0.0,
+                **({"weightCol": weight_col} if weight_col else {}),
+            )
+        )
+    else:
+        raise ValueError(f"unknown algo: {algo!r} (expected 'lr' or 'gbt')")
     return Pipeline(stages=stages)
 
 

@@ -61,18 +61,34 @@ def q_train_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_pipeline,
         deterministic_split,
     )
+    from fraud_detection_spark.sources.synthetic import generate_validation
     from pyspark.ml.evaluation import BinaryClassificationEvaluator
 
-    li = load_table(spark, sf_dir, "lineitem")
-    feats = ["f_qty", "f_price", "f_disc"]
-    df = li.select(
-        F.col("l_quantity").alias("f_qty"),
-        (F.col("l_extendedprice") / 100000.0).alias("f_price"),
-        F.col("l_discount").alias("f_disc"),
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
-    ).limit(20000)
+    # The AUC-gate fixture (validate_auc.py:7-12): planted signal
+    # label ~ feature_0, so a correct pipeline scores well above the
+    # 0.70 CI gate. (lineitem's returnflag is independent of its
+    # numeric columns — training there can only yield AUC ~0.5.)
+    feats = [f"feature_{i}" for i in range(10)]
+    df = generate_validation(spark, n=4000, seed=42).withColumn(
+        "label",
+        ((F.col("feature_0") + 0.4 * F.col("feature_1")) > 0).cast("int"),
+    )
     train, test = deterministic_split(df, feats)
-    model = build_pipeline(feats, "label", "weight").fit(add_weight_col(train, "label"))
+    fitted = build_pipeline(feats, "label", "weight").fit(add_weight_col(train, "label"))
+    # Score with a RELOADED model: a freshly-fit LogisticRegressionModel
+    # carries a training summary that references the SparkSession, and
+    # serializing that session into task closures fails once any
+    # Observation has been registered on it (Spark 4.1
+    # ObservationManager is not serializable). Loaded models carry no
+    # summary — and this doubles as the artifact save/load parity step
+    # (joblib.dump/load -> PipelineModel.save/load, preprocess.py:52-57).
+    import tempfile
+
+    from pyspark.ml import PipelineModel
+
+    path = tempfile.mkdtemp(prefix="fds-train-auc-") + "/model"
+    fitted.write().overwrite().save(path)
+    model = PipelineModel.load(path)
     ev = BinaryClassificationEvaluator(labelCol="label", metricName="areaUnderROC")
     auc = float(ev.evaluate(model.transform(test)))
     return spark.createDataFrame([(round(auc, 6),)], "auc double")

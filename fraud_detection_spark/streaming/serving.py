@@ -64,7 +64,27 @@ def score_requests(df: DataFrame) -> DataFrame:
         .withColumn(
             "correlation_id", F.coalesce(F.col("correlation_id"), F.expr("uuid()"))
         )
+        # CURRENT_TIMESTAMP column default of the results DDL
+        # (api/app.py:57, alembic 0001 :25-26)
+        .withColumn("created_at", F.current_timestamp())
     )
+
+
+def observed_scores(df: DataFrame):
+    """Engine-side metrics (reference Prometheus counters/histograms,
+    api/app.py:66-68): df.observe attaches named aggregates evaluated
+    with the job — read them from the returned Observation without a
+    second pass over the data."""
+    from pyspark.sql import Observation
+
+    obs = Observation("serving_metrics")
+    out = score_requests(df).observe(
+        obs,
+        F.count(F.lit(1)).alias("predictions_submitted_total"),
+        F.avg("score").alias("mean_score"),
+        F.sum((F.col("score") > 0.5).cast("int")).alias("n_flagged"),
+    )
+    return out, obs
 
 
 def upsert_batch(batch_df: DataFrame, batch_id: int, results_dir: str) -> None:
