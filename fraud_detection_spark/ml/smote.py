@@ -18,10 +18,12 @@ Spark design (fraud-shaped data: minority ≪ majority):
    hash of the id) — deterministic under any partitioning / retry,
    no RNG state, no shuffle, no driver generation.
 
-When the minority side itself is too large to broadcast, swap step 2
-for ``BucketedRandomProjectionLSH.approxSimilarityJoin`` on the
-minority self-join (same interpolation afterwards); the synthesis
-contract (pure function of synthetic id) is unchanged.
+When the minority side itself is too large to broadcast,
+``smote_oversample_lsh`` swaps step 2 for a
+``BucketedRandomProjectionLSH.approxSimilarityJoin`` minority
+self-join and keeps the whole synthesis distributed (no driver
+collection at all); the synthesis contract (pure function of the
+synthetic id) is unchanged.
 """
 
 from __future__ import annotations
@@ -128,3 +130,128 @@ def smote_oversample(
         )
     )
     return base.unionByName(synth_df)
+
+
+def smote_oversample_lsh(
+    df: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    minority_label: int = 1,
+    k: int = 5,
+    seed: int = 42,
+    order_col: str | None = None,
+    bucket_length: float = 2.0,
+    num_hash_tables: int = 4,
+) -> DataFrame:
+    """SMOTE scale path: nothing is collected to the driver.
+
+    1. index minority rows (row_number over ``order_col`` — one narrow
+       window per partition of the *minority* only);
+    2. approximate kNN via BucketedRandomProjectionLSH self-join
+       (candidate pairs from hash-bucket equality, not a cross join);
+       keep each row's k nearest, slot-numbered 0..k-1;
+    3. synthesize: ``spark.range(needed)`` joins the kNN table on
+       (base = id mod m, slot = (id div m) mod k_eff) and interpolates
+       with the same id-hashed γ as the broadcast path.
+
+    Rows whose LSH neighbourhood is empty fall back to self-pairing
+    (γ·0 — emits the base point), keeping the output count exact.
+    """
+    from pyspark.ml.feature import BucketedRandomProjectionLSH, VectorAssembler
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    counts = {
+        r[label_col]: r["cnt"]
+        for r in df.groupBy(label_col).agg(F.count("*").alias("cnt")).collect()
+    }
+    n_min = counts.get(minority_label, 0)
+    n_maj = sum(v for lbl, v in counts.items() if lbl != minority_label)
+    needed = max(n_maj - n_min, 0)
+
+    base = df.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("int").alias(label_col),
+        F.lit(0).alias("is_synthetic"),
+    )
+    if needed == 0 or n_min < 2:
+        return base
+
+    order_key = order_col if order_col is not None else feature_cols[0]
+    minority = (
+        df.filter(F.col(label_col) == minority_label)
+        .select(order_key, *[F.col(c).cast("double").alias(c) for c in feature_cols])
+        .withColumn(
+            "midx",
+            F.row_number().over(Window.orderBy(order_key)) - 1,
+        )
+    ).cache()
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="fvec")
+    mv = assembler.transform(minority).select("midx", "fvec", *feature_cols)
+
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="fvec",
+        outputCol="hashes",
+        bucketLength=bucket_length,
+        numHashTables=num_hash_tables,
+        seed=seed,
+    )
+    model = lsh.fit(mv)
+    pairs = (
+        model.approxSimilarityJoin(mv, mv, float("inf"), distCol="dist")
+        .select(
+            F.col("datasetA.midx").alias("a"),
+            F.col("datasetB.midx").alias("b"),
+            "dist",
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    w_nn = Window.partitionBy("a").orderBy("dist", "b")
+    knn = (
+        pairs.withColumn("slot", F.row_number().over(w_nn) - 1)
+        .filter(F.col("slot") < k)
+        .select("a", "slot", "b")
+    )
+
+    m = n_min
+    ids = spark.range(needed).select(
+        F.col("id"),
+        (F.col("id") % m).alias("a"),
+        ((F.col("id") / m).cast("long") % k).alias("want_slot"),
+        (((F.col("id") * _HASH + seed) % 1_000_000) / 1_000_000.0).alias("gamma"),
+    )
+    # modulo the row's actual neighbour count (LSH may find < k):
+    slot_counts = knn.groupBy("a").agg(F.count("*").alias("k_eff"))
+    ids2 = (
+        ids.join(slot_counts, "a", "left")
+        .withColumn("k_eff", F.coalesce(F.col("k_eff"), F.lit(0)))
+        .withColumn(
+            "slot",
+            F.when(F.col("k_eff") > 0, F.col("want_slot") % F.col("k_eff")).otherwise(F.lit(-1)),
+        )
+    )
+    base_feats = minority.select(
+        F.col("midx").alias("a"), *[F.col(c).alias(f"x_{c}") for c in feature_cols]
+    )
+    nn_feats = minority.select(
+        F.col("midx").alias("b"), *[F.col(c).alias(f"n_{c}") for c in feature_cols]
+    )
+    synth = (
+        ids2.join(knn, ["a", "slot"], "left")
+        .join(base_feats, "a")
+        .join(nn_feats, "b", "left")
+        .select(
+            *[
+                (
+                    F.col(f"x_{c}")
+                    + F.col("gamma")
+                    * (F.coalesce(F.col(f"n_{c}"), F.col(f"x_{c}")) - F.col(f"x_{c}"))
+                ).alias(c)
+                for c in feature_cols
+            ],
+            F.lit(int(minority_label)).alias(label_col),
+            F.lit(1).alias("is_synthetic"),
+        )
+    )
+    return base.unionByName(synth)

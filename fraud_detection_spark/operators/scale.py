@@ -1,0 +1,99 @@
+"""Scale-path operator variants: the forms you run at 100 TB when the
+exact/test-scale form has a bottleneck, declared alongside their exact
+twins so both are graded.
+
+- q_auc_binned : trapezoid AUC over the 50-bucket score histogram —
+  replaces q_auc's global rank window (single ordered partition) with
+  two tiny aggregates; error vs exact AUC is O(1/bins) and measured in
+  tests.
+- q_approx_distinct / q_approx_quantile : HyperLogLog++ / quantile
+  sketches — the mergeable one-pass forms of q_distinct_count /
+  q_quantiles (engine-specific sketches => rows-only; accuracy
+  asserted vs exact in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fraud_detection_spark.functions import pround
+from fraud_detection_spark.operators.ml_metrics import SCORED_SQL, scored
+from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.sources import load_table
+
+
+@query(
+    "q_auc_binned",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), b AS ("
+        "SELECT CAST(FLOOR(score * 50) AS BIGINT) AS bucket, "
+        "SUM(label) AS pos, COUNT(*) - SUM(label) AS neg FROM s GROUP BY bucket), "
+        "c AS (SELECT bucket, "
+        "SUM(pos) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) * 1.0 "
+        "/ SUM(pos) OVER () AS tpr, "
+        "SUM(neg) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) * 1.0 "
+        "/ SUM(neg) OVER () AS fpr FROM b), "
+        "d AS (SELECT tpr, fpr, "
+        "LAG(tpr, 1, 0.0) OVER (ORDER BY fpr, tpr) AS ptpr, "
+        "LAG(fpr, 1, 0.0) OVER (ORDER BY fpr, tpr) AS pfpr FROM c) "
+        "SELECT " + sql_round("SUM((fpr - pfpr) * (tpr + ptpr) / 2.0)", 6) + " AS auc "
+        "FROM d"
+    ),
+    tags=("ml", "metric", "scale"),
+)
+def q_auc_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned (trapezoid) AUC — the 100 TB form of q_auc: one histogram
+    aggregate over 50 score buckets, then windows over the ~50-row
+    bucket table only. No global sort/rank of the fact table. Accuracy
+    vs the exact rank-sum AUC is O(1/bins) (asserted in tests)."""
+    s = scored(spark, sf_dir)
+    b = s.groupBy(F.floor(F.col("score") * 50).cast("bigint").alias("bucket")).agg(
+        F.sum("label").alias("pos"),
+        (F.count("*") - F.sum("label")).alias("neg"),
+    )
+    w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = b.select(
+        (F.sum("pos").over(w_cum) * 1.0 / F.sum("pos").over(w_all)).alias("tpr"),
+        (F.sum("neg").over(w_cum) * 1.0 / F.sum("neg").over(w_all)).alias("fpr"),
+    )
+    w_lag = Window.orderBy("fpr", "tpr")
+    d = c.select(
+        "tpr",
+        "fpr",
+        F.lag("tpr", 1, 0.0).over(w_lag).alias("ptpr"),
+        F.lag("fpr", 1, 0.0).over(w_lag).alias("pfpr"),
+    )
+    return d.agg(
+        pround(
+            F.sum((F.col("fpr") - F.col("pfpr")) * (F.col("tpr") + F.col("ptpr")) / 2.0), 6
+        ).alias("auc")
+    )
+
+
+@query("q_approx_distinct", oracle=None, tags=("agg", "approx", "scale"))
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct counts (rsd=0.01) — the mergeable
+    one-pass scale form of q_distinct_count (no expand, no two-phase
+    exact distinct shuffle). Engine-specific sketch => rows-only;
+    error vs exact asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey", rsd=0.01).alias("n_parts_approx"),
+        F.approx_count_distinct("l_suppkey", rsd=0.01).alias("n_supps_approx"),
+    )
+
+
+@query("q_approx_quantile", oracle=None, tags=("agg", "approx", "scale"))
+def q_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greenwald-Khanna approximate quantiles (accuracy 10000) — the
+    mergeable scale form of q_quantiles (exact interpolation needs the
+    full value multiset per group)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        pround(F.percentile_approx("o_totalprice", 0.25, 10000), 4).alias("p25"),
+        pround(F.percentile_approx("o_totalprice", 0.5, 10000), 4).alias("p50"),
+        pround(F.percentile_approx("o_totalprice", 0.75, 10000), 4).alias("p75"),
+    )

@@ -20,6 +20,25 @@ def labeled_events(spark, sf_dir):
 FEATS = ["f_value", "f_k", "f_hour"]
 
 
+def _min_segment_residual(p, pts):
+    """Exact distance from p to the nearest segment between any two
+    minority points (vectorized over the second endpoint)."""
+    best = np.inf
+    for a in range(len(pts)):
+        base = pts[a]
+        d = pts - base          # candidate directions to every other point
+        pb = p - base
+        denom = (d * d).sum(axis=1)
+        denom[denom == 0] = np.inf
+        t = np.clip((d @ pb) / denom, 0.0, 1.0)
+        proj = base + t[:, None] * d
+        best = min(best, float(np.linalg.norm(proj - p, axis=1).min()))
+        if best < 1e-8:
+            break
+    return best
+
+
+
 def test_smote_balances_classes(spark, labeled_events):
     from fraud_detection_spark.ml.smote import smote_oversample
 
@@ -43,28 +62,13 @@ def test_smote_synthetic_on_segments(spark, labeled_events):
         .select(*[F.col(c).cast("double") for c in FEATS])
         .collect()
     )
-    # check a sample: nearest segment residual ~ 0
+    # check a sample: exact distance to the nearest minority segment ≈ 0
     rng = np.random.default_rng(0)
     idx = rng.choice(len(synth), size=min(50, len(synth)), replace=False)
+    scale = np.linalg.norm(minority.std(axis=0)) + 1e-12
     for i in idx:
-        p = synth[i]
-        # find the two minority rows it interpolates: the generator uses
-        # base = id % m — reconstruct by testing all pairs' segments is
-        # O(m^2); instead check p is within the minority bounding box and
-        # that SOME base point b has (p - b) parallel to (nn - b) for one
-        # of its neighbours — approximate via distance to nearest base:
-        d = np.linalg.norm(minority - p, axis=1)
-        b = minority[d.argmin()]
-        # residual of projecting (p-b) onto the best-aligned direction
-        # to any other minority point
-        v = minority - b
-        nv = np.linalg.norm(v, axis=1)
-        nv[nv == 0] = np.inf
-        pb = p - b
-        if np.linalg.norm(pb) < 1e-9:
-            continue  # γ≈0 → synthetic == base
-        cosangles = (v @ pb) / (nv * np.linalg.norm(pb))
-        assert cosangles.max() > 0.999999, f"synthetic point {i} off all segments"
+        res = _min_segment_residual(synth[i], minority)
+        assert res / scale < 1e-6, f"synthetic point {i} off all segments: {res}"
 
 
 def test_smote_deterministic(spark, labeled_events):
@@ -128,3 +132,30 @@ def test_media_features_deterministic_and_normalized(spark, sf_dir):
     assert ((sums - 1.0).abs() < 1e-4).all(), "byte histogram not normalized"
     pdf2 = R["q_media_features"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
     assert pdf.reset_index(drop=True).equals(pdf2.reset_index(drop=True))
+
+
+def test_smote_lsh_path_balances_and_stays_on_segments(spark, labeled_events):
+    """The distributed (LSH) SMOTE must satisfy the same invariants as
+    the broadcast path: exact class balance and synthetic points on
+    segments between minority rows."""
+    from fraud_detection_spark.ml.smote import smote_oversample_lsh
+
+    out = smote_oversample_lsh(
+        labeled_events, FEATS, "label", 1, k=5, seed=42, order_col="event_id"
+    )
+    counts = {
+        r["label"]: r["n"] for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[0] == counts[1]
+
+    synth = np.array(out.filter(F.col("is_synthetic") == 1).select(*FEATS).collect())
+    minority = np.array(
+        labeled_events.filter(F.col("label") == 1)
+        .select(*[F.col(c).cast("double") for c in FEATS])
+        .collect()
+    )
+    rng = np.random.default_rng(1)
+    scale = np.linalg.norm(minority.std(axis=0)) + 1e-12
+    for i in rng.choice(len(synth), size=min(30, len(synth)), replace=False):
+        res = _min_segment_residual(synth[i], minority)
+        assert res / scale < 1e-6, f"LSH synthetic {i} off all segments: {res}"

@@ -1,0 +1,82 @@
+"""Scale-path variants: accuracy vs their exact twins, and the
+bucketed co-located join (no shuffle on the join key)."""
+
+from __future__ import annotations
+
+def test_binned_auc_close_to_exact(spark, sf_dir):
+    from fraud_detection_spark.registry import load_all
+
+    R = load_all()
+    exact = R["q_auc"].fn(spark, sf_dir).collect()[0]["auc"]
+    binned = R["q_auc_binned"].fn(spark, sf_dir).collect()[0]["auc"]
+    assert abs(exact - binned) < 0.05, (exact, binned)
+
+
+def test_approx_distinct_close_to_exact(spark, sf_dir):
+    from fraud_detection_spark.registry import load_all
+
+    R = load_all()
+    exact = {
+        r["l_returnflag"]: r["n_parts"]
+        for r in R["q_distinct_count"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r["n_parts_approx"]
+        for r in R["q_approx_distinct"].fn(spark, sf_dir).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) / max(v, 1) < 0.05, (k, v, approx[k])
+
+
+def test_approx_quantile_close_to_exact(spark, sf_dir):
+    from fraud_detection_spark.registry import load_all
+
+    R = load_all()
+    exact = R["q_quantiles"].fn(spark, sf_dir).collect()[0]
+    approx = R["q_approx_quantile"].fn(spark, sf_dir).collect()[0]
+    for c in ("p25", "p50", "p75"):
+        assert abs(exact[c] - approx[c]) / exact[c] < 0.02, (c, exact[c], approx[c])
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketed tables co-locate join keys at write time: a join of two
+    tables bucketed by the same key into the same bucket count needs NO
+    exchange — the physical design lever for repeated 100 TB joins.
+    (saveAsTable requires the session catalog; tables are dropped and
+    the warehouse dir is gitignored.)"""
+    from fraud_detection_spark.plans.checks import formatted_plan
+    from fraud_detection_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_orderkey")
+        .sortBy("o_orderkey")
+        .saveAsTable("orders_b")
+    )
+    (
+        lineitem.write.mode("overwrite")
+        .bucketBy(8, "l_orderkey")
+        .sortBy("l_orderkey")
+        .saveAsTable("lineitem_b")
+    )
+    try:
+        ob, lb = spark.table("orders_b"), spark.table("lineitem_b")
+        # force a sort-merge join so the test exercises bucket
+        # co-location rather than broadcasting the small test table
+        joined = lb.hint("merge").join(ob, lb.l_orderkey == ob.o_orderkey).select(
+            "l_orderkey", "o_totalprice", "l_extendedprice"
+        )
+        plan = formatted_plan(joined)
+        assert "SortMergeJoin" in plan, plan
+        # the join itself must not re-shuffle either bucketed side
+        assert "Exchange hashpartitioning" not in plan, plan
+        # and it must still be correct
+        expect = lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey).count()
+        assert joined.count() == expect
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
