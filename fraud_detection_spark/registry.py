@@ -78,6 +78,7 @@ def load_all() -> dict[str, Query]:
         multimodal,
         relational,
         relational2,
+        relational3,
         scale,
         similarity,
         text,
