@@ -41,3 +41,18 @@ def get_spark(app_name: str = "fraud_detection_spark") -> SparkSession:
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def health_check(spark: SparkSession) -> dict:
+    """Liveness/readiness probe (reference /status + /health,
+    api/app.py:130-175): a trivial query proves the session executes;
+    streaming query states are reported per active stream."""
+    ok = spark.sql("SELECT 1 AS ok").collect()[0]["ok"] == 1
+    return {
+        "session": "UP" if ok else "DOWN",
+        "version": spark.version,
+        "streams": {
+            q.name or q.id: ("ACTIVE" if q.isActive else "STOPPED")
+            for q in spark.streams.active
+        },
+    }

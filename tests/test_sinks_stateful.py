@@ -83,3 +83,11 @@ def test_stateful_stream_matches_batch(spark, sf_dir, tmp_path):
     assert (got["n_events"].values == want["n_events"].values).all()
     assert (abs(got["mean_value"].values - want["mean_value"].values) < 1e-9).all()
     assert (got["last_seen_sec"].values == want["last_seen_sec"].values).all()
+
+
+def test_health_check(spark):
+    from fraud_detection_spark.session import health_check
+
+    h = health_check(spark)
+    assert h["session"] == "UP"
+    assert h["version"].startswith("4.")
