@@ -276,3 +276,76 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"),
         F.sum("weight").cast("bigint").alias("wsum"),
     )
+
+
+@query(
+    "q_tpch_q14",
+    oracle=(
+        "SELECT " + sql_round(
+            "100.00 * SUM(CASE WHEN p_type = 'PROMO' "
+            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
+            "/ SUM(l_extendedprice * (1 - l_discount))",
+            6,
+        )
+        + " AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey "
+        "WHERE l_shipdate >= TIMESTAMP '1995-09-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1995-10-01 00:00:00'"
+    ),
+    tags=("tpch", "join"),
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): date-filtered fact ⋈ broadcast
+    part dimension, conditional revenue ratio. The part side is
+    broadcast — the fact table never shuffles."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01 00:00:00"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            pround(
+                100.00
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+@query(
+    "q_tpch_q18",
+    oracle=(
+        "SELECT c_custkey, o_orderkey, " + sql_round("SUM(l_quantity)", 2) + " AS total_qty "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
+        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 350) "
+        "GROUP BY c_custkey, o_orderkey"
+    ),
+    tags=("tpch", "join", "subquery"),
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): aggregate-then-semi-join —
+    the HAVING subquery reduces lineitem to a small key set first, so
+    the 3-way join only touches qualifying orders. The aggregate
+    pre-filter is the scale lever (the key set after HAVING is tiny)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("s"))
+        .filter(F.col("s") > 350)
+        .select("l_orderkey")
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        li.join(big.withColumnRenamed("l_orderkey", "k"), F.col("l_orderkey") == F.col("k"), "left_semi")
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "o_orderkey")
+        .agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
