@@ -205,3 +205,80 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cosine") > 0.3)
     )
+
+
+def _embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric near-dup edge list from the sign-bucket cosine join."""
+    p = q_dedup_embedding(spark, sf_dir).select("vec_a", "vec_b")
+    return p.unionByName(
+        p.select(F.col("vec_b").alias("vec_a"), F.col("vec_a").alias("vec_b"))
+    )
+
+
+# the pair subquery reused inside the recursive oracle (without the
+# outer SELECT of q_dedup_embedding's rounding projection)
+def _pairs_sql() -> str:
+    return (
+        "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, "
+        f"{_bucket_sql()} AS bucket FROM embeddings), "
+        "halfp AS (SELECT a.vec_id AS x, c.vec_id AS y FROM b a JOIN b c "
+        "ON a.bucket = c.bucket AND a.vec_id < c.vec_id "
+        "WHERE FLOOR(list_cosine_similarity(a.e, c.e) * 1000000 + 0.5) / 1000000 > 0.3), "
+        "pairs AS (SELECT x, y FROM halfp UNION ALL SELECT y, x FROM halfp)"
+    )
+
+
+@query(
+    "q_dedup_cluster",
+    oracle=(
+        "WITH RECURSIVE " + _pairs_sql()[5:] + ", "
+        "reach(v, r) AS ("
+        "SELECT vec_id, vec_id FROM embeddings "
+        "UNION "
+        "SELECT p.x, reach.r FROM pairs p JOIN reach ON p.y = reach.v) "
+        "SELECT v AS vec_id, CAST(MIN(r) AS BIGINT) AS cluster_id "
+        "FROM reach GROUP BY v"
+    ),
+    tags=("dedup", "cluster", "iterative"),
+)
+def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the near-duplicate graph — the dedup
+    *clustering* step (keep one representative per component).
+    Iterative min-label propagation: every vertex starts as its own
+    cluster id; each round takes the min of its neighbours' labels;
+    converges in O(graph diameter) rounds. The classic iterative Spark
+    algorithm (same shape as large-scale connected components /
+    label propagation), oracle-checked against a DuckDB recursive CTE.
+
+    Scale: each round is one join + one aggregate on the edge list;
+    localCheckpoint truncates lineage per round so plans stay flat.
+    Near-dup graphs are sparse and shallow, so rounds are few."""
+    e = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    edges = _embedding_pairs(spark, sf_dir).localCheckpoint()
+    labels = e.select("vec_id", F.col("vec_id").alias("cluster_id"))
+    for _ in range(20):  # diameter bound; convergence-checked below
+        neighbor_min = (
+            edges.join(labels, edges.vec_b == labels.vec_id)
+            .groupBy(F.col("vec_a").alias("vec_id"))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, "vec_id", "left")
+            .select(
+                "vec_id",
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), "vec_id")
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels

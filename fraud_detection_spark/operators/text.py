@@ -260,3 +260,50 @@ def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("jaccard"), F.asc("doc_id"))
         .limit(10)
     )
+
+
+@query(
+    "q_tfidf",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, w FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''), "
+        "tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tok GROUP BY doc_id, w), "
+        "dfreq AS (SELECT w, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY w), "
+        "n AS (SELECT COUNT(*) AS n FROM documents) "
+        "SELECT doc_id, w AS term, "
+        + sql_round("tf * (ln((n + 1.0) / (df + 1.0)) + 1.0)", 6) + " AS tfidf "
+        "FROM tf JOIN dfreq USING (w) CROSS JOIN n "
+        "ORDER BY tfidf DESC, doc_id, term LIMIT 20"
+    ),
+    tags=("text", "tfidf"),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with smoothed IDF (sklearn convention:
+    idf = ln((N+1)/(df+1)) + 1), top-20 weighted terms. The MLlib
+    HashingTF->IDF pipeline computes the same statistic with hashed
+    terms; this expression form keeps exact terms and an exact oracle.
+
+    Scale: two hash aggregates (term-frequency, document-frequency) +
+    a join on term; df table is vocabulary-sized (broadcastable)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    tf = tok.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    return (
+        tf.join(F.broadcast(dfreq), "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.col("w").alias("term"),
+            pround(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+        .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
+        .limit(20)
+    )
