@@ -121,12 +121,16 @@ def q_group_zscore_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").applyInPandas(_group_zscore, GROUP_Z_SCHEMA)
 
 
-@F.udf(T.StringType())
-def slow_label_udf(flag: str) -> str:
-    """Row-at-a-time Python UDF — the measured BAD example (per-row
-    pickle round-trip). Equivalent to CASE WHEN; see tests/test_udfs.py
-    for the speed comparison. Never used in a hot path."""
+def _slow_label(flag):
+    """Row-at-a-time Python UDF body — the measured BAD example
+    (per-row pickle round-trip). Equivalent to CASE WHEN; see
+    tests/test_udfs.py for the speed comparison. Never in a hot path.
+    (No type hints: they trigger pandas-udf eval-type inference and an
+    import-time warning.)"""
     return "returned" if flag == "R" else "kept"
+
+
+slow_label_udf = F.udf(_slow_label, T.StringType())
 
 
 def slow_label_query(spark: SparkSession, sf_dir: str) -> DataFrame:

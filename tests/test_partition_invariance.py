@@ -1,0 +1,57 @@
+"""Partition invariance: declared-query results must be identical under
+radically different physical partitioning (tiny scan splits + few
+shuffle partitions vs the defaults). This is the property that keeps
+the oracle hashes stable on any cluster layout — the portable round
+absorbs aggregation-order jitter, hash-bucketing replaces RNG, and
+every top-k is tie-broken.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+# the queries most exposed to partitioning (aggregation order, windows,
+# joins, folds, iterative loops)
+RISKY = [
+    "q_mean_std",
+    "q_standard_scale",
+    "q_auc",
+    "q_auc_binned",
+    "q_tpch_q1",
+    "q_tpch_q5",
+    "q_fingerprint",
+    "q_knn_cosine",
+    "q_window_running",
+    "q_fold_assign",
+    "q_split",
+    "q_jaccard_topk",
+    "q_dedup_cluster",
+]
+
+
+def result_hash(df) -> str:
+    pdf = df.toPandas()
+    pdf = pdf[sorted(pdf.columns)]
+    pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
+    return hashlib.md5(pdf.to_csv(index=False, float_format="%.12g").encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", RISKY)
+def test_partition_invariant(name, spark, sf_dir):
+    from fraud_detection_spark.registry import load_all
+
+    q = load_all()[name]
+    base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    base_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        h1 = result_hash(q.fn(spark, sf_dir))
+        # force many tiny scan splits and few shuffle partitions
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+        h2 = result_hash(q.fn(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", base_bytes)
+    assert h1 == h2, f"{name} result depends on partitioning"
