@@ -19,6 +19,7 @@ repartitioning — no RNG fold leakage across retries).
 
 from __future__ import annotations
 
+import tempfile
 from dataclasses import dataclass, field
 
 from pyspark.ml import Pipeline, PipelineModel
@@ -29,6 +30,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from fraud_detection_spark.ml.smote import smote_oversample
+
+
+def detach(model: PipelineModel) -> PipelineModel:
+    """Save+load round-trip that drops the classifier's training
+    summary. A freshly-fit LogisticRegression/GBT model keeps a summary
+    holding a SparkSession reference; task closures then serialize that
+    session, which FAILS whenever any Observation has been registered
+    on it (Spark 4.1: ObservationManager's registry is not
+    serializable once non-empty). Loaded models carry no summary, so
+    they are always closure-safe."""
+    path = tempfile.mkdtemp(prefix="fds-detach-") + "/m"
+    model.write().overwrite().save(path)
+    return PipelineModel.load(path)
 
 
 @dataclass
@@ -141,15 +155,15 @@ def train_with_cv(
         else:
             tr = add_weight_col(tr, label_col)
             fitted = build_pipeline(feature_cols, label_col, "weight").fit(tr)
-        fold_aucs.append(float(evaluator.evaluate(fitted.transform(va))))
+        fold_aucs.append(float(evaluator.evaluate(detach(fitted).transform(va))))
 
     final_train = train.drop("fold")
     if use_smote:
         final_train = smote_oversample(final_train, feature_cols, label_col, seed=seed)
-        model = build_pipeline(feature_cols, label_col, None).fit(final_train)
+        model = detach(build_pipeline(feature_cols, label_col, None).fit(final_train))
     else:
         final_train = add_weight_col(final_train, label_col)
-        model = build_pipeline(feature_cols, label_col, "weight").fit(final_train)
+        model = detach(build_pipeline(feature_cols, label_col, "weight").fit(final_train))
     test_auc = float(evaluator.evaluate(model.transform(test)))
     train.unpersist()
     return TrainResult(model=model, test_auc=test_auc, fold_aucs=fold_aucs)

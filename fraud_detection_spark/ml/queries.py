@@ -75,20 +75,12 @@ def q_train_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     train, test = deterministic_split(df, feats)
     fitted = build_pipeline(feats, "label", "weight").fit(add_weight_col(train, "label"))
-    # Score with a RELOADED model: a freshly-fit LogisticRegressionModel
-    # carries a training summary that references the SparkSession, and
-    # serializing that session into task closures fails once any
-    # Observation has been registered on it (Spark 4.1
-    # ObservationManager is not serializable). Loaded models carry no
-    # summary — and this doubles as the artifact save/load parity step
-    # (joblib.dump/load -> PipelineModel.save/load, preprocess.py:52-57).
-    import tempfile
+    # detach(): drops the session-referencing training summary (see
+    # ml/pipeline.py) and doubles as the artifact save/load parity step
+    # (joblib.dump/load -> PipelineModel.save/load, preprocess.py:52-57)
+    from fraud_detection_spark.ml.pipeline import detach
 
-    from pyspark.ml import PipelineModel
-
-    path = tempfile.mkdtemp(prefix="fds-train-auc-") + "/model"
-    fitted.write().overwrite().save(path)
-    model = PipelineModel.load(path)
+    model = detach(fitted)
     ev = BinaryClassificationEvaluator(labelCol="label", metricName="areaUnderROC")
     auc = float(ev.evaluate(model.transform(test)))
     return spark.createDataFrame([(round(auc, 6),)], "auc double")

@@ -349,3 +349,46 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "o_orderkey")
         .agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
     )
+
+
+@query(
+    "q_tpch_q10",
+    oracle=(
+        "SELECT c_custkey, c_name, n_name, "
+        + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2) + " AS revenue "
+        "FROM customer JOIN orders ON c_custkey = o_custkey "
+        "JOIN lineitem ON l_orderkey = o_orderkey "
+        "JOIN nation ON c_nationkey = n_nationkey "
+        "WHERE o_orderdate >= TIMESTAMP '1993-10-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1994-10-01 00:00:00' "
+        "AND l_returnflag = 'R' "
+        "GROUP BY c_custkey, c_name, n_name "
+        "ORDER BY revenue DESC, c_custkey LIMIT 20"
+    ),
+    tags=("tpch", "join"),
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): lost revenue from returned
+    items per customer — the fraud-adjacent 'who returns things' query.
+    Returned-flag + date filters push to the scans; nation broadcasts;
+    top-20 is TakeOrderedAndProject."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1993-10-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1994-10-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )

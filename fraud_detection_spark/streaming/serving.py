@@ -60,7 +60,14 @@ def score_requests(df: DataFrame) -> DataFrame:
         out = out.withColumn(f"shap_{c}", F.round(F.lit(w) * F.col(c), 6))
     return (
         out.withColumn("prediction", (F.col("score") > 0.5).cast("int"))
-        .withColumn("status", F.lit("COMPLETED"))
+        # dead-letter branch: rows whose features can't be scored end
+        # in terminal FAILED (reference: MaxRetriesExceeded -> FAILED,
+        # xai_tasks.py:150-152; PENDING/COMPLETED/FAILED enum
+        # db/models.py:11-14)
+        .withColumn(
+            "status",
+            F.when(F.col("score").isNull(), "FAILED").otherwise("COMPLETED"),
+        )
         .withColumn(
             "correlation_id", F.coalesce(F.col("correlation_id"), F.expr("uuid()"))
         )

@@ -64,3 +64,50 @@ def test_observed_serving_metrics(spark):
     assert got["predictions_submitted_total"] == 2
     assert 0.0 <= got["mean_score"] <= 1.0
     assert got["n_flagged"] >= 1  # the 500-value row scores > 0.5
+
+
+def test_training_job_end_to_end(spark, tmp_path):
+    """EP1 parity: the full train_model.py flow in one call — audit,
+    split, CV with SMOTE-in-fold, final fit, AUC gate, persist."""
+    from fraud_detection_spark.ml.train_job import run_training_job
+
+    df = _toy_df(spark, n=1200)
+    path = str(tmp_path / "gatemodel")
+    rep = run_training_job(
+        df, FEATS, "label", n_folds=2, use_smote=True, auc_threshold=0.70,
+        model_path=path,
+    )
+    assert all(v == 0 for v in rep.null_counts.values())
+    assert set(rep.class_counts) == {0, 1}
+    assert len(rep.fold_aucs) == 2
+    assert rep.gate_passed and rep.model_path == path
+    # gate failure path: impossible threshold -> no model persisted
+    rep2 = run_training_job(
+        df, FEATS, "label", n_folds=2, use_smote=False, auc_threshold=1.01,
+        model_path=str(tmp_path / "never"),
+    )
+    assert not rep2.gate_passed and rep2.model_path is None
+
+
+def test_fraud_detector_single_record_latency(spark, tmp_path):
+    """EP4 parity (predict_single.py): dict in, (class, score) out;
+    missing features default to 0.0; warm batch-of-1 <= 500 ms
+    (BASELINE.md alert threshold #3)."""
+    import time
+
+    from fraud_detection_spark.ml.detector import FraudDetector
+    from fraud_detection_spark.ml.pipeline import build_pipeline
+
+    df = _toy_df(spark, n=600)
+    path = str(tmp_path / "servemodel")
+    build_pipeline(FEATS, "label", None).fit(df).write().overwrite().save(path)
+
+    det = FraudDetector(spark, path, FEATS)
+    pred, score = det.predict({f: 0.5 for f in FEATS})  # warm-up + full dict
+    assert pred in (0, 1) and 0.0 <= score <= 1.0
+
+    t0 = time.perf_counter()
+    pred2, score2 = det.predict({"feature_0": 2.0})  # missing -> 0.0
+    dt = time.perf_counter() - t0
+    assert pred2 in (0, 1) and 0.0 <= score2 <= 1.0
+    assert dt < 0.5, f"single-record scoring took {dt:.3f}s (budget 0.5s)"

@@ -32,14 +32,17 @@ def test_serving_stream_end_to_end(spark, dirs):
         [
             {"transaction_id": "t1", "correlation_id": "c1", "f_value": 10.0, "f_k": 1.0, "f_hour": 3.0},
             {"transaction_id": "t2", "correlation_id": None, "f_value": 99.0, "f_k": 5.0, "f_hour": 12.0},
+            # poison record: unscorable features -> terminal FAILED
+            {"transaction_id": "t_bad", "correlation_id": "cx", "f_value": None, "f_k": None, "f_hour": None},
         ],
         "batch1.json",
     )
     run_serving_stream(spark, req_dir, res_dir, ckpt)
     out = spark.read.parquet(res_dir)
     rows = {r["transaction_id"]: r.asDict() for r in out.collect()}
-    assert set(rows) == {"t1", "t2"}
+    assert set(rows) == {"t1", "t2", "t_bad"}
     assert rows["t1"]["status"] == "COMPLETED"
+    assert rows["t_bad"]["status"] == "FAILED" and rows["t_bad"]["score"] is None
     assert rows["t1"]["correlation_id"] == "c1"
     assert rows["t2"]["correlation_id"] is not None  # uuid assigned
     assert 0.0 <= rows["t1"]["score"] <= 1.0
@@ -59,8 +62,8 @@ def test_serving_stream_end_to_end(spark, dirs):
     run_serving_stream(spark, req_dir, res_dir, ckpt)
     out2 = spark.read.parquet(res_dir)
     rows2 = {r["transaction_id"]: r.asDict() for r in out2.collect()}
-    assert set(rows2) == {"t1", "t2", "t3"}
-    assert out2.count() == 3, "upsert duplicated keys"
+    assert set(rows2) == {"t1", "t2", "t3", "t_bad"}
+    assert out2.count() == 4, "upsert duplicated keys"
     assert rows2["t1"]["correlation_id"] == "c1b", "t1 not updated in place"
 
 
