@@ -144,8 +144,8 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q6",
     oracle=(
         "SELECT " + sql_round("SUM(l_extendedprice * l_discount)", 2) + " AS revenue "
-        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00' "
-        "AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00' "
+        "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
     ),
     tags=("tpch", "filter"),
@@ -157,8 +157,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.filter(
-            (F.col("l_shipdate") >= F.lit("1994-01-01 00:00:00"))
-            & (F.col("l_shipdate") < F.lit("1995-01-01 00:00:00"))
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
@@ -359,8 +359,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
         "JOIN nation ON c_nationkey = n_nationkey "
-        "WHERE o_orderdate >= TIMESTAMP '1993-10-01 00:00:00' "
-        "AND o_orderdate < TIMESTAMP '1994-10-01 00:00:00' "
+        "WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00' "
         "AND l_returnflag = 'R' "
         "GROUP BY c_custkey, c_name, n_name "
         "ORDER BY revenue DESC, c_custkey LIMIT 20"
@@ -374,8 +374,8 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-20 is TakeOrderedAndProject."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= F.lit("1993-10-01 00:00:00"))
-        & (F.col("o_orderdate") < F.lit("1994-10-01 00:00:00"))
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00"))
     )
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = load_table(spark, sf_dir, "nation")
