@@ -413,14 +413,18 @@ def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_anti",
     oracle=(
         "SELECT c_custkey FROM customer WHERE NOT EXISTS "
-        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)"
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderstatus = 'P')"
     ),
     tags=("join",),
 )
 def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left-anti join: customers with no orders (NOT EXISTS)."""
+    """Left-anti join: customers with no in-progress ('P') orders
+    (NOT EXISTS). The status filter keeps the result non-trivial —
+    every customer in the testdata has at least one order of *some*
+    status."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "P")
     return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
 
 
