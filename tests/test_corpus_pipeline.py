@@ -1,0 +1,43 @@
+"""End-to-end corpus-prep pipeline: invariants across stages and the
+partitioned output layout."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    from fraud_detection_spark.pipelines.corpus_job import run_corpus_pipeline
+
+    out = str(tmp_path / "corpus")
+    rep = run_corpus_pipeline(spark, sf_dir, output_path=out, min_tokens=20)
+
+    # monotone funnel: input >= deduped >= quality-filtered
+    assert rep.n_input >= rep.n_after_dedup >= rep.n_after_quality > 0
+    assert rep.total_ws_tokens > 0
+    assert sum(rep.by_lang.values()) == rep.n_after_quality
+
+    # output round-trip: partitioned by lang, stats consistent
+    back = spark.read.parquet(out)
+    assert back.count() == rep.n_after_quality
+    assert set(back.columns) >= {"doc_id", "text", "lang", "n_ws_tokens", "fingerprint"}
+    got_langs = {
+        r["lang"]: r["n"] for r in back.groupBy("lang").agg(F.count("*").alias("n")).collect()
+    }
+    assert got_langs == rep.by_lang
+
+    # dedup invariant: no duplicate content in the output
+    n_hashes = back.select(F.md5(F.col("text").cast("binary"))).distinct().count()
+    assert n_hashes == rep.n_after_quality
+
+    # quality invariant: every surviving doc meets the token floor
+    assert back.filter(F.col("n_ws_tokens") < 20).count() == 0
+
+    # fingerprint parity with the declared operator on surviving docs
+    from fraud_detection_spark.registry import load_all
+
+    fp = load_all()["q_fingerprint"].fn(spark, sf_dir)
+    joined = back.select("doc_id", "fingerprint").join(
+        fp.withColumnRenamed("fp", "fp_ref"), "doc_id"
+    )
+    assert joined.filter(F.col("fingerprint") != F.col("fp_ref")).count() == 0
