@@ -392,3 +392,67 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("c_custkey"))
         .limit(20)
     )
+
+
+@query(
+    "q_tpch_q7",
+    oracle=(
+        "SELECT supp_nation, cust_nation, l_year, "
+        + sql_round("SUM(volume)", 2) + " AS revenue FROM ("
+        "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+        "CAST(year(l_shipdate) AS INT) AS l_year, "
+        "l_extendedprice * (1 - l_discount) AS volume "
+        "FROM supplier JOIN lineitem ON s_suppkey = l_suppkey "
+        "JOIN orders ON o_orderkey = l_orderkey "
+        "JOIN customer ON c_custkey = o_custkey "
+        "JOIN nation n1 ON s_nationkey = n1.n_nationkey "
+        "JOIN nation n2 ON c_nationkey = n2.n_nationkey "
+        "WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+        "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+        "AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') "
+        "GROUP BY supp_nation, cust_nation, l_year"
+    ),
+    tags=("tpch", "join"),
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping): bidirectional nation-pair trade by
+    year — the same dimension table joined TWICE under different
+    aliases (supplier nation vs customer nation), both broadcast. The
+    pair predicate applies after both dims resolve."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
