@@ -418,8 +418,15 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 (volume shipping): bidirectional nation-pair trade by
     year — the same dimension table joined TWICE under different
-    aliases (supplier nation vs customer nation), both broadcast. The
-    pair predicate applies after both dims resolve."""
+    aliases (supplier nation vs customer nation).
+
+    Scale plan: the OR-of-pairs predicate cannot be pushed through a
+    5-way join by Catalyst, so we push it by construction — supplier
+    and customer are each pre-filtered to the two nations (broadcast
+    join against the 2-row nation slice) BEFORE any fact join. The
+    fact table then shrinks to ~2/25 of suppliers at the first
+    (broadcast) join, and the residual pair filter only removes the
+    two same-nation combinations instead of ~(23/25)² of all rows."""
     li = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
         & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00"))
@@ -427,23 +434,29 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
-    nation = load_table(spark, sf_dir, "nation")
-    n1 = nation.select(
+    two = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2")
+    )
+    n1 = two.select(
         F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")
     )
-    n2 = nation.select(
+    n2 = two.select(
         F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")
+    )
+    s2 = s.join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key")).select(
+        "s_suppkey", "supp_nation"
+    )
+    c2 = c.join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key")).select(
+        "c_custkey", "cust_nation"
     )
     pair = (
         ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
         | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
     )
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(F.broadcast(s2), li.l_suppkey == s2.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(c, o.o_custkey == c.c_custkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
+        .join(c2, o.o_custkey == c2.c_custkey)
         .filter(pair)
         .groupBy(
             "supp_nation",

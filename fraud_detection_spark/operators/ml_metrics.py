@@ -285,22 +285,52 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     score ties (scores pre-rounded so tie structure matches the oracle).
     Ref: roc_auc_score train_model.py:83 / evaluate_model.py:50.
 
-    Note: the global RANK() is a single ordered window — fine at test
-    scale; the 100 TB path is the binned q_roc_points + trapezoid
-    (SURVEY.md §4.2)."""
+    Scale-safe exact form (no single-partition window anywhere):
+    scores are pre-rounded to 6 dp, so the distinct-score table is
+    bounded at ~10⁶ rows regardless of input size. Ranks come from a
+    distributed prefix sum over that table:
+
+      1. one shuffle agg: (score -> pos, cnt);
+      2. coarse buckets (floor(score·1000), ≤1001 rows): cross-bucket
+         offsets via a tiny broadcast self-join — no window at all;
+      3. within-bucket running count via a PARTITIONED window
+         (partitionBy bucket), so no "move all data to one partition".
+
+    arank(score) = rows_below + (cnt+1)/2, and Σ over positive rows of
+    arank = Σ_groups pos·arank — identical math to the global RANK()
+    oracle, exact in IEEE double (all terms integer or half-integer)."""
     s = scored(spark, sf_dir)
-    w_rank = Window.orderBy("score")
-    w_ties = Window.partitionBy("score")
-    r = s.select(
-        "label",
-        (F.rank().over(w_rank) + (F.count("*").over(w_ties) - 1) / 2.0).alias("arank"),
+    per = (
+        s.groupBy("score")
+        .agg(F.sum("label").alias("pos"), F.count("*").alias("cnt"))
+        .withColumn("bucket", F.floor(F.col("score") * 1000).cast("bigint"))
     )
-    n_pos = F.sum("label")
-    n_all = F.count("*")
-    return r.agg(
+    btot = per.groupBy("bucket").agg(F.sum("cnt").alias("bcnt"))
+    lower = btot.select(F.col("bucket").alias("lb"), F.col("bcnt").alias("lcnt"))
+    offs = (
+        btot.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("lcnt"), F.lit(0)).alias("offset"))
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = (
+        per.join(F.broadcast(offs), "bucket")
+        .withColumn(
+            "arank",
+            F.col("offset")
+            + F.coalesce(F.sum("cnt").over(w_in), F.lit(0))
+            + (F.col("cnt") + 1) / 2.0,
+        )
+    )
+    n_pos = F.sum("pos")
+    n_all = F.sum("cnt")
+    return ranked.agg(
         pround(
-            (F.sum(F.when(F.col("label") == 1, F.col("arank")).otherwise(0.0))
-             - n_pos * (n_pos + 1) / 2.0)
+            (F.sum(F.col("pos") * F.col("arank")) - n_pos * (n_pos + 1) / 2.0)
             / (n_pos * (n_all - n_pos)),
             6,
         ).alias("auc")

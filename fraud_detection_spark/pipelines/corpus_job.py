@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from fraud_detection_spark.operators.text import STOPWORDS
@@ -43,16 +43,16 @@ def clean_corpus(spark: SparkSession, sf_dir: str, min_tokens: int = 20) -> Data
     needs; no payload leaves the executors)."""
     d = load_table(spark, sf_dir, "documents")
 
-    # exact dedup: deterministic keeper = min doc_id per content hash
+    # exact dedup: deterministic keeper = min doc_id per content hash.
+    # One shuffle on the 16-byte hash key; no join and nothing broadcast —
+    # the keeper table is corpus-sized, so a broadcast would OOM at scale.
     hashed = d.withColumn("text_hash", F.md5(F.col("text").cast("binary")))
-    keeper = (
-        hashed.groupBy(F.col("text_hash").alias("k_hash"))
-        .agg(F.min("doc_id").alias("keeper_id"))
+    keeper_rank = Window.partitionBy("text_hash").orderBy("doc_id")
+    deduped = (
+        hashed.withColumn("_rn", F.row_number().over(keeper_rank))
+        .filter(F.col("_rn") == 1)
+        .select(*d.columns, "text_hash")
     )
-    deduped = hashed.join(
-        F.broadcast(keeper),
-        (F.col("text_hash") == F.col("k_hash")) & (F.col("doc_id") == F.col("keeper_id")),
-    ).select(*d.columns, "text_hash")
 
     # quality heuristics (same expressions as q_quality_score)
     w = F.split("text", " ")

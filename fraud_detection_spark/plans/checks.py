@@ -49,6 +49,15 @@ def assert_broadcast_join(df: DataFrame) -> None:
         raise AssertionError(f"no broadcast join in plan:\n{plan}")
 
 
+def assert_no_broadcast_join(df: DataFrame) -> None:
+    """Assert NO join executes as a broadcast — the guardrail for plans
+    where every input is corpus-sized and a broadcast would OOM the
+    executors at scale (e.g. the corpus dedup keeper-pick)."""
+    plan = formatted_plan(df)
+    if "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan:
+        raise AssertionError(f"unexpected broadcast join in plan:\n{plan}")
+
+
 def assert_no_cartesian(df: DataFrame) -> None:
     plan = formatted_plan(df)
     if "CartesianProduct" in plan:

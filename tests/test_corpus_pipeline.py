@@ -41,3 +41,13 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
         fp.withColumnRenamed("fp", "fp_ref"), "doc_id"
     )
     assert joined.filter(F.col("fingerprint") != F.col("fp_ref")).count() == 0
+
+
+def test_corpus_dedup_no_broadcast(spark, sf_dir):
+    """The keeper-pick must not broadcast anything: every input to the
+    dedup stage is corpus-sized, so the plan has to be a pure shuffle
+    (window keeper-pick), never a BroadcastHashJoin."""
+    from fraud_detection_spark.pipelines.corpus_job import clean_corpus
+    from fraud_detection_spark.plans.checks import assert_no_broadcast_join
+
+    assert_no_broadcast_join(clean_corpus(spark, sf_dir))

@@ -41,6 +41,17 @@ def test_topk_avoids_global_sort(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan, plan
 
 
+def test_q7_nation_pair_pushed_below_fact_joins(spark, sf_dir):
+    """q_tpch_q7's OR-of-nation-pairs predicate can't be pushed through
+    the 5-way join by Catalyst, so the query pushes it by construction:
+    the n_name IN filter must reach the nation scans (dims shrink to the
+    two nations BEFORE any fact join)."""
+    R = load_all()
+    plan = formatted_plan(R["q_tpch_q7"].fn(spark, sf_dir))
+    assert "In(n_name" in plan, f"nation-pair filter not pushed to scan:\n{plan}"
+    assert_no_cartesian(R["q_tpch_q7"].fn(spark, sf_dir))
+
+
 def test_scoring_stays_in_codegen(spark, sf_dir):
     """The logistic-score pipeline must be pure whole-stage codegen —
     no Python evaluation (BatchEvalPython) in the hot path."""
