@@ -114,8 +114,16 @@ def smote_oversample(
             base_idx = ids % m
             nn_slot = (ids // m) % k_eff
             nn_idx = knn_b[base_idx, nn_slot]
-            # deterministic γ ∈ [0,1): multiplicative hash of the id
-            gamma = (((ids * _HASH + seed) % 1_000_000) / 1_000_000.0)[:, None]
+            # deterministic γ ∈ [0,1): multiplicative hash of the id.
+            # Reduce id mod 1e6 BEFORE the multiply: (a·b) mod m ==
+            # ((a mod m)·(b mod m)) mod m, and the reduced product
+            # (< 1e12) can never overflow int64 — so this is exact,
+            # non-negative, and identical to the Spark LSH path for
+            # EVERY id (the naive id*H form overflows at id ≈ 3.5e9).
+            gamma = (
+                (((ids % 1_000_000) * (_HASH % 1_000_000) + seed) % 1_000_000)
+                / 1_000_000.0
+            )[:, None]
             x = mat_b[base_idx]
             synth = x + gamma * (mat_b[nn_idx] - x)
             yield pd.DataFrame(synth, columns=feature_cols)
@@ -177,13 +185,19 @@ def smote_oversample_lsh(
     if needed == 0 or n_min < 2:
         return base
 
-    order_key = order_col if order_col is not None else feature_cols[0]
+    # alias the ordering key to a reserved name so the default
+    # (order_col=None -> first feature) never collides with the casted
+    # feature column of the same name
+    order_key = F.col(order_col) if order_col is not None else F.col(feature_cols[0])
     minority = (
         df.filter(F.col(label_col) == minority_label)
-        .select(order_key, *[F.col(c).cast("double").alias(c) for c in feature_cols])
+        .select(
+            order_key.alias("_ok"),
+            *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        )
         .withColumn(
             "midx",
-            F.row_number().over(Window.orderBy(order_key)) - 1,
+            F.row_number().over(Window.orderBy("_ok")) - 1,
         )
     ).cache()
 
@@ -219,7 +233,16 @@ def smote_oversample_lsh(
         F.col("id"),
         (F.col("id") % m).alias("a"),
         ((F.col("id") / m).cast("long") % k).alias("want_slot"),
-        (((F.col("id") * _HASH + seed) % 1_000_000) / 1_000_000.0).alias("gamma"),
+        # pmod + pre-reduced multiplicand: non-negative for all ids and
+        # overflow-proof under ANSI mode (see broadcast path note)
+        (
+            F.pmod(
+                F.pmod(F.col("id"), F.lit(1_000_000)) * F.lit(_HASH % 1_000_000)
+                + F.lit(seed),
+                F.lit(1_000_000),
+            )
+            / 1_000_000.0
+        ).alias("gamma"),
     )
     # modulo the row's actual neighbour count (LSH may find < k):
     slot_counts = knn.groupBy("a").agg(F.count("*").alias("k_eff"))

@@ -500,7 +500,7 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_window_rank",
     oracle=(
-        "SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS o_totalprice FROM ("
+        "SELECT o_custkey, o_orderkey, " + sql_round("o_totalprice", 2) + " AS o_totalprice FROM ("
         "SELECT o_custkey, o_orderkey, o_totalprice, "
         "ROW_NUMBER() OVER (PARTITION BY o_custkey "
         "ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn = 1"
@@ -516,5 +516,5 @@ def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         o.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"))
+        .select("o_custkey", "o_orderkey", pround(F.col("o_totalprice"), 2).alias("o_totalprice"))
     )

@@ -104,7 +104,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH o AS (SELECT user_id, ts, CASE WHEN LAG(ts) OVER "
         "(PARTITION BY user_id ORDER BY ts, event_id) IS NULL OR "
         "ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) "
-        "> INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
+        ">= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s FROM events), "
         "s AS (SELECT user_id, ts, SUM(new_s) OVER (PARTITION BY user_id "
         "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM o) "
         "SELECT user_id, CAST(epoch_ns(MIN(ts)) // 1000000000 AS BIGINT) AS session_start, "
@@ -115,7 +115,9 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session window per user, 30-minute inactivity gap — the native
     F.session_window aggregate (streaming-capable, state-store backed
-    in a real stream). Oracle: classic lag/cumsum gap construction."""
+    in a real stream). Oracle: classic lag/cumsum gap construction.
+    Spark's session end is EXCLUSIVE (a gap of exactly 30 min starts a
+    new session), so the oracle's new-session predicate is >=, not >."""
     ev = events_with_time(spark, sf_dir)
     sw = F.session_window("ts_m", "30 minutes")
     return (

@@ -14,15 +14,29 @@ Mapping (SURVEY.md §2g):
 - correlation-id middleware          -> passthrough column
 
 At scale the upsert target is a Delta/Iceberg table with MERGE INTO;
-this container has plain parquet, so the merge is expressed as
-read-existing -> anti-join -> union -> atomic rewrite, which preserves
-the idempotence contract the reference gets from ON CONFLICT
-(api/worker.py:90-95).
+this container has plain parquet, so the merge is an incremental,
+crash-safe file MERGE:
+
+- the target is hash-bucketed on ``transaction_id`` (``pmod(xxhash64)``)
+  so a batch reads and rewrites ONLY the buckets its keys fall in —
+  cost is O(touched buckets), not O(table), per batch;
+- each bucket directory holds immutable version subdirs plus a
+  ``_CURRENT`` pointer file; a commit writes the new version, then
+  atomically flips the pointer (``os.replace``). The old version
+  survives until the flip, so a crash at ANY point leaves every bucket
+  readable at a consistent version — recovery never sees an empty or
+  half-swapped target, and checkpoint replay of the same batch
+  converges (merge is keyed on transaction_id).
+
+Read the table through :func:`read_results` (current version of every
+bucket), which preserves the idempotence contract the reference gets
+from ON CONFLICT (api/worker.py:90-95).
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -94,34 +108,129 @@ def observed_scores(df: DataFrame):
     return out, obs
 
 
-def upsert_batch(batch_df: DataFrame, batch_id: int, results_dir: str) -> None:
-    """Idempotent MERGE keyed on transaction_id: new versions of a key
-    replace old rows (ON CONFLICT DO UPDATE semantics,
-    api/worker.py:90-99). Replayed batches converge to the same state.
-    """
+NUM_BUCKETS = 8
+
+
+def _bucket_root(results_dir: str) -> str:
+    return os.path.join(results_dir, "buckets")
+
+
+def _current_version(bucket_dir: str) -> str | None:
+    """Name of the bucket's live version dir, or None. A pointer naming
+    a missing dir (impossible under the commit protocol, defensive
+    anyway) reads as 'no data'."""
+    p = os.path.join(bucket_dir, "_CURRENT")
+    if os.path.isfile(p):
+        with open(p) as f:
+            v = f.read().strip()
+        if v and os.path.isdir(os.path.join(bucket_dir, v)):
+            return v
+    return None
+
+
+def _flip_pointer(bucket_dir: str, version: str) -> None:
+    """Atomically repoint the bucket at ``version`` (os.replace is
+    atomic on POSIX): readers see the old version or the new one,
+    never nothing."""
+    tmp = os.path.join(bucket_dir, "_CURRENT.tmp")
+    with open(tmp, "w") as f:
+        f.write(version)
+    os.replace(tmp, os.path.join(bucket_dir, "_CURRENT"))
+
+
+def current_result_paths(results_dir: str) -> list[str]:
+    root = _bucket_root(results_dir)
+    paths = []
+    if os.path.isdir(root):
+        for b in sorted(os.listdir(root)):
+            bdir = os.path.join(root, b)
+            v = _current_version(bdir)
+            if v is not None:
+                paths.append(os.path.join(bdir, v))
+    return paths
+
+
+def read_results(spark: SparkSession, results_dir: str) -> DataFrame | None:
+    """Current state of the upsert target (each bucket at its committed
+    version), or None if nothing has been committed yet."""
+    paths = current_result_paths(results_dir)
+    if not paths:
+        return None
+    return spark.read.parquet(*paths)
+
+
+def upsert_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    results_dir: str,
+    num_buckets: int = NUM_BUCKETS,
+) -> None:
+    """Incremental idempotent MERGE keyed on transaction_id: new
+    versions of a key replace old rows (ON CONFLICT DO UPDATE
+    semantics, api/worker.py:90-99). Replayed batches converge.
+
+    Only the hash buckets containing incoming keys are read and
+    rewritten (one Spark job stages all of them, hive-partitioned by
+    bucket); untouched buckets' files are not opened, moved, or
+    rewritten. Per-bucket commit = rename staged version into place,
+    then atomic pointer flip — crash-safe at every step."""
     spark = batch_df.sparkSession
-    incoming = batch_df.dropDuplicates(["transaction_id"])
-    if os.path.isdir(results_dir) and any(
-        f.endswith(".parquet") for f in os.listdir(results_dir)
-    ):
-        existing = spark.read.parquet(results_dir)
+    bucket_of = F.pmod(F.xxhash64("transaction_id"), F.lit(num_buckets))
+    incoming = batch_df.dropDuplicates(["transaction_id"]).withColumn(
+        "pbucket", bucket_of
+    )
+    touched = sorted(
+        r["pbucket"] for r in incoming.select("pbucket").distinct().collect()
+    )
+    if not touched:
+        return
+    root = _bucket_root(results_dir)
+    os.makedirs(root, exist_ok=True)
+    # sweep stage dirs from crashed prior runs (never referenced by a
+    # pointer, so always safe to drop)
+    for d in os.listdir(results_dir):
+        if d.startswith(".stage-"):
+            shutil.rmtree(os.path.join(results_dir, d), ignore_errors=True)
+
+    existing_paths = []
+    for b in touched:
+        bdir = os.path.join(root, str(b))
+        v = _current_version(bdir)
+        if v is not None:
+            existing_paths.append(os.path.join(bdir, v))
+    if existing_paths:
+        existing = spark.read.parquet(*existing_paths).withColumn(
+            "pbucket", bucket_of
+        )
         keep = existing.join(
             incoming.select("transaction_id"), "transaction_id", "left_anti"
         )
         merged = keep.unionByName(incoming, allowMissingColumns=True)
     else:
         merged = incoming
-    # atomic swap: write new version, then move into place
-    tmp = results_dir.rstrip("/") + f".tmp-{batch_id}"
-    merged.write.mode("overwrite").parquet(tmp)
-    bak = results_dir.rstrip("/") + f".bak-{batch_id}"
-    if os.path.isdir(results_dir):
-        os.rename(results_dir, bak)
-    os.rename(tmp, results_dir)
-    if os.path.isdir(bak):
-        import shutil
 
-        shutil.rmtree(bak, ignore_errors=True)
+    # one job stages every touched bucket as a hive partition
+    stage = os.path.join(results_dir, f".stage-{batch_id}")
+    merged.write.mode("overwrite").partitionBy("pbucket").parquet(stage)
+
+    version = f"v{batch_id}"
+    for b in touched:
+        src = os.path.join(stage, f"pbucket={b}")
+        if not os.path.isdir(src):
+            continue
+        bdir = os.path.join(root, str(b))
+        os.makedirs(bdir, exist_ok=True)
+        dst = os.path.join(bdir, version)
+        if os.path.isdir(dst):  # replay of a half-committed batch
+            shutil.rmtree(dst)
+        os.rename(src, dst)
+        _flip_pointer(bdir, version)
+        for old in os.listdir(bdir):  # GC superseded versions
+            if old.startswith("v") and old != version:
+                old_p = os.path.join(bdir, old)
+                if os.path.isdir(old_p):
+                    shutil.rmtree(old_p, ignore_errors=True)
+    shutil.rmtree(stage, ignore_errors=True)
 
 
 def run_serving_stream(

@@ -159,3 +159,16 @@ def test_smote_lsh_path_balances_and_stays_on_segments(spark, labeled_events):
     for i in rng.choice(len(synth), size=min(30, len(synth)), replace=False):
         res = _min_segment_residual(synth[i], minority)
         assert res / scale < 1e-6, f"LSH synthetic {i} off all segments: {res}"
+
+
+def test_smote_lsh_default_order_col(spark, labeled_events):
+    """Documented default (order_col=None -> first feature column) must
+    work: the ordering key may not collide with the casted feature
+    column of the same name (regression: ambiguous-reference error)."""
+    from fraud_detection_spark.ml.smote import smote_oversample_lsh
+
+    out = smote_oversample_lsh(labeled_events, FEATS, "label", 1, k=3, seed=42)
+    counts = {
+        r["label"]: r["n"] for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts[0] == counts[1]
