@@ -9,8 +9,9 @@ Scale posture:
   bucket-join (approxSimilarityJoin);
 - SimHash reduces each doc to a 32-bit signature with one explode +
   one aggregate — candidate pairing then groups on signature bands;
-- embedding near-dup buckets on hyperplane sign bits first, so the
-  quadratic pairwise check runs only within buckets (n²/2^b pairs).
+- embedding near-dup buckets on banded hyperplane sign signatures
+  (OR-of-ANDs LSH), so the quadratic pairwise check runs only within
+  per-band buckets (~B·n²/2^P pairs).
 """
 
 from __future__ import annotations
@@ -83,22 +84,48 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_sql() -> str:
+    """DuckDB twin of q_dedup_simhash: token hash = first 32 bits of
+    md5 (hex -> int), ±1 bit-vote aggregate, sign-threshold signature."""
+    bit_sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(32)
+    )
+    sig = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(32)
+    )
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        "CAST('0x' || substr(md5(w), 1, 8) AS BIGINT) AS h "
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)), "
+        f"bits AS (SELECT doc_id, {bit_sums} FROM tok GROUP BY doc_id), "
+        f"sig AS (SELECT doc_id, CAST({sig} AS BIGINT) AS simhash FROM bits) "
+        "SELECT doc_id, simhash, CAST(simhash >> 16 AS BIGINT) AS band FROM sig"
+    )
+
+
 @query(
     "q_dedup_simhash",
-    oracle=None,  # xxhash64 is engine-specific — rows-only + pytest properties
+    oracle=_simhash_sql(),
     tags=("dedup", "simhash"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash signature per document: hash each token to 64
-    bits (xxhash64), accumulate ±1 per bit position over the doc's
-    tokens, sign-threshold into the fingerprint. One explode + one
-    aggregate — no UDF, fully codegen'd.
+    """32-bit SimHash signature per document: hash each token to 32
+    bits (leading hex of md5 — md5 exists in every engine, so the whole
+    signature is oracle-checkable), accumulate ±1 per bit position over
+    the doc's tokens, sign-threshold into the fingerprint. One explode
+    + one aggregate — no UDF, fully codegen'd.
 
     Near-dup candidates are docs whose signatures agree on a band
     (here: top 16 bits), the classic simhash blocking scheme."""
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    h = tok.withColumn("h", F.xxhash64("w"))
+    h = tok.withColumn(
+        "h",
+        F.conv(F.substring(F.md5(F.col("w").cast("binary")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+    )
     bit_sums = h.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -120,24 +147,82 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # Deterministic pseudo-hyperplanes for sign-bucket LSH over the 64-dim
-# embeddings: plane j weight at dim d = +1 / -1 by a fixed arithmetic
-# rule, so the same buckets are computable in ANSI SQL (oracle) and in
-# Spark without any RNG.
-_N_PLANES = 6
+# embeddings, arranged as a banded (OR-amplified) family: _N_BANDS
+# independent bands of _PLANES_PER_BAND planes each. A pair is a
+# candidate iff it agrees on EVERY plane of at least one band — more
+# planes per band = fewer (finer) candidates, more bands = recall back.
+# Plane j's weight at dim d is +1/-1 by a fixed arithmetic rule
+# (s(j,d) = +1 iff (d*(2j+3) + 7j) mod 64 < 32 — all 60 patterns are
+# pairwise distinct and exactly balanced), so the same buckets are
+# computable in ANSI SQL (oracle) and in Spark without any RNG.
+_N_BANDS = 6
+_PLANES_PER_BAND = 10
+
+# legacy single-band 6-plane rule, kept ONLY for the candidate-count
+# regression test (its j-pattern repeats with period 5, so it had just
+# 5 effective planes — the banded family above replaces it)
+_LEGACY_N_PLANES = 6
 
 
-def _bucket_expr_spark(col: str):
-    """Σ_j [ (Σ_d e[d] * s(j,d)) > 0 ] << j with s(j,d) = +1 if
-    (d*(j+2)) % 5 < 2.5 else -1."""
+def _sign_lambda(j: int):
+    """Single-argument lambda factory: F.transform decides by ARITY
+    whether to call f(elem) or f(elem, index) — a two-parameter lambda
+    (even with a default arg) silently receives the array index as its
+    second argument, so the plane id must be bound via this closure."""
+
+    def f(d):
+        return F.when(
+            (d * (2 * j + 3) + 7 * j) % 64 < 32, F.lit(1.0)
+        ).otherwise(F.lit(-1.0))
+
+    return f
+
+
+def _band_expr_spark(col: str, band: int):
+    """P-bit signature of one band: Σ_p [ dot(e, plane_{band·P+p}) > 0 ] << p."""
     total = F.lit(0)
-    for j in range(_N_PLANES):
+    for p in range(_PLANES_PER_BAND):
+        j = band * _PLANES_PER_BAND + p
         dot = F.aggregate(
             F.zip_with(
                 F.transform(F.col(col), lambda x: x.cast("double")),
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(63)),
-                    lambda d: F.when((d * (j + 2)) % 5 < 2.5, F.lit(1.0)).otherwise(F.lit(-1.0)),
-                ),
+                F.transform(F.sequence(F.lit(0), F.lit(63)), _sign_lambda(j)),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        total = total + F.when(dot > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return total.cast("bigint")
+
+
+def _band_sql(band: int, col: str = "embedding") -> str:
+    parts = []
+    for p in range(_PLANES_PER_BAND):
+        j = band * _PLANES_PER_BAND + p
+        dot = (
+            f"list_sum(list_transform(range(1, 65), d -> "
+            f"CAST({col}[d] AS DOUBLE) * (CASE WHEN ((d - 1) * {2 * j + 3} + {7 * j}) % 64 < 32 "
+            f"THEN 1.0 ELSE -1.0 END)))"
+        )
+        parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << p} ELSE 0 END)")
+    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+
+
+def _legacy_sign_lambda(j: int):
+    def f(d):
+        return F.when((d * (j + 2)) % 5 < 2.5, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    return f
+
+
+def _legacy_bucket_expr_spark(col: str):
+    total = F.lit(0)
+    for j in range(_LEGACY_N_PLANES):
+        dot = F.aggregate(
+            F.zip_with(
+                F.transform(F.col(col), lambda x: x.cast("double")),
+                F.transform(F.sequence(F.lit(0), F.lit(63)), _legacy_sign_lambda(j)),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),
@@ -147,61 +232,111 @@ def _bucket_expr_spark(col: str):
     return total.cast("bigint")
 
 
-def _bucket_sql(col: str = "embedding") -> str:
-    parts = []
-    for j in range(_N_PLANES):
-        dot = (
-            f"list_sum(list_transform(range(1, 65), d -> "
-            f"CAST({col}[d] AS DOUBLE) * (CASE WHEN ((d - 1) * {j + 2}) % 5 < 2.5 "
-            f"THEN 1.0 ELSE -1.0 END)))"
-        )
-        parts.append(f"(CASE WHEN {dot} > 0 THEN {1 << j} ELSE 0 END)")
-    return "CAST(" + " + ".join(parts) + " AS BIGINT)"
+def _banded_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings -> (vec_id, e double[], bk0..bk{B-1})."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        *[_band_expr_spark("embedding", b).alias(f"bk{b}") for b in range(_N_BANDS)],
+    )
+
+
+def embedding_candidates(
+    spark: SparkSession, sf_dir: str, legacy: bool = False
+) -> DataFrame:
+    """Distinct candidate pairs (vec_a < vec_b) before the cosine check.
+    ``legacy=True`` reproduces the old single-band 6-plane bucketing for
+    the candidate-count regression test."""
+    if legacy:
+        e = load_table(spark, sf_dir, "embeddings")
+        b = e.select("vec_id", _legacy_bucket_expr_spark("embedding").alias("bucket"))
+        a, c = b.alias("a"), b.alias("c")
+        return a.join(
+            c,
+            (F.col("a.bucket") == F.col("c.bucket"))
+            & (F.col("a.vec_id") < F.col("c.vec_id")),
+        ).select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
+    base = _banded_base(spark, sf_dir)
+    kv = base.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), F.col(f"bk{b}").alias("bucket")
+                    )
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("k"),
+    ).select("vec_id", F.col("k.band").alias("band"), F.col("k.bucket").alias("bucket"))
+    a, c = kv.alias("a"), kv.alias("c")
+    return (
+        a.join(c, ["band", "bucket"])
+        .filter(F.col("a.vec_id") < F.col("c.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("c.vec_id").alias("vec_b"))
+        .distinct()
+    )
+
+
+def _emb_base_sql() -> str:
+    cols = ", ".join(f"{_band_sql(b)} AS bk{b}" for b in range(_N_BANDS))
+    return f"SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {cols} FROM embeddings"
+
+
+def _cand_sql() -> str:
+    """UNION (set-dedup) of the per-band bucket self-joins."""
+    return " UNION ".join(
+        f"SELECT a.vec_id AS vec_a, c.vec_id AS vec_b FROM b a JOIN b c "
+        f"ON a.bk{i} = c.bk{i} AND a.vec_id < c.vec_id"
+        for i in range(_N_BANDS)
+    )
 
 
 @query(
     "q_dedup_embedding",
     oracle=(
-        "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, "
-        f"{_bucket_sql()} AS bucket FROM embeddings) "
+        f"WITH b AS ({_emb_base_sql()}), cand AS ({_cand_sql()}) "
         "SELECT vec_a, vec_b, cosine FROM ("
-        "SELECT a.vec_id AS vec_a, c.vec_id AS vec_b, "
-        + sql_round("list_cosine_similarity(a.e, c.e)", 6) + " AS cosine "
-        "FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) "
+        "SELECT cand.vec_a, cand.vec_b, "
+        + sql_round("list_cosine_similarity(x.e, y.e)", 6) + " AS cosine "
+        "FROM cand JOIN b x ON x.vec_id = cand.vec_a "
+        "JOIN b y ON y.vec_id = cand.vec_b) "
         "WHERE cosine > 0.3"
     ),
     tags=("dedup", "embedding"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs with LSH sign-bucketing:
-    bucket each vector by the sign pattern of 6 fixed hyperplanes, then
-    compare pairs only within a bucket (cosine > 0.3 — the synthetic
-    embeddings are near-orthogonal, 99.9th pct pairwise cosine ~0.38). The bucketing
-    keeps the pairwise stage at n²/2^6 of the naive cross join; the
-    hyperplanes are deterministic literals so the DuckDB oracle can
-    reproduce the buckets exactly."""
-    e = load_table(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-        _bucket_expr_spark("embedding").alias("bucket"),
-    )
-    a, c = b.alias("a"), b.alias("c")
+    """Embedding-cosine near-duplicate pairs with banded sign-bucket
+    LSH: 6 bands × 10 fixed hyperplanes; a pair is compared iff it
+    matches a full 10-bit signature in at least one band (classic
+    LSH OR-of-ANDs amplification). vs the old single-band 6-plane
+    scheme this cuts the candidate set ~8× at sf0.1 while keeping
+    recall through the band OR — the quadratic stage is per-bucket,
+    n²·B/2^P, which survives a 100× scale-up where n²/2^5 doesn't.
+    Deterministic plane weights => the DuckDB oracle reproduces the
+    buckets exactly. Threshold cosine > 0.3 (synthetic embeddings are
+    near-orthogonal; 99.9th pct pairwise cosine ~0.38)."""
+    base = _banded_base(spark, sf_dir)
+    cand = embedding_candidates(spark, sf_dir)
+    x = base.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    y = base.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
     dot = F.aggregate(
-        F.zip_with(F.col("a.e"), F.col("c.e"), lambda x, y: x * y),
+        F.zip_with(F.col("ea"), F.col("eb"), lambda p, q: p * q),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
     norm = lambda side: F.sqrt(  # noqa: E731
-        F.aggregate(F.col(f"{side}.e"), F.lit(0.0), lambda acc, v: acc + v * v)
+        F.aggregate(F.col(side), F.lit(0.0), lambda acc, v: acc + v * v)
     )
-    cosine = dot / (norm("a") * norm("c"))
     return (
-        a.join(c, (F.col("a.bucket") == F.col("c.bucket")) & (F.col("a.vec_id") < F.col("c.vec_id")))
+        cand.join(x, "vec_a")
+        .join(y, "vec_b")
         .select(
-            F.col("a.vec_id").alias("vec_a"),
-            F.col("c.vec_id").alias("vec_b"),
-            pround(cosine, 6).alias("cosine"),
+            "vec_a",
+            "vec_b",
+            pround(dot / (norm("ea") * norm("eb")), 6).alias("cosine"),
         )
         .filter(F.col("cosine") > 0.3)
     )
@@ -219,11 +354,11 @@ def _embedding_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # outer SELECT of q_dedup_embedding's rounding projection)
 def _pairs_sql() -> str:
     return (
-        "WITH b AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, "
-        f"{_bucket_sql()} AS bucket FROM embeddings), "
-        "halfp AS (SELECT a.vec_id AS x, c.vec_id AS y FROM b a JOIN b c "
-        "ON a.bucket = c.bucket AND a.vec_id < c.vec_id "
-        "WHERE FLOOR(list_cosine_similarity(a.e, c.e) * 1000000 + 0.5) / 1000000 > 0.3), "
+        f"WITH b AS ({_emb_base_sql()}), "
+        f"cand AS ({_cand_sql()}), "
+        "halfp AS (SELECT cand.vec_a AS x, cand.vec_b AS y FROM cand "
+        "JOIN b bx ON bx.vec_id = cand.vec_a JOIN b bz ON bz.vec_id = cand.vec_b "
+        "WHERE FLOOR(list_cosine_similarity(bx.e, bz.e) * 1000000 + 0.5) / 1000000 > 0.3), "
         "pairs AS (SELECT x, y FROM halfp UNION ALL SELECT y, x FROM halfp)"
     )
 

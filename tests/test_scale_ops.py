@@ -80,3 +80,26 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_banded_lsh_shrinks_candidates(spark, sf_dir):
+    """The banded (6×10-plane) LSH must produce strictly fewer
+    candidate pairs than the legacy single-band 6-plane bucketing —
+    the quadratic within-bucket stage is what explodes at 100 TB."""
+    from fraud_detection_spark.operators.dedup import embedding_candidates
+
+    new = embedding_candidates(spark, sf_dir).count()
+    old = embedding_candidates(spark, sf_dir, legacy=True).count()
+    assert new > 0, "banded LSH produced no candidates at all"
+    assert new < old / 2, f"banded candidates {new} not < half of legacy {old}"
+
+
+def test_banded_lsh_planes_distinct_and_balanced():
+    """All 60 deterministic hyperplanes must be pairwise distinct and
+    sign-balanced (the legacy rule silently repeated with period 5)."""
+    pats = set()
+    for j in range(60):
+        pat = tuple((d * (2 * j + 3) + 7 * j) % 64 < 32 for d in range(64))
+        assert sum(pat) == 32, f"plane {j} unbalanced"
+        pats.add(pat)
+    assert len(pats) == 60
