@@ -56,8 +56,20 @@ HEADLINE = [
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q18",
     "q_asof_join",
     "q_unpivot",
+    # heavy text/dedup paths — benched so join-heavy and LSH regressions
+    # are visible round over round. (q_dedup_embedding is deliberately
+    # NOT here: its wall-clock is dominated by fixed python-worker /
+    # Arrow startup at the tiny fixed-size embeddings table and it is
+    # covered by tests/test_scale_ops.py; adding it would spend a
+    # quarter of the 2x-of-baseline budget measuring overhead.)
+    "q_dedup_near",
+    "q_tfidf",
 ]
 
 

@@ -15,7 +15,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fraud_detection_spark.functions import pround
-from fraud_detection_spark.operators.dedup import _N_BANDS, _band_expr_spark
+from fraud_detection_spark.operators.dedup import _N_BANDS, attach_sketches
 from fraud_detection_spark.registry import query, sql_round
 from fraud_detection_spark.sources import load_table
 
@@ -95,12 +95,7 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist recall is far higher than hard bucket-equality probing
     at the moderate cosine levels that matter for kNN."""
     e = load_table(spark, sf_dir, "embeddings")
-    b = e.select(
-        "vec_id",
-        "label",
-        _as_double("embedding").alias("e"),
-        *[_band_expr_spark("embedding", i).alias(f"bk{i}") for i in range(_N_BANDS)],
-    )
+    b = attach_sketches(e, ["vec_id", "label"])
     qv = b.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("e").alias("qe"),
         *[F.col(f"bk{i}").alias(f"qbk{i}") for i in range(_N_BANDS)],
