@@ -88,7 +88,32 @@ def build_pipeline(
             inputCol="features_raw", outputCol="features", withMean=True, withStd=True
         ),
     ]
-    if algo == "gbt":
+    if algo == "xgb":
+        # real SparkXGBClassifier when the xgboost package is present
+        # (probed 2026-08-13: not installable in this container — pip
+        # is disabled and no wheel is baked in; the import gate keeps
+        # the surface live for environments that have it)
+        try:
+            from xgboost.spark import SparkXGBClassifier
+        except ImportError as ex:  # pragma: no cover - container lacks xgboost
+            raise ImportError(
+                "algo='xgb' needs the xgboost package (xgboost.spark."
+                "SparkXGBClassifier); use algo='gbt' for the MLlib "
+                "gradient-boosted-trees mirror of the same params"
+            ) from ex
+        stages.append(
+            SparkXGBClassifier(
+                features_col="features",
+                label_col=label_col,
+                # reference params, train_model.py:69-80
+                n_estimators=100,
+                max_depth=5,
+                learning_rate=0.1,
+                random_state=42,
+                **({"weight_col": weight_col} if weight_col else {}),
+            )
+        )
+    elif algo == "gbt":
         from pyspark.ml.classification import GBTClassifier
 
         stages.append(
@@ -113,7 +138,7 @@ def build_pipeline(
             )
         )
     else:
-        raise ValueError(f"unknown algo: {algo!r} (expected 'lr' or 'gbt')")
+        raise ValueError(f"unknown algo: {algo!r} (expected 'lr', 'gbt', or 'xgb')")
     return Pipeline(stages=stages)
 
 

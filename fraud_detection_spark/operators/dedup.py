@@ -411,6 +411,52 @@ def _pairs_sql() -> str:
     )
 
 
+def label_propagation(
+    vertices: DataFrame, edges: DataFrame, id_col: str, max_rounds: int = 20
+) -> DataFrame:
+    """Connected components by iterative min-label propagation: every
+    vertex starts as its own cluster id; each round takes the min of
+    its neighbours' labels; converges in O(graph diameter) rounds.
+    The classic iterative Spark algorithm (same shape as large-scale
+    connected components / label propagation).
+
+    ``vertices``: one column ``id_col``; ``edges``: symmetric
+    (``src``, ``dst``) pairs over the same ids. Returns
+    (``id_col``, cluster_id = component-min id).
+
+    Scale: each round is one join + one aggregate on the edge list;
+    localCheckpoint truncates lineage per round so plans stay flat.
+    Near-dup graphs are sparse and shallow, so rounds are few."""
+    labels = vertices.select(id_col, F.col(id_col).alias("cluster_id"))
+    edges = edges.localCheckpoint()
+    for _ in range(max_rounds):  # diameter bound; convergence-checked below
+        neighbor_min = (
+            edges.join(labels, edges["dst"] == labels[id_col])
+            .groupBy(F.col("src").alias(id_col))
+            .agg(F.min("cluster_id").alias("nbr_min"))
+        )
+        updated = (
+            labels.join(neighbor_min, id_col, "left")
+            .select(
+                id_col,
+                F.least(
+                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
+                ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), id_col)
+            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
+            .count()
+        )
+        labels = updated
+        if changed == 0:
+            break
+    return labels
+
+
 @query(
     "q_dedup_cluster",
     oracle=(
@@ -425,43 +471,40 @@ def _pairs_sql() -> str:
     tags=("dedup", "cluster", "iterative"),
 )
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the near-duplicate graph — the dedup
-    *clustering* step (keep one representative per component).
-    Iterative min-label propagation: every vertex starts as its own
-    cluster id; each round takes the min of its neighbours' labels;
-    converges in O(graph diameter) rounds. The classic iterative Spark
-    algorithm (same shape as large-scale connected components /
-    label propagation), oracle-checked against a DuckDB recursive CTE.
-
-    Scale: each round is one join + one aggregate on the edge list;
-    localCheckpoint truncates lineage per round so plans stay flat.
-    Near-dup graphs are sparse and shallow, so rounds are few."""
+    """Connected components over the embedding near-duplicate graph —
+    the dedup *clustering* step (keep one representative per
+    component), oracle-checked against a DuckDB recursive CTE."""
     e = load_table(spark, sf_dir, "embeddings").select("vec_id")
-    edges = _embedding_pairs(spark, sf_dir).localCheckpoint()
-    labels = e.select("vec_id", F.col("vec_id").alias("cluster_id"))
-    for _ in range(20):  # diameter bound; convergence-checked below
-        neighbor_min = (
-            edges.join(labels, edges.vec_b == labels.vec_id)
-            .groupBy(F.col("vec_a").alias("vec_id"))
-            .agg(F.min("cluster_id").alias("nbr_min"))
-        )
-        updated = (
-            labels.join(neighbor_min, "vec_id", "left")
-            .select(
-                "vec_id",
-                F.least(
-                    F.col("cluster_id"), F.coalesce(F.col("nbr_min"), F.col("cluster_id"))
-                ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("l"), "vec_id")
-            .filter(F.col("u.cluster_id") != F.col("l.cluster_id"))
-            .count()
-        )
-        labels = updated
-        if changed == 0:
-            break
-    return labels
+    edges = _embedding_pairs(spark, sf_dir).select(
+        F.col("vec_a").alias("src"), F.col("vec_b").alias("dst")
+    )
+    return label_propagation(e, edges, "vec_id")
+
+
+@query(
+    "q_dedup_doc_cluster",
+    oracle=None,  # edges come from seeded MinHashLSH — rows-only + property tests
+    tags=("dedup", "cluster", "iterative", "documents"),
+)
+def q_dedup_doc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full corpus-dedup deliverable over ``documents``: MinHash-LSH
+    near-dup pairs (q_dedup_near) -> connected components -> one keeper
+    per cluster. Output: (doc_id, cluster_id, is_keeper) — downstream
+    corpus prep keeps ``is_keeper = 1`` rows, dropping transitive
+    near-duplicates, not just pairwise ones.
+
+    Keeper rule: min doc_id of the component (deterministic, and free —
+    min-label propagation already labels every member with it)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    half = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    edges = half.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        half.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = label_propagation(d, edges, "doc_id")
+    return labels.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
+    )

@@ -161,6 +161,34 @@ def test_smote_lsh_path_balances_and_stays_on_segments(spark, labeled_events):
         assert res / scale < 1e-6, f"LSH synthetic {i} off all segments: {res}"
 
 
+def test_xgb_pipeline_or_documented_gate(spark):
+    """SparkXGBClassifier parity when xgboost is available; otherwise
+    the gate must fail loudly with the GBT alternative named (probed:
+    this container has no xgboost and pip is disabled)."""
+    from fraud_detection_spark.ml.pipeline import build_pipeline
+
+    try:
+        import xgboost  # noqa: F401
+
+        have_xgb = True
+    except ImportError:
+        have_xgb = False
+
+    if not have_xgb:
+        with pytest.raises(ImportError, match="gbt"):
+            build_pipeline(["f_value"], "label", None, algo="xgb")
+        return
+
+    from fraud_detection_spark.ml.queries import events_labeled  # pragma: no cover
+    import os  # pragma: no cover
+
+    df = events_labeled(spark, os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001"))
+    pipe = build_pipeline(FEATS, "label", None, algo="xgb")
+    model = pipe.fit(df)
+    out = model.transform(df)
+    assert "prediction" in out.columns
+
+
 def test_smote_lsh_default_order_col(spark, labeled_events):
     """Documented default (order_col=None -> first feature column) must
     work: the ordering key may not collide with the casted feature

@@ -103,3 +103,31 @@ def test_banded_lsh_planes_distinct_and_balanced():
         assert sum(pat) == 32, f"plane {j} unbalanced"
         pats.add(pat)
     assert len(pats) == 60
+
+
+def test_doc_cluster_keeper_invariants(spark, sf_dir):
+    """q_dedup_doc_cluster: exactly one keeper per cluster, keeper is
+    the min doc_id of its cluster, every near-dup pair is co-clustered,
+    and the clustering is invariant to input partitioning."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_spark.registry import load_all
+
+    R = load_all()
+    out = R["q_dedup_doc_cluster"].fn(spark, sf_dir).cache()
+
+    per = out.groupBy("cluster_id").agg(
+        F.sum("is_keeper").alias("n_keepers"), F.min("doc_id").alias("min_doc")
+    )
+    assert per.filter(F.col("n_keepers") != 1).count() == 0
+    assert per.filter(F.col("cluster_id") != F.col("min_doc")).count() == 0
+
+    pairs = R["q_dedup_near"].fn(spark, sf_dir).select("doc_a", "doc_b")
+    a = out.select(F.col("doc_id").alias("doc_a"), F.col("cluster_id").alias("ca"))
+    b = out.select(F.col("doc_id").alias("doc_b"), F.col("cluster_id").alias("cb"))
+    split_pairs = pairs.join(a, "doc_a").join(b, "doc_b").filter(F.col("ca") != F.col("cb"))
+    assert split_pairs.count() == 0, "near-dup pair split across clusters"
+
+    n_clusters = out.select("cluster_id").distinct().count()
+    out2 = R["q_dedup_doc_cluster"].fn(spark, sf_dir)
+    assert out2.select("cluster_id").distinct().count() == n_clusters
