@@ -48,6 +48,38 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _shingles_expr(text_col: str = "text"):
+    """Distinct 3-word shingles of ``text_col``; docs shorter than one
+    shingle fall back to whole-text identity (element_at would throw
+    out-of-bounds under ANSI mode otherwise)."""
+    w = F.split(text_col, " ")
+    return F.when(
+        F.size(w) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(w) - 3),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at(w, i + 1),
+                    F.element_at(w, i + 2),
+                    F.element_at(w, i + 3),
+                ),
+            )
+        ),
+    ).otherwise(F.array(F.col(text_col)))
+
+
+def _shingles_sql(text_col: str = "text") -> str:
+    """DuckDB twin of :func:`_shingles_expr` (same shingle count and
+    values; 1-based list indexing)."""
+    w = f"string_split({text_col}, ' ')"
+    return (
+        f"CASE WHEN len({w}) >= 3 THEN list_distinct(list_transform("
+        f"range(1, len({w}) - 1), i -> concat_ws(' ', {w}[i], {w}[i+1], {w}[i+2])"
+        f")) ELSE [{text_col}] END"
+    )
+
+
 @query(
     "q_dedup_near",
     oracle=None,  # LSH banding: model-dependent hash families — rows-only
@@ -70,24 +102,9 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
-    w = F.split("text", " ")
-    # docs shorter than one shingle fall back to whole-text identity
-    # (element_at would throw out-of-bounds under ANSI mode otherwise)
-    shingles = F.when(
-        F.size(w) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(w) - 3),
-                lambda i: F.concat_ws(
-                    " ",
-                    F.element_at(w, i + 1),
-                    F.element_at(w, i + 2),
-                    F.element_at(w, i + 3),
-                ),
-            )
-        ),
-    ).otherwise(F.array(F.col("text")))
-    toks = d.select("doc_id", shingles.alias("tokens")).filter(F.size("tokens") > 0)
+    toks = d.select("doc_id", _shingles_expr().alias("tokens")).filter(
+        F.size("tokens") > 0
+    )
     htf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = htf.transform(toks)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
@@ -100,6 +117,80 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("jaccard_dist", 4).alias("jaccard_dist"),
         )
         .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+
+
+_JACCARD_BLOCK_K = 5
+_JACCARD_THRESHOLD = 0.5
+
+_JACCARD_SQL = (
+    "WITH s AS (SELECT doc_id, "
+    f"list_distinct({_shingles_sql()}) AS sh FROM documents), "
+    "keys AS (SELECT doc_id, sh, unnest(list_sort(list_transform(sh, x -> md5(x)))"
+    f"[1:{_JACCARD_BLOCK_K}]) AS mk FROM s), "
+    "cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b "
+    "FROM keys a JOIN keys b ON a.mk = b.mk AND a.doc_id < b.doc_id), "
+    "j AS (SELECT doc_a, doc_b, "
+    "CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
+    "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac "
+    "FROM cand JOIN s x ON x.doc_id = cand.doc_a JOIN s y ON y.doc_id = cand.doc_b) "
+    "SELECT doc_a, doc_b, jaccard FROM ("
+    "SELECT doc_a, doc_b, " + sql_round("jac", 6) + " AS jaccard FROM j) "
+    f"WHERE jaccard >= {_JACCARD_THRESHOLD}"
+)
+
+
+@query(
+    "q_dedup_jaccard",
+    oracle=_JACCARD_SQL,
+    tags=("dedup", "jaccard"),
+)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram-Jaccard near-duplicate pairs with deterministic
+    MinHash-prefix blocking — the oracle-checkable member of the
+    near-dup family (q_dedup_near's MinHashLSH hash family is
+    model-internal, so it can only be rows-only checked).
+
+    Blocking: each doc indexes its K=5 smallest md5(shingle) values;
+    a pair becomes a candidate iff the prefixes share a value. By the
+    MinHash property P[min-hash collides] = J, so a J >= 0.5 pair is
+    missed by all 5 keys with probability <= (1-J)^5 <= 3% — while
+    non-near-dup pairs almost never collide, keeping the exact-Jaccard
+    stage linear-ish instead of n². Everything (md5 ordering included)
+    is reproducible in ANSI SQL, hence the exact oracle.
+
+    Scale: explode is K rows per doc; the candidate join shuffles on
+    the 32-hex min-key; exact Jaccard touches candidates only."""
+    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    s = d.select("doc_id", _shingles_expr().alias("sh"))
+    keys = s.select(
+        "doc_id",
+        "sh",
+        F.explode(
+            F.slice(
+                F.sort_array(F.transform("sh", lambda x: F.md5(x.cast("binary")))),
+                1,
+                _JACCARD_BLOCK_K,
+            )
+        ).alias("mk"),
+    )
+    a = keys.select(F.col("doc_id").alias("doc_a"), F.col("mk"))
+    b = keys.select(F.col("doc_id").alias("doc_b"), F.col("mk"))
+    cand = (
+        a.join(b, "mk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
+    y = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", pround(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
     )
 
 

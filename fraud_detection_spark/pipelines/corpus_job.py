@@ -3,6 +3,8 @@ the composition the LLM-data mandate describes, built entirely from
 this engine's operators:
 
     scan -> exact dedup (content-hash, deterministic keeper)
+         -> NEAR-dup removal (MinHash-LSH pairs -> connected
+            components -> min-doc_id keeper per cluster)
          -> quality filter (token/stopword heuristics)
          -> token accounting (whitespace + BPE-ish counts)
          -> fingerprint (polynomial rolling hash)
@@ -37,7 +39,12 @@ class CorpusReport:
     output_path: str | None
 
 
-def clean_corpus(spark: SparkSession, sf_dir: str, min_tokens: int = 20) -> DataFrame:
+def clean_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = 20,
+    near_dedup: bool = True,
+) -> DataFrame:
     """documents -> deduped, quality-filtered corpus with token stats
     and a content fingerprint (all columns the downstream trainer
     needs; no payload leaves the executors)."""
@@ -53,6 +60,21 @@ def clean_corpus(spark: SparkSession, sf_dir: str, min_tokens: int = 20) -> Data
         .filter(F.col("_rn") == 1)
         .select(*d.columns, "text_hash")
     )
+
+    # near-dup removal: transitive clusters from MinHash-LSH pairs, one
+    # min-doc_id keeper per cluster. Exact duplicates are Jaccard-1.0
+    # pairs, so their cluster keeper coincides with the exact-dedup
+    # keeper above — the semi join only removes additional NEAR dups.
+    # Shuffle join on doc_id (keeper set is corpus-sized: no broadcast).
+    if near_dedup:
+        from fraud_detection_spark.operators.dedup import q_dedup_doc_cluster
+
+        keepers = (
+            q_dedup_doc_cluster(spark, sf_dir)
+            .filter(F.col("is_keeper") == 1)
+            .select("doc_id")
+        )
+        deduped = deduped.join(keepers, "doc_id", "left_semi")
 
     # quality heuristics (same expressions as q_quality_score)
     w = F.split("text", " ")
@@ -79,12 +101,13 @@ def run_corpus_pipeline(
     sf_dir: str,
     output_path: str | None = None,
     min_tokens: int = 20,
+    near_dedup: bool = True,
 ) -> CorpusReport:
     d = load_table(spark, sf_dir, "documents")
     n_input = d.count()
     n_after_dedup = d.select(F.md5(F.col("text").cast("binary"))).distinct().count()
 
-    corpus = clean_corpus(spark, sf_dir, min_tokens=min_tokens)
+    corpus = clean_corpus(spark, sf_dir, min_tokens=min_tokens, near_dedup=near_dedup)
     stats = corpus.agg(
         F.count("*").alias("n"),
         F.sum("n_ws_tokens").alias("toks"),

@@ -74,6 +74,22 @@ def read_jdbc(
     return spark.read.jdbc(url, table, properties=props)
 
 
+def table_exists(spark: SparkSession, url: str, table: str) -> bool:
+    """JDBC-metadata existence check. Unquoted identifiers are stored
+    case-normalized (Derby/Postgres: upper/lower), so both the given
+    and the upcased spelling are probed."""
+    jvm = spark.sparkContext._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        for pat in (table, table.upper()):
+            rs = conn.getMetaData().getTables(None, None, pat, None)
+            if rs.next():
+                return True
+        return False
+    finally:
+        conn.close()
+
+
 def execute_sql(spark: SparkSession, url: str, sql: str) -> None:
     """Run one DDL/DML statement on the database via the JVM's
     DriverManager (driver-side, one connection — used for MERGE/DDL,

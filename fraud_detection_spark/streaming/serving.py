@@ -233,6 +233,45 @@ def upsert_batch(
     shutil.rmtree(stage, ignore_errors=True)
 
 
+def run_serving_stream_jdbc(
+    spark: SparkSession,
+    requests_dir: str,
+    url: str,
+    table: str = "results",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """The same serving DAG with a real database sink: foreachBatch ->
+    staging write -> server-side MERGE (sources/jdbc.py) — the closest
+    Spark expression of the reference's Celery worker upserting
+    Postgres with ON CONFLICT (api/worker.py:90-99). Checkpoint replay
+    re-runs the MERGE with the same batch: idempotent."""
+    from fraud_detection_spark.sources.jdbc import (
+        table_exists,
+        upsert_jdbc,
+        write_jdbc,
+    )
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="fds-ckpt-")
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.dropDuplicates(["transaction_id"])
+        if not table_exists(spark, url, table):
+            write_jdbc(batch, url, table, mode="overwrite")
+        else:
+            upsert_jdbc(batch, url, table, key_cols=["transaction_id"])
+
+    q = (
+        spark.readStream.schema(REQUEST_SCHEMA)
+        .json(requests_dir)
+        .transform(score_requests)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_serving_stream(
     spark: SparkSession,
     requests_dir: str,

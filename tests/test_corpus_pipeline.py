@@ -46,8 +46,25 @@ def test_corpus_pipeline_end_to_end(spark, sf_dir, tmp_path):
 def test_corpus_dedup_no_broadcast(spark, sf_dir):
     """The keeper-pick must not broadcast anything: every input to the
     dedup stage is corpus-sized, so the plan has to be a pure shuffle
-    (window keeper-pick), never a BroadcastHashJoin."""
+    (window keeper-pick), never a BroadcastHashJoin. (near_dedup=False
+    keeps the plan static — the LSH stage is iterative/model-driven and
+    checked separately.)"""
     from fraud_detection_spark.pipelines.corpus_job import clean_corpus
     from fraud_detection_spark.plans.checks import assert_no_broadcast_join
 
-    assert_no_broadcast_join(clean_corpus(spark, sf_dir))
+    assert_no_broadcast_join(clean_corpus(spark, sf_dir, near_dedup=False))
+
+
+def test_corpus_near_dedup_drops_cluster_members(spark, sf_dir):
+    """With near-dedup on, the surviving corpus must contain no two
+    docs from the same near-dup cluster, and every surviving doc must
+    be its cluster's keeper."""
+    from fraud_detection_spark.operators.dedup import q_dedup_doc_cluster
+    from fraud_detection_spark.pipelines.corpus_job import clean_corpus
+
+    corpus = clean_corpus(spark, sf_dir, near_dedup=True)
+    clusters = q_dedup_doc_cluster(spark, sf_dir)
+    joined = corpus.select("doc_id").join(clusters, "doc_id")
+    assert joined.filter(F.col("is_keeper") == 0).count() == 0
+    n_wo = clean_corpus(spark, sf_dir, near_dedup=False).count()
+    assert corpus.count() <= n_wo

@@ -113,3 +113,53 @@ def test_jdbc_upsert_on_conflict_parity(spark, url):
         for r in read_jdbc(spark, url, "results_t").collect()
     }
     assert rows2 == rows
+
+
+def test_serving_stream_to_jdbc_sink(spark, tmp_path, url):
+    """End-to-end: streaming requests scored and MERGEd into a real
+    JDBC table; a second micro-batch updates keys in place (reference
+    EP2 with the actual database sink)."""
+    import json as _json
+    import os as _os
+
+    from fraud_detection_spark.sources.jdbc import read_jdbc
+    from fraud_detection_spark.streaming.serving import run_serving_stream_jdbc
+
+    req = tmp_path / "requests"
+    req.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write_batch(rows, fname):
+        with open(_os.path.join(str(req), fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write_batch(
+        [
+            {"transaction_id": "t1", "correlation_id": "c1", "f_value": 10.0, "f_k": 1.0, "f_hour": 3.0},
+            {"transaction_id": "t2", "correlation_id": "c2", "f_value": 99.0, "f_k": 5.0, "f_hour": 12.0},
+        ],
+        "b1.json",
+    )
+    run_serving_stream_jdbc(spark, str(req), url, "results", ckpt)
+    rows = {
+        r["transaction_id"]: r.asDict()
+        for r in read_jdbc(spark, url, "results").collect()
+    }
+    assert set(rows) == {"t1", "t2"}
+    assert rows["t1"]["status"] == "COMPLETED"
+
+    write_batch(
+        [
+            {"transaction_id": "t1", "correlation_id": "c1b", "f_value": 20.0, "f_k": 1.0, "f_hour": 3.0},
+            {"transaction_id": "t3", "correlation_id": "c3", "f_value": 1.0, "f_k": 0.0, "f_hour": 0.0},
+        ],
+        "b2.json",
+    )
+    run_serving_stream_jdbc(spark, str(req), url, "results", ckpt)
+    rows2 = {
+        r["transaction_id"]: r.asDict()
+        for r in read_jdbc(spark, url, "results").collect()
+    }
+    assert set(rows2) == {"t1", "t2", "t3"}
+    assert rows2["t1"]["correlation_id"] == "c1b", "key not updated in place"
