@@ -36,6 +36,7 @@ class TrainJobReport:
     gate_passed: bool
     model_path: str | None = None
     fold_aucs: list[float] = field(default_factory=list)
+    registered_version: int | None = None
 
 
 def run_training_job(
@@ -47,9 +48,14 @@ def run_training_job(
     auc_threshold: float = 0.70,
     model_path: str | None = None,
     seed: int = 42,
+    registry_root: str | None = None,
+    model_name: str = "fraud-detection-model",
 ) -> TrainJobReport:
     """Run the full EP1 flow; persists the model only if the AUC gate
-    passes (reference registers to MLflow on the same condition)."""
+    passes (reference registers to MLflow on the same condition). With
+    ``registry_root`` set, a gate-passing model is also registered as a
+    new version in the file-based registry (ml/registry.py — the
+    mlflow.register_model analog, train_model.py:152-163)."""
     null_counts = {
         c: int(n)
         for c, n in df.select(
@@ -74,6 +80,33 @@ def run_training_job(
     if passed and model_path:
         result.model.write().overwrite().save(model_path)
         saved = model_path
+    registered = None
+    if registry_root is not None:
+        import statistics
+
+        from fraud_detection_spark.ml.registry import register_model
+
+        rv = register_model(
+            result.model,
+            registry_root,
+            model_name,
+            metrics={
+                "test_auc": result.test_auc,
+                "cv_auc_mean": statistics.mean(result.fold_aucs)
+                if result.fold_aucs
+                else float("nan"),
+                "cv_auc_std": statistics.pstdev(result.fold_aucs)
+                if len(result.fold_aucs) > 1
+                else 0.0,
+            },
+            params={
+                "model_type": "LogisticRegression",
+                "cv_folds": n_folds,
+                "use_smote": use_smote,
+            },
+            auc_threshold=auc_threshold,
+        )
+        registered = rv.version if rv is not None else None
     return TrainJobReport(
         null_counts=null_counts,
         class_counts=class_counts,
@@ -82,4 +115,5 @@ def run_training_job(
         gate_passed=passed,
         model_path=saved,
         fold_aucs=result.fold_aucs,
+        registered_version=registered,
     )

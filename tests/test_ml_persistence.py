@@ -73,20 +73,24 @@ def test_training_job_end_to_end(spark, tmp_path):
 
     df = _toy_df(spark, n=1200)
     path = str(tmp_path / "gatemodel")
+    reg = str(tmp_path / "registry")
     rep = run_training_job(
         df, FEATS, "label", n_folds=2, use_smote=True, auc_threshold=0.70,
-        model_path=path,
+        model_path=path, registry_root=reg,
     )
     assert all(v == 0 for v in rep.null_counts.values())
     assert set(rep.class_counts) == {0, 1}
     assert len(rep.fold_aucs) == 2
     assert rep.gate_passed and rep.model_path == path
-    # gate failure path: impossible threshold -> no model persisted
+    assert rep.registered_version == 1  # gate passed -> registered
+    # gate failure path: impossible threshold -> no model persisted or
+    # registered (reference skips mlflow.register_model below the gate)
     rep2 = run_training_job(
         df, FEATS, "label", n_folds=2, use_smote=False, auc_threshold=1.01,
-        model_path=str(tmp_path / "never"),
+        model_path=str(tmp_path / "never"), registry_root=reg,
     )
     assert not rep2.gate_passed and rep2.model_path is None
+    assert rep2.registered_version is None
 
 
 def test_fraud_detector_single_record_latency(spark, tmp_path):
