@@ -15,11 +15,66 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from fraud_detection_spark.functions import pround
-from fraud_detection_spark.operators.dedup import _N_BANDS, attach_sketches
 from fraud_detection_spark.registry import query, sql_round
 from fraud_detection_spark.sources import load_table
 
 QUERY_VEC_ID = 0  # the corpus vector used as the search query
+
+# ANN sketch geometry: 4 words × 64 bits = 256 random hyperplanes.
+# Wider than the dedup sketches (60 bits) because kNN needs to RANK by
+# estimated angle, not just bucket: with B bits the Hamming estimate of
+# θ/π has σ = sqrt(p(1-p)/B) — 60 bits (±0.06) cannot separate rank-10
+# from rank-200 in a near-orthogonal corpus, 256 bits (±0.03) can.
+_ANN_WORDS = 4
+_SHORTLIST = 128
+
+
+def _ann_plane_signs(j: int) -> list[float]:
+    """±1 weights of ANN plane j, derived from md5(f"ann-{j}") digest
+    bits — deterministic, dependency-free, and unlimited in j (the
+    arithmetic dedup family runs out of distinct patterns at 64)."""
+    import hashlib
+
+    digest = hashlib.md5(f"ann-{j}".encode()).digest()  # 128 bits >= 64 dims
+    return [1.0 if (digest[d // 8] >> (d % 8)) & 1 else -1.0 for d in range(64)]
+
+
+def attach_ann_sketches(df: DataFrame, keep_cols: list[str]) -> DataFrame:
+    """keep_cols + (e double[64], w0..w3 bigint): 256 sign bits packed
+    64-per-word in one Arrow mapInPandas pass (vectorized across rows
+    and planes — same stage shape as dedup's attach_sketches)."""
+    import numpy as np
+    import pandas as pd
+
+    S = np.array(
+        [_ann_plane_signs(j) for j in range(_ANN_WORDS * 64)], dtype=np.float64
+    ).T  # (64, 256)
+
+    def compute(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (E @ S) > 0  # ranking only — no oracle, plain BLAS is fine
+            out = {c: pdf[c].to_numpy() for c in keep_cols}
+            out["e"] = list(map(list, E))
+            for w in range(_ANN_WORDS):
+                word = np.zeros(E.shape[0], dtype=np.uint64)
+                for p in range(64):
+                    word |= bits[:, w * 64 + p].astype(np.uint64) << np.uint64(p)
+                out[f"w{w}"] = word.view(np.int64)
+            yield pd.DataFrame(out)
+
+    keep_schema = ", ".join(
+        f"{name} {dtype}"
+        for name, dtype in zip(keep_cols, [dict(df.dtypes)[c] for c in keep_cols])
+    )
+    schema = (
+        keep_schema
+        + ", e array<double>, "
+        + ", ".join(f"w{w} bigint" for w in range(_ANN_WORDS))
+    )
+    return df.select(*keep_cols, "embedding").mapInPandas(compute, schema=schema)
 
 
 def cosine_to_query(e_col: str, q_col: str) -> Column:
@@ -81,35 +136,35 @@ def q_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-rerank approximate nearest neighbours: every vector
-    carries a 60-bit sign sketch (the 6×10-plane banded family shared
-    with q_dedup_embedding); candidate shortlist = top-64 by Hamming
-    similarity to the query's sketch (popcount over XORed band words —
-    pure bit ops, TakeOrderedAndProject, no shuffle of vectors), exact
-    cosine top-10 over the shortlist only.
+    carries a 256-bit sign sketch (4 packed BIGINT words); candidate
+    shortlist = top-128 by Hamming similarity to the query's sketch
+    (popcount over XORed words — pure bit ops, TakeOrderedAndProject,
+    no shuffle of vectors), exact cosine top-10 over the shortlist
+    only.
 
-    100 TB shape: the first pass reads 6 BIGINT sketch words per row
-    instead of 64 floats (~85% scan-volume cut when sketches are
+    100 TB shape: the first pass reads 4 BIGINT sketch words per row
+    instead of 64 floats (~87% scan-volume cut when sketches are
     materialized), stays in whole-stage codegen, and each partition
-    contributes only its local top-64. Hamming over 60 random-plane
-    bits is a consistent estimator of angle (E[h/60] = θ/π), so the
-    shortlist recall is far higher than hard bucket-equality probing
-    at the moderate cosine levels that matter for kNN."""
+    contributes only its local top-128. Hamming over 256 random-plane
+    bits estimates angle with σ ≈ 0.03·π — enough to rank moderate
+    cosine levels, where bucket-equality probing (and narrower
+    sketches) lose most of the true top-10."""
     e = load_table(spark, sf_dir, "embeddings")
-    b = attach_sketches(e, ["vec_id", "label"])
+    b = attach_ann_sketches(e, ["vec_id", "label"])
     qv = b.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         F.col("e").alias("qe"),
-        *[F.col(f"bk{i}").alias(f"qbk{i}") for i in range(_N_BANDS)],
+        *[F.col(f"w{i}").alias(f"qw{i}") for i in range(_ANN_WORDS)],
     )
     hamming = None
-    for i in range(_N_BANDS):
-        h = F.bit_count(F.col(f"bk{i}").bitwiseXOR(F.col(f"qbk{i}")))
+    for i in range(_ANN_WORDS):
+        h = F.bit_count(F.col(f"w{i}").bitwiseXOR(F.col(f"qw{i}")))
         hamming = h if hamming is None else (hamming + h)
     shortlist = (
         b.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(qv))
         .withColumn("hamming", hamming)
         .orderBy(F.asc("hamming"), F.asc("vec_id"))
-        .limit(64)
+        .limit(_SHORTLIST)
     )
     return (
         shortlist.select(

@@ -79,6 +79,7 @@ def load_all() -> dict[str, Query]:
         relational,
         relational2,
         relational3,
+        sampling,
         scale,
         similarity,
         text,

@@ -111,8 +111,9 @@ def test_smote_inside_fold_pipeline_runs(spark, labeled_events):
 
 
 def test_ann_recall_vs_brute_force(spark, sf_dir):
-    """q_knn_ivf must recover a reasonable fraction of the exact top-10
-    (sign-bucket LSH trades recall for a 1/2^6 scan)."""
+    """q_knn_ivf (256-bit sketch-rerank, top-128 shortlist) must
+    recover most of the exact top-10 (measured 0.8/1.0/1.0 at
+    sf0.001/0.01/0.1)."""
     from fraud_detection_spark.registry import load_all
 
     R = load_all()
@@ -120,7 +121,7 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     approx = {r["vec_id"] for r in R["q_knn_ivf"].fn(spark, sf_dir).collect()}
     assert len(approx) > 0
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.2, f"ANN recall {recall} suspiciously low"
+    assert recall >= 0.6, f"ANN recall {recall} below sketch-rerank floor"
 
 
 def test_media_features_deterministic_and_normalized(spark, sf_dir):
