@@ -138,3 +138,38 @@ def slow_label_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-line CASE expression, used by tests to quantify the gap."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select("l_orderkey", slow_label_udf("l_returnflag").alias("label"))
+
+
+@F.pandas_udf(T.DoubleType())
+def weighted_mean_udf(price: pd.Series, qty: pd.Series) -> float:
+    """GROUPED_AGG kernel: quantity-weighted mean price. One scalar per
+    group, computed over the group's Arrow batch; portable-rounded
+    inside the UDF (same IEEE ops as functions.pround)."""
+    wm = float(np.dot(price.to_numpy(), qty.to_numpy()) / qty.to_numpy().sum())
+    return float(np.floor(wm * 1e6 + 0.5) / 1e6)
+
+
+@query(
+    "q_grouped_agg_pandas",
+    oracle=(
+        "SELECT l_returnflag, "
+        + sql_round(
+            "SUM(l_extendedprice * l_quantity) / SUM(l_quantity)", 6
+        )
+        + " AS w_mean_price FROM lineitem GROUP BY l_returnflag"
+    ),
+    tags=("udf", "pandas_udf", "grouped_agg"),
+)
+def q_grouped_agg_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPED_AGG pandas_udf surface (the one §2h shape the other
+    UDF examples don't cover): a custom aggregate evaluated per group
+    on Arrow batches — here the quantity-weighted mean price per return
+    flag, oracle-checked against the pure-SQL formulation. Map-side
+    partial aggregation does NOT apply to grouped-agg UDFs (each
+    group's full batch reaches Python), which is exactly why the
+    engine's hot paths use built-in aggregates; this exists to prove
+    the surface works and stays correct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        weighted_mean_udf("l_extendedprice", "l_quantity").alias("w_mean_price")
+    )
