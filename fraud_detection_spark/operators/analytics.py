@@ -469,3 +469,144 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q_tpch_q4",
+    oracle=(
+        "SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count "
+        "FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00' "
+        "AND EXISTS (SELECT 1 FROM lineitem "
+        "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+        "GROUP BY o_orderpriority"
+    ),
+    tags=("tpch", "join", "semi"),
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order priority checking): orders in a quarter having
+    at least one qualifying lineitem — the EXISTS becomes a LEFT SEMI
+    join, which shuffles only the order keys of the filtered lineitem
+    side and never duplicates orders (the reason semi beats inner+
+    distinct at scale). Adapted predicate: the synthetic lineitem has
+    no commit/receipt dates, so 'late' = returnflag R."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@query(
+    "q_tpch_q12",
+    oracle=(
+        "SELECT l_linestatus, "
+        "CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+        "CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
+        "GROUP BY l_linestatus"
+    ),
+    tags=("tpch", "join"),
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / priority): fact-fact join with the
+    date filter pushed to the lineitem scan, then conditional counts —
+    map-side combinable, one shuffle per side on the join key. Adapted:
+    the synthetic schema has no l_shipmode, so lines group by
+    l_linestatus."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00"))
+    )
+    o = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("bigint").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q_tpch_q13",
+    oracle=(
+        "SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM ("
+        "SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count "
+        "FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey "
+        "AND o_orderpriority <> '1-URGENT' "
+        "GROUP BY c_custkey) GROUP BY c_count"
+    ),
+    tags=("tpch", "join", "outer"),
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer order distribution): LEFT OUTER join with a
+    predicate INSIDE the join condition (customers keep their row even
+    when no order qualifies — a WHERE would silently turn the outer
+    join inner), then a two-level aggregation. COUNT(o_orderkey)
+    counts non-null matches only. Adapted: the filter is on
+    o_orderpriority (no o_comment column in the synthetic schema)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    joined = c.join(
+        o,
+        (c.c_custkey == o.o_custkey) & (F.col("o_orderpriority") != "1-URGENT"),
+        "left_outer",
+    )
+    per_cust = joined.groupBy("c_custkey").agg(
+        F.count("o_orderkey").cast("bigint").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+
+
+@query(
+    "q_tpch_q22",
+    oracle=(
+        "SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, "
+        + sql_round("SUM(c_acctbal)", 2) + " AS totacctbal FROM ("
+        "SELECT c_nationkey AS cntrycode, c_acctbal FROM customer "
+        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0) "
+        "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+        "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')) "
+        "GROUP BY cntrycode"
+    ),
+    tags=("tpch", "join", "anti"),
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity): above-average-balance
+    customers with no RECENT orders (the synthetic generator gives
+    nearly every customer some order, so the anti-join is against the
+    post-2000 window to stay non-vacuous — shape unchanged). The
+    scalar subquery is a 1-row broadcast cross join; NOT EXISTS is a
+    LEFT ANTI join (shuffles only keys); the final rollup groups by
+    nation (the stand-in for the phone country code)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00"))
+        .select("o_custkey")
+    )
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.avg("c_acctbal").alias("ab")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy(F.col("c_nationkey").alias("cntrycode"))
+        .agg(
+            F.count("*").alias("numcust"),
+            pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )
