@@ -610,3 +610,199 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+@query(
+    "q_tpch_q8",
+    oracle=(
+        "SELECT o_year, "
+        + sql_round(
+            "SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) / SUM(volume)", 6
+        )
+        + " AS mkt_share FROM ("
+        "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
+        "l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation "
+        "FROM part JOIN lineitem ON p_partkey = l_partkey "
+        "JOIN supplier ON s_suppkey = l_suppkey "
+        "JOIN orders ON l_orderkey = o_orderkey "
+        "JOIN customer ON o_custkey = c_custkey "
+        "JOIN nation n1 ON c_nationkey = n1.n_nationkey "
+        "JOIN region ON n1.n_regionkey = r_regionkey "
+        "JOIN nation n2 ON s_nationkey = n2.n_nationkey "
+        "WHERE r_name = 'ASIA' "
+        "AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00' "
+        "AND p_type = 'PROMO') GROUP BY o_year"
+    ),
+    tags=("tpch", "join"),
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share): the nation table in two roles
+    (customer's region gates the rows, supplier's nation feeds the
+    numerator), conditional-sum ratio per year. All dims broadcast;
+    the two fact joins shuffle once each; region/type filters shrink
+    part and customer before any fact touches them."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n1), c.c_nationkey == F.col("n1_key"))
+        .join(F.broadcast(r), F.col("n1_region") == r.r_regionkey)
+        .join(F.broadcast(n2), s.s_nationkey == F.col("n2_key"))
+        .select(
+            F.year("o_orderdate").cast("int").alias("o_year"),
+            vol.alias("volume"),
+            "nation",
+        )
+    )
+    return joined.groupBy("o_year").agg(
+        pround(
+            F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            6,
+        ).alias("mkt_share")
+    )
+
+
+@query(
+    "q_tpch_q15",
+    oracle=(
+        "WITH rev AS (SELECT l_suppkey AS supplier_no, "
+        + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)
+        + " AS total_revenue FROM lineitem "
+        "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
+        "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) "
+        "SELECT s_suppkey, s_name, total_revenue "
+        "FROM supplier JOIN rev ON s_suppkey = supplier_no "
+        "WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)"
+    ),
+    tags=("tpch", "join", "scalar-subquery"),
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier): the revenue 'view' is computed once,
+    its max is a 1-row broadcast, and the equality filter picks the
+    top supplier(s). Comparing the PORTABLE-ROUNDED revenue on both
+    sides keeps the equality cross-engine-safe (raw double max-equality
+    would be a hash-flake)."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    s = load_table(spark, sf_dir, "supplier")
+    return (
+        s.join(rev, s.s_suppkey == rev.supplier_no)
+        .crossJoin(F.broadcast(mx))
+        .filter(F.col("total_revenue") == F.col("mx"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+@query(
+    "q_tpch_q17",
+    oracle=(
+        "SELECT " + sql_round("SUM(l_extendedprice) / 7.0", 2) + " AS avg_yearly "
+        "FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE p_brand = 'Brand#1' AND l_quantity < ("
+        "SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 "
+        "WHERE l2.l_partkey = p_partkey)"
+    ),
+    tags=("tpch", "join", "correlated"),
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue): the correlated
+    per-part average decorrelates into one aggregate over lineitem
+    grouped by partkey, joined back — the standard rewrite Catalyst
+    performs for correlated scalar subqueries, written explicitly so
+    the shuffle structure is visible: one agg pass + one join, no
+    per-row subquery execution."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
+    per_part = li.groupBy(F.col("l_partkey").alias("avg_key")).agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(per_part, li.l_partkey == F.col("avg_key"))
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
+@query(
+    "q_tpch_q19",
+    oracle=(
+        "SELECT " + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)
+        + " AS revenue FROM lineitem JOIN part ON p_partkey = l_partkey "
+        "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
+        "AND l_quantity >= 1 AND l_quantity <= 20) "
+        "OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 "
+        "AND l_quantity >= 5 AND l_quantity <= 25) "
+        "OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 "
+        "AND l_quantity >= 10 AND l_quantity <= 30)"
+    ),
+    tags=("tpch", "join", "or-pushdown"),
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue, OR-of-ANDs): the disjunction
+    mixes part and lineitem columns, so Catalyst cannot push it whole;
+    the part-only projection of the OR (brand+size) is applied to the
+    part scan by construction — the same push-by-construction move as
+    Q7 — so the broadcast side carries only the three brand slices,
+    and the residual mixed predicate filters after the join."""
+    part_pred = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50))
+    )
+    p = load_table(spark, sf_dir, "part").filter(part_pred)
+    li = load_table(spark, sf_dir, "lineitem")
+    full_pred = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & F.col("p_size").between(1, 15)
+            & F.col("l_quantity").between(1, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & F.col("p_size").between(10, 30)
+            & F.col("l_quantity").between(5, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(20, 50)
+            & F.col("l_quantity").between(10, 30)
+        )
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(full_pred)
+        .agg(
+            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+    )
