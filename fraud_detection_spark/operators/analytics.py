@@ -806,3 +806,72 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+@query(
+    "q_tpch_q21",
+    oracle=(
+        "SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait FROM supplier "
+        "JOIN lineitem l1 ON s_suppkey = l1.l_suppkey "
+        "JOIN orders ON o_orderkey = l1.l_orderkey "
+        "JOIN nation ON s_nationkey = n_nationkey "
+        "WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R' "
+        "AND n_name = 'NATION_1' "
+        "AND EXISTS (SELECT 1 FROM lineitem l2 "
+        "WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey) "
+        "AND NOT EXISTS (SELECT 1 FROM lineitem l3 "
+        "WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey "
+        "AND l3.l_returnflag = 'R') "
+        "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10"
+    ),
+    tags=("tpch", "join", "semi", "anti"),
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting): the only
+    canonical shape with BOTH an EXISTS and a NOT EXISTS against the
+    same fact table — a LEFT SEMI then a LEFT ANTI join on
+    (orderkey, other-supplier) pairs. The sole-blame condition ("some
+    other supplier contributed, but no other supplier was late") is
+    exactly semi minus anti; both auxiliary sides shuffle only
+    (orderkey, suppkey) pairs, never full rows. Adapted: 'late' =
+    returnflag R (the synthetic schema has no commit/receipt dates).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    l1 = (
+        li.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+    )
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_1")
+
+    others = li.select(
+        F.col("l_orderkey").alias("o2_key"), F.col("l_suppkey").alias("s2_key")
+    )
+    late_others = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_key"), F.col("l_suppkey").alias("s3_key")
+    )
+    base = (
+        l1.join(o, l1.l_orderkey == o.o_orderkey)
+        .join(s, l1.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("l_orderkey", "l_suppkey", "s_name")
+    )
+    with_other = base.join(
+        others,
+        (F.col("l_orderkey") == F.col("o2_key"))
+        & (F.col("l_suppkey") != F.col("s2_key")),
+        "left_semi",
+    )
+    sole_blame = with_other.join(
+        late_others,
+        (F.col("l_orderkey") == F.col("o3_key"))
+        & (F.col("l_suppkey") != F.col("s3_key")),
+        "left_anti",
+    )
+    return (
+        sole_blame.groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(10)
+    )
