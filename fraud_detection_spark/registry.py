@@ -76,6 +76,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         ml_metrics,
         multimodal,
+        partsupp,
         relational,
         relational2,
         relational3,
