@@ -91,3 +91,33 @@ def test_health_check(spark):
     h = health_check(spark)
     assert h["session"] == "UP"
     assert h["version"].startswith("4.")
+
+
+def test_orc_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """ORC is the second columnar format Spark ships natively — the
+    same partitioned layout, round-trip fidelity, and partition-pruning
+    contract as parquet must hold (PartitionFilters reaches the ORC
+    scan)."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_spark.plans.checks import formatted_plan
+    from fraud_detection_spark.sources import load_table
+    from fraud_detection_spark.sources.sinks import read_partitioned, write_partitioned
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"
+    )
+    out = str(tmp_path / "orc")
+    write_partitioned(li, out, ["l_returnflag"], fmt="orc")
+
+    back = read_partitioned(spark, out, fmt="orc")
+    assert back.count() == li.count()
+    a = sorted(map(tuple, li.collect()))
+    b = sorted(
+        map(tuple, back.select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag").collect())
+    )
+    assert a == b
+
+    pruned = back.filter(F.col("l_returnflag") == "R")
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan and "l_returnflag" in plan, plan
