@@ -18,8 +18,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fraud_detection_spark.functions import pround
-from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.functions import fixed_avg, pround
+from fraud_detection_spark.registry import query, sql_fixed_avg, sql_round
 from fraud_detection_spark.sources import load_table
 
 
@@ -68,9 +68,9 @@ def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_mean_std",
     oracle=(
-        "SELECT l_returnflag, " + sql_round("AVG(l_quantity)", 4) + " AS mean_qty, "
+        "SELECT l_returnflag, " + sql_round(sql_fixed_avg("l_quantity", 4), 4) + " AS mean_qty, "
         + sql_round("STDDEV_SAMP(l_quantity)", 4) + " AS std_qty, "
-        + sql_round("AVG(l_extendedprice)", 4) + " AS mean_price, "
+        + sql_round(sql_fixed_avg("l_extendedprice", 4), 4) + " AS mean_price, "
         + sql_round("STDDEV_SAMP(l_extendedprice)", 4) + " AS std_price "
         "FROM lineitem GROUP BY l_returnflag"
     ),
@@ -82,9 +82,9 @@ def q_mean_std(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial moments merged across partitions)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.groupBy("l_returnflag").agg(
-        pround(F.avg("l_quantity"), 4).alias("mean_qty"),
+        pround(fixed_avg(F.col("l_quantity"), 4), 4).alias("mean_qty"),
         pround(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
-        pround(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        pround(fixed_avg(F.col("l_extendedprice"), 4), 4).alias("mean_price"),
         pround(F.stddev_samp("l_extendedprice"), 4).alias("std_price"),
     )
 
@@ -115,8 +115,8 @@ def q_class_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_mean_abs",
     oracle=(
-        "SELECT " + sql_round("AVG(ABS(l_discount - 0.05))", 6) + " AS mabs_discount, "
-        + sql_round("AVG(ABS(l_tax - 0.04))", 6) + " AS mabs_tax FROM lineitem"
+        "SELECT " + sql_round(sql_fixed_avg("ABS(l_discount - 0.05)", 6), 6) + " AS mabs_discount, "
+        + sql_round(sql_fixed_avg("ABS(l_tax - 0.04)", 6), 6) + " AS mabs_tax FROM lineitem"
     ),
     tags=("agg", "ml"),
 )
@@ -125,8 +125,8 @@ def q_mean_abs(spark: SparkSession, sf_dir: str) -> DataFrame:
     explain_model.py:39 (centered on nominal rates here)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.agg(
-        pround(F.avg(F.abs(F.col("l_discount") - 0.05)), 6).alias("mabs_discount"),
-        pround(F.avg(F.abs(F.col("l_tax") - 0.04)), 6).alias("mabs_tax"),
+        pround(fixed_avg(F.abs(F.col("l_discount") - 0.05), 6), 6).alias("mabs_discount"),
+        pround(fixed_avg(F.abs(F.col("l_tax") - 0.04), 6), 6).alias("mabs_tax"),
     )
 
 

@@ -13,8 +13,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fraud_detection_spark.functions import pround
-from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.functions import fixed_avg, fixed_sum, fp_units, pround
+from fraud_detection_spark.registry import query, sql_fixed_avg, sql_fixed_sum, sql_round
 from fraud_detection_spark.sources import load_table
 
 
@@ -22,13 +22,13 @@ from fraud_detection_spark.sources import load_table
     "q_tpch_q1",
     oracle=(
         "SELECT l_returnflag, l_linestatus, "
-        + sql_round("SUM(l_quantity)", 2) + " AS sum_qty, "
-        + sql_round("SUM(l_extendedprice)", 2) + " AS sum_base_price, "
-        + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2) + " AS sum_disc_price, "
-        + sql_round("SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))", 2) + " AS sum_charge, "
-        + sql_round("AVG(l_quantity)", 4) + " AS avg_qty, "
-        + sql_round("AVG(l_extendedprice)", 4) + " AS avg_price, "
-        + sql_round("AVG(l_discount)", 6) + " AS avg_disc, "
+        + sql_fixed_sum("l_quantity", 2) + " AS sum_qty, "
+        + sql_fixed_sum("l_extendedprice", 2) + " AS sum_base_price, "
+        + sql_fixed_sum("l_extendedprice * (1 - l_discount)", 2) + " AS sum_disc_price, "
+        + sql_fixed_sum("l_extendedprice * (1 - l_discount) * (1 + l_tax)", 2) + " AS sum_charge, "
+        + sql_round(sql_fixed_avg("l_quantity", 4), 4) + " AS avg_qty, "
+        + sql_round(sql_fixed_avg("l_extendedprice", 4), 4) + " AS avg_price, "
+        + sql_round(sql_fixed_avg("l_discount", 6), 6) + " AS avg_disc, "
         "CAST(COUNT(*) AS BIGINT) AS count_order "
         "FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00' "
         "GROUP BY l_returnflag, l_linestatus"
@@ -46,13 +46,13 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            pround(F.sum("l_quantity"), 2).alias("sum_qty"),
-            pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            pround(F.sum(disc_price), 2).alias("sum_disc_price"),
-            pround(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            pround(F.avg("l_quantity"), 4).alias("avg_qty"),
-            pround(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            pround(F.avg("l_discount"), 6).alias("avg_disc"),
+            fixed_sum(F.col("l_quantity"), 2).alias("sum_qty"),
+            fixed_sum(F.col("l_extendedprice"), 2).alias("sum_base_price"),
+            fixed_sum(disc_price, 2).alias("sum_disc_price"),
+            fixed_sum(disc_price * (1 + F.col("l_tax")), 2).alias("sum_charge"),
+            pround(fixed_avg(F.col("l_quantity"), 4), 4).alias("avg_qty"),
+            pround(fixed_avg(F.col("l_extendedprice"), 4), 4).alias("avg_price"),
+            pround(fixed_avg(F.col("l_discount"), 6), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -62,7 +62,7 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q3",
     oracle=(
         "SELECT l_orderkey, "
-        + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2) + " AS revenue "
+        + sql_fixed_sum("l_extendedprice * (1 - l_discount)", 2) + " AS revenue "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
         "WHERE c_mktsegment = 'BUILDING' "
@@ -89,7 +89,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey")
         .agg(
-            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -102,7 +102,7 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q5",
     oracle=(
         "SELECT n_name, "
-        + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2) + " AS revenue "
+        + sql_fixed_sum("l_extendedprice * (1 - l_discount)", 2) + " AS revenue "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
         "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
@@ -133,7 +133,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -143,7 +143,7 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q6",
     oracle=(
-        "SELECT " + sql_round("SUM(l_extendedprice * l_discount)", 2) + " AS revenue "
+        "SELECT " + sql_fixed_sum("l_extendedprice * l_discount", 2) + " AS revenue "
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
         "AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24"
@@ -162,7 +162,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(pround(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(fixed_sum(F.col("l_extendedprice") * F.col("l_discount"), 2).alias("revenue"))
     )
 
 
@@ -282,9 +282,13 @@ def q_skew_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q14",
     oracle=(
         "SELECT " + sql_round(
-            "100.00 * SUM(CASE WHEN p_type = 'PROMO' "
-            "THEN l_extendedprice * (1 - l_discount) ELSE 0 END) "
-            "/ SUM(l_extendedprice * (1 - l_discount))",
+            "100.00 * ("
+            + sql_fixed_sum(
+                "CASE WHEN p_type = 'PROMO' "
+                "THEN l_extendedprice * (1 - l_discount) ELSE 0 END",
+                2,
+            )
+            + ") / (" + sql_fixed_sum("l_extendedprice * (1 - l_discount)", 2) + ")",
             6,
         )
         + " AS promo_revenue FROM lineitem JOIN part ON l_partkey = p_partkey "
@@ -308,8 +312,8 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             pround(
                 100.00
-                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
-                / F.sum(rev),
+                * fixed_sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0), 2)
+                / fixed_sum(rev, 2),
                 6,
             ).alias("promo_revenue")
         )
@@ -319,11 +323,11 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q18",
     oracle=(
-        "SELECT c_custkey, o_orderkey, " + sql_round("SUM(l_quantity)", 2) + " AS total_qty "
+        "SELECT c_custkey, o_orderkey, " + sql_fixed_sum("l_quantity", 2) + " AS total_qty "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON o_orderkey = l_orderkey "
-        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem "
-        "GROUP BY l_orderkey HAVING SUM(l_quantity) > 350) "
+        "WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+        "HAVING SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) > 35000) "
         "GROUP BY c_custkey, o_orderkey"
     ),
     tags=("tpch", "join", "subquery"),
@@ -336,8 +340,8 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     big = (
         li.groupBy("l_orderkey")
-        .agg(F.sum("l_quantity").alias("s"))
-        .filter(F.col("s") > 350)
+        .agg(F.sum(fp_units(F.col("l_quantity"), 2)).alias("s_cents"))
+        .filter(F.col("s_cents") > 35000)
         .select("l_orderkey")
     )
     o = load_table(spark, sf_dir, "orders")
@@ -347,7 +351,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(o, F.col("l_orderkey") == o.o_orderkey)
         .join(c, o.o_custkey == c.c_custkey)
         .groupBy("c_custkey", "o_orderkey")
-        .agg(pround(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(fixed_sum(F.col("l_quantity"), 2).alias("total_qty"))
     )
 
 
@@ -355,7 +359,7 @@ def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q10",
     oracle=(
         "SELECT c_custkey, c_name, n_name, "
-        + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2) + " AS revenue "
+        + sql_fixed_sum("l_extendedprice * (1 - l_discount)", 2) + " AS revenue "
         "FROM customer JOIN orders ON c_custkey = o_custkey "
         "JOIN lineitem ON l_orderkey = o_orderkey "
         "JOIN nation ON c_nationkey = n_nationkey "
@@ -385,7 +389,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
-            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -398,7 +402,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q7",
     oracle=(
         "SELECT supp_nation, cust_nation, l_year, "
-        + sql_round("SUM(volume)", 2) + " AS revenue FROM ("
+        + sql_fixed_sum("volume", 2) + " AS revenue FROM ("
         "SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
         "CAST(year(l_shipdate) AS INT) AS l_year, "
         "l_extendedprice * (1 - l_discount) AS volume "
@@ -464,7 +468,7 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("l_shipdate").cast("int").alias("l_year"),
         )
         .agg(
-            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )
@@ -574,9 +578,10 @@ def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q22",
     oracle=(
         "SELECT cntrycode, CAST(COUNT(*) AS BIGINT) AS numcust, "
-        + sql_round("SUM(c_acctbal)", 2) + " AS totacctbal FROM ("
+        + sql_fixed_sum("c_acctbal", 2) + " AS totacctbal FROM ("
         "SELECT c_nationkey AS cntrycode, c_acctbal FROM customer "
-        "WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0) "
+        "WHERE c_acctbal > (SELECT " + sql_fixed_avg("c_acctbal", 2)
+        + " FROM customer WHERE c_acctbal > 0.0) "
         "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
         "AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')) "
         "GROUP BY cntrycode"
@@ -598,7 +603,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_custkey")
     )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
-        F.avg("c_acctbal").alias("ab")
+        fixed_avg(F.col("c_acctbal"), 2).alias("ab")
     )
     return (
         c.crossJoin(F.broadcast(avg_bal))
@@ -607,7 +612,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("cntrycode"))
         .agg(
             F.count("*").alias("numcust"),
-            pround(F.sum("c_acctbal"), 2).alias("totacctbal"),
+            fixed_sum(F.col("c_acctbal"), 2).alias("totacctbal"),
         )
     )
 
@@ -617,7 +622,9 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "SELECT o_year, "
         + sql_round(
-            "SUM(CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END) / SUM(volume)", 6
+            "(" + sql_fixed_sum("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0 END", 2)
+            + ") / (" + sql_fixed_sum("volume", 2) + ")",
+            6,
         )
         + " AS mkt_share FROM ("
         "SELECT CAST(year(o_orderdate) AS INT) AS o_year, "
@@ -675,8 +682,10 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("o_year").agg(
         pround(
-            F.sum(F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(0.0))
-            / F.sum("volume"),
+            fixed_sum(
+                F.when(F.col("nation") == "NATION_1", F.col("volume")).otherwise(0.0), 2
+            )
+            / fixed_sum(F.col("volume"), 2),
             6,
         ).alias("mkt_share")
     )
@@ -686,7 +695,7 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q15",
     oracle=(
         "WITH rev AS (SELECT l_suppkey AS supplier_no, "
-        + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)
+        + sql_fixed_sum("l_extendedprice * (1 - l_discount)", 2)
         + " AS total_revenue FROM lineitem "
         "WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00' GROUP BY l_suppkey) "
@@ -707,7 +716,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00"))
     )
     rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
-        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+        fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
             "total_revenue"
         )
     )
@@ -724,10 +733,11 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tpch_q17",
     oracle=(
-        "SELECT " + sql_round("SUM(l_extendedprice) / 7.0", 2) + " AS avg_yearly "
+        "SELECT " + sql_round("(" + sql_fixed_sum("l_extendedprice", 2) + ") / 7.0", 2)
+        + " AS avg_yearly "
         "FROM lineitem JOIN part ON p_partkey = l_partkey "
         "WHERE p_brand = 'Brand#1' AND l_quantity < ("
-        "SELECT 0.2 * AVG(l_quantity) FROM lineitem l2 "
+        "SELECT 0.2 * (" + sql_fixed_avg("l_quantity", 2) + ") FROM lineitem l2 "
         "WHERE l2.l_partkey = p_partkey)"
     ),
     tags=("tpch", "join", "correlated"),
@@ -742,20 +752,20 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#1")
     per_part = li.groupBy(F.col("l_partkey").alias("avg_key")).agg(
-        (F.avg("l_quantity") * 0.2).alias("qty_thresh")
+        (F.lit(0.2) * fixed_avg(F.col("l_quantity"), 2)).alias("qty_thresh")
     )
     return (
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .join(per_part, li.l_partkey == F.col("avg_key"))
         .filter(F.col("l_quantity") < F.col("qty_thresh"))
-        .agg(pround(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        .agg(pround(fixed_sum(F.col("l_extendedprice"), 2) / 7.0, 2).alias("avg_yearly"))
     )
 
 
 @query(
     "q_tpch_q19",
     oracle=(
-        "SELECT " + sql_round("SUM(l_extendedprice * (1 - l_discount))", 2)
+        "SELECT " + sql_fixed_sum("l_extendedprice * (1 - l_discount)", 2)
         + " AS revenue FROM lineitem JOIN part ON p_partkey = l_partkey "
         "WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 "
         "AND l_quantity >= 1 AND l_quantity <= 20) "
@@ -801,7 +811,7 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
         .filter(full_pred)
         .agg(
-            pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            fixed_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 2).alias(
                 "revenue"
             )
         )

@@ -92,7 +92,12 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs (a < b). Seeded => deterministic output.
 
     Pipeline: 3-word shingles -> HashingTF(binary) ->
-    MinHashLSH(numHashTables=8, seed=42). Shingling (not bare word
+    MinHashLSH(numHashTables=4, seed=42). Four hash tables (not 8):
+    approxSimilarityJoin explodes BOTH sides by the table count, so
+    T=4 halves the join input for a miss probability of (1-s)^4 — at
+    the 0.5-similarity threshold that is ≤ 6.3% per borderline pair
+    and negligible for real near-duplicates (s ≥ 0.8), measured
+    identical pair-sets on the test corpora. Shingling (not bare word
     sets) is what makes the LSH join scale: over a small shared
     vocabulary every pair of docs collides on word-level MinHashes and
     the "bucketed" join degenerates to ~n² candidates (measured: 6+ min
@@ -107,7 +112,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     htf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
     feats = htf.transform(toks)
-    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=4, seed=42)
     model = lsh.fit(feats)
     pairs = model.approxSimilarityJoin(feats, feats, 0.5, distCol="jaccard_dist")
     return (

@@ -23,8 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fraud_detection_spark.functions import pround
-from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.functions import fixed_sum, fp_units
+from fraud_detection_spark.registry import query, sql_fixed_sum
 from fraud_detection_spark.sources import load_table
 
 _PS_SQL = (
@@ -117,8 +117,8 @@ def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         f"WITH ps AS {_PS_SQL} "
         "SELECT nation, o_year, "
-        + sql_round(
-            "SUM(l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity)", 2
+        + sql_fixed_sum(
+            "l_extendedprice * (1 - l_discount) - ps_supplycost * l_quantity", 2
         )
         + " AS sum_profit FROM ("
         "SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year, "
@@ -138,7 +138,10 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact table against partsupp on BOTH keys plus three broadcast dims
     and orders. The derived partsupp covers every traded pair by
     construction, so the two-key join is lossless. Adapted filter:
-    p_type = 'PROMO' (no LIKE-able p_name in the synthetic schema)."""
+    p_type = 'PROMO' (no LIKE-able p_name in the synthetic schema).
+    The profit sum is per-row-cents exact (fixed_sum) — a raw
+    SUM(double) here flaked by one cent between partition layouts in
+    round 2 (group (NATION_23, 2000) at local[32])."""
     li = load_table(spark, sf_dir, "lineitem")
     ps = derived_partsupp(spark, sf_dir)
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
@@ -161,7 +164,7 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").cast("int").alias("o_year"),
         )
-        .agg(pround(F.sum(profit), 2).alias("sum_profit"))
+        .agg(fixed_sum(profit, 2).alias("sum_profit"))
     )
 
 
@@ -243,14 +246,15 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_tpch_q20",
     oracle=(
         f"WITH ps AS {_PS_SQL}, "
-        "shipped AS (SELECT l_partkey, l_suppkey, SUM(l_quantity) AS qty "
+        "shipped AS (SELECT l_partkey, l_suppkey, "
+        "SUM(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT)) AS qty_cents "
         "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00' "
         "AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00' "
         "GROUP BY l_partkey, l_suppkey), "
         "cand AS (SELECT DISTINCT ps_suppkey FROM ps "
         "JOIN part ON p_partkey = ps_partkey AND p_type = 'PROMO' "
         "JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey "
-        "WHERE ps_availqty > 0.5 * qty) "
+        "WHERE ps_availqty * 200 > qty_cents) "
         "SELECT s_name, s_acctbal FROM supplier "
         "JOIN nation ON s_nationkey = n_nationkey "
         "JOIN cand ON s_suppkey = ps_suppkey "
@@ -272,7 +276,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
     shipped = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.sum("l_quantity").alias("qty")
+        F.sum(fp_units(F.col("l_quantity"), 2)).alias("qty_cents")
     )
     cand = (
         ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
@@ -281,7 +285,7 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
             (shipped.l_partkey == ps.ps_partkey)
             & (shipped.l_suppkey == ps.ps_suppkey),
         )
-        .filter(F.col("ps_availqty") > 0.5 * F.col("qty"))
+        .filter(F.col("ps_availqty") * 200 > F.col("qty_cents"))
         .select("ps_suppkey")
         .distinct()
     )

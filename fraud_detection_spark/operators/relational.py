@@ -21,8 +21,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fraud_detection_spark.functions import pround
-from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.functions import fixed_sum, pround
+from fraud_detection_spark.registry import query, sql_fixed_sum, sql_round
 from fraud_detection_spark.sources import load_table
 
 
@@ -346,7 +346,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_join_inner",
     oracle=(
         "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders, "
-        + sql_round("SUM(o_totalprice)", 2) + " AS total_price "
+        + sql_fixed_sum("o_totalprice", 2) + " AS total_price "
         "FROM orders JOIN customer ON o_custkey = c_custkey "
         "GROUP BY c_mktsegment"
     ),
@@ -365,7 +365,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            pround(F.sum("o_totalprice"), 2).alias("total_price"),
+            fixed_sum(F.col("o_totalprice"), 2).alias("total_price"),
         )
     )
 
@@ -453,7 +453,7 @@ def q_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_rollup",
     oracle=(
         "SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n, "
-        + sql_round("SUM(l_quantity)", 2) + " AS sum_qty FROM lineitem "
+        + sql_fixed_sum("l_quantity", 2) + " AS sum_qty FROM lineitem "
         "GROUP BY ROLLUP (l_returnflag, l_linestatus)"
     ),
     tags=("agg", "rollup"),
@@ -462,7 +462,7 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROLLUP hierarchy totals (flag -> flag+status -> grand total)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
-        F.count("*").alias("n"), pround(F.sum("l_quantity"), 2).alias("sum_qty")
+        F.count("*").alias("n"), fixed_sum(F.col("l_quantity"), 2).alias("sum_qty")
     )
 
 

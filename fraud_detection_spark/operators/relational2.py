@@ -14,8 +14,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fraud_detection_spark.functions import pround
-from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.functions import fixed_avg, fp_units, pround
+from fraud_detection_spark.registry import query, sql_fixed_avg, sql_round
 from fraud_detection_spark.sources import load_table
 
 
@@ -244,19 +244,18 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_window_running",
     oracle=(
         "SELECT o_custkey, o_orderkey, "
-        + sql_round(
-            "SUM(o_totalprice) OVER (PARTITION BY o_custkey "
-            "ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)",
-            2,
-        )
-        + " AS running_total FROM orders"
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+        "OVER (PARTITION BY o_custkey "
+        "ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING) "
+        "AS DOUBLE) / 100 AS running_total FROM orders"
     ),
     tags=("window",),
 )
 def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total per customer (the cumulative-scan primitive behind
-    the reference's ROC sweep, evaluate_model.py:49). Same in-partition
-    accumulation order in both engines => bit-identical sums."""
+    the reference's ROC sweep, evaluate_model.py:49). The prefix sum
+    runs over exact per-row cents (BIGINT), so it is bit-identical on
+    any layout — no reliance on matching accumulation order."""
     o = load_table(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -266,7 +265,8 @@ def q_window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        pround(F.sum("o_totalprice").over(w), 2).alias("running_total"),
+        (F.sum(fp_units(F.col("o_totalprice"), 2)).over(w).cast("double") / 100)
+        .alias("running_total"),
     )
 
 
@@ -381,7 +381,7 @@ def q_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT CASE WHEN o_totalprice < 50000 THEN 'small' "
         "WHEN o_totalprice < 150000 THEN 'medium' ELSE 'large' END AS size_bucket, "
         "CAST(COUNT(*) AS BIGINT) AS n, "
-        + sql_round("AVG(o_totalprice)", 2) + " AS avg_price "
+        + sql_round(sql_fixed_avg("o_totalprice", 2), 2) + " AS avg_price "
         "FROM orders GROUP BY size_bucket"
     ),
     tags=("scalar", "agg"),
@@ -399,27 +399,28 @@ def q_case_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.groupBy(bucket.alias("size_bucket"))
         .agg(
             F.count("*").alias("n"),
-            pround(F.avg("o_totalprice"), 2).alias("avg_price"),
+            pround(fixed_avg(F.col("o_totalprice"), 2), 2).alias("avg_price"),
         )
     )
 
 
-@query(
-    "q_scalar_subquery",
-    oracle=(
-        "SELECT o_orderkey FROM orders "
-        "WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)"
-    ),
-    tags=("subquery",),
+# one dialect-shared text (sql_fixed_avg is valid Spark SQL and DuckDB):
+# the threshold derives from exact integer sums, so the >-comparison
+# cannot flip between engines or partition layouts.
+_SCALAR_SUBQ_SQL = (
+    "SELECT o_orderkey FROM orders "
+    "WHERE o_totalprice > 1.5 * (SELECT "
+    + sql_fixed_avg("o_totalprice", 2)
+    + " FROM orders)"
 )
+
+
+@query("q_scalar_subquery", oracle=_SCALAR_SUBQ_SQL, tags=("subquery",))
 def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar subquery in a predicate (orders at >1.5x the mean price).
     Catalyst plans the subquery as a one-row broadcast."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return spark.sql(
-        "SELECT o_orderkey FROM orders "
-        "WHERE o_totalprice > 1.5 * (SELECT AVG(o_totalprice) FROM orders)"
-    )
+    return spark.sql(_SCALAR_SUBQ_SQL)
 
 
 @query(

@@ -7,8 +7,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fraud_detection_spark.functions import pround
-from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.functions import fixed_sum, pround
+from fraud_detection_spark.registry import query, sql_fixed_sum, sql_round
 from fraud_detection_spark.sources import load_table
 
 
@@ -18,7 +18,7 @@ from fraud_detection_spark.sources import load_table
         "WITH bands AS (SELECT i AS band_id, i * 10.0 AS lo, (i + 1) * 10.0 AS hi "
         "FROM (SELECT unnest(range(0, 10)) AS i)) "
         "SELECT band_id, CAST(COUNT(*) AS BIGINT) AS n, "
-        + sql_round("SUM(value)", 4) + " AS sum_value "
+        + sql_fixed_sum("value", 4) + " AS sum_value "
         "FROM events JOIN bands ON value >= lo AND value < hi "
         "GROUP BY band_id"
     ),
@@ -45,7 +45,7 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("band_id")
         .agg(
             F.count("*").alias("n"),
-            pround(F.sum("value"), 4).alias("sum_value"),
+            fixed_sum(F.col("value"), 4).alias("sum_value"),
         )
     )
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fraud_detection_spark.functions import pround
 from fraud_detection_spark.registry import query, sql_round
@@ -174,6 +175,116 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
+    )
+
+
+_BATCH_QUERY_IDS = tuple(range(8))  # the corpus vectors used as the query batch
+_BATCH_TOPK = 10
+
+
+@query(
+    "q_knn_batch",
+    oracle=None,  # ANN: per-query recall-vs-exact verified in pytest
+    tags=("similarity", "ann", "batch"),
+)
+def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched multi-query ANN — the shape a corpus pipeline actually
+    runs (N query vectors at once, not one): per-partition local
+    top-k against ALL queries in one Arrow pass, then one tiny shuffle.
+
+    Plan (100 TB posture):
+    1. The N query sketches + embeddings are captured driver-side (an
+       N-row orchestration lookup, like SMOTE's class counts) and
+       closure-broadcast into a single mapInPandas pass.
+    2. Each input partition emits only its LOCAL top-128 candidates
+       per query — ≤ 128·N·num_partitions tiny (q_id, vec_id,
+       hamming) rows total, however large the corpus. The scan never
+       shuffles and never expands the corpus N× (one XOR-popcount
+       matrix op per Arrow batch covers all queries).
+    3. One small shuffle ranks the local winners globally per query
+       (window over ≤ 128·num_partitions rows per q_id).
+    4. Exact cosine rerank joins the ≤ 128·N global shortlist
+       (broadcast) back to the corpus for embeddings — top-10 each.
+
+    Output: (q_id, vec_id, label, cosine), N·10 rows. Recall vs the
+    exact per-query brute force is asserted in tests/test_ml.py."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings")
+    S = np.array(
+        [_ann_plane_signs(j) for j in range(_ANN_WORDS * 64)], dtype=np.float64
+    ).T  # (64, 256)
+
+    # N-row driver-side lookup of the query batch: embeddings + sketches
+    qpdf = (
+        e.filter(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+        .select("vec_id", "embedding")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    QE = np.stack(qpdf["embedding"].to_numpy()).astype(np.float64)  # (N, 64)
+    qbits = (QE @ S) > 0  # (N, 256)
+    qids = qpdf["vec_id"].to_numpy()
+    n_q = len(qids)
+
+    def local_topk(batches):
+        K = _SHORTLIST
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            bits = (E @ S) > 0  # (n, 256)
+            # Hamming distance of every row to every query in one op
+            ham = (bits[:, None, :] != qbits[None, :, :]).sum(axis=2)  # (n, N)
+            vec_ids = pdf["vec_id"].to_numpy()
+            out_q, out_v, out_h = [], [], []
+            for qi in range(n_q):
+                mask = vec_ids != qids[qi]
+                cand_ids, cand_h = vec_ids[mask], ham[mask, qi]
+                k = min(K, len(cand_ids))
+                if k == 0:
+                    continue
+                idx = np.argpartition(cand_h, k - 1)[:k]
+                out_q.append(np.full(k, qids[qi]))
+                out_v.append(cand_ids[idx])
+                out_h.append(cand_h[idx])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "q_id": np.concatenate(out_q),
+                        "vec_id": np.concatenate(out_v),
+                        "hamming": np.concatenate(out_h).astype(np.int64),
+                    }
+                )
+
+    local = e.select("vec_id", "embedding").mapInPandas(
+        local_topk, schema="q_id bigint, vec_id bigint, hamming bigint"
+    )
+    w_short = Window.partitionBy("q_id").orderBy(F.asc("hamming"), F.asc("vec_id"))
+    shortlist = (
+        local.withColumn("rk", F.row_number().over(w_short))
+        .filter(F.col("rk") <= _SHORTLIST)
+        .select("q_id", "vec_id")
+    )
+    qdf = spark.createDataFrame(
+        [(int(q), [float(x) for x in QE[i]]) for i, q in enumerate(qids)],
+        schema="q_id bigint, qe array<double>",
+    )
+    w_final = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        e.select("vec_id", "label", _as_double("embedding").alias("e"))
+        .join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qdf), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            "label",
+            pround(cosine_to_query("e", "qe"), 6).alias("cosine"),
+        )
+        .withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= _BATCH_TOPK)
+        .select("q_id", "vec_id", "label", "cosine")
     )
 
 

@@ -29,8 +29,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fraud_detection_spark.functions import pround
-from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.functions import fixed_sum, pround
+from fraud_detection_spark.registry import query, sql_fixed_sum, sql_round
 from fraud_detection_spark.sources import events_with_time, load_table
 
 # epoch seconds from the ns timestamp, integer-exact, both engines
@@ -42,7 +42,7 @@ _SEC_SQL = "(epoch_ns(ts) // 1000000000)"
     oracle=(
         f"SELECT ({_SEC_SQL} // 600) * 600 AS window_start, "
         "CAST(COUNT(*) AS BIGINT) AS n_events, "
-        f"{sql_round('SUM(value)', 4)} AS sum_value "
+        f"{sql_fixed_sum('value', 4)} AS sum_value "
         "FROM events GROUP BY window_start"
     ),
     tags=("window", "streaming"),
@@ -57,7 +57,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(w.alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            pround(F.sum("value"), 4).alias("sum_value"),
+            fixed_sum(F.col("value"), 4).alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),
@@ -74,7 +74,7 @@ def q_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x AS (SELECT (t // 300) * 300 AS window_start, value FROM e "
         "UNION ALL SELECT (t // 300) * 300 - 300 AS window_start, value FROM e) "
         "SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n_events, "
-        f"{sql_round('SUM(value)', 4)} AS sum_value FROM x GROUP BY window_start"
+        f"{sql_fixed_sum('value', 4)} AS sum_value FROM x GROUP BY window_start"
     ),
     tags=("window", "streaming"),
 )
@@ -88,7 +88,7 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(w.alias("w"))
         .agg(
             F.count("*").alias("n_events"),
-            pround(F.sum("value"), 4).alias("sum_value"),
+            fixed_sum(F.col("value"), 4).alias("sum_value"),
         )
         .select(
             F.col("w.start").cast("long").alias("window_start"),

@@ -38,6 +38,33 @@ def sql_round(expr: str, n: int) -> str:
     return f"FLOOR(({expr}) * {p} + 0.5) / {p}"
 
 
+def sql_fixed_sum(expr: str, n: int = 2) -> str:
+    """Order-independent SUM for oracle SQL: per-row fixed-point units
+    (FLOOR(x*10^n + 0.5) — exact, no accumulation) -> exact integer SUM
+    -> /10^n for display.
+
+    SUM(double) is partition-order dependent, so sql_round(SUM(x))
+    could disagree with the Spark twin by one last digit depending on
+    cluster layout (the round-2 q_tpch_q9 one-cent flake). The integer
+    SUM is associative/commutative => bit-identical everywhere. The
+    CAST before SUM keeps DuckDB's FLOOR (double) aligned with Spark's
+    (bigint); the CAST after absorbs DuckDB's HUGEINT SUM. Spark twin:
+    functions.fixed_sum. Valid in both dialects."""
+    p = 10**n
+    return f"CAST(SUM(CAST(FLOOR(({expr}) * {p} + 0.5) AS BIGINT)) AS DOUBLE) / {p}"
+
+
+def sql_fixed_avg(expr: str, n: int) -> str:
+    """Order-independent AVG for oracle SQL: exact units SUM / 10^n /
+    COUNT. Wrap in sql_round for display. Spark twin: functions.fixed_avg.
+    Valid in both dialects (usable inside a shared spark.sql text)."""
+    p = 10**n
+    return (
+        f"CAST(SUM(CAST(FLOOR(({expr}) * {p} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {p} / COUNT({expr})"
+    )
+
+
 @dataclass
 class Query:
     name: str

@@ -121,7 +121,53 @@ def test_ann_recall_vs_brute_force(spark, sf_dir):
     approx = {r["vec_id"] for r in R["q_knn_ivf"].fn(spark, sf_dir).collect()}
     assert len(approx) > 0
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.6, f"ANN recall {recall} below sketch-rerank floor"
+    assert recall >= 0.8, f"ANN recall {recall} below sketch-rerank floor"
+
+
+def test_batch_ann_recall_vs_brute_force(spark, sf_dir):
+    """q_knn_batch (N=8 queries, one Arrow pass): each query's top-10
+    must recover most of its exact brute-force top-10."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from fraud_detection_spark.operators.similarity import (
+        _BATCH_QUERY_IDS,
+        _as_double,
+        cosine_to_query,
+    )
+    from fraud_detection_spark.registry import load_all
+    from fraud_detection_spark.sources import load_table
+
+    R = load_all()
+    batch = R["q_knn_batch"].fn(spark, sf_dir).toPandas()
+    assert set(batch["q_id"]) == set(_BATCH_QUERY_IDS)
+    assert (batch.groupby("q_id").size() == 10).all()
+
+    # exact twin: brute-force per-query top-10 over the same corpus
+    e = load_table(spark, sf_dir, "embeddings")
+    qdf = (
+        e.filter(F.col("vec_id").isin(*_BATCH_QUERY_IDS))
+        .select(F.col("vec_id").alias("q_id"), _as_double("embedding").alias("qe"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    exact = (
+        e.select("vec_id", _as_double("embedding").alias("e"))
+        .crossJoin(F.broadcast(qdf))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .withColumn("cosine", cosine_to_query("e", "qe"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 10)
+        .select("q_id", "vec_id")
+        .toPandas()
+    )
+    recalls = []
+    for q in _BATCH_QUERY_IDS:
+        ex = set(exact[exact["q_id"] == q]["vec_id"])
+        ap = set(batch[batch["q_id"] == q]["vec_id"])
+        recalls.append(len(ex & ap) / len(ex))
+    avg = sum(recalls) / len(recalls)
+    assert min(recalls) >= 0.6, f"per-query recall floor: {recalls}"
+    assert avg >= 0.8, f"mean batch-ANN recall {avg}: {recalls}"
 
 
 def test_media_features_deterministic_and_normalized(spark, sf_dir):
