@@ -93,8 +93,14 @@ def main() -> None:
     spark = get_spark("fds-bench")
     explain = os.environ.get("BENCH_EXPLAIN") == "1"
 
-    # warm the JVM/session so the first timed query isn't paying startup
+    # warm the JVM/session AND the python-worker fleet so the first
+    # timed query isn't paying process startup (the Arrow stages spawn
+    # one python worker per core on first use — a fixed per-session
+    # cost, not per-query compute)
     spark.range(1000).summary().collect()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda batches: batches, schema="id bigint"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -69,6 +69,39 @@ def _shingles_expr(text_col: str = "text"):
     ).otherwise(F.array(F.col(text_col)))
 
 
+def shingle_docs(df: DataFrame, out_col: str = "tokens") -> DataFrame:
+    """(doc_id, text) -> (doc_id, ``out_col`` array<string>): the Arrow
+    fast path of :func:`_shingles_expr`. Produces the identical shingle
+    list (same values, same first-occurrence-distinct order), but in
+    one vectorized mapInPandas pass — the higher-order-function form
+    runs interpreted (HOFs never enter whole-stage codegen) and is the
+    dominant constant of both near-dup queries (same lesson as round
+    2's attach_sketches). Parity with the HOF form is test-asserted
+    (tests/test_scale_ops.py::test_shingle_arrow_matches_hof)."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            toks = []
+            for t in pdf["text"]:
+                w = t.split(" ")
+                if len(w) >= 3:
+                    toks.append(
+                        list(
+                            dict.fromkeys(
+                                " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+                            )
+                        )
+                    )
+                else:
+                    toks.append([t])
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], out_col: toks})
+
+    return df.select("doc_id", "text").mapInPandas(
+        gen, schema=f"doc_id bigint, {out_col} array<string>"
+    )
+
+
 def _shingles_sql(text_col: str = "text") -> str:
     """DuckDB twin of :func:`_shingles_expr` (same shingle count and
     values; 1-based list indexing)."""
@@ -107,9 +140,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
     d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
-    toks = d.select("doc_id", _shingles_expr().alias("tokens")).filter(
-        F.size("tokens") > 0
-    )
+    toks = shingle_docs(d).filter(F.size("tokens") > 0)
     htf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
     # cache: the shingle HOF + HashingTF pass is the expensive stage
     # (interpreted higher-order functions), and approxSimilarityJoin
@@ -174,7 +205,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the candidate join-back, and the shingle HOF is the expensive
     (interpreted) stage, so uncached it would run 3x."""
     d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
-    s = d.select("doc_id", _shingles_expr().alias("sh")).cache()
+    s = shingle_docs(d, "sh").cache()
     keys = s.select(
         "doc_id",
         "sh",

@@ -131,3 +131,22 @@ def test_doc_cluster_keeper_invariants(spark, sf_dir):
     n_clusters = out.select("cluster_id").distinct().count()
     out2 = R["q_dedup_doc_cluster"].fn(spark, sf_dir)
     assert out2.select("cluster_id").distinct().count() == n_clusters
+
+
+def test_shingle_arrow_matches_hof(spark, sf_dir):
+    """shingle_docs (Arrow fast path) must produce exactly the shingle
+    lists of the interpreted HOF expression it replaced — same values,
+    same first-occurrence order, every doc."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_spark.operators.dedup import _shingles_expr, shingle_docs
+    from fraud_detection_spark.sources import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    hof = d.select("doc_id", _shingles_expr().alias("tokens")).toPandas()
+    arrow = shingle_docs(d).toPandas()
+    h = hof.sort_values("doc_id").reset_index(drop=True)
+    a = arrow.sort_values("doc_id").reset_index(drop=True)
+    assert len(h) == len(a)
+    for i in range(len(h)):
+        assert list(h["tokens"][i]) == list(a["tokens"][i]), f"doc {h['doc_id'][i]}"
