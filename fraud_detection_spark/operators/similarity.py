@@ -288,6 +288,91 @@ def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CELLS = 16
+_IVF_NPROBE = 2
+
+
+def ivf_search(
+    spark: SparkSession,
+    sf_dir: str,
+    n_cells: int = _IVF_CELLS,
+    nprobe: int = _IVF_NPROBE,
+):
+    """True IVF search: coarse k-means quantizer -> probe the nprobe
+    nearest cells -> exact cosine only inside probed cells. Returns
+    (result_df, assigned_df, probed_cell_ids) so tests can assert the
+    defining invariant EXACTLY: the IVF result equals brute force
+    restricted to the probed cells (the approximation is the cell
+    pruning and nothing else).
+
+    100 TB shape: the corpus is written partitioned BY CELL, a query
+    reads only nprobe/n_cells of the data (partition pruning on the
+    cell column), and the centroid table (n_cells × dim) is a driver/
+    broadcast constant. Training the quantizer is one distributed
+    KMeans fit over a sample. On the near-orthogonal synthetic
+    embeddings recall is honestly modest (neighbors scatter across
+    cells when there is no cluster structure) — measured and asserted
+    with the sketch-rerank form (q_knn_ivf) as the better-recall
+    default for structureless corpora."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    ).withColumn("fv", array_to_vector(F.col("e")))
+    km = KMeans(k=n_cells, seed=42, maxIter=20, featuresCol="fv", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "label", "e", "cell")
+
+    centers = np.stack([np.asarray(c) for c in model.clusterCenters()])
+    q_emb = np.array(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(_as_double("embedding"))
+        .first()[0]
+    )
+    # cosine similarity of the query to each centroid (driver-side:
+    # n_cells × dim floats — a constant, not data)
+    norms = np.linalg.norm(centers, axis=1) * np.linalg.norm(q_emb)
+    sims = centers @ q_emb / np.where(norms == 0, 1.0, norms)
+    probed = [int(c) for c in np.argsort(-sims)[:nprobe]]
+
+    qv = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(_as_double("embedding").alias("qe"))
+    )
+    result = (
+        assigned.filter(F.col("cell").isin(probed))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            pround(cosine_to_query("e", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+    return result, assigned, probed
+
+
+@query(
+    "q_knn_ivf_coarse",
+    oracle=None,  # k-means cells are model state — invariants tested instead
+    tags=("similarity", "ann", "ivf"),
+)
+def q_knn_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a coarse k-means quantizer (16 cells, probe 2):
+    the classic inverted-file index — cell pruning cuts the scan to
+    nprobe/n_cells of the corpus; the within-cell search is exact
+    cosine. tests/test_ml.py asserts the pruning invariant exactly
+    (result == brute force over probed cells) and measures recall."""
+    result, _, _ = ivf_search(spark, sf_dir)
+    return result
+
+
 @query(
     "q_array_ops",
     oracle=(

@@ -78,6 +78,10 @@ def merge_into_managed(
     # of a v1 table would otherwise read-while-truncate)
     merged.localCheckpoint().createOrReplaceTempView("merge_staging_out")
     spark.sql(f"INSERT OVERWRITE TABLE {target_table} SELECT * FROM merge_staging_out")
+    # v1 tables cache their file listing per session — without this a
+    # reader that scanned the table before the overwrite sees (and
+    # fails on) the deleted files
+    spark.catalog.refreshTable(target_table)
     return "join-rewrite"
 
 

@@ -272,6 +272,44 @@ def run_serving_stream_jdbc(
     q.awaitTermination()
 
 
+def run_serving_stream_managed(
+    spark: SparkSession,
+    requests_dir: str,
+    table: str = "results_managed",
+    checkpoint_dir: str | None = None,
+) -> None:
+    """The same serving DAG with a Spark-SQL-managed-table sink:
+    foreachBatch -> MERGE INTO via sources/managed.py (real MERGE on a
+    Delta/Iceberg catalog, anti-join+union overwrite fallback on this
+    sandbox's parquet catalog). First batch creates the table;
+    checkpoint replay re-merges the same keys — idempotent, like the
+    JDBC and bucket-file twins."""
+    from fraud_detection_spark.sources.managed import merge_into_managed
+
+    checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="fds-ckpt-")
+
+    def sink(bdf: DataFrame, batch_id: int) -> None:
+        batch = bdf.dropDuplicates(["transaction_id"])
+        if not bdf.sparkSession.catalog.tableExists(table):
+            batch.write.saveAsTable(table)
+        else:
+            merge_into_managed(bdf.sparkSession, table, batch, ["transaction_id"])
+
+    q = (
+        spark.readStream.schema(REQUEST_SCHEMA)
+        .json(requests_dir)
+        .transform(score_requests)
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # the sink's refresh runs on the micro-batch CLONE session; this
+    # session's v1 relation cache still points at pre-overwrite files
+    spark.catalog.refreshTable(table)
+
+
 def run_serving_stream(
     spark: SparkSession,
     requests_dir: str,

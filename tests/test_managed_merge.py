@@ -68,3 +68,44 @@ def test_merge_batch_dedup_deterministic(spark, clean_table):
     assert len(rows) == 1
     assert rows[0]["fraud_score"] == 0.8
     assert rows[0]["payload"] == "hi"
+
+
+def test_streaming_managed_sink_idempotent(spark, tmp_path):
+    """run_serving_stream_managed: at-least-once replay of the same
+    request files converges to the same keyed rows (created_at is the
+    reference results DDL's CURRENT_TIMESTAMP default — excluded)."""
+    import json
+
+    from fraud_detection_spark.streaming.serving import run_serving_stream_managed
+
+    spark.sql("DROP TABLE IF EXISTS test_results_managed")
+    req_dir = tmp_path / "reqs"
+    req_dir.mkdir()
+    rows = [
+        {"transaction_id": f"t{i}", "correlation_id": f"c{i}",
+         "f_value": 10.0 * i, "f_k": float(i % 4), "f_hour": float(i % 24)}
+        for i in range(12)
+    ]
+    (req_dir / "batch0.json").write_text("\n".join(json.dumps(r) for r in rows))
+
+    def table_state():
+        pdf = spark.table("test_results_managed").toPandas()
+        return sorted(
+            map(tuple, pdf.drop(columns=["created_at"]).itertuples(index=False))
+        )
+
+    try:
+        run_serving_stream_managed(
+            spark, str(req_dir), table="test_results_managed",
+            checkpoint_dir=str(tmp_path / "ck1"),
+        )
+        first = table_state()
+        assert len(first) == 12
+        # replay with a FRESH checkpoint (worst-case at-least-once)
+        run_serving_stream_managed(
+            spark, str(req_dir), table="test_results_managed",
+            checkpoint_dir=str(tmp_path / "ck2"),
+        )
+        assert table_state() == first
+    finally:
+        spark.sql("DROP TABLE IF EXISTS test_results_managed")

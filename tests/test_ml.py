@@ -170,6 +170,54 @@ def test_batch_ann_recall_vs_brute_force(spark, sf_dir):
     assert avg >= 0.8, f"mean batch-ANN recall {avg}: {recalls}"
 
 
+def test_ivf_coarse_pruning_invariant(spark, sf_dir):
+    """q_knn_ivf_coarse: the ONLY approximation is cell pruning — the
+    result must equal exact brute force restricted to the probed
+    cells; cells must partition the corpus; recall vs global brute
+    force is measured (modest on structureless embeddings)."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_spark.operators.similarity import (
+        QUERY_VEC_ID,
+        cosine_to_query,
+        ivf_search,
+    )
+    from fraud_detection_spark.registry import load_all
+
+    result, assigned, probed = ivf_search(spark, sf_dir)
+    got = result.toPandas().sort_values("vec_id").reset_index(drop=True)
+
+    # cells partition the corpus
+    n_corpus = assigned.count()
+    from fraud_detection_spark.sources import load_table
+
+    assert n_corpus == load_table(spark, sf_dir, "embeddings").count()
+    assert assigned.select("cell").distinct().count() <= 16
+
+    # exactness within probed cells: recompute brute force over them
+    qv = assigned.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("e").alias("qe")
+    )
+    brute = (
+        assigned.filter(F.col("cell").isin(probed))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .withColumn("cosine", cosine_to_query("e", "qe"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+        .select("vec_id")
+        .toPandas()
+    )
+    assert set(got["vec_id"]) == set(brute["vec_id"])
+
+    # recall vs global brute force: measured, floor only sanity-level
+    R = load_all()
+    exact = {r["vec_id"] for r in R["q_knn_cosine"].fn(spark, sf_dir).collect()}
+    recall = len(exact & set(got["vec_id"])) / len(exact)
+    assert 0.0 <= recall <= 1.0
+    assert len(got) == 10
+
+
 def test_media_features_deterministic_and_normalized(spark, sf_dir):
     from fraud_detection_spark.registry import load_all
 
