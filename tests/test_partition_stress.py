@@ -60,10 +60,9 @@ def assert_exact(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame, label: str):
             )
 
 
-@pytest.mark.parametrize("name", ORACLE_QUERIES)
-def test_layout_stress_exact(name, spark, duck, sf_dir):
+def _stress(name, spark, duck_con, sf_dir):
     q = REGISTRY[name]
-    duck_pdf = duck.execute(q.oracle).df()
+    duck_pdf = duck_con.execute(q.oracle).df()
     base_shuffle = spark.conf.get("spark.sql.shuffle.partitions")
     base_bytes = spark.conf.get("spark.sql.files.maxPartitionBytes")
     try:
@@ -75,3 +74,43 @@ def test_layout_stress_exact(name, spark, duck, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
         spark.conf.set("spark.sql.files.maxPartitionBytes", base_bytes)
+
+
+@pytest.mark.parametrize("name", ORACLE_QUERIES)
+def test_layout_stress_exact(name, spark, duck, sf_dir):
+    _stress(name, spark, duck, sf_dir)
+
+
+# The round-2 Q9 flake only fired at sf0.01 (more groups, longer sums
+# — the pre-rounding double sat closer to a half-cent boundary), so the
+# money-sum class additionally stresses at the driver's comparison SF.
+MONEY_QUERIES = sorted(
+    n
+    for n, q in REGISTRY.items()
+    if q.oracle is not None and ("tpch" in q.tags or n in {
+        "q_join_inner", "q_rollup", "q_range_join", "q_tumbling_window",
+        "q_sliding_window", "q_window_running", "q_case_bucket",
+        "q_scalar_subquery", "q_mean_std", "q_mean_abs",
+    })
+)
+
+
+@pytest.fixture(scope="module")
+def duck001():
+    import duckdb
+
+    from fraud_detection_spark.sources import TABLES
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('/root/testdata/sf0.01/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", MONEY_QUERIES)
+def test_layout_stress_exact_sf001(name, spark, duck001):
+    _stress(name, spark, duck001, "/root/testdata/sf0.01")

@@ -21,7 +21,14 @@ def test_headline_plan_fingerprints(spark, sf_dir):
     from fraud_detection_spark.registry import load_all
 
     R = load_all()
-    got = {name: plan_fingerprint(R[name].fn(spark, sf_dir)) for name in HEADLINE}
+    got = {}
+    for name in HEADLINE:
+        # Fingerprints must be cache-state independent: a shared .cache()
+        # (e.g. the dedup shingle table) materialized by an earlier test
+        # swaps the Arrow/Exchange stages for an InMemoryTableScan and
+        # the counts drift. Capture every plan cold.
+        spark.catalog.clearCache()
+        got[name] = plan_fingerprint(R[name].fn(spark, sf_dir))
 
     if os.environ.get("SPARK_GRAFT_REGEN_PLAN_FP") == "1":
         with open(FP_PATH, "w") as f:
