@@ -1,0 +1,199 @@
+"""Corpus-curation operators — the remaining training-data-pipeline
+surface a 100 TB pretraining job runs between dedup and tokenization:
+benchmark decontamination (n-gram overlap against an eval set), domain
+mixture rebalancing, corpus-length percentiles, and sketch-based
+approximate distinct counts.
+
+Reference parity: the reference pipeline has no corpus stage (it is a
+tabular fraud pipeline); these extend the engine's LLM-data family
+(SURVEY.md §2i / VERDICT round-2 "LLM-data-pipeline operators" table)
+alongside operators/dedup.py, text.py and sampling.py.
+
+Scale posture:
+- decontamination broadcasts the *eval-set* n-gram fingerprints (eval
+  benchmarks are MBs, the corpus is TBs), so the corpus side is one
+  narrow gram-explode + broadcast semi-join — the corpus never
+  shuffles its text. Grams are joined as 64-bit xxhash64 fingerprints
+  (8 bytes instead of ~50-byte strings through the distinct shuffle);
+  a cross-doc false hit needs a 2^-64 collision.
+- domain mixing computes per-source rates from a tiny aggregate (one
+  row per source) broadcast back against the corpus; acceptance is the
+  same deterministic md5-uniform used by operators/sampling.py, so the
+  mix is reproducible under retries and incremental corpus growth.
+- percentiles use PERCENTILE_DISC: the result is an actual corpus
+  element (integer), not an interpolated double — order-free and
+  bit-exact across engines, unlike interpolated quantiles whose
+  floating interpolation formula differs between engines.
+(Sketch aggregates — HLL approx-distinct, approximate quantiles — live
+in operators/scale.py; the percentiles here are the *exact* integer
+PERCENTILE_DISC twin, which is oracle-checkable.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fraud_detection_spark.operators.sampling import _u_expr, _u_sql
+from fraud_detection_spark.registry import query
+from fraud_detection_spark.sources import load_table
+
+# Word n-gram width for decontamination. Real pipelines use 8-13-word
+# grams (WMDP/GPT-3 style); 8 keeps the synthetic ~30-word-vocab docs
+# from matching on pure chance while still producing real overlaps.
+_NGRAM = 8
+
+# Deterministic "eval benchmark" split: every 17th doc plays the role
+# of a held-out benchmark document the corpus must be scrubbed against.
+_EVAL_MOD = 17
+
+
+def _gram_expr(col: str) -> str:
+    """Spark SQL expression producing the array of word 8-grams.
+
+    sequence(1, n) REVERSES when n < 1 (it steps -1), so short docs
+    must be guarded to an empty array explicitly — DuckDB's range()
+    is empty for the same bounds and needs no guard.
+    """
+    return (
+        f"CASE WHEN size({col}) >= {_NGRAM} THEN "
+        f"transform(sequence(1, size({col}) - {_NGRAM - 1}), "
+        f"i -> concat_ws(' ', slice({col}, i, {_NGRAM}))) "
+        "ELSE array() END"
+    )
+
+
+@query(
+    "q_decontaminate",
+    oracle=(
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        f"range(1, len(w) - {_NGRAM - 2}), "
+        f"i -> array_to_string(w[i:i+{_NGRAM - 1}], ' '))) AS g FROM w), "
+        f"eg AS (SELECT DISTINCT g FROM g WHERE doc_id % {_EVAL_MOD} = 0), "
+        "tg AS (SELECT DISTINCT doc_id, g FROM g "
+        f"WHERE doc_id % {_EVAL_MOD} <> 0), "
+        "hits AS (SELECT doc_id, COUNT(*) AS n FROM tg JOIN eg USING (g) "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(hits.n, 0) AS BIGINT) AS n_shared_ngrams, "
+        "CASE WHEN COALESCE(hits.n, 0) > 0 THEN 1 ELSE 0 END AS contaminated "
+        "FROM documents d LEFT JOIN hits USING (doc_id) "
+        f"WHERE d.doc_id % {_EVAL_MOD} <> 0"
+    ),
+    tags=("corpus", "text", "decontamination"),
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word 8-gram with the held-out eval set (GPT-3 §C / RefinedWeb-style
+    n-gram scrubbing).
+
+    Plan: both sides explode word 8-grams and fingerprint them with
+    xxhash64 (8-byte join keys). The eval fingerprint set is DISTINCTed
+    and **broadcast** — at 100 TB the eval benchmarks are MBs while the
+    corpus is the big side, so the corpus never shuffles text: one
+    narrow explode, a map-side distinct-aggregate on (doc_id, gram64),
+    a broadcast hash semi-join, and a count per doc. A false positive
+    requires an xxhash64 collision between two distinct grams (~2^-64);
+    the DuckDB oracle joins the raw gram strings and the stress suite
+    pins exact equality.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = w.select(
+        "doc_id", F.explode(F.expr(_gram_expr("w"))).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("g64"))
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    eval_g = grams.filter(is_eval).select("g64").distinct()
+    train_g = grams.filter(~is_eval).distinct()
+    hits = (
+        train_g.join(F.broadcast(eval_g), "g64")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        d.filter(~is_eval)
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n", F.lit(0)).cast("bigint").alias("n_shared_ngrams"),
+            F.when(F.coalesce("n", F.lit(0)) > 0, 1).otherwise(0).alias("contaminated"),
+        )
+    )
+
+
+@query(
+    "q_domain_mix",
+    oracle=(
+        "WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang), "
+        "t AS (SELECT MIN(cnt) AS target FROM c) "
+        "SELECT d.doc_id, d.lang FROM documents d "
+        "JOIN c USING (lang) CROSS JOIN t "
+        f"WHERE {_u_sql('d.doc_id')} < CAST(t.target AS DOUBLE) / c.cnt"
+    ),
+    tags=("corpus", "sampling"),
+)
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing: downsample every language to the
+    size of the smallest one (uniform target mix — the DoReMi/Pile-
+    style reweighting step, with the weights computed from the data
+    instead of a config; the synthetic corpus is en-heavy, so the
+    filter does real work).
+
+    Plan: per-language counts are a tiny aggregate (one row per
+    domain), the global min a one-row aggregate; both are
+    **broadcast** back onto the corpus, so the corpus side is a single
+    narrow filter — no corpus shuffle at any scale. Acceptance
+    u(doc_id) < target/cnt uses the md5-uniform from
+    operators/sampling.py: deterministic per document, so the mix is
+    stable under retries, repartitioning and incremental corpus
+    growth. target/cnt is the same BIGINT→DOUBLE division on both
+    engines — bit-identical operands, bit-identical comparison.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("target"))
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(target))
+        .filter(_u_expr("doc_id") < F.col("target").cast("double") / F.col("cnt"))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle=(
+        "SELECT lang, "
+        "CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS p25, "
+        "CAST(quantile_disc(n_chars, 0.50) AS BIGINT) AS p50, "
+        "CAST(quantile_disc(n_chars, 0.75) AS BIGINT) AS p75, "
+        "CAST(quantile_disc(n_chars, 0.90) AS BIGINT) AS p90, "
+        "CAST(quantile_disc(n_chars, 0.99) AS BIGINT) AS p99 "
+        "FROM documents GROUP BY lang"
+    ),
+    tags=("corpus", "agg"),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language document-length percentiles via PERCENTILE_DISC.
+
+    Disc, not cont, on purpose: the discrete percentile returns an
+    actual element of the group (SQL-standard smallest value with
+    cume_dist ≥ fraction — same definition in Spark and DuckDB), so
+    the result is an exact integer on both engines. Interpolated
+    percentiles evaluate `a + (b-a)*frac` in engine-specific order and
+    can differ in the last double bit. One shuffle on the group key;
+    each group's percentile is a single sorted pass.
+    """
+    d = load_table(spark, sf_dir, "documents")
+
+    def p(frac: float, name: str):
+        return (
+            F.expr(f"percentile_disc({frac}) WITHIN GROUP (ORDER BY n_chars)")
+            .cast("bigint")
+            .alias(name)
+        )
+
+    return d.groupBy("lang").agg(
+        p(0.25, "p25"), p(0.50, "p50"), p(0.75, "p75"),
+        p(0.90, "p90"), p(0.99, "p99"),
+    )
