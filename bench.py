@@ -74,6 +74,11 @@ HEADLINE = [
     # tests/test_scale_ops.py.)
     "q_dedup_jaccard",
     "q_tfidf",
+    # corpus-curation stage (round 3): broadcast-semi-join decontam,
+    # broadcast-rate domain mix, exact PERCENTILE_DISC profile
+    "q_decontaminate",
+    "q_domain_mix",
+    "q_percentiles",
 ]
 
 
