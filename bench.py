@@ -79,6 +79,13 @@ HEADLINE = [
     "q_decontaminate",
     "q_domain_mix",
     "q_percentiles",
+    # quality-filter / retrieval / clustering curation ops (round 3):
+    # zero-shuffle Arrow repetition metrics, shuffle-free BM25 scoring,
+    # per-row denylist scrub, broadcast nearest-centroid assignment
+    "q_repetition",
+    "q_bm25",
+    "q_scrub_terms",
+    "q_centroid_assign",
 ]
 
 

@@ -115,10 +115,19 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): 6-table star join with
     broadcast dims (supplier/nation/region) and the classic
-    same-nation customer⋈supplier condition."""
-    c = load_table(spark, sf_dir, "customer")
+    same-nation customer⋈supplier condition.
+
+    customer and lineitem carry a shuffle_hash hint: both scale with
+    SF, so broadcasting either is a test-scale accident — without the
+    hint Spark's non-CBO join-size estimate (left×right product)
+    inflates the customer⋈orders side past the 600k-row lineitem
+    projection and BROADCASTS THE FACT TABLE (a single-threaded ~19MB
+    hash-relation build here; impossible at 100 TB). The hinted plan —
+    fact tables exchange on their join keys, dims broadcast — is the
+    same plan a real cluster must run, and measured faster at sf0.1."""
+    c = load_table(spark, sf_dir, "customer").hint("shuffle_hash")
     o = load_table(spark, sf_dir, "orders")
-    li = load_table(spark, sf_dir, "lineitem")
+    li = load_table(spark, sf_dir, "lineitem").hint("shuffle_hash")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")

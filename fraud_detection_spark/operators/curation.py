@@ -1,0 +1,369 @@
+"""Quality-filter / retrieval / clustering curation operators — the
+remaining pretraining-corpus surface between raw text and tokenization:
+Gopher-style repetition metrics, BM25 retrieval scoring, denylist
+scrubbing (the PII-redaction shape), and nearest-centroid assignment
+(the k-means / IVF E-step, oracle-checked).
+
+Reference parity: the reference (a tabular fraud pipeline) has no text
+stage; these extend the engine's LLM-data family (SURVEY.md §2i,
+VERDICT round-2 "LLM-data-pipeline operators" table) alongside
+operators/corpus.py, text.py, dedup.py and similarity.py.
+
+Scale posture:
+- repetition metrics are one zero-shuffle Arrow pass (per-doc
+  metrics never need data from another row, so no explode/agg/join
+  belongs in the plan);
+- BM25 keeps the corpus side shuffle-free: per-term tf is a per-row
+  higher-order filter, the only aggregate is one 1-row corpus-stats
+  frame broadcast back, so the plan is scan → codegen'd math → top-k
+  (TakeOrderedAndProject);
+- denylist scrubbing is a pure per-row map (broadcast-sized denylist
+  folded into the expression) — zero shuffles;
+- centroid assignment cross-joins a BROADCAST centroid table (k rows
+  — model state, not data) and reduces with a map-side-combinable
+  min(struct) per vector; at 100 TB this is the classic IVF
+  list-building pass: one scan, one narrow agg, no wide shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from fraud_detection_spark.functions import pround
+from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.sources import load_table
+
+# --- q_repetition -----------------------------------------------------
+
+# Flag thresholds (Gopher §A1.1-style repetition filters, adapted to
+# word n-grams): a doc is repetitive if >60% of its words are repeats
+# of earlier words OR its most frequent 2-gram covers >8% of 2-gram
+# slots. The synthetic word-soup corpus straddles both thresholds, so
+# the flag is exercised in both directions.
+_DUP_WORD_MAX = 0.60
+_TOP2_MAX = 0.08
+
+
+@query(
+    "q_repetition",
+    oracle=(
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "b AS (SELECT doc_id, len(w) AS n_words, len(list_distinct(w)) AS n_distinct FROM w), "
+        "g AS (SELECT doc_id, unnest(list_concat("
+        "list_transform(range(1, len(w)), i -> '2:' || array_to_string(w[i:i+1], ' ')), "
+        "list_transform(range(1, len(w) - 1), i -> '3:' || array_to_string(w[i:i+2], ' '))"
+        ")) AS g FROM w), "
+        "c AS (SELECT doc_id, g, COUNT(*) AS cnt FROM g GROUP BY doc_id, g), "
+        "a AS (SELECT doc_id, "
+        "MAX(CASE WHEN g LIKE '2:%' THEN cnt END) AS top2, "
+        "SUM(CASE WHEN g LIKE '2:%' THEN cnt ELSE 0 END) AS n2, "
+        "SUM(CASE WHEN g LIKE '3:%' AND cnt > 1 THEN cnt ELSE 0 END) AS dup3, "
+        "SUM(CASE WHEN g LIKE '3:%' THEN cnt ELSE 0 END) AS n3 "
+        "FROM c GROUP BY doc_id) "
+        "SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words, "
+        + sql_round("1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_words", 6)
+        + " AS dup_word_frac, "
+        + sql_round("CAST(COALESCE(a.top2, 0) AS DOUBLE) / CASE WHEN COALESCE(a.n2, 0) = 0 THEN 1 ELSE a.n2 END", 6)
+        + " AS top2gram_share, "
+        + sql_round("CAST(COALESCE(a.dup3, 0) AS DOUBLE) / CASE WHEN COALESCE(a.n3, 0) = 0 THEN 1 ELSE a.n3 END", 6)
+        + " AS dup3gram_frac, "
+        "CASE WHEN "
+        f"1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_words > {_DUP_WORD_MAX} "
+        "OR CAST(COALESCE(a.top2, 0) AS DOUBLE) / "
+        f"CASE WHEN COALESCE(a.n2, 0) = 0 THEN 1 ELSE a.n2 END > {_TOP2_MAX} "
+        "THEN 1 ELSE 0 END AS repetitive "
+        "FROM b LEFT JOIN a USING (doc_id)"
+    ),
+    tags=("curation", "quality", "text"),
+)
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality metrics per document: duplicate
+    -word fraction, share of 2-gram slots taken by the most frequent
+    2-gram, fraction of 3-gram occurrences that are repeats, and the
+    keep/drop flag — the standard repetition filters a pretraining
+    pipeline runs after dedup (Rae et al. 2021, §A1.1, re-expressed
+    over word n-grams).
+
+    Scale: per-document metrics are embarrassingly parallel, so the
+    whole operator is ONE Arrow mapInPandas pass over the scan — zero
+    shuffles, zero joins; identical plan at 500 rows and at 100 TB.
+    (The first-working JVM shape — a tagged 2-gram/3-gram explode +
+    two hash aggregates + a join back — was measured ~4x slower at
+    sf0.1: two exchanges of ~10⁶ gram rows to recompute per-doc-local
+    counts that never needed to leave their row. Per-doc Counter
+    passes over ~10² grams replace them; all arithmetic is IEEE
+    double, bit-matching the SQL oracle.)"""
+
+    def metrics(batches):
+        import math
+
+        from collections import Counter
+
+        import pandas as pd
+
+        def r6(x: float) -> float:
+            return math.floor(x * 1e6 + 0.5) / 1e6
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                w = t.split(" ")
+                n = len(w)
+                dup_word = 1.0 - len(set(w)) / n
+                c2 = Counter(zip(w, w[1:]))
+                top2, n2 = (max(c2.values()), n - 1) if n >= 2 else (0, 1)
+                c3 = Counter(zip(w, w[1:], w[2:]))
+                dup3 = sum(c for c in c3.values() if c > 1)
+                n3 = n - 2 if n >= 3 else 1
+                top2_share = top2 / max(n2, 1)
+                rows.append(
+                    (
+                        doc_id,
+                        n,
+                        r6(dup_word),
+                        r6(top2_share),
+                        r6(dup3 / max(n3, 1)),
+                        1 if dup_word > _DUP_WORD_MAX or top2_share > _TOP2_MAX else 0,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id",
+                    "n_words",
+                    "dup_word_frac",
+                    "top2gram_share",
+                    "dup3gram_frac",
+                    "repetitive",
+                ],
+            )
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            metrics,
+            schema=(
+                "doc_id bigint, n_words bigint, dup_word_frac double, "
+                "top2gram_share double, dup3gram_frac double, repetitive int"
+            ),
+        )
+    )
+
+
+# --- q_bm25 -----------------------------------------------------------
+
+# Fixed retrieval query (terms verified present in the synthetic
+# corpus vocabulary); Okapi parameters at the canonical defaults.
+_BM25_TERMS = ("spark", "join", "window")
+_K1 = 1.2
+_B = 0.75
+_BM25_TOPK = 15
+
+
+@query(
+    "q_bm25",
+    oracle=(
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "tf AS (SELECT doc_id, len(w) AS dl, "
+        + ", ".join(
+            f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+            for i, t in enumerate(_BM25_TERMS)
+        )
+        + " FROM w), "
+        "s AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, "
+        + ", ".join(
+            f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+            for i in range(len(_BM25_TERMS))
+        )
+        + " FROM tf) "
+        "SELECT doc_id, CAST(dl AS BIGINT) AS doc_len, "
+        + sql_round(
+            " + ".join(
+                f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * "
+                f"(tf{i} * {_K1 + 1.0}) / "
+                f"(tf{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))"
+                for i in range(len(_BM25_TERMS))
+            ),
+            6,
+        )
+        + " AS bm25 "
+        "FROM tf CROSS JOIN s "
+        f"ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}"
+    ),
+    tags=("curation", "retrieval", "text"),
+)
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-15 for a fixed 3-term query (k1=1.2, b=0.75,
+    Lucene's non-negative idf = ln((N-df+0.5)/(df+0.5)+1)) — the
+    retrieval-scoring op a curation pipeline uses to mine topical
+    subsets of a corpus.
+
+    Scale: per-term tf is a per-row higher-order filter (NO gram
+    explode, NO shuffle on the corpus side); the corpus statistics
+    (N, avgdl, per-term df) are one 1-row aggregate broadcast back;
+    the score is codegen'd arithmetic with a fixed term order (t0 +
+    t1 + t2 — summation order pinned on both engines, so rounding
+    cannot drift); top-k plans as TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    def term_count(t: str):
+        # size(w) - size(array_remove(w, t)) instead of a filter()
+        # lambda: array_remove is a plain codegen'd expression, while
+        # higher-order functions evaluate interpreted per element.
+        return F.size("w") - F.size(F.array_remove("w", t))
+
+    tf = d.select(
+        "doc_id",
+        F.size("w").alias("dl"),
+        *[term_count(t).alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    stats = tf.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).alias(f"df{i}")
+            for i in range(len(_BM25_TERMS))
+        ],
+    )
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        tf_i = F.col(f"tf{i}")
+        idf = F.log(
+            (F.col("n") - F.col(f"df{i}") + 0.5) / (F.col(f"df{i}") + 0.5) + 1.0
+        )
+        norm = tf_i + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
+        term = idf * (tf_i * (_K1 + 1.0)) / norm
+        score = term if score is None else score + term
+    return (
+        tf.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.col("dl").cast("bigint").alias("doc_len"),
+            pround(score, 6).alias("bm25"),
+        )
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+# --- q_scrub_terms ----------------------------------------------------
+
+# Denylist playing the role of a PII / sensitive-term blocklist. Real
+# pipelines load thousands of patterns from a file and broadcast them;
+# here the list is inline but the plan shape (broadcast constant folded
+# into a per-row map) is identical.
+_DENYLIST = ("key", "customer", "secret")
+_REDACTED = "<redacted>"
+
+
+@query(
+    "q_scrub_terms",
+    oracle=(
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents) "
+        "SELECT doc_id, "
+        "CAST(len(list_filter(w, x -> x IN ("
+        + ", ".join(f"'{t}'" for t in _DENYLIST)
+        + "))) AS BIGINT) AS n_redacted, "
+        "md5(array_to_string(list_transform(w, x -> CASE WHEN x IN ("
+        + ", ".join(f"'{t}'" for t in _DENYLIST)
+        + f") THEN '{_REDACTED}' ELSE x END), ' ')) AS scrub_md5 "
+        "FROM w"
+    ),
+    tags=("curation", "scrub", "text"),
+)
+def q_scrub_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denylist scrubbing — the PII-redaction shape: replace every
+    blocklisted token with a redaction marker, count replacements, and
+    fingerprint the scrubbed text (md5 is identical hex in both
+    engines, so the entire rewritten document is oracle-checked
+    without shipping the text through the comparator).
+
+    Scale: a pure per-row map over the scan — zero shuffles; the
+    denylist is a broadcast-sized constant folded into the codegen'd
+    expression (a production list swaps in via a broadcast join or
+    an Aho-Corasick pandas_udf without changing the plan shape)."""
+    deny = F.array(*[F.lit(t) for t in _DENYLIST])
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    scrubbed = F.transform(
+        "w",
+        lambda x: F.when(F.array_contains(deny, x), F.lit(_REDACTED)).otherwise(x),
+    )
+    n_redacted = None
+    for t in _DENYLIST:
+        # codegen'd count (array_remove), vs an interpreted filter()
+        hit = F.size("w") - F.size(F.array_remove("w", t))
+        n_redacted = hit if n_redacted is None else n_redacted + hit
+    return d.select(
+        "doc_id",
+        n_redacted.cast("bigint").alias("n_redacted"),
+        F.md5(F.concat_ws(" ", scrubbed)).alias("scrub_md5"),
+    )
+
+
+# --- q_centroid_assign ------------------------------------------------
+
+# The first k embeddings (vec_id < _K) serve as fixed centroids: the
+# assignment step is then fully deterministic and oracle-checkable
+# (unlike a trained-k-means assignment, whose centroids are model
+# state — that variant lives in similarity.ivf_search / q_knn_ivf_coarse
+# with invariant tests instead of an oracle).
+_K_CENTROIDS = 8
+
+
+@query(
+    "q_centroid_assign",
+    oracle=(
+        "WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce "
+        f"FROM embeddings WHERE vec_id < {_K_CENTROIDS}), "
+        "d AS (SELECT e.vec_id, c.cid, "
+        + sql_round("list_distance(CAST(e.embedding AS DOUBLE[]), c.ce)", 6)
+        + " AS dist FROM embeddings e CROSS JOIN c), "
+        "r AS (SELECT vec_id, cid, dist, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d) "
+        "SELECT vec_id, CAST(cid AS BIGINT) AS cluster, dist FROM r WHERE rn = 1"
+    ),
+    tags=("curation", "clustering", "similarity"),
+)
+def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid assignment (the k-means / IVF E-step) against
+    k=8 fixed centroids: per-vector argmin of L2 distance with a
+    deterministic centroid-id tie-break.
+
+    Scale: the centroid table is k rows of model state — broadcast;
+    the argmin is min(struct(dist, cid)) grouped by vec_id, which
+    Spark executes with map-side partial aggregation (each partition
+    reduces its own k candidates before any exchange). This is the
+    IVF list-building pass: one corpus scan, one narrow agg — the
+    same plan at 500 rows and at 100 TB. The L2 fold is sequential on
+    both engines (zip_with/aggregate vs list_distance), so rounded
+    distances are bit-identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cents = (
+        e.filter(F.col("vec_id") < _K_CENTROIDS)
+        .select(F.col("vec_id").alias("cid"), to_double.alias("ce"))
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("e"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    best = (
+        e.select("vec_id", to_double.alias("e"))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", pround(dist, 6).alias("dist"), "cid")
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid")).alias("m"))
+    )
+    return best.select(
+        "vec_id",
+        F.col("m.cid").cast("bigint").alias("cluster"),
+        F.col("m.dist").alias("dist"),
+    )

@@ -102,6 +102,57 @@ def shingle_docs(df: DataFrame, out_col: str = "tokens") -> DataFrame:
     )
 
 
+def jaccard_sketch_docs(df: DataFrame, k: int = 5) -> DataFrame:
+    """(doc_id, text) -> (doc_id, sh64 array<bigint>, mk array<bigint>):
+    the full q_dedup_jaccard sketch in ONE Arrow pass — distinct 3-word
+    shingles, each reduced to the first 8 bytes of its md5 (big-endian,
+    so unsigned fingerprint order == md5-hex lexicographic order), plus
+    the k smallest fingerprints as the blocking keys.
+
+    Why fingerprints, not shingle strings: every downstream stage
+    (key explode, candidate self-join, join-back, array_intersect)
+    then moves 8-byte bigints instead of ~20-byte shingle strings —
+    the shuffles shrink ~8x and the intersections compare longs. The
+    DuckDB oracle keeps full md5 strings; results agree unless two
+    DISTINCT shingles of a candidate pair collide in 64 bits (~2⁻⁵⁰
+    per pair) or a doc's k-th and (k+1)-th md5 tie in their first 8
+    bytes (~2⁻⁵⁰) — the q_decontaminate fingerprint argument.
+
+    The min-k selection happens HERE (numpy unsigned sort over each
+    doc's ~10² fingerprints) rather than in a JVM higher-order
+    function: HOFs evaluate interpreted, and the sort+md5 over every
+    shingle was the dominant constant of the old plan."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            sh_out, mk_out = [], []
+            for t in pdf["text"]:
+                w = t.split(" ")
+                if len(w) >= 3:
+                    sh = dict.fromkeys(
+                        " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+                    )
+                else:
+                    sh = {t: None}
+                buf = b"".join(
+                    hashlib.md5(x.encode()).digest()[:8] for x in sh
+                )
+                h = np.frombuffer(buf, dtype=">u8").astype(np.uint64)
+                sh_out.append(h.view(np.int64))
+                mk_out.append(np.sort(h)[:k].view(np.int64))
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "sh64": sh_out, "mk": mk_out}
+            )
+
+    return df.select("doc_id", "text").mapInPandas(
+        gen, schema="doc_id bigint, sh64 array<bigint>, mk array<bigint>"
+    )
+
+
 def _shingles_sql(text_col: str = "text") -> str:
     """DuckDB twin of :func:`_shingles_expr` (same shingle count and
     values; 1-based list indexing)."""
@@ -199,24 +250,15 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage linear-ish instead of n². Everything (md5 ordering included)
     is reproducible in ANSI SQL, hence the exact oracle.
 
-    Scale: explode is K rows per doc; the candidate join shuffles on
-    the 32-hex min-key; exact Jaccard touches candidates only. The
-    shingle table is cached — it feeds the key explode AND both sides
-    of the candidate join-back, and the shingle HOF is the expensive
-    (interpreted) stage, so uncached it would run 3x."""
+    Scale: explode is K rows per doc; the candidate join shuffles
+    8-byte min-key fingerprints; exact Jaccard touches candidates
+    only, intersecting bigint fingerprint arrays (never the shingle
+    strings — the whole corpus-text payload stays out of every
+    shuffle). The sketch table is cached: it feeds the key explode AND
+    both sides of the candidate join-back."""
     d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
-    s = shingle_docs(d, "sh").cache()
-    keys = s.select(
-        "doc_id",
-        "sh",
-        F.explode(
-            F.slice(
-                F.sort_array(F.transform("sh", lambda x: F.md5(x.cast("binary")))),
-                1,
-                _JACCARD_BLOCK_K,
-            )
-        ).alias("mk"),
-    )
+    s = jaccard_sketch_docs(d, k=_JACCARD_BLOCK_K).cache()
+    keys = s.select("doc_id", F.explode("mk").alias("mk"))
     a = keys.select(F.col("doc_id").alias("doc_a"), F.col("mk"))
     b = keys.select(F.col("doc_id").alias("doc_b"), F.col("mk"))
     cand = (
@@ -225,8 +267,8 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    x = s.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha"))
-    y = s.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb"))
+    x = s.select(F.col("doc_id").alias("doc_a"), F.col("sh64").alias("sha"))
+    y = s.select(F.col("doc_id").alias("doc_b"), F.col("sh64").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
     return (

@@ -101,6 +101,7 @@ def load_all() -> dict[str, Query]:
         aggregates,
         analytics,
         corpus,
+        curation,
         dedup,
         ml_metrics,
         multimodal,
