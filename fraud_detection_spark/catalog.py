@@ -18,6 +18,19 @@ hash check; "rows-only" = RNG/LSH/ML op verified by property tests.
 |---|---|---|---|
 """
 
+# Per-query caveats appended to the Check cell — scoping notes a reader
+# of the "oracle" claim needs (kept here so regeneration preserves them).
+CHECK_NOTES = {
+    "q_dedup_jaccard": (
+        "oracle (probabilistic: 8-byte md5 fingerprints vs the oracle's "
+        "full digests — exact absent a ~2⁻⁵⁰ collision/prefix-tie, "
+        "dedup.py jaccard_sketch_docs)"
+    ),
+    "q_dedup_doc_cluster": (
+        "oracle (edges from q_dedup_jaccard — same fingerprint caveat)"
+    ),
+}
+
 
 def render() -> str:
     from fraud_detection_spark.registry import load_all
@@ -26,7 +39,7 @@ def render() -> str:
     registry = load_all()
     for name in sorted(registry):
         q = registry[name]
-        check = "oracle" if q.oracle else "rows-only"
+        check = CHECK_NOTES.get(name) or ("oracle" if q.oracle else "rows-only")
         tags = ", ".join(q.tags) if q.tags else "—"
         module = q.fn.__module__.replace("fraud_detection_spark.", "")
         lines.append(f"| `{name}` | {check} | {tags} | {module} |\n")

@@ -11,11 +11,12 @@ alongside operators/dedup.py, text.py and sampling.py.
 
 Scale posture:
 - decontamination broadcasts the *eval-set* n-gram fingerprints (eval
-  benchmarks are MBs, the corpus is TBs), so the corpus side is one
-  narrow gram-explode + broadcast semi-join — the corpus never
-  shuffles its text. Grams are joined as 64-bit xxhash64 fingerprints
-  (8 bytes instead of ~50-byte strings through the distinct shuffle);
-  a cross-doc false hit needs a 2^-64 collision.
+  benchmarks are MBs, the corpus is TBs) and joins the corpus grams
+  against them BEFORE any shuffle: the broadcast hash join is map-side
+  and discards every non-hit gram, so the only exchange carries the
+  actual hits (near-zero rows at 100 TB). Grams travel as 64-bit
+  xxhash64 fingerprints (8 bytes, not ~50-byte strings); a cross-doc
+  false hit needs a 2^-64 collision.
 - domain mixing computes per-source rates from a tiny aggregate (one
   row per source) broadcast back against the corpus; acceptance is the
   same deterministic md5-uniform used by operators/sampling.py, so the
@@ -90,12 +91,17 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan: both sides explode word 8-grams and fingerprint them with
     xxhash64 (8-byte join keys). The eval fingerprint set is DISTINCTed
     and **broadcast** — at 100 TB the eval benchmarks are MBs while the
-    corpus is the big side, so the corpus never shuffles text: one
-    narrow explode, a map-side distinct-aggregate on (doc_id, gram64),
-    a broadcast hash semi-join, and a count per doc. A false positive
-    requires an xxhash64 collision between two distinct grams (~2^-64);
-    the DuckDB oracle joins the raw gram strings and the stress suite
-    pins exact equality.
+    corpus is the big side. The corpus grams hit the broadcast hash
+    join *first* (map-side, no shuffle), so every non-matching gram —
+    ~all of them at scale — is discarded before any exchange; the only
+    shuffle is the count-distinct over actual hits, which is near-zero
+    rows regardless of corpus size. (Join-first ≡ distinct-first: the
+    per-doc distinct-hit count only depends on the hit subset, and
+    countDistinct dedups post-join. Catalyst will not push a join
+    through an Aggregate, so the ordering is hand-chosen.) A false
+    positive requires an xxhash64 collision between two distinct grams
+    (~2^-64); the DuckDB oracle joins the raw gram strings and the
+    stress suite pins exact equality.
     """
     d = load_table(spark, sf_dir, "documents")
     w = d.select("doc_id", F.split("text", " ").alias("w"))
@@ -104,11 +110,11 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.xxhash64("g").alias("g64"))
     is_eval = F.col("doc_id") % _EVAL_MOD == 0
     eval_g = grams.filter(is_eval).select("g64").distinct()
-    train_g = grams.filter(~is_eval).distinct()
     hits = (
-        train_g.join(F.broadcast(eval_g), "g64")
+        grams.filter(~is_eval)
+        .join(F.broadcast(eval_g), "g64")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n"))
+        .agg(F.count_distinct("g64").alias("n"))
     )
     return (
         d.filter(~is_eval)
@@ -156,6 +162,58 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.join(F.broadcast(counts), "lang")
         .crossJoin(F.broadcast(target))
         .filter(_u_expr("doc_id") < F.col("target").cast("double") / F.col("cnt"))
+        .select("doc_id", "lang")
+    )
+
+
+# Sampling temperature for q_domain_mix_temp. T=1 keeps the natural
+# mix, T→∞ flattens to uniform (q_domain_mix); T≈2-3 is the usual
+# multilingual-pretraining compromise (XLM-R §3.1-style).
+_MIX_T = 2.0
+
+
+@query(
+    "q_domain_mix_temp",
+    oracle=(
+        "WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang), "
+        "t AS (SELECT MIN(cnt) AS nmin FROM c) "
+        "SELECT d.doc_id, d.lang FROM documents d "
+        "JOIN c USING (lang) CROSS JOIN t "
+        f"WHERE {_u_sql('d.doc_id')} < "
+        f"POWER(CAST(t.nmin AS DOUBLE) / c.cnt, {1.0 - 1.0 / _MIX_T})"
+    ),
+    tags=("corpus", "sampling"),
+)
+def q_domain_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture: sample language l at rate
+    (n_min/n_l)^(1-1/T) so mid-size domains aren't starved the way the
+    uniform q_domain_mix starves them (T=2 here: the largest language
+    is downsampled by sqrt of its size ratio, the smallest is kept
+    whole).
+
+    The rate is the closed form of the standard temperature recipe
+    p_l ∝ (n_l/N)^(1/T) scaled to the largest total that upsamples
+    nothing: rate_l = p_l·M/n_l with M = min_l n_l/p_l — the Σ(n^1/T)
+    normalizer cancels, leaving (n_min/n_l)^(1-1/T). That matters for
+    the oracle: no cross-language float SUM whose accumulation order
+    could differ between engines; the surviving float math is one
+    BIGINT→DOUBLE division and one POWER on bit-identical operands.
+
+    Plan: identical to q_domain_mix — tiny per-language aggregate +
+    one-row min, both broadcast back, corpus side a single narrow
+    filter (no corpus shuffle at any scale); md5-uniform acceptance is
+    deterministic per doc_id, so the mix is stable under retries and
+    incremental growth."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
+    target = counts.agg(F.min("cnt").alias("nmin"))
+    rate = F.pow(
+        F.col("nmin").cast("double") / F.col("cnt"), F.lit(1.0 - 1.0 / _MIX_T)
+    )
+    return (
+        d.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(target))
+        .filter(_u_expr("doc_id") < rate)
         .select("doc_id", "lang")
     )
 

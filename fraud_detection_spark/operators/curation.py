@@ -14,9 +14,10 @@ Scale posture:
   metrics never need data from another row, so no explode/agg/join
   belongs in the plan);
 - BM25 keeps the corpus side shuffle-free: per-term tf is a per-row
-  higher-order filter, the only aggregate is one 1-row corpus-stats
-  frame broadcast back, so the plan is scan → codegen'd math → top-k
-  (TakeOrderedAndProject);
+  codegen'd ``size(w) - size(array_remove(w, t))`` difference (no
+  interpreted higher-order function), the only aggregate is one
+  1-row corpus-stats frame broadcast back, so the plan is
+  scan → codegen'd math → top-k (TakeOrderedAndProject);
 - denylist scrubbing is a pure per-row map (broadcast-sized denylist
   folded into the expression) — zero shuffles;
 - centroid assignment cross-joins a BROADCAST centroid table (k rows
@@ -40,7 +41,11 @@ from fraud_detection_spark.sources import load_table
 # word n-grams): a doc is repetitive if >60% of its words are repeats
 # of earlier words OR its most frequent 2-gram covers >8% of 2-gram
 # slots. The synthetic word-soup corpus straddles both thresholds, so
-# the flag is exercised in both directions.
+# the flag is exercised in both directions. Caveat for general reuse:
+# the 2-gram share of an n-word doc is at least 1/(n-1), so any doc
+# under ~14 words trips the 8% threshold mechanically — Gopher-style
+# thresholds assume long documents; gate on a minimum n_words before
+# applying this filter to a real mixed-length corpus.
 _DUP_WORD_MAX = 0.60
 _TOP2_MAX = 0.08
 
@@ -84,6 +89,12 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep/drop flag — the standard repetition filters a pretraining
     pipeline runs after dedup (Rae et al. 2021, §A1.1, re-expressed
     over word n-grams).
+
+    The flag is computed from the UNROUNDED metrics while the emitted
+    metric columns are rounded to 6 decimals (both engines agree — the
+    oracle does the same) — a boundary row can therefore display a
+    metric exactly at the threshold yet carry the flag of its
+    pre-rounding value.
 
     Scale: per-document metrics are embarrassingly parallel, so the
     whole operator is ONE Arrow mapInPandas pass over the scan — zero
@@ -200,8 +211,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     retrieval-scoring op a curation pipeline uses to mine topical
     subsets of a corpus.
 
-    Scale: per-term tf is a per-row higher-order filter (NO gram
-    explode, NO shuffle on the corpus side); the corpus statistics
+    Scale: per-term tf is a per-row codegen'd ``size(w) -
+    size(array_remove(w, t))`` difference (NO gram explode, NO shuffle
+    on the corpus side, no interpreted higher-order function — see the
+    inline comment at term_count); the corpus statistics
     (N, avgdl, per-term df) are one 1-row aggregate broadcast back;
     the score is codegen'd arithmetic with a fixed term order (t0 +
     t1 + t2 — summation order pinned on both engines, so rounding

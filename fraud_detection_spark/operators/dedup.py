@@ -214,8 +214,10 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 _JACCARD_BLOCK_K = 5
 _JACCARD_THRESHOLD = 0.5
 
-_JACCARD_SQL = (
-    "WITH s AS (SELECT doc_id, "
+# the blocking/exact-Jaccard CTE chain, shared by the q_dedup_jaccard
+# oracle and the recursive q_dedup_doc_cluster oracle
+_JACCARD_CTES = (
+    "s AS (SELECT doc_id, "
     f"list_distinct({_shingles_sql()}) AS sh FROM documents), "
     "keys AS (SELECT doc_id, sh, unnest(list_sort(list_transform(sh, x -> md5(x)))"
     f"[1:{_JACCARD_BLOCK_K}]) AS mk FROM s), "
@@ -224,7 +226,11 @@ _JACCARD_SQL = (
     "j AS (SELECT doc_a, doc_b, "
     "CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / "
     "(len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))) AS jac "
-    "FROM cand JOIN s x ON x.doc_id = cand.doc_a JOIN s y ON y.doc_id = cand.doc_b) "
+    "FROM cand JOIN s x ON x.doc_id = cand.doc_a JOIN s y ON y.doc_id = cand.doc_b)"
+)
+
+_JACCARD_SQL = (
+    "WITH " + _JACCARD_CTES + " "
     "SELECT doc_a, doc_b, jaccard FROM ("
     "SELECT doc_a, doc_b, " + sql_round("jac", 6) + " AS jaccard FROM j) "
     f"WHERE jaccard >= {_JACCARD_THRESHOLD}"
@@ -659,20 +665,37 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_dedup_doc_cluster",
-    oracle=None,  # edges come from seeded MinHashLSH — rows-only + property tests
+    oracle=(
+        "WITH RECURSIVE " + _JACCARD_CTES + ", "
+        "jp AS (SELECT doc_a, doc_b FROM ("
+        "SELECT doc_a, doc_b, " + sql_round("jac", 6) + " AS jaccard FROM j) "
+        f"WHERE jaccard >= {_JACCARD_THRESHOLD}), "
+        "pairs AS (SELECT doc_a AS x, doc_b AS y FROM jp "
+        "UNION ALL SELECT doc_b, doc_a FROM jp), "
+        "reach(v, r) AS ("
+        "SELECT doc_id, doc_id FROM documents "
+        "UNION "
+        "SELECT p.x, reach.r FROM pairs p JOIN reach ON p.y = reach.v) "
+        "SELECT v AS doc_id, CAST(MIN(r) AS BIGINT) AS cluster_id, "
+        "CAST(CASE WHEN MIN(r) = v THEN 1 ELSE 0 END AS INT) AS is_keeper "
+        "FROM reach GROUP BY v"
+    ),
     tags=("dedup", "cluster", "iterative", "documents"),
 )
 def q_dedup_doc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full corpus-dedup deliverable over ``documents``: MinHash-LSH
-    near-dup pairs (q_dedup_near) -> connected components -> one keeper
-    per cluster. Output: (doc_id, cluster_id, is_keeper) — downstream
-    corpus prep keeps ``is_keeper = 1`` rows, dropping transitive
-    near-duplicates, not just pairwise ones.
+    """The full corpus-dedup deliverable over ``documents``: exact
+    n-gram-Jaccard near-dup pairs (q_dedup_jaccard — deterministic and
+    SQL-reproducible, unlike q_dedup_near's model-internal LSH hash
+    family) -> connected components -> one keeper per cluster. Output:
+    (doc_id, cluster_id, is_keeper) — downstream corpus prep keeps
+    ``is_keeper = 1`` rows, dropping transitive near-duplicates, not
+    just pairwise ones. Oracle: DuckDB recursive CTE over the same
+    pair set (same shape as q_dedup_cluster's).
 
     Keeper rule: min doc_id of the component (deterministic, and free —
     min-label propagation already labels every member with it)."""
     d = load_table(spark, sf_dir, "documents").select("doc_id")
-    half = q_dedup_near(spark, sf_dir).select("doc_a", "doc_b")
+    half = q_dedup_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = half.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(

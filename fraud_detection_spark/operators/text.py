@@ -88,6 +88,138 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_bpe_tokens -----------------------------------------------------
+
+# BPE merge table (rank = priority). Hand-built but CONSISTENT the way
+# a trained table is: every merge's parts are single characters or the
+# results of strictly earlier merges, and every pair containing a
+# merged token ranks after the merge that created it. That property is
+# what makes "merge one leftmost lowest-rank pair per step" (the
+# oracle's recursive CTE) provably identical to the canonical "merge
+# all occurrences of the lowest-rank pair" loop (this file): applying
+# a merge can only create pairs of HIGHER rank, so the remaining
+# occurrences of the chosen pair stay minimal.
+_BPE_MERGES: tuple[tuple[str, str], ...] = (
+    ("t", "h"), ("i", "n"), ("e", "r"), ("a", "n"), ("o", "n"), ("r", "e"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "r"), ("s", "t"), ("a", "r"),
+    ("l", "e"), ("t", "i"),
+    ("th", "e"), ("in", "g"), ("an", "d"), ("ti", "on"), ("er", "</w>"),
+    ("e", "</w>"), ("s", "</w>"), ("d", "</w>"), ("y", "</w>"), ("t", "</w>"),
+    ("the", "</w>"), ("ing", "</w>"),
+)
+
+_BPE_RANKS = {p: i for i, p in enumerate(_BPE_MERGES)}
+
+
+def bpe_encode(word: str) -> list[str]:
+    """Canonical greedy BPE: start from characters + an end-of-word
+    marker, repeatedly merge every (leftmost-first, non-overlapping)
+    occurrence of the lowest-rank adjacent pair until no pair is in
+    the merge table (Sennrich et al. 2016 inference loop)."""
+    sym = list(word) + ["</w>"]
+    while True:
+        cand = [
+            _BPE_RANKS[(sym[i], sym[i + 1])]
+            for i in range(len(sym) - 1)
+            if (sym[i], sym[i + 1]) in _BPE_RANKS
+        ]
+        if not cand:
+            return sym
+        a, b = _BPE_MERGES[min(cand)]
+        out, i = [], 0
+        while i < len(sym):
+            if i < len(sym) - 1 and sym[i] == a and sym[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(sym[i])
+                i += 1
+        sym = out
+
+
+def _bpe_oracle_sql() -> str:
+    """DuckDB twin: recursive CTE merging ONE leftmost lowest-rank pair
+    per step over each distinct word — identical fixpoint to
+    :func:`bpe_encode` because the merge table is consistent (see
+    _BPE_MERGES). The merge table travels as a literal MAP; per-word
+    final state is the minimal-length row (each step shrinks the
+    symbol list by exactly 1)."""
+    keys = ", ".join(f"'{a} {b}'" for a, b in _BPE_MERGES)
+    vals = ", ".join(str(i) for i in range(len(_BPE_MERGES)))
+    maplit = f"map([{keys}], [{vals}])"
+    return (
+        "WITH RECURSIVE "
+        "tok AS (SELECT doc_id, w FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''), "
+        "words AS (SELECT DISTINCT w FROM tok), "
+        "enc(w, s) AS ("
+        "SELECT w, list_transform(range(1, len(w) + 1), i -> w[i:i]) || ['</w>'] FROM words "
+        "UNION ALL "
+        "SELECT w, s[1:mi-1] || [s[mi] || s[mi+1]] || s[mi+2:len(s)] "
+        "FROM ("
+        "SELECT w, s, list_min(list_transform(list_filter(cands, x -> x.r = mr), x -> x.i)) AS mi "
+        "FROM ("
+        "SELECT w, s, cands, list_min(list_transform(cands, x -> x.r)) AS mr "
+        "FROM (SELECT w, s, list_filter(list_transform(range(1, len(s)), "
+        f"i -> {{'i': i, 'r': element_at({maplit}, s[i] || ' ' || s[i+1])[1]}}), "
+        "x -> x.r IS NOT NULL) AS cands FROM enc)"
+        ") WHERE mr IS NOT NULL"
+        ")"
+        "), "
+        "wtok AS (SELECT w, CAST(MIN(len(s)) AS BIGINT) AS n_bpe FROM enc GROUP BY w), "
+        "agg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_ws_tokens, "
+        "CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens FROM tok JOIN wtok USING (w) GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(agg.n_ws_tokens, 0) AS BIGINT) AS n_ws_tokens, "
+        "CAST(COALESCE(agg.n_bpe_tokens, 0) AS BIGINT) AS n_bpe_tokens "
+        "FROM documents d LEFT JOIN agg USING (doc_id)"
+    )
+
+
+@query(
+    "q_bpe_tokens",
+    oracle=_bpe_oracle_sql(),
+    tags=("text", "tokenize", "bpe"),
+)
+def q_bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE token counting: greedy merge-table byte-pair encoding
+    per word (characters + '</w>' marker, broadcast rank table), summed
+    per document — what a training-data pipeline actually budgets with,
+    vs q_token_count's regex approximation. Pure integer output, so the
+    oracle is bit-exact with no float caveats.
+
+    Scale: one zero-shuffle Arrow mapInPandas pass; the merge table is
+    a constant folded into the closure (KBs — model state), and an
+    lru_cache memoizes per-word encodings within each task, which is
+    the same word-level cache a production tokenizer keeps (corpus
+    vocabularies are Zipfian: hit rate ~1 at any scale). Identical plan
+    at 500 docs and 100 TB: scan -> Arrow batch map."""
+    import pandas as pd
+
+    def enc(batches):
+        from functools import lru_cache
+
+        @lru_cache(maxsize=1 << 16)
+        def ntok(w: str) -> int:
+            return len(bpe_encode(w))
+
+        for pdf in batches:
+            rows = []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                ws = [w for w in t.split(" ") if w]
+                rows.append((doc_id, len(ws), sum(ntok(w) for w in ws)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_ws_tokens", "n_bpe_tokens"]
+            )
+
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .mapInPandas(
+            enc, schema="doc_id bigint, n_ws_tokens bigint, n_bpe_tokens bigint"
+        )
+    )
+
+
 @query(
     "q_quality_score",
     oracle=(

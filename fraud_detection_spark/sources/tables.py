@@ -34,14 +34,40 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (parquet scan, lazily planned).
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects; ``nanosAsLong`` maps it to LongType (epoch nanos).
-    All event-time operators do integer epoch math on it (matching
-    DuckDB's ``epoch_ns``), which is also timezone-proof.
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some
+    testdata generations (Spark's vectorized reader rejects it;
+    ``nanosAsLong`` maps it to LongType epoch nanos) and as
+    TIMESTAMP(MICROS) in others (read as timestamp/timestamp_ntz).
+    All event-time operators do integer epoch math on a LongType
+    epoch-nanos ``ts`` (matching DuckDB's ``epoch_ns``, which accepts
+    both physical types), so a timestamp-typed ``ts`` is normalized to
+    epoch nanos here. The NTZ path uses ``timestampdiff`` from the NTZ
+    epoch — pure wall-clock arithmetic, correct under ANY session
+    timezone (the driver runs a vanilla session with no UTC pin; a
+    cast-through-TIMESTAMP would shift by the session offset — verified
+    hostile-tz in tests/test_partition_invariance.py). The conversion
+    is a cheap codegen'd projection; it costs raw-``ts`` predicate
+    pushdown, but every event-time operator filters on derived
+    second/minute columns anyway (never pushable).
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        from pyspark.sql import functions as F
+
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                ) * F.lit(1000),
+            )
+        elif isinstance(dt, T.TimestampType):
+            # instant-typed: unix_micros is timezone-independent
+            df = df.withColumn("ts", (F.unix_micros("ts") * F.lit(1000)).cast("long"))
+    return df
 
 
 def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:

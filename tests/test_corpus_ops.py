@@ -66,6 +66,35 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     assert_broadcast_join(REGISTRY["q_decontaminate"].fn(spark, sf_dir))
 
 
+def test_decontaminate_joins_before_any_corpus_shuffle(spark, sf_dir):
+    """The 100 TB contract for decontamination: corpus grams must hit the
+    broadcast join BEFORE any exchange/aggregate, so the only shuffle
+    carries actual hits. Pin it by walking the physical-plan tree: the
+    probe (left) branch of the inner BroadcastHashJoin may contain the
+    gram explode but no Exchange and no HashAggregate. (The marker-count
+    fingerprint can't see ordering, hence this structural check.)
+    """
+    df = REGISTRY["q_decontaminate"].fn(spark, sf_dir)
+    tree = df._jdf.queryExecution().executedPlan().toString()
+    lines = tree.splitlines()
+    starts = [i for i, l in enumerate(lines) if "BroadcastHashJoin" in l and "Inner" in l]
+    assert starts, tree
+    i = starts[0]
+    indent = len(lines[i]) - len(lines[i].lstrip())
+    # left branch = lines until the sibling BroadcastExchange at child depth
+    left: list[str] = []
+    for l in lines[i + 1 :]:
+        if "BroadcastExchange" in l:
+            break
+        left.append(l)
+    left_txt = "\n".join(left)
+    assert "Generate" in left_txt, left_txt  # the gram explode is there
+    assert "Exchange" not in left_txt, "corpus grams shuffled before the join:\n" + tree
+    assert "HashAggregate" not in left_txt, (
+        "corpus grams aggregated before the join:\n" + tree
+    )
+
+
 def test_domain_mix_rebalances(spark, sf_dir):
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
     got = REGISTRY["q_domain_mix"].fn(spark, sf_dir).toPandas()
@@ -87,6 +116,41 @@ def test_domain_mix_rebalances(spark, sf_dir):
 
 def test_domain_mix_broadcasts_rate_table(spark, sf_dir):
     assert_broadcast_join(REGISTRY["q_domain_mix"].fn(spark, sf_dir))
+
+
+def test_domain_mix_temp_proportions(spark, sf_dir):
+    """q_domain_mix_temp keeps language l at rate (n_min/n_l)^(1-1/T):
+    the smallest language survives whole (rate exactly 1 — md5-uniform
+    u < 1.0 always holds), larger ones concentrate around their
+    temperature rate (binomial jitter, ±40%), and the result is a
+    deterministic subset sitting strictly between the natural mix and
+    q_domain_mix's uniform target."""
+    from fraud_detection_spark.operators.corpus import _MIX_T
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    got = REGISTRY["q_domain_mix_temp"].fn(spark, sf_dir).toPandas()
+    in_counts = docs.lang.value_counts()
+    out_counts = got.lang.value_counts()
+    nmin = in_counts.min()
+    assert in_counts.max() > 1.5 * nmin, "input not skewed; test degenerate"
+    smallest = in_counts.idxmin()
+    assert out_counts[smallest] == nmin, "smallest language must be kept whole"
+    for lang, n_in in in_counts.items():
+        expect = n_in * (nmin / n_in) ** (1.0 - 1.0 / _MIX_T)
+        assert 0.6 * expect <= out_counts.get(lang, 0) <= 1.4 * expect, (
+            lang, out_counts.get(lang, 0), expect,
+        )
+        # temperature rate dominates the uniform rate: every language
+        # keeps at least as much as under q_domain_mix's flat target
+        assert out_counts.get(lang, 0) <= n_in
+    # deterministic subset
+    assert set(got.doc_id) <= set(docs.doc_id)
+    again = REGISTRY["q_domain_mix_temp"].fn(spark, sf_dir).toPandas()
+    assert sorted(got.doc_id) == sorted(again.doc_id)
+
+
+def test_domain_mix_temp_broadcasts_rate_table(spark, sf_dir):
+    assert_broadcast_join(REGISTRY["q_domain_mix_temp"].fn(spark, sf_dir))
 
 
 def test_percentiles_are_group_elements_and_monotone(spark, sf_dir):

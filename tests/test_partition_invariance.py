@@ -55,3 +55,27 @@ def test_partition_invariant(name, spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", base_shuffle)
         spark.conf.set("spark.sql.files.maxPartitionBytes", base_bytes)
     assert h1 == h2, f"{name} result depends on partitioning"
+
+
+def test_events_ts_normalization_is_timezone_proof(spark, sf_dir, duck):
+    """The driver runs a VANILLA session (no UTC pin), so the events.ts
+    timestamp→epoch-nanos normalization in sources.load_table must not
+    depend on the session timezone. Run it in a sibling session pinned
+    to a hostile offset and compare against DuckDB's epoch_ns — a
+    cast-through-TIMESTAMP implementation shifts by the UTC offset and
+    fails this."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_spark.sources import load_table
+
+    s2 = spark.newSession()
+    s2.conf.set("spark.sql.session.timeZone", "America/New_York")
+    got = (
+        load_table(s2, sf_dir, "events")
+        .agg(F.min("ts").alias("lo"), F.max("ts").alias("hi"))
+        .collect()[0]
+    )
+    want = duck.execute(
+        "SELECT MIN(epoch_ns(ts)), MAX(epoch_ns(ts)) FROM events"
+    ).fetchone()
+    assert (got.lo, got.hi) == want
