@@ -103,6 +103,7 @@ def load_all() -> dict[str, Query]:
         corpus,
         curation,
         dedup,
+        incremental,
         ml_metrics,
         multimodal,
         partsupp,

@@ -1,0 +1,115 @@
+"""Incremental dedup (operators/incremental.py): the persisted-index
+path must equal the declared side-effect-free query AND a full-corpus
+recompute, probes must partition-prune, and merges must be
+replay-idempotent.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from fraud_detection_spark.operators.incremental import (
+    _INC_MOD,
+    build_sketch_index,
+    merge_sketch_index,
+    probe_index,
+    sketch_index_rows,
+)
+from fraud_detection_spark.registry import load_all
+from fraud_detection_spark.sources import load_table
+
+REGISTRY = load_all()
+
+
+@pytest.fixture()
+def split(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % _INC_MOD == 0
+    return d.filter(~is_new), d.filter(is_new)
+
+
+def test_incremental_matches_cross_boundary_jaccard(spark, sf_dir):
+    """The declared query's pair semantics == q_dedup_jaccard's exact
+    full-corpus pairs restricted to cross-boundary (blocking is
+    symmetric, so candidate sets agree)."""
+    pairs = REGISTRY["q_dedup_jaccard"].fn(spark, sf_dir).toPandas()
+    inc = REGISTRY["q_dedup_incremental"].fn(spark, sf_dir).toPandas()
+    cross = pairs[(pairs.doc_a % _INC_MOD == 0) != (pairs.doc_b % _INC_MOD == 0)]
+    want: dict[int, list[tuple[int, float]]] = {}
+    for r in cross.itertuples():
+        nd, od = (r.doc_a, r.doc_b) if r.doc_a % _INC_MOD == 0 else (r.doc_b, r.doc_a)
+        want.setdefault(nd, []).append((od, r.jaccard))
+    flagged = inc[inc.is_unique == 0]
+    assert set(flagged.doc_id) == set(want)
+    for r in flagged.itertuples():
+        ods = want[r.doc_id]
+        assert r.n_dups == len(ods)
+        assert r.dup_of == min(o for o, _ in ods)
+        assert r.max_jaccard == max(j for _, j in ods)
+    # the split must exercise both outcomes at every sf
+    assert (inc.is_unique == 1).any()
+
+
+def test_probe_index_equals_declared_query(spark, sf_dir, tmp_path, split):
+    hist, new = split
+    path = str(tmp_path / "sketch_index")
+    build_sketch_index(spark, hist, path)
+    hits, _ = probe_index(spark, path, new)
+    got = hits.toPandas().sort_values("doc_id").reset_index(drop=True)
+    want = (
+        REGISTRY["q_dedup_incremental"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_probe_partition_prunes(spark, sf_dir, tmp_path, split):
+    """The probe's index scan must carry the bucket filter as a
+    PartitionFilter (directory pruning), not a post-scan filter."""
+    hist, new = split
+    path = str(tmp_path / "sketch_index")
+    build_sketch_index(spark, hist, path)
+    # a tiny shard (3 docs) hits few buckets, so pruning is observable
+    tiny = new.orderBy("doc_id").limit(3)
+    hits, new_rows = probe_index(spark, path, tiny)
+    plan = hits._sc._jvm.PythonSQLUtils.explainString(
+        hits._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters: [kb" in plan.replace("`", ""), plan
+    n_buckets = new_rows.select("kb").distinct().count()
+    assert n_buckets < 64, "tiny shard should not touch every bucket"
+
+
+def test_merge_then_recompute_equality_and_idempotency(
+    spark, sf_dir, tmp_path, split
+):
+    """increment-then-merge == full recompute over (historical ∪ unique
+    new docs), and replaying the merge is a no-op."""
+    hist, new = split
+    path = str(tmp_path / "sketch_index")
+    build_sketch_index(spark, hist, path)
+    hits, new_rows = probe_index(spark, path, new)
+    # materialize: keep/surviving are lazy over the PRE-merge index
+    # files, which the merge is about to overwrite
+    keep = hits.filter(F.col("is_unique") == 1).select("doc_id").localCheckpoint()
+    surviving = new_rows.join(keep, "doc_id").localCheckpoint()
+    merge_sketch_index(spark, path, surviving)
+
+    merged = spark.read.parquet(path).select("kb", "mk", "doc_id", "sh64")
+    full = sketch_index_rows(
+        hist.unionByName(new.join(keep, "doc_id"))
+    ).select("kb", "mk", "doc_id", "sh64")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+
+    # replay: identical second merge changes nothing
+    n1 = merged.count()
+    merge_sketch_index(spark, path, surviving)
+    again = spark.read.parquet(path).select("kb", "mk", "doc_id", "sh64")
+    assert again.count() == n1
+    assert again.exceptAll(full).count() == 0
