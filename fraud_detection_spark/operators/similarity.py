@@ -309,7 +309,10 @@ def ivf_search(
     reads only nprobe/n_cells of the data (partition pruning on the
     cell column), and the centroid table (n_cells × dim) is a driver/
     broadcast constant. Training the quantizer is one distributed
-    KMeans fit over a sample. On the near-orthogonal synthetic
+    KMeans fit over a sample. That persisted form is implemented by
+    build_ivf_index / ivf_probe_persisted below (pruning + parity
+    asserted in tests/test_ivf_index.py); this in-memory form is the
+    driver-declared, side-effect-free twin. On the near-orthogonal synthetic
     embeddings recall is honestly modest (neighbors scatter across
     cells when there is no cluster structure) — measured and asserted
     with the sketch-rerank form (q_knn_ivf) as the better-recall
@@ -356,6 +359,89 @@ def ivf_search(
         .limit(10)
     )
     return result, assigned, probed
+
+
+def build_ivf_index(
+    spark: SparkSession, sf_dir: str, path: str, n_cells: int = _IVF_CELLS
+) -> None:
+    """Materialize the IVF index ivf_search recomputes per query: fit
+    the same seeded coarse quantizer, write the assigned vectors
+    hive-partitioned BY CELL (``{path}/vectors/cell=K/``) and the
+    centroid table (n_cells × dim — model state, KBs) alongside at
+    ``{path}/centroids``. This is the real 100 TB layout: the index is
+    built once per corpus generation; every later probe is a
+    partition-pruned read of nprobe/n_cells of the files (see
+    ivf_probe_persisted), not a re-fit + full scan."""
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    ).withColumn("fv", array_to_vector(F.col("e")))
+    km = KMeans(k=n_cells, seed=42, maxIter=20, featuresCol="fv", predictionCol="cell")
+    model = km.fit(vecs)
+    assigned = model.transform(vecs).select("vec_id", "label", "e", "cell")
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    centers = [
+        (int(i), [float(x) for x in np.asarray(c)])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    spark.createDataFrame(centers, "cell int, center array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_probe_persisted(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    nprobe: int = _IVF_NPROBE,
+) -> tuple[DataFrame, list[int]]:
+    """Serve one ANN query from the persisted IVF index: rank cells by
+    centroid cosine (driver-side math over the KB-sized centroid
+    table), then scan ONLY the nprobe nearest cells' partitions — the
+    ``cell.isin(probed)`` filter is static, so it reaches the reader as
+    a PartitionFilter and the other n_cells - nprobe directories are
+    never opened (asserted in tests/test_ivf_index.py). Within-cell
+    search is exact cosine + deterministic top-10, identical to
+    ivf_search's in-memory form. Returns (result, probed_cells)."""
+    import numpy as np
+
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.cell
+    )
+    centers = np.array([r.center for r in rows])
+    e = load_table(spark, sf_dir, "embeddings")
+    q_emb = np.array(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(_as_double("embedding"))
+        .first()[0]
+    )
+    norms = np.linalg.norm(centers, axis=1) * np.linalg.norm(q_emb)
+    sims = centers @ q_emb / np.where(norms == 0, 1.0, norms)
+    probed = [int(rows[i].cell) for i in np.argsort(-sims)[:nprobe]]
+
+    qv = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(_as_double("embedding").alias("qe"))
+    )
+    result = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin(probed))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            pround(cosine_to_query("e", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+    return result, probed
 
 
 @query(
