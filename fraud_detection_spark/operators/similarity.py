@@ -459,6 +459,135 @@ def q_knn_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result
 
 
+# --- q_pq_encode ------------------------------------------------------
+
+# Product-quantization geometry: 64-dim vectors split into S=8
+# subspaces of D=8 dims, K=16 centroids per subspace => one 4-bit code
+# per subspace, packed into a 32-bit int. The codebook is a
+# DETERMINISTIC constant (md5-derived, rounded to 6 dp so both engines
+# parse the identical decimal literals) — a trained codebook would be
+# model state delivered exactly the same way (broadcast constant).
+_PQ_S, _PQ_D, _PQ_K = 8, 8, 16
+
+
+def _pq_codebook() -> list[list[list[float]]]:
+    import hashlib
+
+    cb = []
+    for s in range(_PQ_S):
+        sub = []
+        for j in range(_PQ_K):
+            cs = []
+            for d in range(_PQ_D):
+                h = hashlib.md5(f"pq-{s}-{j}-{d}".encode()).digest()
+                u = int.from_bytes(h[:4], "big") / 2**32
+                cs.append(float(f"{u * 2 - 1:.6f}"))
+            sub.append(cs)
+        cb.append(sub)
+    return cb
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB twin of q_pq_encode. Distances unroll the D=8 dims as a
+    strictly sequential sum (((t0+t1)+t2)+...), matching the Spark
+    side's sequential numpy accumulation; argmin is
+    list_position(min) — first minimum, the same tie-break as
+    numpy argmin."""
+    cb = _pq_codebook()
+    cb_lit = (
+        "["
+        + ", ".join(
+            "[" + ", ".join("[" + ", ".join(f"{v:.6f}" for v in c) + "]" for c in sub) + "]"
+            for sub in cb
+        )
+        + "]"
+    )
+    dists = []
+    for s in range(_PQ_S):
+        terms = []
+        for d in range(_PQ_D):
+            x = f"e[{s * _PQ_D + d + 1}]"
+            c = f"cb[{s + 1}][j + 1][{d + 1}]"
+            terms.append(f"({x} - {c}) * ({x} - {c})")
+        acc = terms[0]
+        for t in terms[1:]:
+            acc = f"({acc} + {t})"
+        dists.append(f"list_transform(range({_PQ_K}), j -> {acc}) AS d{s}")
+    code = " + ".join(
+        f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS BIGINT) * {16 ** s}"
+        for s in range(_PQ_S)
+    )
+    errs = [f"list_min(d{s})" for s in range(_PQ_S)]
+    err = errs[0]
+    for m in errs[1:]:
+        err = f"({err} + {m})"
+    return (
+        f"WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, {cb_lit} AS cb "
+        "FROM embeddings), "
+        "d AS (SELECT vec_id, " + ", ".join(dists) + " FROM base) "
+        f"SELECT vec_id, CAST({code} AS BIGINT) AS pq_code, "
+        + sql_round(err, 6)
+        + " AS recon_err FROM d"
+    )
+
+
+@query(
+    "q_pq_encode",
+    oracle=_pq_oracle_sql(),
+    tags=("similarity", "ann", "pq"),
+)
+def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization encode — the compression step every vector
+    store pairs with an IVF index (IVF-PQ): each 64-dim embedding is
+    split into 8 subvectors, each assigned to the nearest of 16
+    subspace centroids (squared-L2, first-minimum tie-break), and the
+    eight 4-bit codes pack into one BIGINT. Also emits the
+    reconstruction error (sum of per-subspace distances) — the
+    quantization-quality metric a pipeline monitors.
+
+    Scale: one zero-shuffle Arrow mapInPandas pass; the codebook
+    (8×16×8 doubles — model state, KBs) is a closure constant, exactly
+    how a trained codebook would broadcast. A 1024-term codegen
+    expression tree would overflow whole-stage codegen and interpret
+    (the 60-dot lesson in SCALE.md), so the numpy pass is the fast
+    form: per subspace, distances accumulate dimension-sequentially
+    ((0+t0)+t1..., bit-identical to the oracle's unrolled sequential
+    sum) vectorized across rows and centroids."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array(_pq_codebook())  # (S, K, D) float64 from 6-dp literals
+
+    def enc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n = E.shape[0]
+            code = np.zeros(n, dtype=np.int64)
+            err = np.zeros(n, dtype=np.float64)
+            for s in range(_PQ_S):
+                acc = np.zeros((n, _PQ_K), dtype=np.float64)
+                for d in range(_PQ_D):
+                    diff = E[:, s * _PQ_D + d][:, None] - C[s, :, d][None, :]
+                    acc += diff * diff
+                codes_s = np.argmin(acc, axis=1)  # first minimum, like list_position
+                code += codes_s.astype(np.int64) * (16**s)
+                err += acc[np.arange(n), codes_s]
+            import math
+
+            r6 = np.floor(err * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"], "pq_code": code, "recon_err": r6}
+            )
+
+    return (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .mapInPandas(enc, schema="vec_id bigint, pq_code bigint, recon_err double")
+    )
+
+
 @query(
     "q_array_ops",
     oracle=(

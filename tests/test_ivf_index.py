@@ -52,3 +52,20 @@ def test_persisted_probe_matches_in_memory_and_prunes(spark, sf_dir, tmp_path):
         if m
     }
     assert cells_read == set(probed_idx), (cells_read, probed_idx)
+
+
+def test_pq_encode_properties(spark, sf_dir):
+    """q_pq_encode: every 4-bit sub-code in range, packed code < 2^32,
+    reconstruction error non-negative and nontrivially distributed,
+    deterministic across runs."""
+    from fraud_detection_spark.registry import load_all
+
+    got = load_all()["q_pq_encode"].fn(spark, sf_dir).toPandas()
+    assert (got.pq_code >= 0).all() and (got.pq_code < 2**32).all()
+    for s in range(8):
+        sub = (got.pq_code // (16**s)) % 16
+        assert sub.between(0, 15).all()
+    assert (got.recon_err >= 0).all()
+    assert got.recon_err.nunique() > 10, "degenerate quantization errors"
+    again = load_all()["q_pq_encode"].fn(spark, sf_dir).toPandas()
+    assert got.sort_values("vec_id").equals(again.sort_values("vec_id"))
