@@ -80,6 +80,11 @@ _SAMPLE_PRIORITY = [
     "q_intersect", "q_except", "q_cross_join", "q_range_join",
     "q_posexplode", "q_map_ops",
 ]
+# Round-5 rotation queue (oracle-checked, still never sampled after
+# this round's 50): q_pq_encode, q_string_funcs, q_date_funcs,
+# q_distinct_count, q_null_funcs, q_case_bucket, q_filter_combo,
+# q_first_last, q_scalar_subquery, q_having — move these to the front
+# of _SAMPLE_PRIORITY next round and retire whatever goes green now.
 
 
 def _ordered():

@@ -88,3 +88,24 @@ def test_bpe_spark_matches_python(spark, sf_dir):
     assert len(got) == len(want)
     for r in got.itertuples():
         assert want[r.doc_id] == (r.n_ws_tokens, r.n_bpe_tokens), r.doc_id
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _ALPHABET = "abcdefghinorst"  # covers every char the merge table uses
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.text(alphabet=_ALPHABET, min_size=0, max_size=24))
+    def test_bpe_implementations_agree_on_arbitrary_words(w):
+        """Property form of the cross-implementation check: the canonical
+        lowest-rank-pair loop and the sequential rank-order sweep must
+        agree on EVERY string over the merge alphabet (not just the
+        corpus vocabulary), and tokenization must stay lossless."""
+        a, b = bpe_encode(w), _bpe_sequential(w)
+        assert a == b, (w, a, b)
+        assert "".join(a) == w + "</w>"
+
+except ImportError:  # hypothesis is baked in; keep the suite importable anyway
+    pass
