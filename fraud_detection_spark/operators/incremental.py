@@ -166,7 +166,7 @@ def build_sketch_index(spark: SparkSession, docs: DataFrame, path: str) -> None:
 
 
 def probe_index(
-    spark: SparkSession, path: str, new_docs: DataFrame
+    spark: SparkSession, path: str, new_docs: DataFrame, dedup_within: bool = False
 ) -> tuple[DataFrame, DataFrame]:
     """Dedup an arriving shard against the persisted index with
     partition-pruned IO.
@@ -178,19 +178,37 @@ def probe_index(
     ``kb IN (<shard's buckets>)``: the bucket list is collected (≤
     N_BUCKETS ints — metadata), so the filter is static and becomes a
     PartitionFilter — directories outside the shard's key space are
-    never read."""
+    never read.
+
+    ``dedup_within=True`` additionally blocks the shard against ITSELF
+    (earlier doc_id wins), so a batch that arrives carrying its own
+    near-duplicates doesn't insert both — the semantics a real
+    ingestion pipeline needs, since within-batch dupes are invisible to
+    the historical index. The self-join is shard × shard (increment-
+    sized, not corpus-sized) on the same 8-byte blocking keys."""
     new_rows = sketch_index_rows(new_docs).cache()
     buckets = [r.kb for r in new_rows.select("kb").distinct().collect()]
     idx = (
         spark.read.parquet(path)
         .filter(F.col("kb").isin(buckets))
         .select(F.col("doc_id").alias("od"), F.col("sh64").alias("shb"), "mk")
+        .withColumn("od_in_shard", F.lit(False))
     )
     kn = new_rows.select(F.col("doc_id").alias("nd"), F.col("sh64").alias("sha"), "mk")
+    if dedup_within:
+        # shard docs also act as candidate "older" side rows, but a
+        # shard-vs-shard pair only counts when od < nd (earlier-id
+        # wins) — historical pairs count in both directions
+        idx = idx.unionByName(
+            new_rows.select(
+                F.col("doc_id").alias("od"), F.col("sh64").alias("shb"), "mk"
+            ).withColumn("od_in_shard", F.lit(True))
+        )
     inter = F.size(F.array_intersect("sha", "shb"))
     jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
     pairs = (
         kn.join(idx, "mk")
+        .filter(~F.col("od_in_shard") | (F.col("od") < F.col("nd")))
         .select("nd", "od", "sha", "shb")
         .distinct()
         .select("nd", "od", pround(jac, 6).alias("jaccard"))

@@ -300,6 +300,12 @@ def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     arank = Σ_groups pos·arank — identical math to the global RANK()
     oracle, exact in IEEE double (all terms integer or half-integer)."""
     s = scored(spark, sf_dir)
+    # NOT cached, deliberately (round 4 A/B): the distinct-score table
+    # feeds both the bucket-offset branch and the ranked join with no
+    # ReusedExchange, so the scoring scan + score agg do run twice —
+    # but in a run-once query the duplicated map work overlaps across
+    # cores, while cache() serializes a 347k-row materialization onto
+    # the critical path (measured consistently slower end-to-end).
     per = (
         s.groupBy("score")
         .agg(F.sum("label").alias("pos"), F.count("*").alias("cnt"))

@@ -113,3 +113,53 @@ def test_merge_then_recompute_equality_and_idempotency(
     again = spark.read.parquet(path).select("kb", "mk", "doc_id", "sh64")
     assert again.count() == n1
     assert again.exceptAll(full).count() == 0
+
+
+def test_probe_dedup_within_shard(spark, sf_dir, tmp_path):
+    """A shard that carries its own near-duplicates: with
+    dedup_within=True the later shard doc is flagged against the
+    earlier one (earlier-id wins) on top of any historical matches;
+    with the default False, shard-internal pairs are invisible."""
+    pairs = REGISTRY["q_dedup_jaccard"].fn(spark, sf_dir).toPandas()
+    assert len(pairs), "corpus has no near-dup pairs; fixture degenerate"
+    docs = load_table(spark, sf_dir, "documents")
+    a, b = int(pairs.iloc[0].doc_a), int(pairs.iloc[0].doc_b)
+    shard_ids = {a, b} | set(
+        r.doc_id for r in docs.select("doc_id").orderBy("doc_id").limit(3).collect()
+    ) - {a, b}
+    shard = docs.filter(F.col("doc_id").isin(list(shard_ids)))
+    hist = docs.filter(~F.col("doc_id").isin(list(shard_ids)))
+    path = str(tmp_path / "sketch_index")
+    build_sketch_index(spark, hist, path)
+
+    # expected dup partners per shard doc from the exact full pair set
+    partners: dict[int, list[tuple[int, float]]] = {x: [] for x in shard_ids}
+    for r in pairs.itertuples():
+        for x, o in ((r.doc_a, r.doc_b), (r.doc_b, r.doc_a)):
+            if x in shard_ids:
+                in_shard = o in shard_ids
+                partners[x].append((o, r.jaccard, in_shard))
+
+    hits_w, _ = probe_index(spark, path, shard, dedup_within=True)
+    got = {r.doc_id: r for r in hits_w.collect()}
+    assert set(got) == shard_ids
+    for x in shard_ids:
+        want = [
+            (o, j)
+            for o, j, in_shard in partners[x]
+            if (not in_shard) or o < x
+        ]
+        assert got[x].n_dups == len(want), (x, got[x], want)
+        if want:
+            assert got[x].dup_of == min(o for o, _ in want)
+            assert got[x].max_jaccard == max(j for _, j in want)
+            assert got[x].is_unique == 0
+    # the later end of the chosen pair must actually be flagged via the
+    # within-shard path
+    assert got[b].n_dups >= 1
+
+    hits_wo, _ = probe_index(spark, path, shard, dedup_within=False)
+    got_wo = {r.doc_id: r for r in hits_wo.collect()}
+    for x in shard_ids:
+        want = [(o, j) for o, j, in_shard in partners[x] if not in_shard]
+        assert got_wo[x].n_dups == len(want), (x, got_wo[x], want)
