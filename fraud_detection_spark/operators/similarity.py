@@ -531,6 +531,91 @@ def _pq_oracle_sql() -> str:
     )
 
 
+def build_ivf_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """IVF-PQ index: the build_ivf_index layout (vectors partitioned by
+    cell + centroid side table) with each vector's 32-bit PQ code
+    attached — the scan-side payload an ADC probe needs is then just
+    (vec_id, pq_code): ~12 bytes/row instead of the 256-byte embedding,
+    the memory-bandwidth win that makes IVF-PQ the standard billion-
+    vector layout. Codes come from the oracle-pinned q_pq_encode."""
+    build_ivf_index(spark, sf_dir, path)
+    codes = q_pq_encode(spark, sf_dir).select("vec_id", "pq_code")
+    vecs = spark.read.parquet(f"{path}/vectors").join(codes, "vec_id")
+    vecs = vecs.localCheckpoint()  # sever lineage before overwriting the read path
+    vecs.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/vectors")
+    spark.catalog.refreshByPath(f"{path}/vectors")
+
+
+def ivf_pq_probe(
+    spark: SparkSession,
+    sf_dir: str,
+    path: str,
+    nprobe: int = _IVF_NPROBE,
+    shortlist: int = _SHORTLIST,
+) -> tuple[DataFrame, list[int]]:
+    """Asymmetric-distance (ADC) IVF-PQ probe: rank cells by centroid
+    cosine, scan ONLY the probed cells' (vec_id, pq_code) columns
+    (partition-pruned + column-pruned — embeddings stay on disk),
+    approximate each vector's squared-L2 distance to the query as
+    Σ_s T[s][code_s] where T is the 8×16 per-subspace distance table
+    computed driver-side (KB — model state), take the ADC shortlist,
+    then rerank ONLY the shortlist by exact cosine against the real
+    embeddings. The ADC sum is a codegen'd expression over broadcast
+    literal arrays — no Python, no shuffle before the 64-row shortlist.
+
+    Returns (top-10 DataFrame like q_knn_ivf_coarse, probed cells)."""
+    import numpy as np
+
+    rows = sorted(
+        spark.read.parquet(f"{path}/centroids").collect(), key=lambda r: r.cell
+    )
+    centers = np.array([r.center for r in rows])
+    e = load_table(spark, sf_dir, "embeddings")
+    q_emb = np.array(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(_as_double("embedding"))
+        .first()[0]
+    )
+    norms = np.linalg.norm(centers, axis=1) * np.linalg.norm(q_emb)
+    sims = centers @ q_emb / np.where(norms == 0, 1.0, norms)
+    probed = [int(rows[i].cell) for i in np.argsort(-sims)[:nprobe]]
+
+    C = np.array(_pq_codebook())  # (S, K, D)
+    qs = q_emb.reshape(_PQ_S, _PQ_D)
+    T = ((C - qs[:, None, :]) ** 2).sum(axis=2)  # (S, K) distance table
+
+    adc = None
+    for s in range(_PQ_S):
+        lut = F.array(*[F.lit(float(T[s, j])) for j in range(_PQ_K)])
+        term = F.element_at(lut, F.expr(f"CAST((pq_code >> {4 * s}) & 15 AS INT) + 1"))
+        adc = term if adc is None else adc + term
+    short = (
+        spark.read.parquet(f"{path}/vectors")
+        .filter(F.col("cell").isin(probed))
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", adc.alias("adc"))
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(shortlist)
+    )
+    qv = (
+        e.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(_as_double("embedding").alias("qe"))
+    )
+    rerank = (
+        short.join(e.select("vec_id", "embedding"), "vec_id")
+        .withColumn("e", _as_double("embedding"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            "label",
+            pround(cosine_to_query("e", "qe"), 6).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
+    return rerank, probed
+
+
 @query(
     "q_pq_encode",
     oracle=_pq_oracle_sql(),
