@@ -394,6 +394,104 @@ def q_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_chunk_dedup ----------------------------------------------------
+
+# Content-defined chunking at word granularity: a word whose md5-prefix
+# hash ≡ 0 (mod _CDC_MOD) opens a new chunk, so chunk boundaries are a
+# pure function of CONTENT — insertions/deletions shift boundaries only
+# locally (the CDC property rsync/LBFS-style dedup relies on), unlike
+# fixed-size chunking where one edit shifts every later chunk.
+_CDC_MOD = 8
+_FP_PRIME = 1000000007
+
+
+@query(
+    "q_chunk_dedup",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "p AS (SELECT doc_id, u.pos AS pos, u.w AS w FROM ("
+        "SELECT doc_id, unnest(list_transform(range(1, len(w) + 1), "
+        "i -> {'pos': i, 'w': w[i]})) AS u FROM t)), "
+        "c AS (SELECT doc_id, pos, w, SUM(CASE WHEN "
+        f"CAST('0x' || substr(md5(w), 1, 2) AS INT) % {_CDC_MOD} = 0 "
+        "THEN 1 ELSE 0 END) OVER ("
+        "PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS chunk_id "
+        "FROM p), "
+        "f AS (SELECT doc_id, chunk_id, COUNT(*) AS n_words, "
+        "list(CAST(ascii(w) + len(w) AS BIGINT) ORDER BY pos) AS vals "
+        "FROM c GROUP BY doc_id, chunk_id), "
+        "g AS (SELECT doc_id, n_words, "
+        f"list_reduce(vals, (h, x) -> (h * 31 + x) % {_FP_PRIME}) "
+        "* 1000 + LEAST(n_words, 999) AS chunk_fp FROM f) "
+        "SELECT chunk_fp, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(*) AS BIGINT) AS n_occ, "
+        "CAST(MIN(n_words) AS BIGINT) AS n_words "
+        "FROM g GROUP BY chunk_fp "
+        "ORDER BY n_occ DESC, chunk_fp LIMIT 20"
+    ),
+    tags=("dedup", "text", "cdc"),
+)
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup via content-defined chunking: split every
+    document into chunks at content-derived boundaries (md5-prefix of
+    the word mod 8 — boundaries survive edits elsewhere in the doc),
+    fingerprint each chunk with the engine-portable rolling hash
+    (q_fingerprint's fold, length-salted), and report the 20 most
+    repeated chunks across the corpus — the passage-level-duplication
+    profile used to catch boilerplate/templates that whole-document
+    near-dup misses.
+
+    Scale: one explode (posexplode — word rows, not gram pairs), a
+    per-document window (PARTITIONED by doc_id — never global), one
+    (doc, chunk) aggregate whose ordered word-list stays chunk-local
+    (~10¹ words), then a group-by on 8-byte fingerprints. Chunk TEXT
+    never shuffles — only fingerprints and counts do."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    p = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
+    trigger = (
+        F.conv(F.substring(F.md5("w"), 1, 2), 16, 10).cast("int") % _CDC_MOD == 0
+    ).cast("int")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = p.withColumn("chunk_id", F.sum(trigger).over(win))
+    f = c.groupBy("doc_id", "chunk_id").agg(
+        F.count("*").alias("n_words"),
+        F.array_sort(
+            F.collect_list(
+                F.struct("pos", (F.ascii("w") + F.length("w")).cast("bigint").alias("v"))
+            )
+        ).alias("pv"),
+    )
+    vals = F.transform(F.col("pv"), lambda s: s["v"])
+    fp_hash = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda h, x: (h * 31 + x) % _FP_PRIME,
+    )
+    g = f.select(
+        "doc_id",
+        "n_words",
+        (fp_hash * 1000 + F.least(F.col("n_words"), F.lit(999))).alias("chunk_fp"),
+    )
+    return (
+        g.groupBy("chunk_fp")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_occ"),
+            F.min("n_words").cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("n_occ"), F.asc("chunk_fp"))
+        .limit(20)
+    )
+
+
 @query(
     "q_tfidf",
     oracle=(

@@ -175,3 +175,56 @@ def test_percentile_disc_definition(spark, frac, idx):
         "FROM VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9),(10) t(x)"
     ).collect()[0]
     assert int(row.p) == idx + 1
+
+
+def test_chunk_dedup_cdc_locality(spark, sf_dir):
+    """The CDC property: chunks cover every word exactly once per doc,
+    and identical word sequences in different docs produce identical
+    chunk fingerprints (that is what makes the top-20 a cross-corpus
+    repetition profile, not a per-doc artifact)."""
+    import hashlib
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    from fraud_detection_spark.operators.text import _CDC_MOD, _FP_PRIME
+
+    def chunks(text: str) -> list[tuple[int, ...]]:
+        out, cur = [], []
+        for w in text.split(" "):
+            if int(hashlib.md5(w.encode()).hexdigest()[:2], 16) % _CDC_MOD == 0:
+                if cur:
+                    out.append(tuple(cur))
+                cur = []
+            cur.append(ord(w[0]) + len(w))
+        if cur:
+            out.append(tuple(cur))
+        return out
+
+    def fp(vals: tuple[int, ...]) -> int:
+        h = vals[0]
+        for x in vals[1:]:
+            h = (h * 31 + x) % _FP_PRIME
+        return h * 1000 + min(len(vals), 999)
+
+    # python replay of the chunker over the corpus -> expected top-20
+    from collections import Counter
+
+    occ: Counter = Counter()
+    docs_per: dict[int, set] = {}
+    total_words = 0
+    for r in docs.itertuples():
+        total_words += len(r.text.split(" "))
+        cs = chunks(r.text)
+        assert sum(len(c) for c in cs) == len(r.text.split(" "))
+        for c in cs:
+            f = fp(c)
+            occ[f] += 1
+            docs_per.setdefault(f, set()).add(r.doc_id)
+    got = (
+        REGISTRY["q_chunk_dedup"].fn(spark, sf_dir).toPandas()
+    )
+    for r in got.itertuples():
+        assert occ[r.chunk_fp] == r.n_occ, r
+        assert len(docs_per[r.chunk_fp]) == r.n_docs, r
+    # top-20 by occurrence matches the python replay (same tie-break)
+    want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    assert [(r.chunk_fp, r.n_occ) for r in got.itertuples()] == want
