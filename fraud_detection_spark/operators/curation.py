@@ -31,8 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from fraud_detection_spark.functions import pround
-from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.functions import fixed_sum, pround
+from fraud_detection_spark.registry import query, sql_fixed_sum, sql_round
 from fraud_detection_spark.sources import load_table
 
 # --- q_repetition -----------------------------------------------------
@@ -379,4 +379,68 @@ def q_centroid_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.col("m.cid").cast("bigint").alias("cluster"),
         F.col("m.dist").alias("dist"),
+    )
+
+
+# --- q_unigram_nll ----------------------------------------------------
+
+
+@query(
+    "q_unigram_nll",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, w FROM (SELECT doc_id, "
+        "unnest(string_split(text, ' ')) AS w FROM documents) WHERE w <> ''), "
+        "c AS (SELECT w, COUNT(*) AS cnt FROM tok GROUP BY w), "
+        "n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM c), "
+        "v AS (SELECT w, " + sql_round("-ln(cnt / total)", 6) + " AS nll "
+        "FROM c CROSS JOIN n), "
+        "d AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens, "
+        + sql_fixed_sum("nll", 6) + " AS nll_sum "
+        "FROM tok JOIN v USING (w) GROUP BY doc_id) "
+        "SELECT doc_id, n_tokens, "
+        + sql_round("nll_sum / n_tokens", 6) + " AS mean_nll FROM d"
+    ),
+    tags=("curation", "quality", "text", "lm"),
+)
+def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality scoring: per-document mean negative
+    log-likelihood under the corpus's own unigram language model — the
+    perplexity-filter shape (CCNet/Gopher-style "score every doc with
+    a cheap LM, drop the tails") with the simplest possible LM so the
+    whole operator stays SQL-expressible and oracle-exact. High
+    mean_nll = rare-token-heavy documents; low = repetitive/common.
+
+    Determinism discipline: each token's nll is rounded to 6 dp FIRST
+    (absorbing any last-ulp ln() divergence between engines at the
+    vocabulary level, ~10¹-10⁵ distinct values — not per row), then
+    per-doc summation uses the fixed-point integer SUM
+    (functions.fixed_sum), so no accumulation order on any cluster
+    layout can move the result.
+
+    Scale: the unigram table is vocabulary-sized — model state, not
+    data — and is BROADCAST back onto the token stream; the only
+    corpus-scale shuffle is the per-doc aggregate (map-side
+    combinable). A real pipeline swaps the broadcast table for a
+    trained n-gram/LM scorer delivered exactly the same way."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split("text", " ")).alias("w")).filter(
+        F.col("w") != ""
+    )
+    c = tok.groupBy("w").agg(F.count("*").alias("cnt"))
+    n = c.agg(F.sum("cnt").cast("double").alias("total"))
+    v = c.crossJoin(F.broadcast(n)).select(
+        "w", pround(-F.log(F.col("cnt") / F.col("total")), 6).alias("nll")
+    )
+    agg = (
+        tok.join(F.broadcast(v), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            fixed_sum(F.col("nll"), 6).alias("nll_sum"),
+        )
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        pround(F.col("nll_sum") / F.col("n_tokens"), 6).alias("mean_nll"),
     )
