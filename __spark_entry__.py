@@ -62,6 +62,7 @@ _SAMPLE_PRIORITY = [
     "q_tpch_q9",
     # round-4 additions (never sampled by construction)
     "q_dedup_incremental", "q_domain_mix_temp", "q_bpe_tokens",
+    "q_pq_encode", "q_chunk_dedup", "q_unigram_nll",
     "q_dedup_doc_cluster",  # oracle attached round 4 (was rows-only)
     # SURVEY §2 operators local-green since round 1 but never sampled
     "q_sort", "q_topk", "q_join_inner", "q_join_broadcast", "q_join_semi",
@@ -77,14 +78,14 @@ _SAMPLE_PRIORITY = [
     "q_tpch_q16", "q_tpch_q20", "q_auc_binned",
     "q_window_running", "q_window_rank_funcs",
     "q_quantiles", "q_corr", "q_minmax_scale", "q_pivot", "q_join_outer",
-    "q_intersect", "q_except", "q_cross_join", "q_range_join",
-    "q_posexplode", "q_map_ops",
+    "q_intersect", "q_except", "q_range_join",
 ]
 # Round-5 rotation queue (oracle-checked, still never sampled after
-# this round's 50): q_pq_encode, q_string_funcs, q_date_funcs,
-# q_distinct_count, q_null_funcs, q_case_bucket, q_filter_combo,
-# q_first_last, q_scalar_subquery, q_having — move these to the front
-# of _SAMPLE_PRIORITY next round and retire whatever goes green now.
+# this round's 50): q_cross_join, q_posexplode, q_map_ops,
+# q_string_funcs, q_date_funcs, q_distinct_count, q_null_funcs,
+# q_case_bucket, q_filter_combo, q_first_last, q_scalar_subquery,
+# q_having — move these to the front of _SAMPLE_PRIORITY next round
+# and retire whatever goes green now.
 
 
 def _ordered():
