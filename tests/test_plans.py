@@ -64,3 +64,36 @@ def test_scoring_stays_in_codegen(spark, sf_dir):
         assert "codegen id" in plan or "AdaptiveSparkPlan" in plan, (
             f"{q} has no codegen span:\n{plan}"
         )
+
+
+def test_round4_operator_plan_shapes(spark, sf_dir):
+    """Pin the scale claims of the round-4 operators at the plan level:
+    - q_bpe_tokens / q_pq_encode are ONE Arrow pass: no Exchange at all;
+    - q_unigram_nll broadcasts the vocabulary table (never shuffles the
+      token stream against it) and keeps scoring JVM-side;
+    - q_chunk_dedup's window is partitioned by doc_id (no global
+      single-partition window)."""
+    from fraud_detection_spark.plans.checks import (
+        assert_broadcast_join,
+        formatted_plan,
+    )
+    from fraud_detection_spark.registry import load_all
+
+    reg = load_all()
+    for name in ("q_bpe_tokens", "q_pq_encode"):
+        plan = formatted_plan(reg[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        assert "ArrowEvalPython" in plan or "MapInPandas" in plan, plan
+
+    nll = reg["q_unigram_nll"].fn(spark, sf_dir)
+    assert_broadcast_join(nll)
+    assert "BatchEvalPython" not in formatted_plan(nll)
+
+    chunk_plan = formatted_plan(reg["q_chunk_dedup"].fn(spark, sf_dir))
+    assert "Window" in chunk_plan
+    # the window's partition spec must reference doc_id (no global window)
+    import re
+
+    specs = re.findall(r"windowspecdefinition\((.*?)\)", chunk_plan)
+    assert specs, chunk_plan
+    assert all("doc_id" in s for s in specs), specs
