@@ -190,7 +190,7 @@ def q_dedup_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     file would otherwise run the whole explode+join on one task."""
     from pyspark.ml.feature import HashingTF, MinHashLSH
 
-    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    d = load_table(spark, sf_dir, "documents").repartition("doc_id")
     toks = shingle_docs(d).filter(F.size("tokens") > 0)
     htf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 18, binary=True)
     # cache: the shingle HOF + HashingTF pass is the expensive stage
@@ -262,7 +262,7 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     strings — the whole corpus-text payload stays out of every
     shuffle). The sketch table is cached: it feeds the key explode AND
     both sides of the candidate join-back."""
-    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    d = load_table(spark, sf_dir, "documents").repartition("doc_id")
     s = jaccard_sketch_docs(d, k=_JACCARD_BLOCK_K).cache()
     keys = s.select("doc_id", F.explode("mk").alias("mk"))
     a = keys.select(F.col("doc_id").alias("doc_a"), F.col("mk"))
@@ -468,7 +468,7 @@ def _banded_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     once, exactly as a production pipeline would persist a sketch
     column next to the embeddings instead of recomputing it per
     consumer."""
-    e = load_table(spark, sf_dir, "embeddings").repartition(32, "vec_id")
+    e = load_table(spark, sf_dir, "embeddings").repartition("vec_id")
     return attach_sketches(e, ["vec_id"]).cache()
 
 

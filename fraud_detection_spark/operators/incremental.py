@@ -110,7 +110,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     (build_sketch_index/probe_index) additionally partition-prunes the
     historical side's IO; the declared form keeps the semantics
     side-effect-free for the driver."""
-    d = load_table(spark, sf_dir, "documents").repartition(32, "doc_id")
+    d = load_table(spark, sf_dir, "documents").repartition("doc_id")
     s = jaccard_sketch_docs(d, k=_JACCARD_BLOCK_K).cache()
     is_new = F.col("doc_id") % _INC_MOD == 0
     keys = s.select("doc_id", F.explode("mk").alias("mk"))
