@@ -3,9 +3,14 @@ the composition the LLM-data mandate describes, built entirely from
 this engine's operators:
 
     scan -> exact dedup (content-hash, deterministic keeper)
-         -> NEAR-dup removal (MinHash-LSH pairs -> connected
+         -> NEAR-dup removal (exact-Jaccard pairs -> connected
             components -> min-doc_id keeper per cluster)
          -> quality filter (token/stopword heuristics)
+         -> benchmark decontamination (optional: drop eval docs and
+            any train doc sharing an 8-gram with the eval set)
+         -> temperature domain mix (optional: resample languages at
+            (n_min/n_l)^(1-1/T) — the q_domain_mix_temp recipe over
+            the CLEANED corpus counts)
          -> token accounting (whitespace + BPE-ish counts)
          -> fingerprint (polynomial rolling hash)
          -> partitioned write (hive layout by lang -> partition
@@ -37,6 +42,8 @@ class CorpusReport:
     total_ws_tokens: int
     by_lang: dict[str, int]
     output_path: str | None
+    n_after_decontam: int | None = None
+    n_after_mix: int | None = None
 
 
 def clean_corpus(
@@ -44,6 +51,8 @@ def clean_corpus(
     sf_dir: str,
     min_tokens: int = 20,
     near_dedup: bool = True,
+    decontaminate: bool = False,
+    mix_temperature: float | None = None,
 ) -> DataFrame:
     """documents -> deduped, quality-filtered corpus with token stats
     and a content fingerprint (all columns the downstream trainer
@@ -86,6 +95,40 @@ def clean_corpus(
     )
     filtered = quality.filter(F.col("passes_quality")).drop("passes_quality")
 
+    # benchmark decontamination: drop the held-out eval docs AND every
+    # train doc sharing an 8-gram with them (q_decontaminate's
+    # broadcast-join-first plan; its output is already eval-free, so
+    # the semi join removes both populations in one pass)
+    if decontaminate:
+        from fraud_detection_spark.operators.corpus import q_decontaminate
+
+        clean_ids = (
+            q_decontaminate(spark, sf_dir)
+            .filter(F.col("contaminated") == 0)
+            .select("doc_id")
+        )
+        filtered = filtered.join(clean_ids, "doc_id", "left_semi")
+
+    # temperature domain mix over the CLEANED corpus's language counts
+    # (not the raw table's — mixing after filtering is what a training
+    # recipe consumes). Same closed-form rate + md5-uniform acceptance
+    # as q_domain_mix_temp: deterministic, broadcast-only.
+    if mix_temperature is not None:
+        from fraud_detection_spark.operators.sampling import _u_expr
+
+        counts = filtered.groupBy("lang").agg(F.count("*").alias("cnt"))
+        nmin = counts.agg(F.min("cnt").alias("nmin"))
+        rate = F.pow(
+            F.col("nmin").cast("double") / F.col("cnt"),
+            F.lit(1.0 - 1.0 / mix_temperature),
+        )
+        filtered = (
+            filtered.join(F.broadcast(counts), "lang")
+            .crossJoin(F.broadcast(nmin))
+            .filter(_u_expr("doc_id") < rate)
+            .drop("cnt", "nmin")
+        )
+
     # fingerprint for downstream near-dup passes
     vals = F.transform(w, lambda t: (F.ascii(t) + F.length(t)).cast("bigint"))
     fp = F.aggregate(
@@ -102,12 +145,37 @@ def run_corpus_pipeline(
     output_path: str | None = None,
     min_tokens: int = 20,
     near_dedup: bool = True,
+    decontaminate: bool = False,
+    mix_temperature: float | None = None,
 ) -> CorpusReport:
     d = load_table(spark, sf_dir, "documents")
     n_input = d.count()
     n_after_dedup = d.select(F.md5(F.col("text").cast("binary"))).distinct().count()
 
-    corpus = clean_corpus(spark, sf_dir, min_tokens=min_tokens, near_dedup=near_dedup)
+    corpus = clean_corpus(
+        spark,
+        sf_dir,
+        min_tokens=min_tokens,
+        near_dedup=near_dedup,
+        decontaminate=decontaminate,
+        mix_temperature=mix_temperature,
+    )
+    # per-stage counts for the report: when the optional stages are on,
+    # re-plan up to each stage boundary (extra aggregates at test
+    # scale; a production run counts at cached/persisted boundaries)
+    def _stage_count(dec: bool, mix: float | None) -> int:
+        return clean_corpus(
+            spark,
+            sf_dir,
+            min_tokens=min_tokens,
+            near_dedup=near_dedup,
+            decontaminate=dec,
+            mix_temperature=mix,
+        ).count()
+
+    extra = decontaminate or (mix_temperature is not None)
+    n_quality = _stage_count(False, None) if extra else None
+    n_after_decontam = _stage_count(True, None) if decontaminate else None
     stats = corpus.agg(
         F.count("*").alias("n"),
         F.sum("n_ws_tokens").alias("toks"),
@@ -121,8 +189,10 @@ def run_corpus_pipeline(
     return CorpusReport(
         n_input=n_input,
         n_after_dedup=n_after_dedup,
-        n_after_quality=int(stats["n"]),
+        n_after_quality=int(n_quality) if n_quality is not None else int(stats["n"]),
         total_ws_tokens=int(stats["toks"] or 0),
         by_lang=by_lang,
         output_path=output_path,
+        n_after_decontam=n_after_decontam,
+        n_after_mix=int(stats["n"]) if mix_temperature is not None else None,
     )

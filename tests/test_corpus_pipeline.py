@@ -68,3 +68,46 @@ def test_corpus_near_dedup_drops_cluster_members(spark, sf_dir):
     assert joined.filter(F.col("is_keeper") == 0).count() == 0
     n_wo = clean_corpus(spark, sf_dir, near_dedup=False).count()
     assert corpus.count() <= n_wo
+
+
+def test_corpus_pipeline_with_decontam_and_mix(spark, sf_dir, tmp_path):
+    """Full pretraining prep: dedup -> quality -> decontamination ->
+    temperature mix. Funnel stays monotone through the new stages, no
+    contaminated/eval doc survives, and the mix keeps the smallest
+    language of the cleaned corpus whole."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_spark.operators.corpus import _EVAL_MOD
+    from fraud_detection_spark.pipelines.corpus_job import run_corpus_pipeline
+    from fraud_detection_spark.registry import load_all
+
+    out = str(tmp_path / "corpus_full")
+    rep = run_corpus_pipeline(
+        spark,
+        sf_dir,
+        output_path=out,
+        min_tokens=20,
+        decontaminate=True,
+        mix_temperature=2.0,
+    )
+    assert (
+        rep.n_input
+        >= rep.n_after_dedup
+        >= rep.n_after_quality
+        >= rep.n_after_decontam
+        >= rep.n_after_mix
+        > 0
+    )
+    back = spark.read.parquet(out)
+    assert back.count() == rep.n_after_mix
+    assert sum(rep.by_lang.values()) == rep.n_after_mix
+
+    # no eval doc and no contaminated doc in the output
+    assert back.filter(F.col("doc_id") % _EVAL_MOD == 0).count() == 0
+    contaminated = (
+        load_all()["q_decontaminate"]
+        .fn(spark, sf_dir)
+        .filter(F.col("contaminated") == 1)
+        .select("doc_id")
+    )
+    assert back.join(contaminated, "doc_id", "left_semi").count() == 0
