@@ -163,3 +163,67 @@ def test_probe_dedup_within_shard(spark, sf_dir, tmp_path):
     for x in shard_ids:
         want = [(o, j) for o, j, in_shard in partners[x] if not in_shard]
         assert got_wo[x].n_dups == len(want), (x, got_wo[x], want)
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """Shards arriving through the stream (probe -> hits -> merge per
+    micro-batch) must leave the index and hit records identical to
+    running the batch probe/merge sequence by hand, and replaying the
+    drained stream must be a no-op (checkpoint + idempotent merge)."""
+    from fraud_detection_spark.streaming.incremental import (
+        run_incremental_dedup_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    shard1 = docs.filter(F.col("doc_id") % 3 == 1)
+    shard2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    # streaming run: two availableNow drains, one shard landing each
+    s_index = str(tmp_path / "s_index")
+    s_results = str(tmp_path / "s_results")
+    ckpt = str(tmp_path / "ckpt")
+    inbox = str(tmp_path / "inbox")
+    build_sketch_index(spark, hist, s_index)
+    shard1.coalesce(1).write.mode("append").parquet(inbox)
+    run_incremental_dedup_stream(spark, inbox, s_index, s_results, ckpt)
+    shard2.coalesce(1).write.mode("append").parquet(inbox)
+    run_incremental_dedup_stream(spark, inbox, s_index, s_results, ckpt)
+
+    # batch reference: same shards, same order, by hand
+    from fraud_detection_spark.operators.incremental import merge_sketch_index
+
+    b_index = str(tmp_path / "b_index")
+    build_sketch_index(spark, hist, b_index)
+    b_hits = []
+    for shard in (shard1, shard2):
+        hits, new_rows = probe_index(spark, b_index, shard, dedup_within=True)
+        hits = hits.localCheckpoint()
+        keep = hits.filter(F.col("is_unique") == 1).select("doc_id")
+        surviving = new_rows.join(keep, "doc_id").localCheckpoint()
+        b_hits.append(hits.toPandas())
+        merge_sketch_index(spark, b_index, surviving)
+
+    s_idx = spark.read.parquet(s_index).select("kb", "mk", "doc_id", "sh64")
+    b_idx = spark.read.parquet(b_index).select("kb", "mk", "doc_id", "sh64")
+    assert s_idx.exceptAll(b_idx).count() == 0
+    assert b_idx.exceptAll(s_idx).count() == 0
+
+    got = (
+        spark.read.parquet(s_results)
+        .drop("batch_id")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.concat(b_hits).sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+    # replay the drained stream: checkpoint skips everything
+    n_results = spark.read.parquet(s_results).count()
+    n_index = s_idx.count()
+    run_incremental_dedup_stream(spark, inbox, s_index, s_results, ckpt)
+    assert spark.read.parquet(s_results).count() == n_results
+    assert spark.read.parquet(s_index).count() == n_index
