@@ -53,39 +53,45 @@ def entry(spark: SparkSession) -> DataFrame:
 # samples a prefix of this dict, so queries whose oracle parity has not
 # yet been independently driver-verified are listed FIRST — a rotation
 # that converts locally-green-only queries into driver-green rows each
-# round. q_tpch_q9 leads: it failed the round-2 sample, was fixed
-# (integer-fixed-point money sums, operators/partsupp.py), and needs a
-# driver-green row to close the loop. The rest of the prefix is every
-# oracle-checked query absent from CORRECTNESS_r01-r03, ending with a
-# handful of scalar/misc relational2 queries that rotate in next round.
+# round (rounds 1-4 took the ever-green set from 83 to 122 of 143).
+# Round 5 closes the loop: the 13 oracle-checked queries with zero
+# driver evidence lead, then this round's hash-changing/new queries
+# (q_repetition + q_domain_mix_temp recompute flags from rounded
+# values per VERDICT r4 ¶6 / ADVICE pow note; q_knn_ivf_pq is new),
+# then the 8 rows-only queries that have never even had a driver
+# rows-count row, then re-verification slots for queries last green in
+# round 1 whose code paths this round touches (dedup/incremental,
+# curation, corpus).
 _SAMPLE_PRIORITY = [
-    "q_tpch_q9",
-    # round-4 additions (never sampled by construction)
-    "q_dedup_incremental", "q_domain_mix_temp", "q_bpe_tokens",
-    "q_pq_encode", "q_chunk_dedup", "q_unigram_nll",
-    "q_dedup_doc_cluster",  # oracle attached round 4 (was rows-only)
-    # SURVEY §2 operators local-green since round 1 but never sampled
-    "q_sort", "q_topk", "q_join_inner", "q_join_broadcast", "q_join_semi",
-    "q_join_anti", "q_union", "q_rollup", "q_cube", "q_grouping_sets",
-    "q_window_rank",
-    "q_tumbling_window", "q_sliding_window", "q_session_window",
-    "q_stream_dedup", "q_lag_delta",
-    "q_pandas_udf_score", "q_group_zscore_pandas", "q_grouped_agg_pandas",
-    "q_knn_cosine", "q_array_ops",
-    "q_doc_stats", "q_token_freq", "q_token_count", "q_quality_score",
-    "q_lang_id", "q_fingerprint", "q_ngram", "q_jaccard_topk", "q_tfidf",
-    # engine-wide never-sampled oracle queries
-    "q_tpch_q16", "q_tpch_q20", "q_auc_binned",
-    "q_window_running", "q_window_rank_funcs",
-    "q_quantiles", "q_corr", "q_minmax_scale", "q_pivot", "q_join_outer",
-    "q_intersect", "q_except", "q_range_join",
+    # (a) oracle-checked, never sampled r1-r4 — q_range_join missed the
+    # r4 cut by one slot
+    "q_range_join", "q_cross_join", "q_posexplode", "q_map_ops",
+    "q_string_funcs", "q_date_funcs", "q_distinct_count", "q_null_funcs",
+    "q_case_bucket", "q_filter_combo", "q_first_last",
+    "q_scalar_subquery", "q_having",
+    # (b) changed or new this round — need fresh driver-green rows
+    "q_repetition", "q_domain_mix_temp", "q_knn_ivf_pq",
+    "q_dedup_incremental",  # probe od!=nd fix (ADVICE r4)
+    # (c) rows-only queries with zero driver rows across r1-r4 — the
+    # driver records a rows-count/schema row (no_oracle), which is the
+    # strongest evidence these can get
+    "q_smote", "q_synth", "q_train_auc", "q_approx_distinct",
+    "q_approx_quantile", "q_knn_batch", "q_knn_ivf", "q_knn_ivf_coarse",
+    # (d) re-verification: r1-green queries sharing code with this
+    # round's edits, plus the longest-unverified oracle queries
+    "q_quality_score", "q_bm25", "q_lang_id", "q_fingerprint",
+    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_simhash",
+    "q_dedup_embedding", "q_dedup_cluster", "q_chunk_dedup",
+    "q_decontaminate", "q_domain_mix", "q_sample_uniform",
+    "q_sample_stratified", "q_pack_sequences", "q_unigram_nll",
+    "q_bpe_tokens", "q_pq_encode", "q_tfidf", "q_token_count",
+    "q_multimodal", "q_groupby_count", "q_mean_std", "q_histogram",
+    "q_confusion", "q_auc",
 ]
-# Round-5 rotation queue (oracle-checked, still never sampled after
-# this round's 50): q_cross_join, q_posexplode, q_map_ops,
-# q_string_funcs, q_date_funcs, q_distinct_count, q_null_funcs,
-# q_case_bucket, q_filter_combo, q_first_last, q_scalar_subquery,
-# q_having — move these to the front of _SAMPLE_PRIORITY next round
-# and retire whatever goes green now.
+# After round 5 every oracle-bearing query should have at least one
+# driver-green row and every rows-only query a driver rows row; from
+# round 6 on, rotate slots (d)-style onto whatever was verified longest
+# ago or changed in-round.
 
 
 def _ordered():
