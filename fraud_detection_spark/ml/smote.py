@@ -38,6 +38,12 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 _HASH = 2654435761  # Knuth multiplicative hash constant
+# Bucket count for the LSH path's distributed 0..m-1 indexing — bounds
+# the broadcast offset table (rows) while keeping per-bucket windows at
+# m/1024 rows; at a 1e9-row minority that is ~1M rows per task, and the
+# constant can rise without changing semantics (midx depends on it only
+# through the stable (bucket, _ok) order).
+_IDX_BUCKETS = 1024
 
 
 def _knn_indices(mat: np.ndarray, k: int, chunk: int = 2048) -> np.ndarray:
@@ -153,8 +159,11 @@ def smote_oversample_lsh(
 ) -> DataFrame:
     """SMOTE scale path: nothing is collected to the driver.
 
-    1. index minority rows (row_number over ``order_col`` — one narrow
-       window per partition of the *minority* only);
+    1. index minority rows 0..m-1 WITHOUT a global window (the q_auc
+       shape, operators/ml_metrics.py q_auc): bucket by a hash of the
+       order key, per-bucket counts → tiny broadcast cumulative-offset
+       join → ``offset + row_number`` over a window PARTITIONED by
+       bucket. No stage ever moves the whole minority set to one task;
     2. approximate kNN via BucketedRandomProjectionLSH self-join
        (candidate pairs from hash-bucket equality, not a cross join);
        keep each row's k nearest, slot-numbered 0..k-1;
@@ -189,16 +198,30 @@ def smote_oversample_lsh(
     # (order_col=None -> first feature) never collides with the casted
     # feature column of the same name
     order_key = F.col(order_col) if order_col is not None else F.col(feature_cols[0])
+    keyed = df.filter(F.col(label_col) == minority_label).select(
+        order_key.alias("_ok"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+    )
+    # Dense 0..m-1 index with no unpartitioned window: _bkt is a pure
+    # function of the order key (hash mod _IDX_BUCKETS), so midx stays
+    # deterministic under any partitioning/retry; the effective global
+    # order is (bucket, _ok) — as arbitrary-but-stable as _ok itself.
+    # Offsets come from a broadcast self-join over ≤_IDX_BUCKETS rows.
+    keyed = keyed.withColumn(
+        "_bkt", F.pmod(F.xxhash64(F.col("_ok")), F.lit(_IDX_BUCKETS)).cast("int")
+    )
+    bcnt = keyed.groupBy("_bkt").agg(F.count("*").alias("_bcnt"))
+    lower = bcnt.select(F.col("_bkt").alias("_lb"), F.col("_bcnt").alias("_lcnt"))
+    offs = (
+        bcnt.join(F.broadcast(lower), F.col("_lb") < F.col("_bkt"), "left")
+        .groupBy("_bkt")
+        .agg(F.coalesce(F.sum("_lcnt"), F.lit(0)).alias("_off"))
+    )
+    w_idx = Window.partitionBy("_bkt").orderBy("_ok")
     minority = (
-        df.filter(F.col(label_col) == minority_label)
-        .select(
-            order_key.alias("_ok"),
-            *[F.col(c).cast("double").alias(c) for c in feature_cols],
-        )
-        .withColumn(
-            "midx",
-            F.row_number().over(Window.orderBy("_ok")) - 1,
-        )
+        keyed.join(F.broadcast(offs), "_bkt")
+        .withColumn("midx", F.col("_off") + F.row_number().over(w_idx) - 1)
+        .drop("_bkt", "_off")
     ).cache()
 
     assembler = VectorAssembler(inputCols=feature_cols, outputCol="fvec")

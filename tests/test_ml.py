@@ -295,3 +295,27 @@ def test_smote_lsh_default_order_col(spark, labeled_events):
         r["label"]: r["n"] for r in out.groupBy("label").agg(F.count("*").alias("n")).collect()
     }
     assert counts[0] == counts[1]
+
+
+def test_smote_lsh_no_global_window(spark, labeled_events):
+    """VERDICT r4: the LSH path exists for minorities too big to
+    broadcast, so no stage may funnel the whole minority set through an
+    unpartitioned window (the former row_number().over(orderBy) index).
+    Every windowspecdefinition in the physical plan must lead with a
+    partition column, not an ordering expression."""
+    import re
+
+    from fraud_detection_spark.ml.smote import smote_oversample_lsh
+    from fraud_detection_spark.plans.checks import formatted_plan
+
+    out = smote_oversample_lsh(
+        labeled_events, FEATS, "label", 1, k=3, seed=42, order_col="event_id"
+    )
+    plan = formatted_plan(out)
+    specs = re.findall(r"windowspecdefinition\(([^)]*)", plan)
+    assert specs, plan
+    for s in specs:
+        first = s.split(",")[0]
+        assert " ASC" not in first and " DESC" not in first, (
+            f"unpartitioned window: windowspecdefinition({s}...)"
+        )
