@@ -487,12 +487,14 @@ def _pq_codebook() -> list[list[list[float]]]:
     return cb
 
 
-def _pq_oracle_sql() -> str:
-    """DuckDB twin of q_pq_encode. Distances unroll the D=8 dims as a
-    strictly sequential sum (((t0+t1)+t2)+...), matching the Spark
-    side's sequential numpy accumulation; argmin is
-    list_position(min) — first minimum, the same tie-break as
-    numpy argmin."""
+def _pq_sql_parts() -> tuple[str, list[str], str]:
+    """Shared SQL pieces of the PQ encode: (codebook literal, per-
+    subspace distance-table exprs d0..d7 referencing columns ``e`` and
+    ``cb``, packed-code expr referencing d0..d7). Distances unroll the
+    D=8 dims as a strictly sequential sum (((t0+t1)+t2)+...), matching
+    the Spark side's sequential numpy accumulation; argmin is
+    list_position(min) — first minimum, the same tie-break as numpy
+    argmin."""
     cb = _pq_codebook()
     cb_lit = (
         "["
@@ -517,6 +519,13 @@ def _pq_oracle_sql() -> str:
         f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS BIGINT) * {16 ** s}"
         for s in range(_PQ_S)
     )
+    return cb_lit, dists, code
+
+
+def _pq_oracle_sql() -> str:
+    """DuckDB twin of q_pq_encode (see _pq_sql_parts for the
+    sequential-sum / tie-break parity contract)."""
+    cb_lit, dists, code = _pq_sql_parts()
     errs = [f"list_min(d{s})" for s in range(_PQ_S)]
     err = errs[0]
     for m in errs[1:]:
@@ -529,6 +538,30 @@ def _pq_oracle_sql() -> str:
         + sql_round(err, 6)
         + " AS recon_err FROM d"
     )
+
+
+def _pq_encode_arrays(E):
+    """(n, 64) float64 -> (pq_code int64[n], recon_err float64[n]).
+    The one true encode: per subspace, distances accumulate
+    dimension-sequentially ((0+t0)+t1..., bit-identical to the
+    oracle's unrolled sequential sum), argmin = first minimum (the
+    list_position tie-break). Shared by q_pq_encode and the ADC
+    search so their codes can never drift."""
+    import numpy as np
+
+    C = np.array(_pq_codebook())  # (S, K, D) float64 from 6-dp literals
+    n = E.shape[0]
+    code = np.zeros(n, dtype=np.int64)
+    err = np.zeros(n, dtype=np.float64)
+    for s in range(_PQ_S):
+        acc = np.zeros((n, _PQ_K), dtype=np.float64)
+        for d in range(_PQ_D):
+            diff = E[:, s * _PQ_D + d][:, None] - C[s, :, d][None, :]
+            acc += diff * diff
+        codes_s = np.argmin(acc, axis=1)  # first minimum, like list_position
+        code += codes_s.astype(np.int64) * (16**s)
+        err += acc[np.arange(n), codes_s]
+    return code, err
 
 
 def build_ivf_pq_index(spark: SparkSession, sf_dir: str, path: str) -> None:
@@ -641,26 +674,12 @@ def q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    C = np.array(_pq_codebook())  # (S, K, D) float64 from 6-dp literals
-
     def enc(batches):
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            n = E.shape[0]
-            code = np.zeros(n, dtype=np.int64)
-            err = np.zeros(n, dtype=np.float64)
-            for s in range(_PQ_S):
-                acc = np.zeros((n, _PQ_K), dtype=np.float64)
-                for d in range(_PQ_D):
-                    diff = E[:, s * _PQ_D + d][:, None] - C[s, :, d][None, :]
-                    acc += diff * diff
-                codes_s = np.argmin(acc, axis=1)  # first minimum, like list_position
-                code += codes_s.astype(np.int64) * (16**s)
-                err += acc[np.arange(n), codes_s]
-            import math
-
+            code, err = _pq_encode_arrays(E)
             r6 = np.floor(err * 1e6 + 0.5) / 1e6
             yield pd.DataFrame(
                 {"vec_id": pdf["vec_id"], "pq_code": code, "recon_err": r6}
@@ -700,4 +719,171 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate(ed, F.lit(0.0), lambda a, v: a + v * v)), 6
         ).alias("l2_norm"),
         pround(F.array_max(ed), 6).alias("max_val"),
+    )
+
+
+# --- q_knn_ivf_pq -----------------------------------------------------
+
+# Declared (oracle-checkable) IVF-PQ geometry: the coarse quantizer is
+# 4 deterministic md5 sign planes => 16 cells; a query probes its own
+# cell plus every cell within Hamming distance 1 (5 of 16 — the same
+# pruning fraction class as the persisted KMeans index's nprobe=2/16).
+# KMeans cells are model state DuckDB cannot refit, so the persisted
+# KMeans form lives in build_ivf_pq_index/ivf_pq_probe (exactness and
+# partition pruning asserted in tests/test_ivf_index.py) while this
+# sign-plane twin pins the ADC *search semantics* end-to-end against
+# the oracle.
+_IVFPQ_PLANES = 4
+_IVFPQ_HAM = 1
+_IVFPQ_SHORTLIST = 64
+
+
+def _coarse_cell(e_col: Column) -> Column:
+    """16-cell deterministic coarse quantizer: bit j = sign of the dot
+    product with md5 plane j, computed as the same sequential fold
+    ((0+t1)+t2)... the oracle unrolls — bit-identical sign decisions."""
+    cell = None
+    for j in range(_IVFPQ_PLANES):
+        signs = F.array(*[F.lit(s) for s in _ann_plane_signs(j)])
+        dot = F.aggregate(
+            F.zip_with(e_col, signs, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        bit = F.when(dot > 0, F.lit(2**j)).otherwise(F.lit(0))
+        cell = bit if cell is None else cell + bit
+    return cell.cast("int")
+
+
+def _ivf_pq_oracle_sql() -> str:
+    """DuckDB twin of q_knn_ivf_pq: identical sign-plane cells (the
+    same sequential ±e[k] sums), identical PQ codes (_pq_sql_parts),
+    the identical 64-term sequential ADC sum, and the q_knn_cosine
+    rerank form (list_cosine_similarity, proven hash-compatible with
+    the Spark fold since round 4)."""
+    cb = _pq_codebook()
+    cb_lit, dists, code = _pq_sql_parts()
+
+    def dot_sql(j: int) -> str:
+        acc = "0.0"
+        for k, s in enumerate(_ann_plane_signs(j)):
+            acc = f"({acc} + (e[{k + 1}] * {s:.1f}))"
+        return acc
+
+    cell = " + ".join(
+        f"(CASE WHEN {dot_sql(j)} > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(_IVFPQ_PLANES)
+    )
+    adc = None
+    for s in range(_PQ_S):
+        nib = f"((pq_code >> {4 * s}) & 15)"
+        for d in range(_PQ_D):
+            lst = "[" + ", ".join(f"{cb[s][j][d]:.6f}" for j in range(_PQ_K)) + "]"
+            c = f"{lst}[{nib} + 1]"
+            qd = f"qe[{s * _PQ_D + d + 1}]"
+            term = f"(({qd} - {c}) * ({qd} - {c}))"
+            adc = term if adc is None else f"({adc} + {term})"
+    return (
+        "WITH base AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e, "
+        f"{cb_lit} AS cb FROM embeddings), "
+        f"cells AS (SELECT vec_id, label, e, cb, ({cell}) AS cell FROM base), "
+        f"q AS (SELECT e AS qe, cell AS qcell FROM cells WHERE vec_id = {QUERY_VEC_ID}), "
+        "cand AS (SELECT c.vec_id, c.label, c.e, c.cb FROM cells c, q "
+        f"WHERE c.vec_id <> {QUERY_VEC_ID} "
+        f"AND bit_count(xor(c.cell, q.qcell)) <= {_IVFPQ_HAM}), "
+        "d AS (SELECT vec_id, label, e, " + ", ".join(dists) + " FROM cand), "
+        f"enc AS (SELECT vec_id, label, e, CAST({code} AS BIGINT) AS pq_code FROM d), "
+        f"adc AS (SELECT vec_id, label, e, ({adc}) AS adc FROM enc, q), "
+        f"short AS (SELECT vec_id, label, e FROM adc ORDER BY adc, vec_id "
+        f"LIMIT {_IVFPQ_SHORTLIST}) "
+        "SELECT s.vec_id, s.label, "
+        + sql_round("list_cosine_similarity(s.e, q.qe)", 6)
+        + " AS cosine FROM short s, q ORDER BY cosine DESC, s.vec_id LIMIT 10"
+    )
+
+
+@query(
+    "q_knn_ivf_pq",
+    oracle=_ivf_pq_oracle_sql(),
+    tags=("similarity", "ann", "ivf", "pq"),
+)
+def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ADC search, declared end-to-end: coarse-cell pruning →
+    PQ codes for survivors only → asymmetric-distance shortlist →
+    exact cosine rerank of ≤64 rows. The persisted-index twin
+    (build_ivf_pq_index / ivf_pq_probe, tests/test_ivf_index.py) swaps
+    the sign-plane quantizer for trained KMeans cells and reads codes
+    from disk; search semantics here are identical and oracle-pinned.
+    Ref parity target: the reference serves nearest-neighbour scoring
+    lookups from its feature store (predict path, xai_tasks.py) — this
+    is that lookup at corpus scale.
+
+    100 TB shape: cell bits are a JVM fold over each row (at real
+    scale they are PRECOMPUTED by build_ivf_pq_index and the filter
+    becomes a partition prune — asserted there); only the ~5/16
+    surviving fraction enters the Arrow encode pass; ADC is an 8-term
+    codegen lookup per row against broadcast lists; nothing wider than
+    (vec_id, label, code) shuffles before the 64-row shortlist."""
+    import numpy as np
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("e")
+    )
+    base = e.withColumn("cell", _coarse_cell(F.col("e")))
+    qrow = base.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("e").alias("qe"), F.col("cell").alias("qcell")
+    )
+    cand = (
+        base.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(qrow))
+        .filter(
+            F.bit_count(F.col("cell").bitwiseXOR(F.col("qcell"))) <= _IVFPQ_HAM
+        )
+        .select("vec_id", "label", "e")
+    )
+
+    def attach(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            E = np.stack(pdf["e"].to_numpy()).astype(np.float64)
+            code, _ = _pq_encode_arrays(E)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "e": pdf["e"],
+                    "pq_code": code,
+                }
+            )
+
+    coded = cand.mapInPandas(
+        attach, schema="vec_id bigint, label int, e array<double>, pq_code bigint"
+    )
+    # ADC: sequential 64-term sum (s-major, d-minor) — the identical
+    # association order as the oracle string, so the doubles match
+    # bit-for-bit and the shortlist cut can never disagree.
+    cb = _pq_codebook()
+    adc = None
+    for s in range(_PQ_S):
+        nib = F.expr(f"CAST((pq_code >> {4 * s}) & 15 AS INT)")
+        for d in range(_PQ_D):
+            carr = F.array(*[F.lit(cb[s][j][d]) for j in range(_PQ_K)])
+            c = F.element_at(carr, nib + F.lit(1))
+            qd = F.element_at(F.col("qe"), F.lit(s * _PQ_D + d + 1))
+            term = (qd - c) * (qd - c)
+            adc = term if adc is None else adc + term
+    short = (
+        coded.crossJoin(F.broadcast(qrow.select("qe")))
+        .withColumn("adc", adc)
+        .orderBy(F.asc("adc"), F.asc("vec_id"))
+        .limit(_IVFPQ_SHORTLIST)
+    )
+    return (
+        short.select(
+            "vec_id", "label", pround(cosine_to_query("e", "qe"), 6).alias("cosine")
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
     )
