@@ -41,13 +41,14 @@ from fraud_detection_spark.sources import load_table
 # word n-grams): a doc is repetitive if >60% of its words are repeats
 # of earlier words OR its most frequent 2-gram covers >8% of 2-gram
 # slots. The synthetic word-soup corpus straddles both thresholds, so
-# the flag is exercised in both directions. Caveat for general reuse:
-# the 2-gram share of an n-word doc is at least 1/(n-1), so any doc
-# under ~14 words trips the 8% threshold mechanically — Gopher-style
-# thresholds assume long documents; gate on a minimum n_words before
-# applying this filter to a real mixed-length corpus.
+# the flag is exercised in both directions. The 2-gram rule only
+# applies from _TOP2_MIN_WORDS up: the share of an n-word doc is at
+# least 1/(n-1), so any doc under ~14 words would trip the 8%
+# threshold mechanically — at n=20 the floor is 5.3%, safely below the
+# threshold, so the rule measures repetition rather than brevity.
 _DUP_WORD_MAX = 0.60
 _TOP2_MAX = 0.08
+_TOP2_MIN_WORDS = 20
 
 
 @query(
@@ -74,9 +75,15 @@ _TOP2_MAX = 0.08
         + sql_round("CAST(COALESCE(a.dup3, 0) AS DOUBLE) / CASE WHEN COALESCE(a.n3, 0) = 0 THEN 1 ELSE a.n3 END", 6)
         + " AS dup3gram_frac, "
         "CASE WHEN "
-        f"1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_words > {_DUP_WORD_MAX} "
-        "OR CAST(COALESCE(a.top2, 0) AS DOUBLE) / "
-        f"CASE WHEN COALESCE(a.n2, 0) = 0 THEN 1 ELSE a.n2 END > {_TOP2_MAX} "
+        + sql_round("1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_words", 6)
+        + f" > {_DUP_WORD_MAX} "
+        f"OR (b.n_words >= {_TOP2_MIN_WORDS} AND "
+        + sql_round(
+            "CAST(COALESCE(a.top2, 0) AS DOUBLE) / "
+            "CASE WHEN COALESCE(a.n2, 0) = 0 THEN 1 ELSE a.n2 END",
+            6,
+        )
+        + f" > {_TOP2_MAX}) "
         "THEN 1 ELSE 0 END AS repetitive "
         "FROM b LEFT JOIN a USING (doc_id)"
     ),
@@ -90,11 +97,13 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline runs after dedup (Rae et al. 2021, §A1.1, re-expressed
     over word n-grams).
 
-    The flag is computed from the UNROUNDED metrics while the emitted
-    metric columns are rounded to 6 decimals (both engines agree — the
-    oracle does the same) — a boundary row can therefore display a
-    metric exactly at the threshold yet carry the flag of its
-    pre-rounding value.
+    The flag is computed from the ROUNDED metrics — the same 6-decimal
+    values the query emits (both engines agree; the oracle's CASE uses
+    the identical sql_round expressions) — so a consumer re-deriving
+    the flag from the displayed columns always reproduces it. The
+    2-gram rule is gated on n_words >= 20 (see _TOP2_MIN_WORDS): the
+    share of an n-word doc is floored at 1/(n-1), so shorter docs
+    would be flagged for brevity, not repetition.
 
     Scale: per-document metrics are embarrassingly parallel, so the
     whole operator is ONE Arrow mapInPandas pass over the scan — zero
@@ -127,15 +136,22 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
                 c3 = Counter(zip(w, w[1:], w[2:]))
                 dup3 = sum(c for c in c3.values() if c > 1)
                 n3 = n - 2 if n >= 3 else 1
-                top2_share = top2 / max(n2, 1)
+                dup_word_r = r6(dup_word)
+                top2_share_r = r6(top2 / max(n2, 1))
+                flag = (
+                    1
+                    if dup_word_r > _DUP_WORD_MAX
+                    or (n >= _TOP2_MIN_WORDS and top2_share_r > _TOP2_MAX)
+                    else 0
+                )
                 rows.append(
                     (
                         doc_id,
                         n,
-                        r6(dup_word),
-                        r6(top2_share),
+                        dup_word_r,
+                        top2_share_r,
                         r6(dup3 / max(n3, 1)),
-                        1 if dup_word > _DUP_WORD_MAX or top2_share > _TOP2_MAX else 0,
+                        flag,
                     )
                 )
             yield pd.DataFrame(

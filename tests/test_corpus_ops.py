@@ -228,3 +228,52 @@ def test_chunk_dedup_cdc_locality(spark, sf_dir):
     # top-20 by occurrence matches the python replay (same tie-break)
     want = sorted(occ.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
     assert [(r.chunk_fp, r.n_occ) for r in got.itertuples()] == want
+
+
+def test_repetition_flag_gated_and_rounded(spark, tmp_path):
+    """The top2gram rule must not fire on short docs (its share is
+    floored at 1/(n-1), so sub-20-word docs would be flagged for
+    brevity), and flags must derive from the ROUNDED metrics the query
+    emits — re-deriving the flag from the output columns reproduces it
+    exactly."""
+    import pandas as pd
+
+    from fraud_detection_spark.operators.curation import (
+        _DUP_WORD_MAX,
+        _TOP2_MAX,
+        _TOP2_MIN_WORDS,
+        q_repetition,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                # 6 distinct-ish words, dominant 2-gram, but SHORT -> not flagged
+                "a b a b c d",
+                # 24 words, 2-gram "x y" fills most slots -> flagged by top2 rule
+                " ".join(["x", "y"] * 12),
+                # short but massively duplicated words -> flagged by dup_word rule
+                "z z z z z q",
+            ],
+            "lang": ["en"] * 3,
+            "source": ["src0"] * 3,
+            "n_chars": [11, 47, 11],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    out = {
+        r["doc_id"]: r
+        for r in q_repetition(spark, str(tmp_path)).collect()
+    }
+    assert out[1]["n_words"] < _TOP2_MIN_WORDS
+    assert out[1]["top2gram_share"] > _TOP2_MAX and out[1]["repetitive"] == 0
+    assert out[2]["repetitive"] == 1
+    assert out[3]["dup_word_frac"] > _DUP_WORD_MAX and out[3]["repetitive"] == 1
+    # flag is a pure function of the emitted (rounded) columns
+    for r in out.values():
+        expect = int(
+            r["dup_word_frac"] > _DUP_WORD_MAX
+            or (r["n_words"] >= _TOP2_MIN_WORDS and r["top2gram_share"] > _TOP2_MAX)
+        )
+        assert r["repetitive"] == expect, r
