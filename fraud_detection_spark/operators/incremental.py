@@ -208,6 +208,12 @@ def probe_index(
     jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
     pairs = (
         kn.join(idx, "mk")
+        # od != nd: a crash between merge_sketch_index and the stream
+        # checkpoint commit replays a batch whose survivors are ALREADY
+        # in the index — without this guard each survivor would join
+        # its own index row (jaccard 1.0) and be flagged a duplicate of
+        # itself on replay (ADVICE r4).
+        .filter(F.col("od") != F.col("nd"))
         .filter(~F.col("od_in_shard") | (F.col("od") < F.col("nd")))
         .select("nd", "od", "sha", "shb")
         .distinct()
@@ -250,12 +256,15 @@ def merge_sketch_index(
         .dropDuplicates(["kb", "mk", "doc_id"])
         .localCheckpoint()  # materialize before overwriting what we read
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        merged.write.mode("overwrite").partitionBy("kb").parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    # writer-level option, not a session conf: under foreachBatch the
+    # plan may belong to a cloned session whose conf the driver session
+    # cannot reach (see streaming/incremental.py's hits sink)
+    (
+        merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("kb")
+        .parquet(path)
+    )
     # drop the session's cached file listing for the path — a reader
     # that scanned the index before the overwrite would otherwise try
     # the deleted files (same contract as managed.py's refreshTable)

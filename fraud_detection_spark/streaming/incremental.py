@@ -3,9 +3,13 @@ operators/incremental.py: document shards land as files, each
 micro-batch is probed against the persisted sketch index
 (partition-pruned) and the surviving sketches are MERGEd back, so the
 next shard sees them. Exactly-once effect through checkpointing +
-idempotent merges (replaying a batch re-probes and re-merges the same
-rows — the dedup on (kb, mk, doc_id) makes the merge a no-op, and the
-hits sink keys on (batch_id, doc_id)).
+idempotent effects in BOTH sinks, covering a crash at any point in the
+batch: the merge dedupes on (kb, mk, doc_id) so re-merging is a no-op;
+the hits sink dynamic-partition-overwrites the batch's own batch_id
+partition so a replayed write replaces rather than appends; and
+probe_index's od != nd guard keeps a replayed probe correct even after
+the merge already committed the shard's survivors (each doc would
+otherwise match its own index row at jaccard 1.0).
 
 Reference parity: this is EP2's consume-check-upsert loop
 (/root/reference/xai_tasks.py:63-167 acks_late + get-or-create upsert;
@@ -45,9 +49,19 @@ def dedup_batch(
     hits = hits.localCheckpoint()
     keep = hits.filter(F.col("is_unique") == 1).select("doc_id")
     surviving = new_rows.join(keep, "doc_id").localCheckpoint()
+    # Idempotent hits sink: each batch owns its batch_id partition and a
+    # replay overwrites it with identical rows (dynamic partition
+    # overwrite — the canonical foreachBatch exactly-once pattern). An
+    # append sink would double the rows whenever a crash lands between
+    # this write and the checkpoint commit. The mode is a WRITER option,
+    # not a session conf: foreachBatch hands the batch a cloned session,
+    # so a conf set on the driver session would silently not apply and
+    # the overwrite would drop every other batch's partition.
     (
         hits.withColumn("batch_id", F.lit(batch_id))
-        .write.mode("append")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
         .parquet(results_path)
     )
     merge_sketch_index(spark, index_path, surviving)

@@ -227,3 +227,43 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path):
     run_incremental_dedup_stream(spark, inbox, s_index, s_results, ckpt)
     assert spark.read.parquet(s_results).count() == n_results
     assert spark.read.parquet(s_index).count() == n_index
+
+
+def test_crash_replay_mid_batch_is_idempotent(spark, sf_dir, tmp_path):
+    """ADVICE r4: a crash can land AFTER merge_sketch_index committed
+    but BEFORE the stream checkpoint — the replay then re-probes an
+    index that already contains the shard's survivors and re-runs the
+    hits write. The replay must reproduce the original results exactly:
+    no survivor may match its own merged index row (od != nd guard) and
+    the hits sink must overwrite, not append, its batch partition."""
+    from fraud_detection_spark.streaming.incremental import dedup_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    hist = docs.filter(F.col("doc_id") % 3 == 0)
+    shard = docs.filter(F.col("doc_id") % 3 == 1)
+    index = str(tmp_path / "index")
+    results = str(tmp_path / "results")
+    build_sketch_index(spark, hist, index)
+
+    dedup_batch(spark, shard, 0, index, results)
+    first = (
+        spark.read.parquet(results)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    n_index = spark.read.parquet(index).count()
+    assert (first.is_unique == 1).any(), "degenerate shard: nothing survived"
+
+    # replay the SAME batch — all effects already committed
+    dedup_batch(spark, shard, 0, index, results)
+    again = (
+        spark.read.parquet(results)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(again, first)
+    assert spark.read.parquet(index).count() == n_index
+    # specifically: no doc flagged as a duplicate of itself
+    assert (again.dup_of != again.doc_id).all()
