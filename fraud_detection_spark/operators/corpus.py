@@ -35,8 +35,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from fraud_detection_spark.functions import pround
 from fraud_detection_spark.operators.sampling import _u_expr, _u_sql
-from fraud_detection_spark.registry import query
+from fraud_detection_spark.registry import query, sql_round
 from fraud_detection_spark.sources import load_table
 
 # Word n-gram width for decontamination. Real pipelines use 8-13-word
@@ -180,7 +181,9 @@ _MIX_T = 2.0
         "SELECT d.doc_id, d.lang FROM documents d "
         "JOIN c USING (lang) CROSS JOIN t "
         f"WHERE {_u_sql('d.doc_id')} < "
-        f"POWER(CAST(t.nmin AS DOUBLE) / c.cnt, {1.0 - 1.0 / _MIX_T})"
+        + sql_round(
+            f"POWER(CAST(t.nmin AS DOUBLE) / c.cnt, {1.0 - 1.0 / _MIX_T})", 12
+        )
     ),
     tags=("corpus", "sampling"),
 )
@@ -198,6 +201,11 @@ def q_domain_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle: no cross-language float SUM whose accumulation order
     could differ between engines; the surviving float math is one
     BIGINT→DOUBLE division and one POWER on bit-identical operands.
+    pow() is not guaranteed correctly-rounded, so the rate is rounded
+    to 12 dp on both engines (pround / sql_round) before the
+    comparison — a last-ulp libm divergence can then never flip a
+    document's membership (the u values are md5-uniforms with ~2⁻³²
+    granularity, far coarser than 10⁻¹²).
 
     Plan: identical to q_domain_mix — tiny per-language aggregate +
     one-row min, both broadcast back, corpus side a single narrow
@@ -207,8 +215,9 @@ def q_domain_mix_temp(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     counts = d.groupBy("lang").agg(F.count("*").alias("cnt"))
     target = counts.agg(F.min("cnt").alias("nmin"))
-    rate = F.pow(
-        F.col("nmin").cast("double") / F.col("cnt"), F.lit(1.0 - 1.0 / _MIX_T)
+    rate = pround(
+        F.pow(F.col("nmin").cast("double") / F.col("cnt"), F.lit(1.0 - 1.0 / _MIX_T)),
+        12,
     )
     return (
         d.join(F.broadcast(counts), "lang")

@@ -46,17 +46,18 @@ class CorpusReport:
     n_after_mix: int | None = None
 
 
-def clean_corpus(
+def quality_corpus(
     spark: SparkSession,
     sf_dir: str,
     min_tokens: int = 20,
     near_dedup: bool = True,
-    decontaminate: bool = False,
-    mix_temperature: float | None = None,
 ) -> DataFrame:
-    """documents -> deduped, quality-filtered corpus with token stats
-    and a content fingerprint (all columns the downstream trainer
-    needs; no payload leaves the executors)."""
+    """Stages up to and including the quality filter (exact dedup ->
+    near-dedup -> quality) — the boundary every optional downstream
+    stage (decontamination, mixing) builds on. Split out so
+    run_corpus_pipeline can cache THIS one DataFrame and derive all
+    stage counts from the same plan instead of re-running the dedup
+    cascade per count."""
     d = load_table(spark, sf_dir, "documents")
 
     # exact dedup: deterministic keeper = min doc_id per content hash.
@@ -93,50 +94,82 @@ def clean_corpus(
     quality = deduped.withColumn("n_ws_tokens", n_tok.cast("bigint")).withColumn(
         "passes_quality", (n_tok >= min_tokens) & (n_stop > 0)
     )
-    filtered = quality.filter(F.col("passes_quality")).drop("passes_quality")
+    return quality.filter(F.col("passes_quality")).drop("passes_quality")
 
-    # benchmark decontamination: drop the held-out eval docs AND every
-    # train doc sharing an 8-gram with them (q_decontaminate's
-    # broadcast-join-first plan; its output is already eval-free, so
-    # the semi join removes both populations in one pass)
-    if decontaminate:
-        from fraud_detection_spark.operators.corpus import q_decontaminate
 
-        clean_ids = (
-            q_decontaminate(spark, sf_dir)
-            .filter(F.col("contaminated") == 0)
-            .select("doc_id")
-        )
-        filtered = filtered.join(clean_ids, "doc_id", "left_semi")
+def decontaminate_stage(spark: SparkSession, sf_dir: str, df: DataFrame) -> DataFrame:
+    """Benchmark decontamination: drop the held-out eval docs AND every
+    train doc sharing an 8-gram with them (q_decontaminate's
+    broadcast-join-first plan; its output is already eval-free, so the
+    semi join removes both populations in one pass)."""
+    from fraud_detection_spark.operators.corpus import q_decontaminate
 
-    # temperature domain mix over the CLEANED corpus's language counts
-    # (not the raw table's — mixing after filtering is what a training
-    # recipe consumes). Same closed-form rate + md5-uniform acceptance
-    # as q_domain_mix_temp: deterministic, broadcast-only.
-    if mix_temperature is not None:
-        from fraud_detection_spark.operators.sampling import _u_expr
+    clean_ids = (
+        q_decontaminate(spark, sf_dir)
+        .filter(F.col("contaminated") == 0)
+        .select("doc_id")
+    )
+    return df.join(clean_ids, "doc_id", "left_semi")
 
-        counts = filtered.groupBy("lang").agg(F.count("*").alias("cnt"))
-        nmin = counts.agg(F.min("cnt").alias("nmin"))
-        rate = F.pow(
+
+def mix_stage(df: DataFrame, mix_temperature: float) -> DataFrame:
+    """Temperature domain mix over the CLEANED corpus's language counts
+    (not the raw table's — mixing after filtering is what a training
+    recipe consumes). Same closed-form rate + md5-uniform acceptance as
+    q_domain_mix_temp, including its 12-dp rate rounding (pow is not
+    correctly-rounded libm math): deterministic, broadcast-only."""
+    from fraud_detection_spark.functions import pround
+    from fraud_detection_spark.operators.sampling import _u_expr
+
+    counts = df.groupBy("lang").agg(F.count("*").alias("cnt"))
+    nmin = counts.agg(F.min("cnt").alias("nmin"))
+    rate = pround(
+        F.pow(
             F.col("nmin").cast("double") / F.col("cnt"),
             F.lit(1.0 - 1.0 / mix_temperature),
-        )
-        filtered = (
-            filtered.join(F.broadcast(counts), "lang")
-            .crossJoin(F.broadcast(nmin))
-            .filter(_u_expr("doc_id") < rate)
-            .drop("cnt", "nmin")
-        )
+        ),
+        12,
+    )
+    return (
+        df.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(nmin))
+        .filter(_u_expr("doc_id") < rate)
+        .drop("cnt", "nmin")
+    )
 
-    # fingerprint for downstream near-dup passes
+
+def fingerprint_stage(df: DataFrame) -> DataFrame:
+    """Content fingerprint for downstream near-dup passes (polynomial
+    rolling hash over the token stream)."""
+    w = F.split("text", " ")
     vals = F.transform(w, lambda t: (F.ascii(t) + F.length(t)).cast("bigint"))
     fp = F.aggregate(
         F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
         F.element_at(vals, 1),
         lambda h, x: (h * 31 + x) % 1000000007,
     )
-    return filtered.withColumn("fingerprint", fp)
+    return df.withColumn("fingerprint", fp)
+
+
+def clean_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    min_tokens: int = 20,
+    near_dedup: bool = True,
+    decontaminate: bool = False,
+    mix_temperature: float | None = None,
+) -> DataFrame:
+    """documents -> deduped, quality-filtered corpus with token stats
+    and a content fingerprint (all columns the downstream trainer
+    needs; no payload leaves the executors)."""
+    filtered = quality_corpus(
+        spark, sf_dir, min_tokens=min_tokens, near_dedup=near_dedup
+    )
+    if decontaminate:
+        filtered = decontaminate_stage(spark, sf_dir, filtered)
+    if mix_temperature is not None:
+        filtered = mix_stage(filtered, mix_temperature)
+    return fingerprint_stage(filtered)
 
 
 def run_corpus_pipeline(
@@ -152,30 +185,28 @@ def run_corpus_pipeline(
     n_input = d.count()
     n_after_dedup = d.select(F.md5(F.col("text").cast("binary"))).distinct().count()
 
-    corpus = clean_corpus(
-        spark,
-        sf_dir,
-        min_tokens=min_tokens,
-        near_dedup=near_dedup,
-        decontaminate=decontaminate,
-        mix_temperature=mix_temperature,
-    )
-    # per-stage counts for the report: when the optional stages are on,
-    # re-plan up to each stage boundary (extra aggregates at test
-    # scale; a production run counts at cached/persisted boundaries)
-    def _stage_count(dec: bool, mix: float | None) -> int:
-        return clean_corpus(
-            spark,
-            sf_dir,
-            min_tokens=min_tokens,
-            near_dedup=near_dedup,
-            decontaminate=dec,
-            mix_temperature=mix,
-        ).count()
-
+    # One pipeline, counted at its stage boundaries: the quality-stage
+    # DataFrame (downstream of the expensive dedup cascade) is cached
+    # once and every optional stage builds on the SAME plan — the
+    # funnel report costs cheap recounts of cached rows, not two extra
+    # re-executions of the MinHash/connected-components dedup per
+    # enabled stage (ADVICE r4). At 100 TB the cache() becomes a
+    # persisted boundary write; the shape is identical.
     extra = decontaminate or (mix_temperature is not None)
-    n_quality = _stage_count(False, None) if extra else None
-    n_after_decontam = _stage_count(True, None) if decontaminate else None
+    base = quality_corpus(spark, sf_dir, min_tokens=min_tokens, near_dedup=near_dedup)
+    if extra:
+        base = base.cache()
+    n_quality = base.count() if extra else None
+
+    staged = base
+    n_after_decontam = None
+    if decontaminate:
+        staged = decontaminate_stage(spark, sf_dir, staged)
+        n_after_decontam = staged.count()
+    if mix_temperature is not None:
+        staged = mix_stage(staged, mix_temperature)
+    corpus = fingerprint_stage(staged)
+
     stats = corpus.agg(
         F.count("*").alias("n"),
         F.sum("n_ws_tokens").alias("toks"),
@@ -186,6 +217,8 @@ def run_corpus_pipeline(
     }
     if output_path:
         corpus.write.mode("overwrite").partitionBy("lang").parquet(output_path)
+    if extra:
+        base.unpersist()
     return CorpusReport(
         n_input=n_input,
         n_after_dedup=n_after_dedup,

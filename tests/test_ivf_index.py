@@ -103,5 +103,10 @@ def test_ivf_pq_probe_recall_and_pruning(spark, sf_dir, tmp_path):
 
     scans = re.findall(r"Location:.*?vectors.*?(?:\n.*?)*?ReadSchema: (\S+)", plan)
     assert scans, plan
+    # the index stores its embedding array under column name 'e', so a
+    # substring check for "embedding" would pass vacuously — assert the
+    # scans read NOTHING beyond the ADC columns (no 'e', no arrays)
     for rs in scans:
-        assert "embedding" not in rs, rs
+        fields = {f.split(":")[0] for f in rs.strip("struct<>").split(",") if f}
+        assert fields <= {"vec_id", "label", "pq_code"}, rs
+        assert "array" not in rs, rs
