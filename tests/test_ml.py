@@ -319,3 +319,97 @@ def test_smote_lsh_no_global_window(spark, labeled_events):
         assert " ASC" not in first and " DESC" not in first, (
             f"unpartitioned window: windowspecdefinition({s}...)"
         )
+
+
+def _make_wav(freq: float = 440.0, n: int = 1600, rate: int = 16000) -> bytes:
+    """Tiny mono 16-bit WAV generated with stdlib only."""
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = b"".join(
+            struct.pack(
+                "<h", int(20000 * math.sin(2 * math.pi * freq * i / rate))
+            )
+            for i in range(n)
+        )
+        w.writeframes(frames)
+    return buf.getvalue()
+
+
+def test_decode_media_wav_is_real(spark):
+    """decode_media must genuinely decode WAV (stdlib codec): segment
+    RMS of a constant-amplitude sine ~ A/sqrt(2), nothing like the
+    byte-histogram fake."""
+    import numpy as np
+
+    from fraud_detection_spark.operators.multimodal import decode_media, fake_decode
+
+    wav = _make_wav()
+    feats = decode_media(wav, "audio/wav")
+    assert len(feats) == 8
+    a = 20000 / 32768.0
+    for f in feats:
+        assert abs(f - a / np.sqrt(2)) < 0.02 * a, feats
+    assert feats != fake_decode(wav)
+    assert feats == decode_media(wav, "audio/wav")  # deterministic
+
+
+def test_decode_media_image_gate():
+    """Image decode activates with PIL and fails loudly (not silently
+    fake) without it."""
+    import pytest
+
+    from fraud_detection_spark.operators.multimodal import decode_media
+
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    if not have_pil:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            decode_media(b"\x89PNG\r\n\x1a\n", "image/png")
+        return
+
+    import io  # pragma: no cover
+
+    from PIL import Image  # pragma: no cover
+
+    buf = io.BytesIO()
+    Image.new("L", (32, 32), color=128).save(buf, format="PNG")
+    feats = decode_media(buf.getvalue(), "image/png")
+    assert len(feats) == 8
+    assert all(abs(f - 128 / 255) < 1e-6 for f in feats)
+
+
+def test_extract_features_auto_dispatches_per_row(spark):
+    """One mapInPandas stage, both decoders: a WAV row real-decodes
+    while a text/plain row (no codec) falls back to fake_decode."""
+    from fraud_detection_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        decode_media,
+        extract_features_auto,
+        fake_decode,
+    )
+
+    wav = _make_wav()
+    txt = b"hello multimodal world"
+    df = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav"), (2, bytearray(txt), "text/plain")],
+        schema="doc_id bigint, payload binary, fmt string",
+    )
+    out = {
+        r["doc_id"]: [r[f"f{i}"] for i in range(8)]
+        for r in df.mapInPandas(extract_features_auto, schema=FEATURE_SCHEMA).collect()
+    }
+    assert out[1] == pytest.approx(decode_media(wav, "audio/wav"))
+    assert out[2] == pytest.approx(fake_decode(txt))
