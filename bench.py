@@ -86,6 +86,13 @@ HEADLINE = [
     "q_bm25",
     "q_scrub_terms",
     "q_centroid_assign",
+    # round-4 operators (added round 5 — the suite keeps measuring what
+    # the engine actually ships): zero-shuffle Arrow BPE + CDC chunk
+    # dedup, blocked incremental probe, broadcast-LM NLL scoring
+    "q_bpe_tokens",
+    "q_dedup_incremental",
+    "q_chunk_dedup",
+    "q_unigram_nll",
 ]
 
 
