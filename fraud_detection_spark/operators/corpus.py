@@ -129,6 +129,80 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_substring_dedup",
+    oracle=(
+        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "g AS (SELECT doc_id, unnest(list_transform("
+        f"range(1, len(w) - {_NGRAM - 2}), "
+        f"i -> array_to_string(w[i:i+{_NGRAM - 1}], ' '))) AS g FROM w), "
+        "xdoc AS (SELECT g FROM (SELECT g, COUNT(DISTINCT doc_id) AS nd "
+        "FROM g GROUP BY g) WHERE nd >= 2), "
+        "tot AS (SELECT doc_id, COUNT(*) AS n_slots FROM g GROUP BY doc_id), "
+        "dup AS (SELECT doc_id, COUNT(*) AS n_dup FROM g JOIN xdoc USING (g) "
+        "GROUP BY doc_id) "
+        "SELECT d.doc_id, CAST(COALESCE(t.n_slots, 0) AS BIGINT) AS n_gram_slots, "
+        "CAST(COALESCE(p.n_dup, 0) AS BIGINT) AS n_dup_slots, "
+        "CASE WHEN COALESCE(t.n_slots, 0) = 0 THEN 0.0 ELSE "
+        + sql_round("CAST(COALESCE(p.n_dup, 0) AS DOUBLE) / t.n_slots", 6)
+        + " END AS dup_frac, "
+        "CASE WHEN COALESCE(p.n_dup, 0) > 0 THEN 1 ELSE 0 END AS has_dup "
+        "FROM documents d LEFT JOIN tot t USING (doc_id) "
+        "LEFT JOIN dup p USING (doc_id)"
+    ),
+    tags=("corpus", "dedup", "text"),
+)
+def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring (span) deduplication — the Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better")
+    family at word-8-gram granularity: a gram SLOT is duplicated when
+    its gram also occurs in at least one OTHER document; per doc the
+    query reports total slots, duplicated slots, duplicated fraction
+    and a flag. Unlike whole-doc near-dedup (q_dedup_*), this
+    localises repetition INSIDE otherwise-unique documents —
+    boilerplate headers, licence blocks, templated paragraphs.
+
+    Plan/scale: one gram explode; grams travel as xxhash64
+    fingerprints (8 bytes, never text). The cross-doc gram set comes
+    from a (g64, doc_id)-distinct + count aggregate — both map-side
+    combinable — and joins back on the 8-byte key (shuffle join; the
+    cross-doc set is corpus-scale, deliberately NOT broadcast). A
+    false dup needs a 2^-64 xxhash64 collision; the oracle joins raw
+    gram strings."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = w.select(
+        "doc_id", F.explode(F.expr(_gram_expr("w"))).alias("g")
+    ).select("doc_id", F.xxhash64("g").alias("g64"))
+    xdoc = (
+        grams.distinct()
+        .groupBy("g64")
+        .agg(F.count("*").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("g64")
+    )
+    tot = grams.groupBy("doc_id").agg(F.count("*").alias("n_slots"))
+    dup = grams.join(xdoc, "g64").groupBy("doc_id").agg(F.count("*").alias("n_dup"))
+    return (
+        d.select("doc_id")
+        .join(tot, "doc_id", "left")
+        .join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_slots", F.lit(0)).cast("bigint").alias("n_gram_slots"),
+            F.coalesce("n_dup", F.lit(0)).cast("bigint").alias("n_dup_slots"),
+            F.when(F.coalesce("n_slots", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(
+                pround(
+                    F.coalesce("n_dup", F.lit(0)).cast("double") / F.col("n_slots"), 6
+                )
+            )
+            .alias("dup_frac"),
+            F.when(F.coalesce("n_dup", F.lit(0)) > 0, 1).otherwise(0).alias("has_dup"),
+        )
+    )
+
+
+@query(
     "q_domain_mix",
     oracle=(
         "WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang), "

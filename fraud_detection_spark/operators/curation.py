@@ -334,6 +334,92 @@ def q_scrub_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- q_scrub_pii ------------------------------------------------------
+
+# Regex redaction patterns (category -> (pattern, replacement)). These
+# are RE2-safe constructs (no backrefs/lookaround), so Spark's Java
+# regex and DuckDB's RE2 match identically. The word-soup corpus
+# contains no PII-shaped strings, so the query seeds deterministic
+# synthetic contact strings derived from doc_id into each document
+# (identically on both engines) to exercise every pattern end-to-end;
+# a real ingest drops the seeding stage and runs the same redactor.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"\b555-\d{4}\b"
+
+
+@query(
+    "q_scrub_pii",
+    oracle=(
+        "WITH a AS (SELECT doc_id, text || ' reach user' || doc_id::VARCHAR "
+        "|| '@mail' || (doc_id % 7)::VARCHAR || '.example.com ip 10.' "
+        "|| (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 100)::VARCHAR "
+        "|| ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS t "
+        "FROM documents) "
+        "SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_email, "
+        f"CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ip, "
+        f"CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phone, "
+        "md5(regexp_replace(regexp_replace(regexp_replace(t, "
+        f"'{_PII_EMAIL}', '<email>', 'g'), "
+        f"'{_PII_IPV4}', '<ip>', 'g'), "
+        f"'{_PII_PHONE}', '<phone>', 'g')) AS scrub_md5 "
+        "FROM a"
+    ),
+    tags=("curation", "scrub", "pii", "text"),
+)
+def q_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex PII redaction — the pattern-based sibling of the denylist
+    scrub (q_scrub_terms): emails, IPv4 addresses and phone-shaped
+    strings are counted and replaced with typed markers, and the fully
+    rewritten document is md5-fingerprinted so the oracle checks the
+    entire redacted text, not just the counts.
+
+    Scale: a pure per-row map over the scan — zero shuffles; the
+    pattern set is a compiled constant per task (a production list of
+    hundreds of patterns would combine into an alternation or an
+    Aho-Corasick pandas_udf, same plan shape). Patterns avoid
+    backrefs/lookaround so Java regex (Spark) and RE2 (DuckDB) agree
+    construct-for-construct."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example.com ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    a = d.select("doc_id", aug.alias("t"))
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("t"), _PII_EMAIL, "<email>"),
+            _PII_IPV4,
+            "<ip>",
+        ),
+        _PII_PHONE,
+        "<phone>",
+    )
+    return a.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("t", F.lit(_PII_EMAIL), F.lit(0)))
+        .cast("bigint")
+        .alias("n_email"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_IPV4), F.lit(0)))
+        .cast("bigint")
+        .alias("n_ip"),
+        F.size(F.regexp_extract_all("t", F.lit(_PII_PHONE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_phone"),
+        F.md5(red).alias("scrub_md5"),
+    )
+
+
 # --- q_centroid_assign ------------------------------------------------
 
 # The first k embeddings (vec_id < _K) serve as fixed centroids: the
