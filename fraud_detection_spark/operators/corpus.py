@@ -164,8 +164,10 @@ def q_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan/scale: one gram explode; grams travel as xxhash64
     fingerprints (8 bytes, never text). The cross-doc gram set comes
     from a (g64, doc_id)-distinct + count aggregate — both map-side
-    combinable — and joins back on the 8-byte key (shuffle join; the
-    cross-doc set is corpus-scale, deliberately NOT broadcast). A
+    combinable — and joins back on the 8-byte key. No broadcast is
+    FORCED on that join: the cross-doc set is corpus-scale, so at
+    100 TB it must run as a shuffle join (AQE broadcasts it at test
+    scale where it happens to fit — the right call at each size). A
     false dup needs a 2^-64 xxhash64 collision; the oracle joins raw
     gram strings."""
     d = load_table(spark, sf_dir, "documents")
