@@ -92,3 +92,23 @@ def test_socket_stream_scores_match_batch(spark, line_server):
     assert live.loc["t1", "correlation_id"] == "c1"
     assert isinstance(live.loc["t2", "correlation_id"], str)
     assert len(live.loc["t2", "correlation_id"]) > 0
+
+
+def test_kafka_ingress_gate(spark):
+    """read_kafka_requests is the wired production ingress: with the
+    spark-sql-kafka connector on the classpath it yields the typed
+    request stream; without it (this sandbox) it must fail loudly with
+    Spark's standard missing-data-source error, never silently degrade."""
+    import pytest
+
+    from fraud_detection_spark.streaming.serving import REQUEST_SCHEMA
+    from fraud_detection_spark.streaming.sockets import read_kafka_requests
+
+    try:
+        df = read_kafka_requests(spark, "broker:9092", "requests")
+    except Exception as e:
+        msg = str(e).lower()
+        assert "kafka" in msg and ("failed to find" in msg or "data source" in msg), e
+        return
+    # connector present: the parse must produce the typed request schema
+    assert df.schema.fieldNames() == REQUEST_SCHEMA.fieldNames()  # pragma: no cover
