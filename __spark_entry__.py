@@ -71,7 +71,7 @@ _SAMPLE_PRIORITY = [
     "q_scalar_subquery", "q_having",
     # (b) changed or new this round — need fresh driver-green rows
     "q_repetition", "q_domain_mix_temp", "q_knn_ivf_pq",
-    "q_substring_dedup", "q_scrub_pii",
+    "q_substring_dedup", "q_scrub_pii", "q_edit_distance", "q_text_normalize",
     "q_dedup_incremental",  # probe od!=nd fix (ADVICE r4)
     # (c) rows-only queries with zero driver rows across r1-r4 — the
     # driver records a rows-count/schema row (no_oracle), which is the

@@ -285,6 +285,71 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDIT_TOPK = 15
+
+
+@query(
+    "q_edit_distance",
+    oracle=(
+        "WITH " + _JACCARD_CTES + " "
+        "SELECT doc_a, doc_b, CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev, "
+        + sql_round(
+            "1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE) / "
+            "GREATEST(len(x.text), len(y.text))",
+            6,
+        )
+        + " AS sim FROM cand "
+        "JOIN documents x ON x.doc_id = cand.doc_a "
+        "JOIN documents y ON y.doc_id = cand.doc_b "
+        f"ORDER BY lev, doc_a, doc_b LIMIT {_EDIT_TOPK}"
+    ),
+    tags=("dedup", "text", "similarity"),
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-level edit distance over the blocked candidate pairs:
+    the top-15 most-similar document pairs by Levenshtein, with the
+    normalized similarity 1 - lev/max(len). The precision layer the
+    near-dup families lack — Jaccard/SimHash see bags of shingles,
+    edit distance sees order — run where it is affordable: on the
+    MinHash-prefix candidate set (q_dedup_jaccard's blocking), never
+    all-pairs.
+
+    Scale: candidate generation is the shared 8-byte-fingerprint
+    blocking; document TEXT is joined back for candidate pairs only
+    (the one family member that must touch raw text, since edit
+    distance is defined on it). Both engines run the classic
+    Levenshtein — integer-exact, so the oracle is hash-exact."""
+    d = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    s = jaccard_sketch_docs(d, k=_JACCARD_BLOCK_K).cache()
+    keys = s.select("doc_id", F.explode("mk").alias("mk"))
+    a = keys.select(F.col("doc_id").alias("doc_a"), F.col("mk"))
+    b = keys.select(F.col("doc_id").alias("doc_b"), F.col("mk"))
+    cand = (
+        a.join(b, "mk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    y = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    lev = F.levenshtein("ta", "tb")
+    sim = F.lit(1.0) - lev.cast("double") / F.greatest(
+        F.length("ta"), F.length("tb")
+    )
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            lev.cast("bigint").alias("lev"),
+            pround(sim, 6).alias("sim"),
+        )
+        .orderBy(F.asc("lev"), F.asc("doc_a"), F.asc("doc_b"))
+        .limit(_EDIT_TOPK)
+    )
+
+
 def _simhash_sql() -> str:
     """DuckDB twin of q_dedup_simhash: token hash = first 32 bits of
     md5 (hex -> int), ±1 bit-vote aggregate, sign-threshold signature."""

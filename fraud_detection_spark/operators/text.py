@@ -537,3 +537,44 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("tfidf"), F.asc("doc_id"), F.asc("term"))
         .limit(20)
     )
+
+
+@query(
+    "q_text_normalize",
+    oracle=(
+        "WITH n AS (SELECT doc_id, text, "
+        "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), "
+        "' +', ' ', 'g')) AS norm FROM documents) "
+        "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars_raw, "
+        "CAST(strlen(norm) AS BIGINT) AS n_chars_norm, "
+        "md5(norm) AS norm_md5 FROM n"
+    ),
+    tags=("text", "curation", "normalize"),
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization — the cleaning pass every corpus pipeline
+    runs before dedup/tokenization: lowercase, strip everything outside
+    [a-z0-9 ], collapse whitespace runs, trim. Emits before/after char
+    counts and the md5 of the normalized text, so the oracle checks the
+    ENTIRE rewritten document, not summary stats. (Unicode NFC/NFKC is
+    deliberately out: Spark and DuckDB disagree on normalization-form
+    builtins, so a production NFC pass belongs in an Arrow stage like
+    the BPE tokenizer, not in the oracle-pinned surface.)
+
+    Scale: pure per-row codegen'd map over the scan — zero shuffles,
+    the q_scrub_* plan shape. Character classes only (no backrefs), so
+    Java regex and RE2 agree."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""),
+            " +",
+            " ",
+        )
+    )
+    return d.select(
+        "doc_id",
+        F.octet_length("text").cast("bigint").alias("n_chars_raw"),
+        F.octet_length(norm).cast("bigint").alias("n_chars_norm"),
+        F.md5(norm).alias("norm_md5"),
+    )
