@@ -97,3 +97,28 @@ def test_round4_operator_plan_shapes(spark, sf_dir):
     specs = re.findall(r"windowspecdefinition\((.*?)\)", chunk_plan)
     assert specs, chunk_plan
     assert all("doc_id" in s for s in specs), specs
+
+
+def test_round5_operator_plan_shapes(spark, sf_dir):
+    """Pin the scale claims of the round-5 operators:
+    - q_scrub_pii / q_text_normalize are pure per-row maps: no
+      Exchange, no Python;
+    - q_substring_dedup joins fingerprints, never a cartesian;
+    - q_knn_ivf_pq never sorts globally (shortlist + top-k are
+      TakeOrderedAndProject) and keeps Python to the Arrow encode."""
+    from fraud_detection_spark.plans.checks import assert_no_cartesian, formatted_plan
+    from fraud_detection_spark.registry import load_all
+
+    reg = load_all()
+    for name in ("q_scrub_pii", "q_text_normalize"):
+        plan = formatted_plan(reg[name].fn(spark, sf_dir))
+        assert "Exchange" not in plan, f"{name} shuffles:\n{plan}"
+        assert "BatchEvalPython" not in plan, plan
+
+    assert_no_cartesian(reg["q_substring_dedup"].fn(spark, sf_dir))
+
+    pq_plan = formatted_plan(reg["q_knn_ivf_pq"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in pq_plan, pq_plan
+    assert "TakeOrderedAndProject" in pq_plan, pq_plan
+    assert "BatchEvalPython" not in pq_plan, pq_plan
+    assert "MapInPandas" in pq_plan or "ArrowEvalPython" in pq_plan, pq_plan
