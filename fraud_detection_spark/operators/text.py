@@ -441,44 +441,60 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     profile used to catch boilerplate/templates that whole-document
     near-dup misses.
 
-    Scale: one explode (posexplode — word rows, not gram pairs), a
-    per-document window (PARTITIONED by doc_id — never global), one
-    (doc, chunk) aggregate whose ordered word-list stays chunk-local
-    (~10¹ words), then a group-by on 8-byte fingerprints. Chunk TEXT
-    never shuffles — only fingerprints and counts do."""
-    d = load_table(spark, sf_dir, "documents")
-    from pyspark.sql.window import Window
+    Scale: chunking is DOC-LOCAL (boundaries, fingerprints and word
+    counts never need another row), so the whole chunking stage is ONE
+    zero-shuffle Arrow pass — the q_repetition lesson applied again:
+    the first-working JVM shape (posexplode → per-doc window running
+    sum → (doc, chunk) collect_list aggregate → fingerprint fold) was
+    measured ~2x slower at sf0.1, paying two exchanges and a window
+    sort to recompute per-doc-local state. A word-level lru dict
+    (Zipfian vocabulary, as in the BPE pass) caches the md5 trigger
+    bit + value per distinct word. The only shuffle is the final
+    group-by on 8-byte fingerprints; chunk TEXT never shuffles.
+    All arithmetic is exact int64 (md5 prefix, rolling-hash mod
+    prime), bit-matching the SQL oracle."""
+    import hashlib
 
-    p = d.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "w")
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "w")
-    trigger = (
-        F.conv(F.substring(F.md5("w"), 1, 2), 16, 10).cast("int") % _CDC_MOD == 0
-    ).cast("int")
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    c = p.withColumn("chunk_id", F.sum(trigger).over(win))
-    f = c.groupBy("doc_id", "chunk_id").agg(
-        F.count("*").alias("n_words"),
-        F.array_sort(
-            F.collect_list(
-                F.struct("pos", (F.ascii("w") + F.length("w")).cast("bigint").alias("v"))
-            )
-        ).alias("pv"),
-    )
-    vals = F.transform(F.col("pv"), lambda s: s["v"])
-    fp_hash = F.aggregate(
-        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
-        F.element_at(vals, 1),
-        lambda h, x: (h * 31 + x) % _FP_PRIME,
-    )
-    g = f.select(
-        "doc_id",
-        "n_words",
-        (fp_hash * 1000 + F.least(F.col("n_words"), F.lit(999))).alias("chunk_fp"),
+    import pandas as pd
+
+    def chunks(batches):
+        cache: dict[str, tuple[bool, int]] = {}
+        for pdf in batches:
+            fps, docs, ns = [], [], []
+            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+                h = n = 0
+                started = False
+                for w in t.split(" "):
+                    tv = cache.get(w)
+                    if tv is None:
+                        trig = (
+                            int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+                            % _CDC_MOD
+                            == 0
+                        )
+                        val = (ord(w[0]) if w else 0) + len(w)
+                        tv = (trig, val)
+                        cache[w] = tv
+                    trig, val = tv
+                    if trig and started:  # trigger word OPENS a new chunk
+                        fps.append(h * 1000 + min(n, 999))
+                        docs.append(doc_id)
+                        ns.append(n)
+                        started = False
+                    if not started:
+                        h, n, started = val, 1, True
+                    else:
+                        h = (h * 31 + val) % _FP_PRIME
+                        n += 1
+                if started:
+                    fps.append(h * 1000 + min(n, 999))
+                    docs.append(doc_id)
+                    ns.append(n)
+            yield pd.DataFrame({"chunk_fp": fps, "doc_id": docs, "n_words": ns})
+
+    d = load_table(spark, sf_dir, "documents")
+    g = d.select("doc_id", "text").mapInPandas(
+        chunks, schema="chunk_fp bigint, doc_id bigint, n_words bigint"
     )
     return (
         g.groupBy("chunk_fp")

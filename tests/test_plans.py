@@ -71,8 +71,9 @@ def test_round4_operator_plan_shapes(spark, sf_dir):
     - q_bpe_tokens / q_pq_encode are ONE Arrow pass: no Exchange at all;
     - q_unigram_nll broadcasts the vocabulary table (never shuffles the
       token stream against it) and keeps scoring JVM-side;
-    - q_chunk_dedup's window is partitioned by doc_id (no global
-      single-partition window)."""
+    - q_chunk_dedup is one Arrow chunking pass + one fingerprint
+      group-by: exactly one Exchange, no window at all (the doc-local
+      rewrite, round 5)."""
     from fraud_detection_spark.plans.checks import (
         assert_broadcast_join,
         formatted_plan,
@@ -89,14 +90,17 @@ def test_round4_operator_plan_shapes(spark, sf_dir):
     assert_broadcast_join(nll)
     assert "BatchEvalPython" not in formatted_plan(nll)
 
-    chunk_plan = formatted_plan(reg["q_chunk_dedup"].fn(spark, sf_dir))
-    assert "Window" in chunk_plan
-    # the window's partition spec must reference doc_id (no global window)
     import re
 
-    specs = re.findall(r"windowspecdefinition\((.*?)\)", chunk_plan)
-    assert specs, chunk_plan
-    assert all("doc_id" in s for s in specs), specs
+    chunk_plan = formatted_plan(reg["q_chunk_dedup"].fn(spark, sf_dir))
+    assert "Window" not in chunk_plan, chunk_plan
+    assert "MapInPandas" in chunk_plan or "ArrowEvalPython" in chunk_plan, chunk_plan
+    # only the fingerprint aggregation shuffles (2 exchanges: the
+    # count-distinct two-phase agg); TakeOrdered handles the top-20
+    # without a global sort exchange
+    n_exchange = len(re.findall(r"\(\d+\) Exchange", chunk_plan))
+    assert n_exchange <= 2, chunk_plan
+    assert "TakeOrderedAndProject" in chunk_plan, chunk_plan
 
 
 def test_round5_operator_plan_shapes(spark, sf_dir):
