@@ -277,3 +277,81 @@ def test_repetition_flag_gated_and_rounded(spark, tmp_path):
             or (r["n_words"] >= _TOP2_MIN_WORDS and r["top2gram_share"] > _TOP2_MAX)
         )
         assert r["repetitive"] == expect, r
+
+
+def test_substring_dedup_matches_python_oracle(spark, sf_dir):
+    """Third implementation: a direct python replay of the span-dedup
+    definition (slots whose 8-gram occurs in >1 doc) must match the
+    Spark result — catching any error the Spark and DuckDB twins might
+    share by construction."""
+    from collections import Counter, defaultdict
+
+    from fraud_detection_spark.registry import load_all
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    gram_docs = defaultdict(set)
+    doc_grams = {}
+    for r in docs.itertuples():
+        w = r.text.split(" ")
+        grams = [" ".join(w[i : i + 8]) for i in range(len(w) - 7)]
+        doc_grams[r.doc_id] = grams
+        for g in grams:
+            gram_docs[g].add(r.doc_id)
+    got = {
+        r["doc_id"]: r
+        for r in load_all()["q_substring_dedup"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(docs.doc_id)
+    for doc_id, grams in doc_grams.items():
+        n_dup = sum(1 for g in grams if len(gram_docs[g]) >= 2)
+        assert got[doc_id]["n_gram_slots"] == len(grams), doc_id
+        assert got[doc_id]["n_dup_slots"] == n_dup, doc_id
+        assert got[doc_id]["has_dup"] == (1 if n_dup else 0), doc_id
+    # the corpus must exercise both outcomes for the test to mean much
+    assert any(r["has_dup"] == 1 for r in got.values())
+    assert any(r["has_dup"] == 0 for r in got.values())
+
+
+def _levenshtein_py(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_distance_matches_python_dp(spark, sf_dir):
+    """Third implementation: classic DP Levenshtein on the emitted
+    pairs' raw texts must equal both engines' builtin."""
+    from fraud_detection_spark.registry import load_all
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")["text"]
+    rows = load_all()["q_edit_distance"].fn(spark, sf_dir).collect()
+    assert rows, "no candidate pairs at this sf; fixture degenerate"
+    for r in rows:
+        a, b = docs[r["doc_a"]], docs[r["doc_b"]]
+        want = _levenshtein_py(a, b)
+        assert r["lev"] == want, (r["doc_a"], r["doc_b"], r["lev"], want)
+
+
+def test_text_normalize_idempotent_and_reference(spark, sf_dir):
+    """normalize(normalize(x)) == normalize(x), and a python re replay
+    reproduces the md5 of every normalized doc."""
+    import hashlib
+    import re as _re
+
+    from fraud_detection_spark.registry import load_all
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in load_all()["q_text_normalize"].fn(spark, sf_dir).collect()
+    }
+    for r in docs.itertuples():
+        norm = _re.sub(" +", " ", _re.sub(r"[^a-z0-9 ]", "", r.text.lower())).strip()
+        again = _re.sub(" +", " ", _re.sub(r"[^a-z0-9 ]", "", norm.lower())).strip()
+        assert norm == again, r.doc_id  # idempotent
+        assert got[r.doc_id]["norm_md5"] == hashlib.md5(norm.encode()).hexdigest()
+        assert got[r.doc_id]["n_chars_norm"] == len(norm.encode())
