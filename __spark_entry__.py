@@ -50,58 +50,39 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Declared-query ordering: the driver's per-round correctness check
-# samples a prefix of this dict, so queries whose oracle parity has not
-# yet been independently driver-verified are listed FIRST — a rotation
-# that converts locally-green-only queries into driver-green rows each
-# round (rounds 1-4 took the ever-green set from 83 to 122 of 143).
-# Round 5 closes the loop: the 13 oracle-checked queries with zero
-# driver evidence lead, then this round's hash-changing/new queries
-# (q_repetition + q_domain_mix_temp recompute flags from rounded
-# values per VERDICT r4 ¶6 / ADVICE pow note; q_knn_ivf_pq is new),
-# then the 8 rows-only queries that have never even had a driver
-# rows-count row, then re-verification slots for queries last green in
-# round 1 whose code paths this round touches (dedup/incremental,
-# curation, corpus).
-_SAMPLE_PRIORITY = [
-    # (a) oracle-checked, never sampled r1-r4 — q_range_join missed the
-    # r4 cut by one slot
-    "q_range_join", "q_cross_join", "q_posexplode", "q_map_ops",
-    "q_string_funcs", "q_date_funcs", "q_distinct_count", "q_null_funcs",
-    "q_case_bucket", "q_filter_combo", "q_first_last",
-    "q_scalar_subquery", "q_having",
-    # (b) changed or new this round — need fresh driver-green rows
-    "q_repetition", "q_domain_mix_temp", "q_knn_ivf_pq",
-    "q_substring_dedup", "q_scrub_pii", "q_edit_distance", "q_text_normalize",
-    "q_dedup_incremental",  # probe od!=nd fix (ADVICE r4)
-    # (c) rows-only queries with zero driver rows across r1-r4 — the
-    # driver records a rows-count/schema row (no_oracle), which is the
-    # strongest evidence these can get
-    "q_smote", "q_synth", "q_train_auc", "q_approx_distinct",
-    "q_approx_quantile", "q_knn_batch", "q_knn_ivf", "q_knn_ivf_coarse",
-    # (d) re-verification: r1-green queries sharing code with this
-    # round's edits, plus the longest-unverified oracle queries
-    "q_quality_score", "q_bm25", "q_lang_id", "q_fingerprint",
-    "q_dedup_exact", "q_dedup_jaccard", "q_dedup_simhash",
-    "q_dedup_embedding", "q_dedup_cluster", "q_chunk_dedup",
-    "q_decontaminate", "q_domain_mix", "q_sample_uniform",
-    "q_sample_stratified", "q_pack_sequences", "q_unigram_nll",
-    "q_bpe_tokens", "q_pq_encode", "q_tfidf", "q_token_count",
-    "q_multimodal", "q_groupby_count", "q_mean_std", "q_histogram",
-    "q_confusion", "q_auc",
-]
-# After round 5 every oracle-bearing query should have at least one
-# driver-green row and every rows-only query a driver rows row; from
-# round 6 on, rotate slots (d)-style onto whatever was verified longest
-# ago or changed in-round.
+# samples a prefix of this dict, so the ordering IS the verification
+# schedule. Rounds 1-5 hand-curated it (taking the ever-green set from
+# 83/143 to 148/148 with every oracle query driver-hash-green at least
+# once); from round 6 the schedule is computed from the cumulative
+# CORRECTNESS_r*.json history by fraud_detection_spark.rotation:
+# changed-and-unsampled first, then oldest-driver-green first among
+# queries NOT in the previous round's sample, previous-round sample
+# last — consecutive rounds verify disjoint sets. The only per-round
+# input is _TOUCHED_THIS_ROUND: queries whose implementation changed
+# in the current round (fresh driver evidence wanted soonest).
+_TOUCHED_THIS_ROUND = frozenset({
+    # round 6 edits (VERDICT r5 next-round items + ADVICE):
+    "q_quality_classifier",       # new operator (V#7)
+    "q_edit_distance",            # length-bound prefilter + cache drop (V#4)
+    "q_edit_distance_threshold",  # new thresholded variant (V#4)
+    "q_text_normalize",           # n_bytes_* rename (ADVICE)
+    "q_chunk_dedup",              # chunker profile outcome (V#5)
+    "q_media_features",           # stdlib image decode branch (V#3)
+    "q_multimodal",
+})
 
 
 def _ordered():
+    from pathlib import Path
+
     from fraud_detection_spark.registry import load_all
+    from fraud_detection_spark.rotation import compute_priority, load_history
 
     reg = load_all()
-    pri = [n for n in _SAMPLE_PRIORITY if n in reg]
-    rest = [n for n in reg if n not in set(pri)]
-    return {n: reg[n] for n in pri + rest}
+    order = compute_priority(
+        list(reg), load_history(Path(__file__).parent), _TOUCHED_THIS_ROUND
+    )
+    return {n: reg[n] for n in order}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
