@@ -70,6 +70,89 @@ def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _image_row_features(gray_rows: "object") -> list[float]:
+    """Shared image reduction: (H, W) grayscale array in [0, 1] ->
+    8 row-band means (band = H/8 consecutive rows), matching the PIL
+    branch's 8x8-thumbnail row means up to resampling kernel."""
+    import numpy as np
+
+    bands = np.array_split(np.asarray(gray_rows, dtype=np.float64), 8, axis=0)
+    return [float(b.mean()) if b.size else 0.0 for b in bands]
+
+
+def _decode_ppm_p6(payload: bytes) -> list[float]:
+    """Pure-stdlib binary-PPM (P6) decoder: header (magic, whitespace/
+    `#`-comment tokens, width height maxval<=255) + raw interleaved RGB
+    rows. Luma via ITU-R BT.601 -> 8 row-band mean features."""
+    import numpy as np
+
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a binary PPM (P6) payload")
+    # header tokenizer: whitespace-separated tokens, '#' starts a
+    # comment running to end-of-line; pixel data begins after exactly
+    # one whitespace byte following the maxval token
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if pos < len(payload) and payload[pos : pos + 1] == b"#":
+            eol = payload.find(b"\n", pos)
+            pos = len(payload) if eol < 0 else eol + 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        if start == pos:
+            raise ValueError("truncated PPM header")
+        tokens.append(payload[start:pos])
+    w, h, maxval = (int(t) for t in tokens)
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"unsupported PPM geometry {w}x{h} maxval={maxval}")
+    pos += 1  # the single whitespace byte that terminates the header
+    need = w * h * 3
+    raster = payload[pos : pos + need]
+    if len(raster) != need:
+        raise ValueError("truncated PPM raster")
+    rgb = np.frombuffer(raster, dtype=np.uint8).reshape(h, w, 3).astype(np.float64)
+    gray = (0.299 * rgb[:, :, 0] + 0.587 * rgb[:, :, 1] + 0.114 * rgb[:, :, 2]) / maxval
+    return _image_row_features(gray)
+
+
+def _decode_bmp(payload: bytes) -> list[float]:
+    """Pure-stdlib BMP decoder for the uncompressed 24bpp BITMAPINFOHEADER
+    common case: bottom-up rows padded to 4 bytes, BGR byte order.
+    Luma (BT.601) -> 8 row-band mean features."""
+    import struct
+
+    import numpy as np
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pix_off,) = struct.unpack_from("<I", payload, 10)
+    hdr_size, w, h = struct.unpack_from("<Iii", payload, 14)
+    planes, bpp = struct.unpack_from("<HH", payload, 26)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if hdr_size < 40 or planes != 1 or bpp != 24 or compression != 0:
+        raise NotImplementedError(
+            f"only uncompressed 24bpp BMP supported (bpp={bpp}, comp={compression})"
+        )
+    bottom_up = h > 0
+    h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"unsupported BMP geometry {w}x{h}")
+    stride = (w * 3 + 3) & ~3
+    need = stride * h
+    raster = payload[pix_off : pix_off + need]
+    if len(raster) != need:
+        raise ValueError("truncated BMP raster")
+    rows = np.frombuffer(raster, dtype=np.uint8).reshape(h, stride)[:, : w * 3]
+    bgr = rows.reshape(h, w, 3).astype(np.float64)
+    if bottom_up:
+        bgr = bgr[::-1]
+    gray = (0.114 * bgr[:, :, 0] + 0.587 * bgr[:, :, 1] + 0.299 * bgr[:, :, 2]) / 255.0
+    return _image_row_features(gray)
+
+
 def decode_media(payload: bytes, fmt: str) -> list[float]:
     """Real decoder entry point: decode the payload for its declared
     format and reduce to the 8-dim feature contract (FEATURE_SCHEMA).
@@ -78,8 +161,11 @@ def decode_media(payload: bytes, fmt: str) -> list[float]:
     - ``audio/wav``: stdlib ``wave`` — always available, genuinely
       decoded even in this codec-less container (8 segment-RMS
       features over amplitude-normalized samples);
-    - ``image/*``: PIL when installed (8x8 grayscale thumbnail ->
-      8 row-mean features), else NotImplementedError;
+    - ``image/x-portable-pixmap`` (binary PPM P6) and ``image/bmp``
+      (uncompressed 24bpp): pure-stdlib decoders — genuinely decoded
+      in this container, no PIL required;
+    - other ``image/*``: PIL when installed (8x8 grayscale thumbnail
+      -> 8 row-mean features), else NotImplementedError;
     - anything else (including ``text/plain``): NotImplementedError —
       callers fall back to fake_decode (see extract_features_auto).
     """
@@ -106,6 +192,10 @@ def decode_media(payload: bytes, fmt: str) -> list[float]:
             return [0.0] * 8
         segs = np.array_split(samples, 8)
         return [float(np.sqrt(np.mean(s * s))) if len(s) else 0.0 for s in segs]
+    if fmt in ("image/x-portable-pixmap", "image/ppm"):
+        return _decode_ppm_p6(payload)
+    if fmt == "image/bmp":
+        return _decode_bmp(payload)
     if fmt.startswith("image/"):
         try:
             from PIL import Image

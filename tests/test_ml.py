@@ -413,3 +413,112 @@ def test_extract_features_auto_dispatches_per_row(spark):
     }
     assert out[1] == pytest.approx(decode_media(wav, "audio/wav"))
     assert out[2] == pytest.approx(fake_decode(txt))
+
+
+def _make_ppm(w=16, h=16, comment=True):
+    """Binary P6 PPM: horizontal-band gradient (row r has gray value
+    proportional to r), with an optional header comment to exercise
+    the tokenizer."""
+    hdr = b"P6\n"
+    if comment:
+        hdr += b"# synthetic test image\n"
+    hdr += b"%d %d\n255\n" % (w, h)
+    raster = b"".join(
+        bytes([round(255 * r / (h - 1))] * 3) * w for r in range(h)
+    )
+    return hdr + raster
+
+
+def _make_bmp(w=5, h=8, top_down=False):
+    """Uncompressed 24bpp BMP, same horizontal-band gradient; w=5
+    forces row padding (stride 16 != 15)."""
+    import struct
+
+    stride = (w * 3 + 3) & ~3
+    rows = [
+        bytes([round(255 * r / (h - 1))] * 3) * w + b"\x00" * (stride - w * 3)
+        for r in range(h)
+    ]
+    if not top_down:
+        rows = rows[::-1]  # bottom-up storage order
+    raster = b"".join(rows)
+    header = b"BM" + struct.pack("<IHHI", 54 + len(raster), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+                       len(raster), 2835, 2835, 0, 0)
+    return header + info + raster
+
+
+def test_decode_media_ppm_is_real_no_pil():
+    """Stdlib P6 decoder genuinely decodes in this container: the
+    row-band gradient comes back as 8 increasing band means, nothing
+    like the byte-histogram fake (VERDICT r5 #3)."""
+    from fraud_detection_spark.operators.multimodal import decode_media, fake_decode
+
+    ppm = _make_ppm()
+    feats = decode_media(ppm, "image/x-portable-pixmap")
+    assert len(feats) == 8
+    # 16 rows -> 8 bands of 2 rows; band b mean = (v(2b)+v(2b+1))/2/255
+    expected = [
+        (round(255 * (2 * b) / 15) + round(255 * (2 * b + 1) / 15)) / 2 / 255
+        for b in range(8)
+    ]
+    assert feats == pytest.approx(expected, abs=1e-9)
+    assert feats == sorted(feats) and feats[0] < feats[-1]
+    assert feats != fake_decode(ppm)
+    assert decode_media(ppm, "image/ppm") == feats  # alias + deterministic
+
+
+def test_decode_media_bmp_is_real_no_pil():
+    """Stdlib BMP decoder: bottom-up padded rows come back in image
+    order (increasing band means), and a top-down (negative height)
+    payload decodes identically."""
+    from fraud_detection_spark.operators.multimodal import decode_media
+
+    feats = decode_media(_make_bmp(), "image/bmp")
+    assert len(feats) == 8
+    expected = [round(255 * r / 7) / 255 for r in range(8)]
+    assert feats == pytest.approx(expected, abs=1e-9)
+    assert decode_media(_make_bmp(top_down=True), "image/bmp") == pytest.approx(
+        feats, abs=1e-9
+    )
+
+
+def test_decode_media_bmp_rejects_unsupported():
+    import pytest as _pytest
+
+    from fraud_detection_spark.operators.multimodal import decode_media
+
+    bad = bytearray(_make_bmp())
+    bad[28] = 8  # bpp=8 (palette) — out of scope
+    with _pytest.raises(NotImplementedError, match="24bpp"):
+        decode_media(bytes(bad), "image/bmp")
+
+
+def test_extract_features_auto_real_decodes_ppm_without_pil(spark):
+    """The auto-dispatch mapInPandas stage real-decodes a PPM row with
+    NO PIL in the container — image decode is genuinely exercised
+    end-to-end through the Spark plumbing (VERDICT r5 #3 done-gate)."""
+    from fraud_detection_spark.operators.multimodal import (
+        FEATURE_SCHEMA,
+        decode_media,
+        extract_features_auto,
+        fake_decode,
+    )
+
+    ppm, bmp, txt = _make_ppm(), _make_bmp(), b"plain text payload"
+    df = spark.createDataFrame(
+        [
+            (1, bytearray(ppm), "image/x-portable-pixmap"),
+            (2, bytearray(bmp), "image/bmp"),
+            (3, bytearray(txt), "text/plain"),
+        ],
+        schema="doc_id bigint, payload binary, fmt string",
+    )
+    out = {
+        r["doc_id"]: [r[f"f{i}"] for i in range(8)]
+        for r in df.mapInPandas(extract_features_auto, schema=FEATURE_SCHEMA).collect()
+    }
+    assert out[1] == pytest.approx(decode_media(ppm, "image/x-portable-pixmap"))
+    assert out[2] == pytest.approx(decode_media(bmp, "image/bmp"))
+    assert out[3] == pytest.approx(fake_decode(txt))
+    assert out[1] != pytest.approx(fake_decode(ppm))
