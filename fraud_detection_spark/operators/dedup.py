@@ -318,9 +318,12 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking; document TEXT is joined back for candidate pairs only
     (the one family member that must touch raw text, since edit
     distance is defined on it). Both engines run the classic
-    Levenshtein — integer-exact, so the oracle is hash-exact."""
+    Levenshtein — integer-exact, so the oracle is hash-exact. The
+    sketch is NOT cached: unlike q_dedup_jaccard (three consumers),
+    here it feeds only the key explode — the text join-back reads
+    ``d`` — so a cache would pin executor memory for zero reuse."""
     d = load_table(spark, sf_dir, "documents").repartition("doc_id")
-    s = jaccard_sketch_docs(d, k=_JACCARD_BLOCK_K).cache()
+    s = jaccard_sketch_docs(d, k=_JACCARD_BLOCK_K)
     keys = s.select("doc_id", F.explode("mk").alias("mk"))
     a = keys.select(F.col("doc_id").alias("doc_a"), F.col("mk"))
     b = keys.select(F.col("doc_id").alias("doc_b"), F.col("mk"))
@@ -347,6 +350,79 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("lev"), F.asc("doc_a"), F.asc("doc_b"))
         .limit(_EDIT_TOPK)
+    )
+
+
+_EDIT_DMAX = 64
+
+
+@query(
+    "q_edit_distance_threshold",
+    oracle=(
+        "WITH " + _JACCARD_CTES + " "
+        "SELECT doc_a, doc_b, CAST(levenshtein(x.text, y.text) AS BIGINT) AS lev, "
+        + sql_round(
+            "1.0 - CAST(levenshtein(x.text, y.text) AS DOUBLE) / "
+            "GREATEST(len(x.text), len(y.text))",
+            6,
+        )
+        + " AS sim FROM cand "
+        "JOIN documents x ON x.doc_id = cand.doc_a "
+        "JOIN documents y ON y.doc_id = cand.doc_b "
+        f"WHERE levenshtein(x.text, y.text) <= {_EDIT_DMAX}"
+    ),
+    tags=("dedup", "text", "similarity"),
+)
+def q_edit_distance_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded edit distance: ALL blocked candidate pairs with
+    lev <= d_max (the dedup-decision form of q_edit_distance — a pair
+    is a near-dup iff its edit distance is within budget).
+
+    The scale-standard cut (VERDICT r5 #4): levenshtein(a, b) >=
+    |len(a) - len(b)|, so candidate pairs carry 8-byte precomputed
+    lengths and the codegen'd ``abs(len_a - len_b) <= d_max`` filter
+    runs BEFORE the raw-text join-back — at sf0.01 it drops ~2/3 of
+    candidates without touching a byte of text, and the surviving
+    pairs use Spark's bounded 3-arg levenshtein (early-exits the DP
+    once the running minimum exceeds d_max). The length cut is implied
+    by the triangle inequality, so the oracle needs only the final
+    ``levenshtein <= d_max`` predicate — same rows by construction."""
+    d = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    s = jaccard_sketch_docs(d, k=_JACCARD_BLOCK_K)
+    keys = s.select("doc_id", F.explode("mk").alias("mk"))
+    a = keys.select(F.col("doc_id").alias("doc_a"), F.col("mk"))
+    b = keys.select(F.col("doc_id").alias("doc_b"), F.col("mk"))
+    cand = (
+        a.join(b, "mk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    la = d.select(F.col("doc_id").alias("doc_a"), F.length("text").alias("len_a"))
+    lb = d.select(F.col("doc_id").alias("doc_b"), F.length("text").alias("len_b"))
+    survivors = (
+        cand.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= _EDIT_DMAX)
+        .select("doc_a", "doc_b")
+    )
+    x = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    y = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    lev = F.levenshtein("ta", "tb", _EDIT_DMAX)
+    sim = F.lit(1.0) - F.col("lev").cast("double") / F.greatest(
+        F.length("ta"), F.length("tb")
+    )
+    return (
+        survivors.join(x, "doc_a")
+        .join(y, "doc_b")
+        .withColumn("lev", lev)
+        .filter(F.col("lev") >= 0)  # 3-arg levenshtein returns -1 past d_max
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("lev").cast("bigint").alias("lev"),
+            pround(sim, 6).alias("sim"),
+        )
     )
 
 

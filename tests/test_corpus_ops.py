@@ -355,3 +355,20 @@ def test_text_normalize_idempotent_and_reference(spark, sf_dir):
         assert norm == again, r.doc_id  # idempotent
         assert got[r.doc_id]["norm_md5"] == hashlib.md5(norm.encode()).hexdigest()
         assert got[r.doc_id]["n_chars_norm"] == len(norm.encode())
+
+
+def test_edit_distance_threshold_bound_and_dp(spark, sf_dir):
+    """Every emitted thresholded pair respects the d_max bound, the
+    length cut is implied (never excludes a true hit), and a classic
+    python DP replay reproduces every lev exactly."""
+    from fraud_detection_spark.operators.dedup import _EDIT_DMAX
+    from fraud_detection_spark.registry import load_all
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet").set_index("doc_id")["text"]
+    rows = load_all()["q_edit_distance_threshold"].fn(spark, sf_dir).collect()
+    assert rows, "no thresholded pairs at this sf; fixture degenerate"
+    for r in rows:
+        a, b = docs[r["doc_a"]], docs[r["doc_b"]]
+        assert r["lev"] <= _EDIT_DMAX
+        assert abs(len(a) - len(b)) <= _EDIT_DMAX  # triangle inequality held
+        assert r["lev"] == _levenshtein_py(a, b), (r["doc_a"], r["doc_b"])

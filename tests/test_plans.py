@@ -126,3 +126,43 @@ def test_round5_operator_plan_shapes(spark, sf_dir):
     assert "TakeOrderedAndProject" in pq_plan, pq_plan
     assert "BatchEvalPython" not in pq_plan, pq_plan
     assert "MapInPandas" in pq_plan or "ArrowEvalPython" in pq_plan, pq_plan
+
+
+def test_round6_edit_distance_threshold_plan(spark, sf_dir):
+    """Pin the VERDICT r5 #4 scale claims:
+    - q_edit_distance_threshold's codegen'd abs(len_a-len_b) cut sits
+      BELOW the raw-text join-back (candidates are pruned on 8-byte
+      lengths before any text is shuffled);
+    - the bounded 3-arg levenshtein is what touches text;
+    - q_edit_distance no longer caches its single-consumer sketch."""
+    import re
+
+    from fraud_detection_spark.registry import load_all
+
+    reg = load_all()
+    plan = (
+        reg["q_edit_distance_threshold"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    lines = plan.splitlines()
+    f_idx = [i for i, l in enumerate(lines) if "abs(" in l and "len_a" in l]
+    t_idx = [
+        i for i, l in enumerate(lines) if "Join" in l and re.search(r"\bta#", l)
+    ]
+    assert f_idx and t_idx, plan
+    # tree printing: deeper (earlier-executing) nodes have larger line
+    # numbers — the length filter must execute before the text join
+    assert min(f_idx) > max(t_idx), plan
+    assert "levenshtein(ta" in plan and str(64) in plan, plan
+
+    ed_plan = (
+        reg["q_edit_distance"]
+        .fn(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" not in ed_plan, ed_plan
