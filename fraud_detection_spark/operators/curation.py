@@ -546,3 +546,112 @@ def q_unigram_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("bigint").alias("n_tokens"),
         pround(F.col("nll_sum") / F.col("n_tokens"), 6).alias("mean_nll"),
     )
+
+
+# --- q_quality_classifier ---------------------------------------------
+
+# fastText-style hashed-bigram linear quality model (the standard
+# LLM-corpus quality-filter tier above the unigram-LM score: e.g. the
+# CCNet/LLaMA "page looks like a Wikipedia reference" classifier).
+# The model is FIXED published state, not trained here: bigrams hash
+# into _QC_BUCKETS buckets and bucket b carries weight
+#   w(b) = ((b * 1103515245 + 12345) mod 2^20) / 2^20 - 0.5
+# (an LCG step — deterministic, integer-exact in any engine, values
+# are dyadic rationals so every sum below is FP-exact). A real
+# deployment swaps in learned weights delivered the same way.
+_QC_BUCKETS = 256
+_QC_WEIGHTS = [
+    ((b * 1103515245 + 12345) % (1 << 20)) / float(1 << 20) - 0.5
+    for b in range(_QC_BUCKETS)
+]
+_QC_BIAS = 0.25
+_QC_SCALE = 4.0
+
+
+def _quality_classifier_sql() -> str:
+    wlist = "[" + ", ".join(repr(w) for w in _QC_WEIGHTS) + "]"
+    logit = f"{_QC_BIAS} + {_QC_SCALE} * wsum / GREATEST(n_bigrams, 1)"
+    prob = sql_round(f"1.0 / (1.0 + exp(-({logit})))", 6)
+    return (
+        "WITH tok AS (SELECT doc_id, "
+        "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x <> '') AS ws "
+        "FROM documents), "
+        "bg AS (SELECT doc_id, CASE WHEN len(ws) >= 2 THEN "
+        "list_transform(range(1, len(ws)), i -> ws[i] || '_' || ws[i + 1]) "
+        "ELSE CAST([] AS VARCHAR[]) END AS bgs FROM tok), "
+        "sc AS (SELECT doc_id, len(bgs) AS n_bigrams, "
+        "COALESCE(list_sum(list_transform(bgs, s -> "
+        f"{wlist}[CAST(CAST('0x' || substr(md5(s), 1, 8) AS BIGINT) % {_QC_BUCKETS} AS INT) + 1]"
+        ")), 0.0) AS wsum FROM bg) "
+        "SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams, "
+        f"{prob} AS quality_prob, "
+        f"CASE WHEN {prob} >= 0.5 THEN 1 ELSE 0 END AS keep "
+        "FROM sc"
+    )
+
+
+@query(
+    "q_quality_classifier",
+    oracle=_quality_classifier_sql(),
+    tags=("curation", "text", "quality"),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-bigram linear quality classifier (fastText-shape): per
+    document, hash every word bigram into a fixed bucket space, sum
+    the published bucket weights, squash mean-weight through a
+    sigmoid, threshold at 0.5 into a keep flag. The reference serves
+    the same fixed-weight linear-scorer shape over tabular features
+    (/root/reference/predict_single.py:30); here it runs over text at
+    corpus scale.
+
+    Scale: ZERO shuffles — tokenize/bigram/hash/score are doc-local
+    higher-order expressions inside one codegen'd projection, and the
+    weight vector rides along as a 256-double plan literal (the
+    broadcast-table delivery path: model state ships to executors with
+    the task, the corpus never moves; a bucket space too big for a
+    literal would swap to an F.broadcast join exactly like
+    q_unigram_nll's LM table). Hashing is the engine's portable
+    md5-prefix idiom (dedup.py q_dedup_simhash), so the oracle
+    reproduces every bucket bit-exactly; weights are dyadic rationals,
+    so doc-local left-to-right summation is FP-exact in both engines
+    and the 6-dp rounded sigmoid cannot flake."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
+    )
+    bgs = F.when(
+        F.size(ws) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - 1),
+            lambda i: F.concat(
+                F.element_at(ws, i.cast("int")),
+                F.lit("_"),
+                F.element_at(ws, (i + 1).cast("int")),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    warr = F.array(*[F.lit(w) for w in _QC_WEIGHTS])
+    bucket = lambda s: (  # noqa: E731 — portable md5-prefix bucket
+        F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("bigint")
+        % _QC_BUCKETS
+    )
+    wsum = F.aggregate(
+        bgs,
+        F.lit(0.0),
+        lambda acc, s: acc + F.element_at(warr, (bucket(s) + 1).cast("int")),
+    )
+    scored = d.select(
+        "doc_id",
+        F.size(bgs).cast("bigint").alias("n_bigrams"),
+        wsum.alias("wsum"),
+    )
+    logit = F.lit(_QC_BIAS) + F.lit(_QC_SCALE) * F.col("wsum") / F.greatest(
+        F.col("n_bigrams"), F.lit(1)
+    )
+    prob = pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        prob.alias("quality_prob"),
+        F.when(prob >= 0.5, 1).otherwise(0).alias("keep"),
+    )

@@ -372,3 +372,39 @@ def test_edit_distance_threshold_bound_and_dp(spark, sf_dir):
         assert r["lev"] <= _EDIT_DMAX
         assert abs(len(a) - len(b)) <= _EDIT_DMAX  # triangle inequality held
         assert r["lev"] == _levenshtein_py(a, b), (r["doc_a"], r["doc_b"])
+
+
+def test_quality_classifier_matches_python_reference(spark, sf_dir):
+    """Third implementation: pure-python md5 bucketing + LCG weights
+    reproduce every doc's n_bigrams, 6-dp prob, and keep flag."""
+    import hashlib
+    import math
+    import re as _re
+
+    from fraud_detection_spark.operators.curation import (
+        _QC_BIAS,
+        _QC_BUCKETS,
+        _QC_SCALE,
+        _QC_WEIGHTS,
+    )
+    from fraud_detection_spark.registry import load_all
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    got = {
+        r["doc_id"]: r
+        for r in load_all()["q_quality_classifier"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(docs)
+    for rec in docs.itertuples():
+        ws = [w for w in _re.split(r"[^a-z0-9]+", rec.text.lower()) if w]
+        bgs = [f"{a}_{b}" for a, b in zip(ws, ws[1:])]
+        wsum = 0.0
+        for s in bgs:
+            b = int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % _QC_BUCKETS
+            wsum += _QC_WEIGHTS[b]
+        logit = _QC_BIAS + _QC_SCALE * wsum / max(len(bgs), 1)
+        prob = math.floor(1.0 / (1.0 + math.exp(-logit)) * 1e6 + 0.5) / 1e6
+        r = got[rec.doc_id]
+        assert r["n_bigrams"] == len(bgs)
+        assert r["quality_prob"] == pytest.approx(prob, abs=1e-9), rec.doc_id
+        assert r["keep"] == (1 if prob >= 0.5 else 0)

@@ -166,3 +166,17 @@ def test_round6_edit_distance_threshold_plan(spark, sf_dir):
         .toString()
     )
     assert "InMemoryTableScan" not in ed_plan, ed_plan
+
+
+def test_round6_quality_classifier_zero_shuffle(spark, sf_dir):
+    """q_quality_classifier's scale claim: the whole hashed-bigram
+    linear model is one codegen'd doc-local projection — no Exchange,
+    no Python worker, weight vector as a plan literal."""
+    from fraud_detection_spark.plans.checks import formatted_plan
+    from fraud_detection_spark.registry import load_all
+
+    plan = formatted_plan(
+        load_all()["q_quality_classifier"].fn(spark, sf_dir)
+    )
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
