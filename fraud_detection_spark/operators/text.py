@@ -447,54 +447,28 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first-working JVM shape (posexplode → per-doc window running
     sum → (doc, chunk) collect_list aggregate → fingerprint fold) was
     measured ~2x slower at sf0.1, paying two exchanges and a window
-    sort to recompute per-doc-local state. A word-level lru dict
-    (Zipfian vocabulary, as in the BPE pass) caches the md5 trigger
+    sort to recompute per-doc-local state. A word-level CAPPED dict
+    (clear-at-cap, bound _CDC_CACHE_CAP entries ≈ tens of MB worst
+    case — on the Zipfian vocabulary the hot head repopulates in a few
+    thousand words after a clear, so the hit rate survives; a
+    high-cardinality real vocabulary just cycles the cache instead of
+    growing executor memory without bound) memoizes the md5 trigger
     bit + value per distinct word. The only shuffle is the final
     group-by on 8-byte fingerprints; chunk TEXT never shuffles.
     All arithmetic is exact int64 (md5 prefix, rolling-hash mod
-    prime), bit-matching the SQL oracle."""
-    import hashlib
+    prime), bit-matching the SQL oracle.
 
-    import pandas as pd
-
-    def chunks(batches):
-        cache: dict[str, tuple[bool, int]] = {}
-        for pdf in batches:
-            fps, docs, ns = [], [], []
-            for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
-                h = n = 0
-                started = False
-                for w in t.split(" "):
-                    tv = cache.get(w)
-                    if tv is None:
-                        trig = (
-                            int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
-                            % _CDC_MOD
-                            == 0
-                        )
-                        val = (ord(w[0]) if w else 0) + len(w)
-                        tv = (trig, val)
-                        cache[w] = tv
-                    trig, val = tv
-                    if trig and started:  # trigger word OPENS a new chunk
-                        fps.append(h * 1000 + min(n, 999))
-                        docs.append(doc_id)
-                        ns.append(n)
-                        started = False
-                    if not started:
-                        h, n, started = val, 1, True
-                    else:
-                        h = (h * 31 + val) % _FP_PRIME
-                        n += 1
-                if started:
-                    fps.append(h * 1000 + min(n, 999))
-                    docs.append(doc_id)
-                    ns.append(n)
-            yield pd.DataFrame({"chunk_fp": fps, "doc_id": docs, "n_words": ns})
-
+    Round-6 profile (VERDICT r5 #5, sf0.1 replicated ×10 = 50k docs,
+    single worker): this per-word loop 1.27-1.36 s vs a fully
+    vectorized split/factorize/segment-reduceat numpy formulation
+    1.37 s (and 6.2 s with sort-based np.unique — object-dtype
+    uniquing dominates). The memoized loop wins, so it stays; the
+    vectorized form is kept bit-equal under test as the fallback shape
+    for a corpus whose vocabulary defeats memoization
+    (tests/test_corpus_ops.py::test_cdc_chunkers_bit_equal)."""
     d = load_table(spark, sf_dir, "documents")
     g = d.select("doc_id", "text").mapInPandas(
-        chunks, schema="chunk_fp bigint, doc_id bigint, n_words bigint"
+        _cdc_chunk_batches, schema="chunk_fp bigint, doc_id bigint, n_words bigint"
     )
     return (
         g.groupBy("chunk_fp")
@@ -505,6 +479,124 @@ def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_occ"), F.asc("chunk_fp"))
         .limit(20)
+    )
+
+
+_CDC_CACHE_CAP = 1 << 18
+
+
+def _cdc_chunk_batches(batches):
+    """Arrow-batch CDC chunker (q_chunk_dedup's hot path): per-word
+    memoized loop; see q_chunk_dedup's docstring for the cache bound
+    and the measured comparison against _cdc_chunk_vectorized."""
+    import hashlib
+
+    import pandas as pd
+
+    cache: dict[str, tuple[bool, int]] = {}
+    for pdf in batches:
+        fps, docs, ns = [], [], []
+        for doc_id, t in zip(pdf["doc_id"], pdf["text"]):
+            h = n = 0
+            started = False
+            for w in t.split(" "):
+                tv = cache.get(w)
+                if tv is None:
+                    if len(cache) >= _CDC_CACHE_CAP:
+                        cache.clear()
+                    trig = (
+                        int(hashlib.md5(w.encode()).hexdigest()[:2], 16)
+                        % _CDC_MOD
+                        == 0
+                    )
+                    val = (ord(w[0]) if w else 0) + len(w)
+                    tv = (trig, val)
+                    cache[w] = tv
+                trig, val = tv
+                if trig and started:  # trigger word OPENS a new chunk
+                    fps.append(h * 1000 + min(n, 999))
+                    docs.append(doc_id)
+                    ns.append(n)
+                    started = False
+                if not started:
+                    h, n, started = val, 1, True
+                else:
+                    h = (h * 31 + val) % _FP_PRIME
+                    n += 1
+            if started:
+                fps.append(h * 1000 + min(n, 999))
+                docs.append(doc_id)
+                ns.append(n)
+        yield pd.DataFrame({"chunk_fp": fps, "doc_id": docs, "n_words": ns})
+
+
+def _cdc_chunk_vectorized(pdf):
+    """Vectorized twin of _cdc_chunk_batches (one pandas frame in, one
+    out): chunk starts are exactly doc-start ∪ trigger positions, and
+    the rolling hash folds to Σ val_i·31^(L-1-i) mod p, so the whole
+    chunker is factorize + cumsum/segment bookkeeping + one reduceat.
+    Measured a dead heat with the memoized loop on the Zipfian corpus
+    (q_chunk_dedup docstring) — kept bit-equal under test as the shape
+    to swap in if a real vocabulary defeats the word cache."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    empty = pd.DataFrame(
+        {
+            "chunk_fp": pd.Series(dtype="int64"),
+            "doc_id": pd.Series(dtype="int64"),
+            "n_words": pd.Series(dtype="int64"),
+        }
+    )
+    doc_ids = pdf["doc_id"].to_numpy()
+    word_lists = [t.split(" ") for t in pdf["text"]]
+    doc_lens = np.fromiter(
+        (len(wl) for wl in word_lists), dtype=np.int64, count=len(word_lists)
+    )
+    if len(word_lists) == 0 or doc_lens.sum() == 0:
+        return empty
+    flat = np.asarray([w for wl in word_lists for w in wl], dtype=object)
+    inv, uniq = pd.factorize(flat, sort=False)  # hash-based: O(n), not O(n log n)
+    utrig = np.fromiter(
+        (
+            int(hashlib.md5(w.encode()).hexdigest()[:2], 16) % _CDC_MOD == 0
+            for w in uniq
+        ),
+        dtype=bool,
+        count=len(uniq),
+    )
+    uval = np.fromiter(
+        ((ord(w[0]) if w else 0) + len(w) for w in uniq),
+        dtype=np.int64,
+        count=len(uniq),
+    )
+    val = uval[inv]
+    n_total = len(flat)
+    chunk_start = utrig[inv].copy()
+    chunk_start[0] = True
+    chunk_start[np.cumsum(doc_lens)[:-1]] = True  # every doc opens a chunk
+    seg = np.cumsum(chunk_start) - 1
+    idx = np.arange(n_total)
+    seg_start = idx[chunk_start]
+    pos = idx - seg_start[seg]
+    seg_len = np.diff(np.append(seg_start, n_total))
+    max_len = int(seg_len.max())
+    pw = np.empty(max_len, dtype=np.int64)
+    pw[0] = 1
+    for i in range(1, max_len):
+        pw[i] = (pw[i - 1] * 31) % _FP_PRIME
+    # per-term products stay < p·p < 2^60; reduceat sums < L·p, both in int64
+    terms = (val * pw[seg_len[seg] - 1 - pos]) % _FP_PRIME
+    sums = np.add.reduceat(terms, seg_start) % _FP_PRIME
+    doc_index = np.repeat(np.arange(len(doc_lens)), doc_lens)
+    return pd.DataFrame(
+        {
+            "chunk_fp": sums * 1000 + np.minimum(seg_len, 999),
+            "doc_id": doc_ids[doc_index[seg_start]],
+            "n_words": seg_len,
+        }
     )
 
 

@@ -408,3 +408,53 @@ def test_quality_classifier_matches_python_reference(spark, sf_dir):
         assert r["n_bigrams"] == len(bgs)
         assert r["quality_prob"] == pytest.approx(prob, abs=1e-9), rec.doc_id
         assert r["keep"] == (1 if prob >= 0.5 else 0)
+
+
+def test_cdc_chunkers_bit_equal(sf_dir):
+    """The memoized-loop chunker (active) and the vectorized
+    factorize/reduceat twin (the documented high-cardinality fallback)
+    produce identical (chunk_fp, doc_id, n_words) multisets — so
+    swapping them can never change q_chunk_dedup's answer."""
+    from fraud_detection_spark.operators.text import (
+        _cdc_chunk_batches,
+        _cdc_chunk_vectorized,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    key = ["doc_id", "chunk_fp", "n_words"]
+    a = (
+        pd.concat(list(_cdc_chunk_batches([docs])))
+        .astype("int64")
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    b = (
+        _cdc_chunk_vectorized(docs)
+        .astype("int64")
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert len(a) and a.equals(b)
+    # degenerate frames
+    assert len(_cdc_chunk_vectorized(docs.iloc[0:0])) == 0
+
+
+def test_cdc_cache_cap_does_not_change_output(sf_dir, monkeypatch):
+    """The clear-at-cap word cache is a pure memo: forcing constant
+    eviction (cap=1) must not change a single fingerprint."""
+    import fraud_detection_spark.operators.text as text_mod
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    key = ["doc_id", "chunk_fp", "n_words"]
+    base = (
+        pd.concat(list(text_mod._cdc_chunk_batches([docs])))
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    monkeypatch.setattr(text_mod, "_CDC_CACHE_CAP", 1)
+    capped = (
+        pd.concat(list(text_mod._cdc_chunk_batches([docs])))
+        .sort_values(key)
+        .reset_index(drop=True)
+    )
+    assert base.equals(capped)
