@@ -653,8 +653,8 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH n AS (SELECT doc_id, text, "
         "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), "
         "' +', ' ', 'g')) AS norm FROM documents) "
-        "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_chars_raw, "
-        "CAST(strlen(norm) AS BIGINT) AS n_chars_norm, "
+        "SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes_raw, "
+        "CAST(strlen(norm) AS BIGINT) AS n_bytes_norm, "
         "md5(norm) AS norm_md5 FROM n"
     ),
     tags=("text", "curation", "normalize"),
@@ -662,8 +662,10 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization — the cleaning pass every corpus pipeline
     runs before dedup/tokenization: lowercase, strip everything outside
-    [a-z0-9 ], collapse whitespace runs, trim. Emits before/after char
-    counts and the md5 of the normalized text, so the oracle checks the
+    [a-z0-9 ], collapse whitespace runs, trim. Emits before/after BYTE
+    counts (octet_length / DuckDB strlen — named n_bytes_* so non-ASCII
+    corpora aren't misread as character counts) and the md5 of the
+    normalized text, so the oracle checks the
     ENTIRE rewritten document, not summary stats. (Unicode NFC/NFKC is
     deliberately out: Spark and DuckDB disagree on normalization-form
     builtins, so a production NFC pass belongs in an Arrow stage like
@@ -682,7 +684,7 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.octet_length("text").cast("bigint").alias("n_chars_raw"),
-        F.octet_length(norm).cast("bigint").alias("n_chars_norm"),
+        F.octet_length("text").cast("bigint").alias("n_bytes_raw"),
+        F.octet_length(norm).cast("bigint").alias("n_bytes_norm"),
         F.md5(norm).alias("norm_md5"),
     )

@@ -354,7 +354,7 @@ def test_text_normalize_idempotent_and_reference(spark, sf_dir):
         again = _re.sub(" +", " ", _re.sub(r"[^a-z0-9 ]", "", norm.lower())).strip()
         assert norm == again, r.doc_id  # idempotent
         assert got[r.doc_id]["norm_md5"] == hashlib.md5(norm.encode()).hexdigest()
-        assert got[r.doc_id]["n_chars_norm"] == len(norm.encode())
+        assert got[r.doc_id]["n_bytes_norm"] == len(norm.encode())
 
 
 def test_edit_distance_threshold_bound_and_dp(spark, sf_dir):

@@ -31,8 +31,15 @@ def test_headline_plan_fingerprints(spark, sf_dir):
         got[name] = plan_fingerprint(R[name].fn(spark, sf_dir))
 
     if os.environ.get("SPARK_GRAFT_REGEN_PLAN_FP") == "1":
+        from fraud_detection_spark.plans.fingerprint import FINGERPRINT_CONVENTION
+
         with open(FP_PATH, "w") as f:
-            json.dump(got, f, indent=1, sort_keys=True)
+            json.dump(
+                {"_convention": FINGERPRINT_CONVENTION, **got},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
         return
 
     assert os.path.exists(FP_PATH), (
