@@ -688,3 +688,45 @@ def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.octet_length(norm).cast("bigint").alias("n_bytes_norm"),
         F.md5(norm).alias("norm_md5"),
     )
+
+
+@query(
+    "q_token_fertility",
+    oracle=(
+        "SELECT lang, "
+        "CAST(SUM(strlen(text)) AS BIGINT) AS n_bytes, "
+        "CAST(SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) "
+        "AS n_tokens, "
+        + sql_round(
+            "CAST(SUM(strlen(text)) AS DOUBLE) / "
+            "SUM(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')))",
+            6,
+        )
+        + " AS bytes_per_token FROM documents GROUP BY lang"
+    ),
+    tags=("text", "tokenize", "agg"),
+)
+def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: bytes of raw text per
+    pre-tokenizer token (q_token_count's BPE-ish regex) — the
+    compression-ratio number a training pipeline budgets token counts
+    and per-language sampling temperatures with (fertility imbalance
+    is the standard signal that a tokenizer under-serves a language).
+
+    Scale: per-row codegen'd regexp count + one map-side-combinable
+    group-by on the tiny lang key; integer sums are exact, the ratio
+    is one rounded division at the end."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.regexp_extract_all("text", F.lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), 0))
+    g = d.groupBy("lang").agg(
+        F.sum(F.octet_length("text")).cast("bigint").alias("n_bytes"),
+        F.sum(n_tok).cast("bigint").alias("n_tokens"),
+    )
+    return g.select(
+        "lang",
+        "n_bytes",
+        "n_tokens",
+        pround(F.col("n_bytes").cast("double") / F.col("n_tokens"), 6).alias(
+            "bytes_per_token"
+        ),
+    )
