@@ -64,6 +64,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     # round 6 edits (VERDICT r5 next-round items + ADVICE):
     "q_quality_classifier",       # new operator (V#7)
     "q_token_fertility",          # new operator (bytes/token by lang)
+    "q_semdedup",                 # new operator (SemDeDup cluster-blocked)
     "q_edit_distance",            # length-bound prefilter + cache drop (V#4)
     "q_edit_distance_threshold",  # new thresholded variant (V#4)
     "q_text_normalize",           # n_bytes_* rename (ADVICE)

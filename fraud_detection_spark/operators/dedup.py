@@ -848,3 +848,118 @@ def q_dedup_doc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_keeper"),
     )
+
+
+# --- q_semdedup -------------------------------------------------------
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup that
+# makes embedding pairwise comparison tractable by k-means-clustering
+# the embeddings first and only comparing WITHIN a cluster. Here the
+# cluster step reuses q_centroid_assign's deterministic fixed-centroid
+# assignment (first k vectors as centroids — model state an oracle can
+# reproduce); a vector is dropped when a LOWER-id vector in its cluster
+# has cosine similarity >= the threshold (deterministic keeper rule in
+# place of the paper's keep-random choice).
+_SEM_TAU = 0.45
+_SEM_K = 8
+
+
+def _semdedup_cluster(pdf):
+    """Per-cluster pairwise cosine + keeper rule, vectorized across the
+    pair matrix but DIMENSION-SEQUENTIAL in the accumulation (acc +=
+    x_d*y_d per dim), so every dot/norm reproduces the left-to-right
+    fold of Spark's zip_with/aggregate and DuckDB's
+    list_cosine_similarity bit-for-bit; the 6-dp pround twin
+    (floor(x*1e6+0.5)/1e6) is applied before thresholding exactly as
+    in both engines."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    emb = np.stack(pdf["emb"].to_numpy()).astype(np.float64)
+    n, dims = emb.shape
+    dots = np.zeros((n, n))
+    sq = np.zeros(n)
+    for d in range(dims):
+        col = emb[:, d]
+        dots += col[:, None] * col[None, :]
+        sq += col * col
+    nrm = np.sqrt(sq)
+    cos = np.floor((dots / (nrm[:, None] * nrm[None, :])) * 1e6 + 0.5) / 1e6
+    tril = np.tril(cos >= _SEM_TAU, k=-1)  # [i, j<i] similar pairs
+    dropped = tril.any(axis=1)
+    return pd.DataFrame(
+        {
+            "vec_id": pdf["vec_id"],
+            "cluster": pdf["cluster"].astype("int64"),
+            "keep": (~dropped).astype("int32"),
+        }
+    )
+
+
+@query(
+    "q_semdedup",
+    oracle=(
+        "WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS ce "
+        f"FROM embeddings WHERE vec_id < {_SEM_K}), "
+        "d AS (SELECT e.vec_id, c.cid, "
+        + sql_round("list_distance(CAST(e.embedding AS DOUBLE[]), c.ce)", 6)
+        + " AS dist FROM embeddings e CROSS JOIN c), "
+        "r AS (SELECT vec_id, cid, "
+        "ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn FROM d), "
+        "a AS (SELECT r.vec_id, r.cid AS cluster, "
+        "CAST(e.embedding AS DOUBLE[]) AS emb "
+        "FROM r JOIN embeddings e USING (vec_id) WHERE rn = 1), "
+        "dr AS (SELECT DISTINCT i.vec_id FROM a i "
+        "JOIN a j ON i.cluster = j.cluster AND j.vec_id < i.vec_id "
+        "WHERE " + sql_round("list_cosine_similarity(i.emb, j.emb)", 6)
+        + f" >= {_SEM_TAU}) "
+        "SELECT a.vec_id, CAST(a.cluster AS BIGINT) AS cluster, "
+        "CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END AS keep "
+        "FROM a LEFT JOIN dr ON a.vec_id = dr.vec_id"
+    ),
+    tags=("dedup", "embedding", "clustering", "similarity"),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cluster-then-compare semantic dedup over embeddings —
+    every vector labeled keep/drop, where drop means a lower-id vector
+    in the SAME centroid cluster is cosine-similar above _SEM_TAU.
+
+    Scale: this is the published answer to "pairwise cosine over the
+    corpus is O(n²)" — clustering bounds the comparison set (k grows
+    with the corpus so cluster size stays ~n/k; the fixed k=8 here is
+    the oracle-reproducible stand-in for trained centroids, exactly as
+    in q_centroid_assign). Plan: broadcast centroid table + map-side
+    argmin (one corpus scan), ONE shuffle to co-locate each cluster,
+    then a single Arrow applyInPandas stage computes the per-cluster
+    pair matrix AND the keeper rule locally — pairs never shuffle,
+    nothing returns to the driver. Dots/norms accumulate
+    dimension-sequentially in the Arrow stage, so the 6-dp rounded
+    cosine is bit-identical to the SQL oracle's fold (the
+    embedding-sketch lesson from q_dedup_embedding)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    to_double = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    cents = e.filter(F.col("vec_id") < _SEM_K).select(
+        F.col("vec_id").alias("cid"), to_double.alias("ce")
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(F.col("emb"), F.col("ce"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    assigned = (
+        e.select("vec_id", to_double.alias("emb"))
+        .crossJoin(F.broadcast(cents))
+        .select("vec_id", "emb", pround(dist, 6).alias("dist"), "cid")
+        .groupBy("vec_id")
+        .agg(
+            F.min(F.struct("dist", "cid")).alias("m"),
+            F.first("emb").alias("emb"),  # identical across the k candidate rows
+        )
+        .select("vec_id", F.col("m.cid").cast("bigint").alias("cluster"), "emb")
+    )
+    return assigned.groupBy("cluster").applyInPandas(
+        _semdedup_cluster, schema="vec_id bigint, cluster bigint, keep int"
+    )

@@ -458,3 +458,42 @@ def test_cdc_cache_cap_does_not_change_output(sf_dir, monkeypatch):
         .reset_index(drop=True)
     )
     assert base.equals(capped)
+
+
+def test_semdedup_keeper_rule_reference(spark, sf_dir):
+    """Independent numpy replay of the whole SemDeDup pipeline
+    (assignment argmin with 6-dp rounded distances + within-cluster
+    cosine + lower-id keeper) reproduces every keep flag; at least one
+    vector must actually be dropped at this sf."""
+    import numpy as np
+
+    from fraud_detection_spark.operators.dedup import _SEM_K, _SEM_TAU
+    from fraud_detection_spark.registry import load_all
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    E = np.stack(emb["embedding"].to_numpy()).astype(np.float64)
+    ids = emb["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    E, ids = E[order], ids[order]
+    C = E[ids < _SEM_K]
+    cids = ids[ids < _SEM_K]
+    d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+    dist = np.floor(np.sqrt(d2) * 1e6 + 0.5) / 1e6
+    # argmin returns the FIRST minimum; cids ascend, so ties break to
+    # the smallest cid — same rule as min(struct(dist, cid))
+    cl = cids[np.argmin(dist, axis=1)]
+    N = E / np.linalg.norm(E, axis=1, keepdims=True)
+    keep = np.ones(len(E), dtype=bool)
+    for k in np.unique(cl):
+        m = np.where(cl == k)[0]
+        cos = np.floor((N[m] @ N[m].T) * 1e6 + 0.5) / 1e6
+        keep[m] = ~np.tril(cos >= _SEM_TAU, k=-1).any(axis=1)
+    got = {
+        r["vec_id"]: r
+        for r in load_all()["q_semdedup"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(E)
+    for i, v in enumerate(ids):
+        assert got[v]["keep"] == int(keep[i]), (v, got[v], keep[i])
+        assert got[v]["cluster"] == cl[i]
+    assert (~keep).sum() >= 1, "fixture has no semantic dup at this sf"

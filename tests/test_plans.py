@@ -180,3 +180,19 @@ def test_round6_quality_classifier_zero_shuffle(spark, sf_dir):
     )
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+
+
+def test_round6_semdedup_plan(spark, sf_dir):
+    """q_semdedup's scale claims: centroid table broadcast (never a
+    real cartesian), exactly one Arrow groups-stage for the per-cluster
+    pair work, no row-at-a-time Python."""
+    import re
+
+    from fraud_detection_spark.plans.checks import formatted_plan
+    from fraud_detection_spark.registry import load_all
+
+    plan = formatted_plan(load_all()["q_semdedup"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
