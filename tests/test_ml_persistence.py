@@ -96,7 +96,8 @@ def test_training_job_end_to_end(spark, tmp_path):
 def test_fraud_detector_single_record_latency(spark, tmp_path):
     """EP4 parity (predict_single.py): dict in, (class, score) out;
     missing features default to 0.0; warm batch-of-1 <= 500 ms
-    (BASELINE.md alert threshold #3)."""
+    (BASELINE.md alert threshold #3). The linear fast path scores
+    in-process (as the reference does), so no Spark job per record."""
     import time
 
     from fraud_detection_spark.ml.detector import FraudDetector
@@ -107,6 +108,7 @@ def test_fraud_detector_single_record_latency(spark, tmp_path):
     build_pipeline(FEATS, "label", None).fit(df).write().overwrite().save(path)
 
     det = FraudDetector(spark, path, FEATS)
+    assert det._linear is not None  # LR pipeline -> in-process scoring
     pred, score = det.predict({f: 0.5 for f in FEATS})  # warm-up + full dict
     assert pred in (0, 1) and 0.0 <= score <= 1.0
 
@@ -115,3 +117,46 @@ def test_fraud_detector_single_record_latency(spark, tmp_path):
     dt = time.perf_counter() - t0
     assert pred2 in (0, 1) and 0.0 <= score2 <= 1.0
     assert dt < 0.5, f"single-record scoring took {dt:.3f}s (budget 0.5s)"
+
+
+def test_fraud_detector_local_matches_spark_path(spark, tmp_path):
+    """The driver-side linear fast path must reproduce the Spark
+    pipeline's transform exactly (same scaler math, same coefficients,
+    same threshold rule) — differential-tested on a spread of inputs,
+    including missing-feature defaults and extreme values."""
+    from fraud_detection_spark.ml.detector import FraudDetector
+    from fraud_detection_spark.ml.pipeline import build_pipeline
+
+    df = _toy_df(spark, n=600)
+    path = str(tmp_path / "servemodel2")
+    build_pipeline(FEATS, "label", None).fit(df).write().overwrite().save(path)
+    det = FraudDetector(spark, path, FEATS)
+    assert det._linear is not None
+
+    cases = [
+        {f: 0.5 for f in FEATS},
+        {f: (-1.0) ** i * i for i, f in enumerate(FEATS)},
+        {"feature_0": 2.0},  # missing -> 0.0
+        {},  # all defaults
+        {f: 100.0 for f in FEATS},  # deep in one tail
+    ]
+    for features in cases:
+        p_local, s_local = det._predict_local(features)
+        p_spark, s_spark = det._predict_spark(features)
+        assert p_local == p_spark, (features, p_local, p_spark)
+        assert abs(s_local - s_spark) < 1e-9, (features, s_local, s_spark)
+
+
+def test_fraud_detector_gbt_falls_back_to_spark(spark, tmp_path):
+    """Non-linear final stage (GBT) -> no linear extract; predict()
+    still works through the Spark path."""
+    from fraud_detection_spark.ml.detector import FraudDetector
+    from fraud_detection_spark.ml.pipeline import build_pipeline
+
+    df = _toy_df(spark, n=600)
+    path = str(tmp_path / "gbtmodel")
+    build_pipeline(FEATS, "label", None, algo="gbt").fit(df).write().overwrite().save(path)
+    det = FraudDetector(spark, path, FEATS)
+    assert det._linear is None
+    pred, score = det.predict({f: 0.5 for f in FEATS})
+    assert pred in (0, 1) and 0.0 <= score <= 1.0
