@@ -71,6 +71,15 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_chunk_dedup",              # chunker profile outcome (V#5)
     "q_media_features",           # stdlib image decode branch (V#3)
     "q_multimodal",
+    # model-monitoring battery (operators/model_monitor.py, new):
+    "q_ks_stat",
+    "q_psi",
+    "q_calibration",
+    "q_lift_bands",
+    "q_benford",
+    "q_target_encode",
+    "q_woe_iv",
+    "q_velocity",
 })
 
 

@@ -1,0 +1,463 @@
+"""Model-monitoring & fraud-feature operators.
+
+The reference evaluates its fraud model offline (confusion/ROC/AUC,
+evaluate_model.py:26-50) and serves it online (api/app.py:209,
+deploy.py:36-44) but has no drift / score-distribution monitoring
+between the two — the standard MLOps gap its WorkerRecoveryTestPlan
+SQL rollups gesture at. This module adds the canonical monitoring
+battery a fraud team runs on a deployed scorer, each SQL-expressible
+so the DuckDB oracle verifies it bit-exactly:
+
+- q_ks_stat        KS separation of the score distributions
+- q_psi            population-stability index (train vs holdout drift)
+- q_calibration    reliability curve (predicted vs observed rate)
+- q_lift_bands     cumulative gains / lift by score band
+- q_benford        first-significant-digit law on amounts
+- q_target_encode  smoothed mean target encoding (leak-free broadcast)
+- q_woe_iv         weight-of-evidence + information value per category
+- q_velocity       per-user rolling velocity features (range window)
+
+Scale posture: every statistic is a hash aggregate with partial
+(map-side) combine; cumulative passes run over *bounded* band tables
+(≤1001 rows — same pattern as q_roc_points) never over the fact table;
+encodings join back via broadcast of a ≤|categories| row table;
+q_velocity's window is partitioned by user_id (no global sort). No
+Python UDF anywhere — all whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fraud_detection_spark.functions import fp_units, pround
+from fraud_detection_spark.operators.ml_metrics import SCORED_SQL, scored
+from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.sources import events_with_time, load_table
+
+_SEC_SQL = "(epoch_ns(ts) // 1000000000)"
+
+# Label fragment shared with the published model (ml_metrics.SCORED_SQL).
+_LABEL_SQL = "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+
+
+@query(
+    "q_ks_stat",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), b AS ("
+        "SELECT CAST(FLOOR(score * 1000) AS BIGINT) AS bucket, "
+        "SUM(label) AS pos, COUNT(*) - SUM(label) AS neg FROM s GROUP BY bucket), "
+        "c AS (SELECT "
+        "SUM(pos) OVER (ORDER BY bucket) AS cum_pos, "
+        "SUM(neg) OVER (ORDER BY bucket) AS cum_neg, "
+        "SUM(pos) OVER () AS tot_pos, SUM(neg) OVER () AS tot_neg FROM b) "
+        "SELECT " + sql_round(
+            "MAX(ABS(cum_pos * 1.0 / tot_pos - cum_neg * 1.0 / tot_neg))", 6
+        )
+        + " AS ks FROM c"
+    ),
+    tags=("ml", "monitor"),
+)
+def q_ks_stat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kolmogorov–Smirnov statistic of score separation:
+    max |CDF⁺(t) − CDF⁻(t)| over score thresholds — the classic fraud
+    scorecard separation metric next to AUC (ref: the evaluation
+    battery at evaluate_model.py:26-50, which stops at ROC/AUC).
+
+    Scale-safe binned form (same pattern as q_roc_points): one hash
+    aggregate folds the fact table into ≤1001 score buckets; the
+    cumulative window runs over that bounded bucket table only. The
+    CDF ratios are integer/integer divisions — deterministic in IEEE
+    double on both engines; MAX is order-free."""
+    s = scored(spark, sf_dir)
+    b = (
+        s.groupBy(F.floor(F.col("score") * 1000).cast("bigint").alias("bucket"))
+        .agg(
+            F.sum("label").alias("pos"),
+            (F.count("*") - F.sum("label")).alias("neg"),
+        )
+    )
+    w_cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = b.select(
+        F.sum("pos").over(w_cum).alias("cum_pos"),
+        F.sum("neg").over(w_cum).alias("cum_neg"),
+        F.sum("pos").over(w_all).alias("tot_pos"),
+        F.sum("neg").over(w_all).alias("tot_neg"),
+    )
+    return c.agg(
+        pround(
+            F.max(
+                F.abs(
+                    F.col("cum_pos") * 1.0 / F.col("tot_pos")
+                    - F.col("cum_neg") * 1.0 / F.col("tot_neg")
+                )
+            ),
+            6,
+        ).alias("ks")
+    )
+
+
+@query(
+    "q_psi",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), sp AS ("
+        "SELECT score, CASE WHEN (l_orderkey * 2654435761 + l_linenumber) % 1000 < 800 "
+        "THEN 1 ELSE 0 END AS is_train FROM s), "
+        "b AS (SELECT CAST(FLOOR(score * 10) AS BIGINT) AS band, "
+        "SUM(is_train) AS n_expected, SUM(1 - is_train) AS n_actual FROM sp GROUP BY band), "
+        "t AS (SELECT band, n_expected, n_actual, "
+        "SUM(n_expected) OVER () AS tot_e, SUM(n_actual) OVER () AS tot_a FROM b) "
+        "SELECT band, CAST(n_expected AS BIGINT) AS n_expected, "
+        "CAST(n_actual AS BIGINT) AS n_actual, "
+        + sql_round(
+            "(n_actual * 1.0 / tot_a - n_expected * 1.0 / tot_e) "
+            "* LN((n_actual * 1.0 / tot_a) / NULLIF(n_expected * 1.0 / tot_e, 0))",
+            6,
+        )
+        + " AS psi_term FROM t"
+    ),
+    tags=("ml", "monitor"),
+)
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index terms per score band — the standard
+    deployed-model drift monitor. "Expected" is the deterministic
+    hash-train split (same Knuth hash as q_split, preprocess.py:36-38);
+    "actual" the holdout; PSI = Σ (pₐ−pₑ)·ln(pₐ/pₑ) over 10 equal-width
+    score bands. Emitting the per-band terms (not just the scalar)
+    keeps the sum order-free for the oracle and is what a dashboard
+    plots anyway (ref monitoring gap: deploy.py:36-44 scores with no
+    distribution check).
+
+    One hash aggregate to ≤11 bands; totals broadcast back. Empty
+    bands yield NULL terms (NULLIF guard) rather than ±inf."""
+    s = scored(spark, sf_dir)
+    sp = s.select(
+        "score",
+        F.when(
+            (F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber")) % 1000 < 800, 1
+        )
+        .otherwise(0)
+        .alias("is_train"),
+    )
+    b = (
+        sp.groupBy(F.floor(F.col("score") * 10).cast("bigint").alias("band"))
+        .agg(
+            F.sum("is_train").alias("n_expected"),
+            F.sum(1 - F.col("is_train")).alias("n_actual"),
+        )
+    )
+    tot = b.agg(
+        F.sum("n_expected").alias("tot_e"), F.sum("n_actual").alias("tot_a")
+    )
+    p_a = F.col("n_actual") * 1.0 / F.col("tot_a")
+    p_e = F.col("n_expected") * 1.0 / F.col("tot_e")
+    return b.crossJoin(F.broadcast(tot)).select(
+        "band",
+        F.col("n_expected").cast("bigint").alias("n_expected"),
+        F.col("n_actual").cast("bigint").alias("n_actual"),
+        pround((p_a - p_e) * F.log(p_a / F.nullif(p_e, F.lit(0))), 6).alias("psi_term"),
+    )
+
+
+@query(
+    "q_calibration",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}) "
+        "SELECT CAST(FLOOR(score * 20) AS BIGINT) AS band, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        + sql_round(
+            "CAST(SUM(CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT)) AS DOUBLE) "
+            "/ 1000000 / COUNT(*)",
+            6,
+        )
+        + " AS mean_score, "
+        + sql_round("SUM(label) * 1.0 / COUNT(*)", 6)
+        + " AS pos_rate FROM s GROUP BY band"
+    ),
+    tags=("ml", "monitor"),
+)
+def q_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability curve: mean predicted score vs observed positive
+    rate per score vigintile band — the calibration check the
+    reference's 0.8 alert threshold (deploy.py:40) silently assumes.
+
+    Single hash aggregate (map-side combinable). Mean score uses exact
+    fixed-point units (scores are pre-rounded to 6 dp) so the result is
+    layout- and engine-independent; pos_rate is integer/integer."""
+    s = scored(spark, sf_dir)
+    return (
+        s.groupBy(F.floor(F.col("score") * 20).cast("bigint").alias("band"))
+        .agg(
+            F.count("*").alias("n"),
+            pround(
+                F.sum(fp_units(F.col("score"), 6)).cast("double") / 1000000 / F.count("*"), 6
+            ).alias("mean_score"),
+            pround(F.sum("label") * 1.0 / F.count("*"), 6).alias("pos_rate"),
+        )
+    )
+
+
+@query(
+    "q_lift_bands",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), b AS ("
+        "SELECT CAST(FLOOR(score * 10) AS BIGINT) AS band, "
+        "COUNT(*) AS n, SUM(label) AS pos FROM s GROUP BY band), "
+        "c AS (SELECT band, n, "
+        "SUM(n) OVER (ORDER BY band DESC) AS cum_n, "
+        "SUM(pos) OVER (ORDER BY band DESC) AS cum_pos, "
+        "SUM(n) OVER () AS tot_n, SUM(pos) OVER () AS tot_pos FROM b) "
+        "SELECT band, CAST(n AS BIGINT) AS n_band, CAST(cum_n AS BIGINT) AS cum_n, "
+        + sql_round("cum_pos * 1.0 / tot_pos", 6) + " AS capture, "
+        + sql_round("(cum_pos * 1.0 / cum_n) / (tot_pos * 1.0 / tot_n)", 6)
+        + " AS lift FROM c"
+    ),
+    tags=("ml", "monitor"),
+)
+def q_lift_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains / lift table by descending score band: what
+    fraction of all fraud is captured reviewing the top bands, and the
+    concentration vs random — the fraud-ops triage view of the same
+    scores evaluate_model.py:49 sweeps into a ROC.
+
+    Hash aggregate to ≤11 bands, then cumulative windows over that
+    bounded band table only (q_roc_points pattern). All emitted ratios
+    are integer/integer divisions — engine-exact."""
+    s = scored(spark, sf_dir)
+    b = (
+        s.groupBy(F.floor(F.col("score") * 10).cast("bigint").alias("band"))
+        .agg(F.count("*").alias("n"), F.sum("label").alias("pos"))
+    )
+    w_cum = Window.orderBy(F.desc("band")).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = b.select(
+        "band",
+        F.col("n"),
+        F.sum("n").over(w_cum).alias("cum_n"),
+        F.sum("pos").over(w_cum).alias("cum_pos"),
+        F.sum("n").over(w_all).alias("tot_n"),
+        F.sum("pos").over(w_all).alias("tot_pos"),
+    )
+    return c.select(
+        "band",
+        F.col("n").cast("bigint").alias("n_band"),
+        F.col("cum_n").cast("bigint").alias("cum_n"),
+        pround(F.col("cum_pos") * 1.0 / F.col("tot_pos"), 6).alias("capture"),
+        pround(
+            (F.col("cum_pos") * 1.0 / F.col("cum_n"))
+            / (F.col("tot_pos") * 1.0 / F.col("tot_n")),
+            6,
+        ).alias("lift"),
+    )
+
+
+@query(
+    "q_benford",
+    oracle=(
+        "WITH d AS (SELECT CAST(SUBSTRING(CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) "
+        "AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit FROM lineitem), "
+        "g AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit), "
+        "t AS (SELECT digit, n, SUM(n) OVER () AS tot FROM g) "
+        "SELECT digit, CAST(n AS BIGINT) AS n, "
+        + sql_round("n * 1.0 / tot", 6) + " AS obs_frac, "
+        + sql_round("LOG10(1.0 + 1.0 / digit)", 6) + " AS benford_frac, "
+        + sql_round("n * 1.0 / tot - LOG10(1.0 + 1.0 / digit)", 6)
+        + " AS delta FROM t"
+    ),
+    tags=("fraud", "monitor"),
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-significant-digit test on transaction amounts —
+    the classic forensic-accounting fraud screen (the reference's
+    Amount column, eda.py:31, is exactly what an auditor would run
+    this on). Observed first-digit frequency vs log10(1 + 1/d).
+
+    The first digit comes from exact integer cents
+    (FLOOR(price·100 + 0.5) → BIGINT → string head), never from
+    floating log10/power-of-ten division, which disagrees between
+    engines at exact powers of ten. One hash aggregate to 9 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    digit = (
+        F.substring(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("bigint")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    g = li.select(digit).groupBy("digit").agg(F.count("*").alias("n"))
+    tot = g.agg(F.sum("n").alias("tot"))
+    obs = F.col("n") * 1.0 / F.col("tot")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        F.col("n").cast("bigint").alias("n"),
+        pround(obs, 6).alias("obs_frac"),
+        pround(benford, 6).alias("benford_frac"),
+        pround(obs - benford, 6).alias("delta"),
+    )
+
+
+@query(
+    "q_target_encode",
+    oracle=(
+        f"WITH l AS (SELECT l_orderkey, l_linenumber, l_suppkey, {_LABEL_SQL} AS label "
+        "FROM lineitem), "
+        "enc AS (SELECT l_suppkey, SUM(label) AS pos_c, COUNT(*) AS n_c FROM l "
+        "GROUP BY l_suppkey), "
+        "pri AS (SELECT SUM(pos_c) * 1.0 / SUM(n_c) AS prior FROM enc) "
+        "SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, "
+        + sql_round("(enc.pos_c + 100.0 * pri.prior) / (enc.n_c + 100.0)", 6)
+        + " AS te FROM l JOIN enc ON l.l_suppkey = enc.l_suppkey CROSS JOIN pri"
+    ),
+    tags=("ml", "feature"),
+)
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed mean target encoding of a high-cardinality categorical:
+    te(c) = (pos_c + m·prior)/(n_c + m), m=100, over the supplier key
+    (the merchant-id shape) — the standard categorical featurizer for
+    fraud models (the reference's features are pre-encoded PCA floats;
+    this is the op that produces such features upstream).
+
+    Plan: one hash aggregate builds the |categories|-row encoding
+    table; the prior is a 1-row agg of that table; both broadcast back
+    onto the fact scan — the fact table itself never shuffles. At a
+    cardinality too big to broadcast, the same plan degrades to one
+    shuffle join on the encode key."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+    )
+    enc = li.groupBy("l_suppkey").agg(
+        F.sum("label").alias("pos_c"), F.count("*").alias("n_c")
+    )
+    pri = enc.agg((F.sum("pos_c") * 1.0 / F.sum("n_c")).alias("prior"))
+    return (
+        li.join(F.broadcast(enc), "l_suppkey")
+        .crossJoin(F.broadcast(pri))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            "l_suppkey",
+            pround(
+                (F.col("pos_c") + 100.0 * F.col("prior")) / (F.col("n_c") + 100.0), 6
+            ).alias("te"),
+        )
+    )
+
+
+@query(
+    "q_woe_iv",
+    oracle=(
+        f"WITH l AS (SELECT CAST(FLOOR((l_quantity - 1) / 10) AS BIGINT) AS qty_bin, "
+        f"{_LABEL_SQL} AS label FROM lineitem), "
+        "g AS (SELECT qty_bin, SUM(label) AS pos_c, COUNT(*) - SUM(label) AS neg_c "
+        "FROM l GROUP BY qty_bin), "
+        "t AS (SELECT qty_bin, pos_c, neg_c, "
+        "SUM(pos_c) OVER () AS pos_tot, SUM(neg_c) OVER () AS neg_tot FROM g) "
+        "SELECT qty_bin, CAST(pos_c AS BIGINT) AS pos_c, "
+        "CAST(neg_c AS BIGINT) AS neg_c, "
+        + sql_round(
+            "LN((pos_c * 1.0 / pos_tot) / NULLIF(neg_c * 1.0 / neg_tot, 0))", 6
+        )
+        + " AS woe, "
+        + sql_round(
+            "(pos_c * 1.0 / pos_tot - neg_c * 1.0 / neg_tot) "
+            "* LN((pos_c * 1.0 / pos_tot) / NULLIF(neg_c * 1.0 / neg_tot, 0))",
+            6,
+        )
+        + " AS iv_term FROM t"
+    ),
+    tags=("ml", "feature"),
+)
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight of evidence + information-value terms per feature bin —
+    the scorecard-modelling companion to target encoding, computed over
+    equal-width quantity bins (the classic "bin a numeric, score its
+    predictive power" step): WOE(b) = ln((pos_b/pos_tot)/(neg_b/neg_tot)),
+    IV = Σ (pos%−neg%)·WOE. Per-bin terms emitted (order-free sum).
+
+    One hash aggregate; totals broadcast back onto the ≤|bins| row
+    table. Zero-count bins yield NULL (NULLIF guard)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor((F.col("l_quantity") - 1) / 10).cast("bigint").alias("qty_bin"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+    )
+    g = li.groupBy("qty_bin").agg(
+        F.sum("label").alias("pos_c"),
+        (F.count("*") - F.sum("label")).alias("neg_c"),
+    )
+    tot = g.agg(F.sum("pos_c").alias("pos_tot"), F.sum("neg_c").alias("neg_tot"))
+    p = F.col("pos_c") * 1.0 / F.col("pos_tot")
+    q = F.col("neg_c") * 1.0 / F.col("neg_tot")
+    woe = F.log(p / F.nullif(q, F.lit(0)))
+    return g.crossJoin(F.broadcast(tot)).select(
+        "qty_bin",
+        F.col("pos_c").cast("bigint").alias("pos_c"),
+        F.col("neg_c").cast("bigint").alias("neg_c"),
+        pround(woe, 6).alias("woe"),
+        pround((p - q) * woe, 6).alias("iv_term"),
+    )
+
+
+@query(
+    "q_velocity",
+    oracle=(
+        f"WITH e AS (SELECT event_id, user_id, {_SEC_SQL} AS ts_sec, value FROM events) "
+        "SELECT event_id, user_id, CAST(ts_sec AS BIGINT) AS ts_sec, "
+        "CAST(COUNT(*) OVER w1 AS BIGINT) AS n_1h, "
+        "CAST(COUNT(*) OVER w24 AS BIGINT) AS n_24h, "
+        + sql_round(
+            "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) OVER w1 AS DOUBLE) "
+            "/ 10000",
+            4,
+        )
+        + " AS amt_1h FROM e WINDOW "
+        "w1 AS (PARTITION BY user_id ORDER BY ts_sec "
+        "RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), "
+        "w24 AS (PARTITION BY user_id ORDER BY ts_sec "
+        "RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW)"
+    ),
+    tags=("fraud", "feature", "window"),
+)
+def q_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling velocity features — the signature real-time
+    fraud signals (txn count / amount in the trailing 1h and 24h) that
+    the reference's Time column (eda.py, generate_synthetic_data.py:12)
+    exists to support but its single-row scorer (predict_single.py)
+    cannot compute. Event-time RANGE windows partitioned by user_id.
+
+    Scale posture: the window shuffles once on user_id and sorts
+    within partitions only — no global sort, no unpartitioned window.
+    The rolling SUM uses exact fixed-point units so frame-merge order
+    cannot move the result; COUNT frames are integer-exact. This is
+    also the batch twin of the streaming stateful form
+    (applyInPandasWithState keyed by user_id)."""
+    ev = events_with_time(spark, sf_dir)
+    w1 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-3600, 0)
+    )
+    w24 = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-86400, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.col("ts_sec").cast("bigint").alias("ts_sec"),
+        F.count(F.lit(1)).over(w1).cast("bigint").alias("n_1h"),
+        F.count(F.lit(1)).over(w24).cast("bigint").alias("n_24h"),
+        pround(
+            F.sum(fp_units(F.col("value"), 4)).over(w1).cast("double") / 10000, 4
+        ).alias("amt_1h"),
+    )

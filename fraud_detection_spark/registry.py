@@ -105,6 +105,7 @@ def load_all() -> dict[str, Query]:
         dedup,
         incremental,
         ml_metrics,
+        model_monitor,
         multimodal,
         partsupp,
         relational,
