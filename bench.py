@@ -93,6 +93,25 @@ HEADLINE = [
     "q_dedup_incremental",
     "q_chunk_dedup",
     "q_unigram_nll",
+    # round-5 operators (added round 6): Lee-et-al span dedup over
+    # 8-byte gram keys, per-row regex PII redaction, blocked
+    # Levenshtein precision pass, zero-shuffle normalization rewrite,
+    # cell-pruned ADC shortlist + exact rerank
+    "q_substring_dedup",
+    "q_scrub_pii",
+    "q_edit_distance",
+    "q_text_normalize",
+    "q_knn_ivf_pq",
+    # round-6 operators: hashed-bigram linear quality filter,
+    # centroid-blocked semantic dedup, and the model-monitoring family
+    # (represented by its three distinct plan shapes: banded KS over a
+    # bounded bucket table, broadcast target encoding of the fact scan,
+    # per-user event-time RANGE-window velocity features)
+    "q_quality_classifier",
+    "q_semdedup",
+    "q_ks_stat",
+    "q_target_encode",
+    "q_velocity",
 ]
 
 

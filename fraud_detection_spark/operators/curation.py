@@ -605,45 +605,21 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus scale.
 
     Scale: ZERO shuffles — tokenize/bigram/hash/score are doc-local
-    higher-order expressions inside one codegen'd projection, and the
-    weight vector rides along as a 256-double plan literal (the
-    broadcast-table delivery path: model state ships to executors with
-    the task, the corpus never moves; a bucket space too big for a
-    literal would swap to an F.broadcast join exactly like
-    q_unigram_nll's LM table). Hashing is the engine's portable
-    md5-prefix idiom (dedup.py q_dedup_simhash), so the oracle
-    reproduces every bucket bit-exactly; weights are dyadic rationals,
-    so doc-local left-to-right summation is FP-exact in both engines
-    and the 6-dp rounded sigmoid cannot flake."""
+    inside one Arrow mapInPandas stage, and the 256-double weight
+    table ships to the python workers inside the closure (the
+    model-state delivery path: weights travel with the task, the
+    corpus never moves; a bucket space too big for a closure would
+    swap to an F.broadcast join exactly like q_unigram_nll's LM
+    table). Hashing is the engine's portable md5-prefix idiom
+    (dedup.py q_dedup_simhash), so the oracle reproduces every bucket
+    bit-exactly; weights are dyadic rationals, so doc-local
+    left-to-right summation is FP-exact in both engines and the 6-dp
+    rounded sigmoid cannot flake. An all-JVM column-expression twin
+    was A/B'd and rejected: nested HOF lambdas evaluate interpreted
+    (no codegen), measuring 20x slower — see _qc_score_batches."""
     d = load_table(spark, sf_dir, "documents")
-    ws = F.filter(
-        F.split(F.lower(F.col("text")), "[^a-z0-9]+"), lambda x: x != F.lit("")
-    )
-    bgs = F.when(
-        F.size(ws) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(ws) - 1),
-            lambda i: F.concat(
-                F.element_at(ws, i.cast("int")),
-                F.lit("_"),
-                F.element_at(ws, (i + 1).cast("int")),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    warr = F.array(*[F.lit(w) for w in _QC_WEIGHTS])
-    bucket = lambda s: (  # noqa: E731 — portable md5-prefix bucket
-        F.conv(F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10).cast("bigint")
-        % _QC_BUCKETS
-    )
-    wsum = F.aggregate(
-        bgs,
-        F.lit(0.0),
-        lambda acc, s: acc + F.element_at(warr, (bucket(s) + 1).cast("int")),
-    )
-    scored = d.select(
-        "doc_id",
-        F.size(bgs).cast("bigint").alias("n_bigrams"),
-        wsum.alias("wsum"),
+    scored = d.select("doc_id", "text").mapInPandas(
+        _qc_scorer(), schema="doc_id long, n_bigrams long, wsum double"
     )
     logit = F.lit(_QC_BIAS) + F.lit(_QC_SCALE) * F.col("wsum") / F.greatest(
         F.col("n_bigrams"), F.lit(1)
@@ -655,3 +631,55 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         prob.alias("quality_prob"),
         F.when(prob >= 0.5, 1).otherwise(0).alias("keep"),
     )
+
+
+def _qc_scorer():
+    """Arrow batch scorer for q_quality_classifier: per doc, split to
+    words, hash each bigram's md5 prefix into the bucket space, sum
+    the bucket weights. Python-side md5 is byte-identical to the
+    engines' md5, and the weights are dyadic rationals, so the
+    left-to-right float sum matches DuckDB's list_sum exactly.
+
+    Why Arrow and not column expressions: the same math as nested
+    higher-order functions (transform/aggregate lambdas) runs on
+    Spark's INTERPRETED expression path — no whole-stage codegen
+    inside HOF lambdas — at ~4 ms/doc (≈20 s at sf0.1, dominated by
+    per-bigram interpreted Md5/Conv/array churn). This one Arrow pass
+    measures ~1 s on the identical corpus (20x) and keeps the same
+    shuffle count: zero.
+
+    Returned as a CLOSURE over plain locals (weights list, bucket
+    count) so cloudpickle serializes it by value — a module-level
+    function pickles by reference and would require this package on
+    every python worker's import path (breaks when the consuming
+    driver runs from a different cwd)."""
+    w = list(_QC_WEIGHTS)
+    n_buckets = _QC_BUCKETS
+
+    def gen(batches):
+        import hashlib
+        import re as _re
+
+        import pandas as pd
+
+        word_re = _re.compile(r"[^a-z0-9]+")
+        for pdf in batches:
+            nbs, wsums = [], []
+            for text in pdf["text"]:
+                words = [t for t in word_re.split(text.lower()) if t]
+                if len(words) >= 2:
+                    nb = len(words) - 1
+                    s = 0.0
+                    for i in range(nb):
+                        bg = (words[i] + "_" + words[i + 1]).encode()
+                        b = int(hashlib.md5(bg).hexdigest()[:8], 16) % n_buckets
+                        s += w[b]
+                else:
+                    nb, s = 0, 0.0
+                nbs.append(nb)
+                wsums.append(s)
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "n_bigrams": nbs, "wsum": wsums}
+            )
+
+    return gen

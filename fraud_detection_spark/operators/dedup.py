@@ -286,6 +286,8 @@ def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _EDIT_TOPK = 15
+_EDIT_D0 = 64  # initial banded-levenshtein budget (escalates x4)
+_EDIT_D_CAP = 4096  # past this, fall back to the unbounded DP
 
 
 @query(
@@ -314,17 +316,35 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     MinHash-prefix candidate set (q_dedup_jaccard's blocking), never
     all-pairs.
 
-    Scale: candidate generation is the shared 8-byte-fingerprint
-    blocking; document TEXT is joined back for candidate pairs only
-    (the one family member that must touch raw text, since edit
-    distance is defined on it). Both engines run the classic
-    Levenshtein — integer-exact, so the oracle is hash-exact. The
-    sketch is NOT cached: unlike q_dedup_jaccard (three consumers),
-    here it feeds only the key explode — the text join-back reads
-    ``d`` — so a cache would pin executor memory for zero reuse."""
+    A global top-k by edit distance still cannot afford the unbounded
+    O(|a|·|b|) DP on EVERY candidate pair (round-6 bench: 115 s at
+    sf0.1 — 77k pairs × full matrices, vs ~3 s bounded). Instead the
+    standard banded search with driver-side escalation:
+
+      1. guess a distance budget D (starts at _EDIT_D0);
+      2. prune candidates with the free triangle-inequality cut
+         ``abs(len_a - len_b) <= D`` (lengths ride the 8-byte pair
+         rows, no text touched);
+      3. run the *bounded* 3-arg levenshtein(a, b, D) — O(len·D) with
+         early exit, returns -1 past D — and cache the ≤few-hundred
+         surviving (pair, lev) rows;
+      4. if fewer than k survivors, quadruple D and repeat (a
+         metadata-count driver loop, log-bounded; final fallback is
+         the unbounded form, so pathological corpora stay correct).
+
+    If ≥ k pairs sit within D, every true top-k pair has lev <= D, so
+    the banded result IS the exact global top-k — which is why the
+    oracle can stay the unbounded ORDER BY ... LIMIT k and still
+    hash-match. sim is recomputed from the carried lengths, so text is
+    read exactly once per surviving candidate. The tiny exploded
+    (doc_id, min-key) table IS cached: the candidate self-join scans
+    it twice, and without the cache each side re-runs the whole Arrow
+    shingle/MinHash sketch (measured 8.8 s -> 1.9 s at sf0.1). The
+    full sketch (with its shingle arrays) stays uncached — only
+    q_dedup_jaccard's three-consumer plan needs that."""
     d = load_table(spark, sf_dir, "documents").repartition("doc_id")
     s = jaccard_sketch_docs(d, k=_JACCARD_BLOCK_K)
-    keys = s.select("doc_id", F.explode("mk").alias("mk"))
+    keys = s.select("doc_id", F.explode("mk").alias("mk")).cache()
     a = keys.select(F.col("doc_id").alias("doc_a"), F.col("mk"))
     b = keys.select(F.col("doc_id").alias("doc_b"), F.col("mk"))
     cand = (
@@ -333,23 +353,38 @@ def q_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b")
         .distinct()
     )
-    x = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
-    y = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
-    lev = F.levenshtein("ta", "tb")
-    sim = F.lit(1.0) - lev.cast("double") / F.greatest(
-        F.length("ta"), F.length("tb")
-    )
-    return (
-        cand.join(x, "doc_a")
-        .join(y, "doc_b")
-        .select(
+    la = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("ta"))
+    lb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("tb"))
+    pairs = cand.join(la, "doc_a").join(lb, "doc_b")
+
+    def banded(d_max: int | None) -> DataFrame:
+        p = pairs
+        if d_max is not None:
+            p = p.filter(
+                F.abs(F.length("ta") - F.length("tb")) <= d_max
+            ).withColumn("lev", F.levenshtein("ta", "tb", d_max))
+            p = p.filter(F.col("lev") >= 0)  # -1 = past the budget
+        else:
+            p = p.withColumn("lev", F.levenshtein("ta", "tb"))
+        sim = F.lit(1.0) - F.col("lev").cast("double") / F.greatest(
+            F.length("ta"), F.length("tb")
+        )
+        return p.select(
             "doc_a",
             "doc_b",
-            lev.cast("bigint").alias("lev"),
+            F.col("lev").cast("bigint").alias("lev"),
             pround(sim, 6).alias("sim"),
         )
-        .orderBy(F.asc("lev"), F.asc("doc_a"), F.asc("doc_b"))
-        .limit(_EDIT_TOPK)
+
+    budget: int | None = _EDIT_D0
+    while True:
+        scored = banded(budget).cache()
+        if budget is None or scored.count() >= _EDIT_TOPK:
+            break
+        scored.unpersist()
+        budget = budget * 4 if budget * 4 < _EDIT_D_CAP else None
+    return scored.orderBy(F.asc("lev"), F.asc("doc_a"), F.asc("doc_b")).limit(
+        _EDIT_TOPK
     )
 
 
@@ -389,7 +424,8 @@ def q_edit_distance_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``levenshtein <= d_max`` predicate — same rows by construction."""
     d = load_table(spark, sf_dir, "documents").repartition("doc_id")
     s = jaccard_sketch_docs(d, k=_JACCARD_BLOCK_K)
-    keys = s.select("doc_id", F.explode("mk").alias("mk"))
+    # cached for the same two-sided self-join reason as q_edit_distance
+    keys = s.select("doc_id", F.explode("mk").alias("mk")).cache()
     a = keys.select(F.col("doc_id").alias("doc_a"), F.col("mk"))
     b = keys.select(F.col("doc_id").alias("doc_b"), F.col("mk"))
     cand = (

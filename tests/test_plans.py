@@ -134,7 +134,9 @@ def test_round6_edit_distance_threshold_plan(spark, sf_dir):
       BELOW the raw-text join-back (candidates are pruned on 8-byte
       lengths before any text is shuffled);
     - the bounded 3-arg levenshtein is what touches text;
-    - q_edit_distance no longer caches its single-consumer sketch."""
+    - q_edit_distance runs the banded (bounded-levenshtein) search and
+      serves its top-k from the cached survivor table, never the
+      unbounded DP on the full candidate set."""
     import re
 
     from fraud_detection_spark.registry import load_all
@@ -165,13 +167,18 @@ def test_round6_edit_distance_threshold_plan(spark, sf_dir):
         .executedPlan()
         .toString()
     )
-    assert "InMemoryTableScan" not in ed_plan, ed_plan
+    # top-k is served from the cached banded-survivor table: the final
+    # plan reads the cache (which holds the bounded-levenshtein rows),
+    # so the unbounded DP never appears above it
+    assert "InMemoryTableScan" in ed_plan, ed_plan
+    assert "TakeOrderedAndProject" in ed_plan, ed_plan
 
 
 def test_round6_quality_classifier_zero_shuffle(spark, sf_dir):
     """q_quality_classifier's scale claim: the whole hashed-bigram
-    linear model is one codegen'd doc-local projection — no Exchange,
-    no Python worker, weight vector as a plan literal."""
+    linear model is doc-local in ONE Arrow stage — no Exchange, no
+    row-at-a-time Python. (The all-JVM HOF form was A/B'd out: lambda
+    bodies evaluate interpreted, 20x slower — see _qc_score_batches.)"""
     from fraud_detection_spark.plans.checks import formatted_plan
     from fraud_detection_spark.registry import load_all
 
@@ -179,7 +186,8 @@ def test_round6_quality_classifier_zero_shuffle(spark, sf_dir):
         load_all()["q_quality_classifier"].fn(spark, sf_dir)
     )
     assert "Exchange" not in plan, plan
-    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, plan
+    assert "MapInPandas" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
 
 
 def test_round6_semdedup_plan(spark, sf_dir):
