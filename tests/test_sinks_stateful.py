@@ -121,3 +121,49 @@ def test_orc_partitioned_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     pruned = back.filter(F.col("l_returnflag") == "R")
     plan = formatted_plan(pruned)
     assert "PartitionFilters" in plan and "l_returnflag" in plan, plan
+
+
+def test_velocity_stream_matches_batch_range_window(spark, sf_dir, tmp_path):
+    """The stateful trailing-1h velocity operator must reproduce the
+    declared batch RANGE-window query (q_velocity) exactly — count AND
+    fixed-point amount — when the backlog arrives in order (one file =
+    one micro-batch, so the in-batch ts-cohort handling is what's
+    under test, including same-ts RANGE peers)."""
+    from fraud_detection_spark.registry import load_all
+    from fraud_detection_spark.sources import events_with_time
+    from fraud_detection_spark.streaming.stateful import velocity_stream
+
+    ev = events_with_time(spark, sf_dir).select(
+        "event_id", "user_id", "value", "ts_sec"
+    )
+    src = str(tmp_path / "vel_src")
+    ev.orderBy("ts_sec", "event_id").coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream_in = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        velocity_stream(stream_in)
+        .writeStream.format("memory")
+        .queryName("velocity")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.sql("SELECT event_id, n_1h, amt_1h FROM velocity")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        load_all()["q_velocity"].fn(spark, sf_dir)
+        .select("event_id", "n_1h", "amt_1h")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    assert (got.event_id.values == want.event_id.values).all()
+    assert (got.n_1h.values == want.n_1h.values).all()
+    assert (abs(got.amt_1h.values - want.amt_1h.values) < 1e-9).all()
