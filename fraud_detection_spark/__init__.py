@@ -21,3 +21,28 @@ Layout
 """
 
 __version__ = "0.1.0"
+
+# Ship this package's functions to python workers BY VALUE.
+#
+# cloudpickle serializes module-level functions by *reference* (the
+# worker re-imports the defining module), so any declared query whose
+# Arrow stage / pandas_udf touches a module-level helper — bpe_encode,
+# the CDC chunker, the media featurizers — fails with
+# ModuleNotFoundError the moment the consuming driver's python workers
+# don't have this repo on their import path (e.g. driver launched from
+# another cwd with sys.path pointing here; reproduced on a vanilla
+# session — 8 of 160 declared queries broke). Registering the package
+# for pickle-by-value makes every function defined under
+# fraud_detection_spark self-contained on the wire (the vendored
+# cloudpickle walks parent packages, so one registration covers all
+# submodules). The referenced globals are small published constants
+# (merge tables, weight vectors, cache caps) — KBs in the task
+# closure, the same payload the nested-closure pattern already ships.
+try:  # pragma: no cover - trivial guard for non-pyspark contexts
+    import sys as _sys
+
+    from pyspark import cloudpickle as _cloudpickle
+
+    _cloudpickle.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort: by-reference still works in-repo
+    pass
