@@ -80,6 +80,10 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_target_encode",
     "q_woe_iv",
     "q_velocity",
+    # transaction-graph / robust-stats family (operators/graph.py, new):
+    "q_graph_degree",
+    "q_mad_outlier",
+    "q_pagerank",
 })
 
 

@@ -103,6 +103,7 @@ def load_all() -> dict[str, Query]:
         corpus,
         curation,
         dedup,
+        graph,
         incremental,
         ml_metrics,
         model_monitor,

