@@ -84,6 +84,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_graph_degree",
     "q_mad_outlier",
     "q_pagerank",
+    "q_ab_test",
+    "q_hourly_profile",
 })
 
 

@@ -461,3 +461,115 @@ def q_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(fp_units(F.col("value"), 4)).over(w1).cast("double") / 10000, 4
         ).alias("amt_1h"),
     )
+
+
+@query(
+    "q_ab_test",
+    oracle=(
+        "WITH g AS (SELECT event_type AS variant, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT) AS conv "
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY variant), "
+        "w AS (SELECT variant, n, conv, "
+        "SUM(n) OVER () AS n_all, SUM(conv) OVER () AS conv_all FROM g) "
+        "SELECT variant, n, conv, "
+        + sql_round("conv * 1.0 / n", 6) + " AS rate, "
+        + sql_round(
+            "(conv * 1.0 / n - conv_all * 1.0 / n_all) / "
+            "SQRT((conv_all * 1.0 / n_all) * (1.0 - conv_all * 1.0 / n_all) "
+            "* (1.0 / n + 1.0 / (n_all - n)))",
+            6,
+        )
+        + " AS z FROM w"
+    ),
+    tags=("ml", "monitor", "stats"),
+)
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test between event variants — the experiment
+    readout every model rollout needs (did the new scorer change the
+    flag rate?): pooled-rate z per variant against the complement,
+    conversion = value > 100.
+
+    One filtered hash aggregate to 2 rows; the pooled totals ride a
+    window over that 2-row table. All inputs to the z formula are
+    integer counts, so both engines evaluate the identical float
+    expression."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    g = ev.groupBy(F.col("event_type").alias("variant")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.when(F.col("value") > 100.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv"),
+    )
+    tot = g.agg(F.sum("n").alias("n_all"), F.sum("conv").alias("conv_all"))
+    p = F.col("conv") * 1.0 / F.col("n")
+    p_all = F.col("conv_all") * 1.0 / F.col("n_all")
+    z = (p - p_all) / F.sqrt(
+        p_all * (1.0 - p_all) * (1.0 / F.col("n") + 1.0 / (F.col("n_all") - F.col("n")))
+    )
+    return g.crossJoin(F.broadcast(tot)).select(
+        "variant",
+        "n",
+        "conv",
+        pround(p, 6).alias("rate"),
+        pround(z, 6).alias("z"),
+    )
+
+
+@query(
+    "q_hourly_profile",
+    oracle=(
+        f"WITH e AS (SELECT ({_SEC_SQL} % 86400) // 3600 AS hod, value FROM events), "
+        "g AS (SELECT hod, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000 "
+        "AS sum_value FROM e GROUP BY hod), "
+        "w AS (SELECT hod, n, sum_value, "
+        "AVG(n * 1.0) OVER () AS mu, STDDEV_SAMP(n * 1.0) OVER () AS sd, "
+        "SUM(n) OVER () AS n_all FROM g) "
+        "SELECT CAST(hod AS BIGINT) AS hod, n, "
+        + sql_round("n * 1.0 / n_all", 6) + " AS share, "
+        + sql_round("sum_value / n", 4) + " AS mean_value, "
+        + sql_round("(n - mu) / sd", 6) + " AS volume_z FROM w"
+    ),
+    tags=("fraud", "monitor", "window"),
+)
+def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day activity profile: event volume, share, mean value,
+    and the volume z-score of each hour against the 24-hour baseline —
+    the seasonality fingerprint that fraud monitors alert against
+    ("3am volume is 4σ above its slot"). Derived from the same
+    epoch-second arithmetic as the window family (timezone-proof).
+
+    One hash aggregate folds the events table to ≤24 rows; baseline
+    stats ride a window over that bounded table. Value sums are exact
+    fixed-point units; n is integer; the z division is the only float
+    step and is identical in both engines."""
+    ev = events_with_time(spark, sf_dir)
+    g = (
+        ev.select(((F.col("ts_sec") % 86400) / 3600).cast("bigint").alias("hod"), "value")
+        .groupBy("hod")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            (F.sum(fp_units(F.col("value"), 4)).cast("double") / 10000).alias(
+                "sum_value"
+            ),
+        )
+    )
+    w_all = Window.partitionBy()
+    w = g.select(
+        "hod",
+        "n",
+        "sum_value",
+        F.avg(F.col("n") * 1.0).over(w_all).alias("mu"),
+        F.stddev_samp(F.col("n") * 1.0).over(w_all).alias("sd"),
+        F.sum("n").over(w_all).alias("n_all"),
+    )
+    return w.select(
+        "hod",
+        "n",
+        pround(F.col("n") * 1.0 / F.col("n_all"), 6).alias("share"),
+        pround(F.col("sum_value") / F.col("n"), 4).alias("mean_value"),
+        pround((F.col("n") - F.col("mu")) / F.col("sd"), 6).alias("volume_z"),
+    )
