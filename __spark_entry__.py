@@ -86,6 +86,10 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_pagerank",
     "q_ab_test",
     "q_hourly_profile",
+    # behavioral-analytics family (operators/behavior.py, new):
+    "q_retention_cohort",
+    "q_funnel_steps",
+    "q_event_transitions",
 })
 
 

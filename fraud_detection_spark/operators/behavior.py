@@ -1,0 +1,178 @@
+"""Behavioral / product-analytics operators over the event stream.
+
+The reference's event leg stops at per-transaction scoring; a fraud
+platform also reads *behavior*: when accounts appear and whether they
+come back (retention cohorts — bot farms churn instantly), what path a
+session takes (funnels — account-takeover skips the browse phase), and
+which state transitions are common (transition matrix — anomalous
+chains flag scripted traffic). All three are classic analytics-engine
+operators, SQL-expressible, and DuckDB-oracle-exact.
+
+Scale posture: cohorts and funnels are hash aggregates keyed by
+user_id with per-user firsts joined back (shuffle join on the key at
+scale — the user dimension is too big to broadcast, and that is fine:
+it co-partitions with the event stream); the transition matrix's only
+window is partitioned by user_id and ordered by the ns-precision
+timestamp + event_id (total order, so LEAD is deterministic on any
+layout). No Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fraud_detection_spark.functions import pround
+from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.sources import events_with_time
+
+_SEC_SQL = "(epoch_ns(ts) // 1000000000)"
+_DAY_SQL = f"({_SEC_SQL} // 86400)"
+
+
+@query(
+    "q_retention_cohort",
+    oracle=(
+        f"WITH e AS (SELECT user_id, {_DAY_SQL} AS day FROM events), "
+        "f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id), "
+        "a AS (SELECT DISTINCT e.user_id, f.cohort_day, e.day - f.cohort_day AS age "
+        "FROM e JOIN f ON e.user_id = f.user_id) "
+        "SELECT CAST(cohort_day AS BIGINT) AS cohort_day, CAST(age AS BIGINT) AS age, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users FROM a GROUP BY cohort_day, age"
+    ),
+    tags=("behavior", "agg"),
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users bucketed by first-seen day, and
+    for each (cohort, age-in-days) the count of users still active —
+    the table every retention curve is drawn from, and the fraud tell
+    for throwaway-account farms (cohorts that never return past
+    age 0).
+
+    Plan: per-user first-day aggregate, joined back on user_id (the
+    co-partitioned key), then DISTINCT (user, cohort, age) and one
+    hash aggregate. All integer-day arithmetic — engine-exact."""
+    ev = events_with_time(spark, sf_dir).select(
+        "user_id", (F.col("ts_sec") / 86400).cast("bigint").alias("day")
+    )
+    first = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    active = (
+        ev.join(first, "user_id")
+        .select("user_id", "cohort_day", (F.col("day") - F.col("cohort_day")).alias("age"))
+        .distinct()
+    )
+    return active.groupBy("cohort_day", "age").agg(
+        F.count("*").cast("bigint").alias("n_users")
+    )
+
+
+@query(
+    "q_funnel_steps",
+    oracle=(
+        f"WITH e AS (SELECT user_id, event_type, {_SEC_SQL} AS sec FROM events), "
+        "v AS (SELECT user_id, MIN(sec) AS tv FROM e WHERE event_type = 'view' "
+        "GROUP BY user_id), "
+        "c AS (SELECT e.user_id, MIN(e.sec) AS tc FROM e JOIN v ON e.user_id = v.user_id "
+        "WHERE e.event_type = 'click' AND e.sec >= v.tv GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, MIN(e.sec) AS tp FROM e JOIN c ON e.user_id = c.user_id "
+        "WHERE e.event_type = 'purchase' AND e.sec >= c.tc GROUP BY e.user_id) "
+        "SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_view, "
+        "CAST((SELECT COUNT(*) FROM c) AS BIGINT) AS n_click, "
+        "CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchase, "
+        + sql_round("(SELECT COUNT(*) FROM c) * 1.0 / (SELECT COUNT(*) FROM v)", 6)
+        + " AS view_to_click, "
+        + sql_round("(SELECT COUNT(*) FROM p) * 1.0 / NULLIF((SELECT COUNT(*) FROM c), 0)", 6)
+        + " AS click_to_purchase"
+    ),
+    tags=("behavior", "funnel"),
+)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: users who viewed, then clicked at-or-after
+    their first view, then purchased at-or-after that click — with
+    step conversion rates. Order matters (an account-takeover session
+    that purchases without ever browsing does not convert through
+    this funnel; a simple count-per-type would miss that).
+
+    Plan: three per-user MIN aggregates, each chained through a join
+    on user_id (co-partitioned — one shuffle reused), then three tiny
+    counts. No window over the full stream, no Python."""
+    ev = events_with_time(spark, sf_dir).select("user_id", "event_type", "ts_sec")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_sec") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_sec") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("tp"))
+    )
+    nv = v.agg(F.count("*").cast("bigint").alias("n_view"))
+    nc = c.agg(F.count("*").cast("bigint").alias("n_click"))
+    np_ = p.agg(F.count("*").cast("bigint").alias("n_purchase"))
+    return (
+        nv.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(np_))
+        .select(
+            "n_view",
+            "n_click",
+            "n_purchase",
+            pround(F.col("n_click") * 1.0 / F.col("n_view"), 6).alias("view_to_click"),
+            pround(
+                F.col("n_purchase") * 1.0 / F.nullif(F.col("n_click"), F.lit(0)), 6
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+@query(
+    "q_event_transitions",
+    oracle=(
+        "WITH o AS (SELECT user_id, event_type, "
+        "LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type "
+        "FROM events), "
+        "g AS (SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n "
+        "FROM o WHERE next_type IS NOT NULL GROUP BY from_type, to_type), "
+        "t AS (SELECT from_type, to_type, n, "
+        "SUM(n) OVER (PARTITION BY from_type) AS n_from FROM g) "
+        "SELECT from_type, to_type, CAST(n AS BIGINT) AS n, "
+        + sql_round("n * 1.0 / n_from", 6) + " AS p FROM t"
+    ),
+    tags=("behavior", "window"),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order event transition matrix: per user, each event's
+    successor (LEAD over the per-user timeline), aggregated into
+    (from, to, count, conditional probability) — the Markov chain of
+    behavior that scripted/bot traffic deviates from.
+
+    Plan: ONE window, partitioned by user_id and ordered by the
+    ns-precision timestamp + event_id (a total order, so LEAD is
+    deterministic on any layout), then a hash aggregate to the
+    |types|² matrix with per-from totals from a second tiny window
+    over that matrix."""
+    ev = events_with_time(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    ).filter(F.col("next_type").isNotNull())
+    g = o.groupBy(
+        F.col("event_type").alias("from_type"), F.col("next_type").alias("to_type")
+    ).agg(F.count("*").alias("n"))
+    w_from = Window.partitionBy("from_type")
+    return g.select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("bigint").alias("n"),
+        pround(F.col("n") * 1.0 / F.sum("n").over(w_from), 6).alias("p"),
+    )

@@ -100,6 +100,7 @@ def load_all() -> dict[str, Query]:
     from fraud_detection_spark.operators import (  # noqa: F401
         aggregates,
         analytics,
+        behavior,
         corpus,
         curation,
         dedup,
