@@ -90,6 +90,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_retention_cohort",
     "q_funnel_steps",
     "q_event_transitions",
+    "q_data_profile",             # numeric data-quality profile (new)
 })
 
 

@@ -110,6 +110,7 @@ def load_all() -> dict[str, Query]:
         model_monitor,
         multimodal,
         partsupp,
+        profiling,
         relational,
         relational2,
         relational3,
