@@ -9,7 +9,8 @@ builds on the same data:
 
 - q_graph_degree  counterparty-degree + concentration features per
                   customer over the customer—supplier edge set
-- q_mad_outlier   median/MAD robust outlier flags per supplier
+- q_mad_outlier   median/MAD robust outlier flags per user (plus the
+                  approx_percentile scale twin mad_outlier_approx)
 - q_pagerank      iterative PageRank over the bipartite transaction
                   graph (rows-only: iterative fixpoint, not a single
                   SQL expression)
@@ -250,3 +251,30 @@ def pagerank_ranks(
         if i % 2 == 1:
             ranks = ranks.localCheckpoint()
     return ranks
+
+
+def mad_outlier_approx(
+    spark: SparkSession, sf_dir: str, accuracy: int = 10000
+) -> DataFrame:
+    """Beyond-100 TB twin of q_mad_outlier: same two-pass median/MAD
+    shape with ``approx_percentile`` (Greenwald–Khanna sketch —
+    mergeable, single-pass per stage, no per-group sort) in place of
+    the exact PERCENTILE_DISC. Not a declared query: the sketch's
+    rank-error bound (1/accuracy) makes results engine-specific, so
+    there is no DuckDB oracle — the equivalence test instead bounds
+    the flag-set disagreement against the exact form."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    med = ev.groupBy("user_id").agg(
+        F.expr(f"approx_percentile(value, 0.5, {accuracy})").alias("med")
+    )
+    dev = ev.join(F.broadcast(med), "user_id").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("user_id").agg(
+        F.expr(f"approx_percentile(adev, 0.5, {accuracy})").alias("mad")
+    )
+    return (
+        dev.join(F.broadcast(mad), "user_id")
+        .filter((F.col("mad") > 0) & (F.col("adev") > 10 * F.col("mad")))
+        .select("event_id", "user_id")
+    )

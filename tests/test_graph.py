@@ -93,3 +93,24 @@ def test_pagerank_layout_deterministic(spark, sf_dir):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert a == b  # 12-dp per-iteration rounding wipes partial-sum order
+
+
+def test_mad_outlier_approx_twin_agrees(spark, sf_dir):
+    """The approx_percentile twin must flag (nearly) the same events
+    as the exact PERCENTILE_DISC form — at the default accuracy the
+    sketch is exact for per-user group sizes far below 1/error."""
+    from fraud_detection_spark.operators.graph import mad_outlier_approx
+
+    exact = {
+        int(r.event_id)
+        for r in REGISTRY["q_mad_outlier"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        int(r.event_id) for r in mad_outlier_approx(spark, sf_dir).collect()
+    }
+    # symmetric difference bounded: sketches may move the median by a
+    # rank or two at the margin, never wholesale
+    assert len(exact) > 0
+    assert len(exact ^ approx) <= max(2, len(exact) // 10), (
+        len(exact), len(approx), len(exact ^ approx)
+    )
