@@ -196,3 +196,71 @@ def velocity_stream(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- state API v2 twin (transformWithStateInPandas, Spark 4) --------
+
+
+def _profile_processor():
+    """Factory for the state-v2 per-user profile processor — the
+    modern twin of _profile_updater built on transformWithStateInPandas
+    (typed ValueState in the RocksDB state store, explicit lifecycle,
+    timer support). Same math, same output schema; batch_profile stays
+    the equivalence oracle. Returned from a factory and defined over
+    plain locals for the same ship-by-value pickling contract as the
+    v1 functions."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    class ProfileProcessor(StatefulProcessor):
+        def init(self, handle):
+            self._state = handle.getValueState(
+                "profile", "n bigint, total double, last_sec bigint"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as _pd
+
+            if self._state.exists():
+                n, total, last_sec = self._state.get()
+            else:
+                n, total, last_sec = 0, 0.0, 0
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+                if len(pdf):
+                    last_sec = max(last_sec, int(pdf["ts_sec"].max()))
+            self._state.update((n, total, last_sec))
+            yield _pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "mean_value": [total / n if n else 0.0],
+                    "last_seen_sec": [last_sec],
+                }
+            )
+
+        def close(self):
+            pass
+
+    return ProfileProcessor()
+
+
+def user_profile_stream_v2(events: DataFrame) -> DataFrame:
+    """State-API-v2 form of user_profile_stream. Requirements the
+    caller/test must provide (both absent here degrade gracefully —
+    the test skips, v1 remains the in-container path):
+
+    - the RocksDB state store provider on the session:
+        spark.sql.streaming.stateStore.providerClass =
+          org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider
+    - protobuf on the python workers (the v2 worker protocol is
+      proto-based; this container has no protobuf and pip installs are
+      not allowed, so the path is declared + test-gated, exactly like
+      the Kafka connector jar in streaming/sockets.py).
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _profile_processor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

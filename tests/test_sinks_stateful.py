@@ -167,3 +167,74 @@ def test_velocity_stream_matches_batch_range_window(spark, sf_dir, tmp_path):
     assert (got.event_id.values == want.event_id.values).all()
     assert (got.n_1h.values == want.n_1h.values).all()
     assert (abs(got.amt_1h.values - want.amt_1h.values) < 1e-9).all()
+
+
+def test_state_v2_profile_matches_batch(spark, sf_dir, tmp_path):
+    """transformWithStateInPandas (state API v2, RocksDB store) must
+    converge to the same batch aggregate as the v1 operator. The v2
+    python worker protocol rides protobuf, which this container lacks
+    (no pip install allowed) — skip when the proto module can't
+    import; the operator stays import-gated the same way."""
+    import pytest
+
+    try:
+        import pyspark.sql.streaming.proto.StateMessage_pb2  # noqa: F401
+    except ImportError as ex:
+        pytest.skip(f"state API v2 needs protobuf: {ex}")
+
+    from fraud_detection_spark.sources import events_with_time
+    from fraud_detection_spark.streaming.stateful import (
+        batch_profile,
+        user_profile_stream_v2,
+    )
+
+    ev = events_with_time(spark, sf_dir).select("user_id", "value", "ts_sec")
+    src = str(tmp_path / "v2_src")
+    ev.coalesce(2).write.mode("overwrite").parquet(src)
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream_in = spark.readStream.schema(ev.schema).parquet(src)
+        q = (
+            user_profile_stream_v2(stream_in)
+            .writeStream.format("memory")
+            .queryName("profiles_v2")
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .option("checkpointLocation", str(tmp_path / "v2_ckpt"))
+            .start()
+        )
+        q.awaitTermination()
+    except Exception as ex:  # pragma: no cover - environment gate
+        if "RocksDB" in str(ex) or "UnsatisfiedLink" in str(ex):
+            pytest.skip(f"RocksDB state store unavailable: {ex}")
+        raise
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    got = (
+        spark.sql("SELECT * FROM profiles_v2")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("mean_value", "n_events").alias("mean_value"),
+            F.max("last_seen_sec").alias("last_seen_sec"),
+        )
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        batch_profile(ev).toPandas().sort_values("user_id").reset_index(drop=True)
+    )
+    assert (got.user_id.values == want.user_id.values).all()
+    assert (got.n_events.values == want.n_events.values).all()
+    assert (abs(got.mean_value.values - want.mean_value.values) < 1e-9).all()
+    assert (got.last_seen_sec.values == want.last_seen_sec.values).all()
