@@ -91,6 +91,15 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_funnel_steps",
     "q_event_transitions",
     "q_data_profile",             # numeric data-quality profile (new)
+    # feature-engineering / time-evolution family (new this round):
+    "q_tree_score",
+    "q_onehot_topk",
+    "q_robust_scale",
+    "q_sample_weighted",
+    "q_ewma",
+    "q_cusum",
+    "q_scd2",
+    "q_mahalanobis",
 })
 
 

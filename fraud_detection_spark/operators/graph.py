@@ -278,3 +278,72 @@ def mad_outlier_approx(
         .filter((F.col("mad") > 0) & (F.col("adev") > 10 * F.col("mad")))
         .select("event_id", "user_id")
     )
+
+
+_MAHA_FEATS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_CHI2_95_DF4 = 9.488  # chi-square 0.95 critical value, 4 degrees of freedom
+
+
+@query(
+    "q_mahalanobis",
+    oracle=(
+        "WITH s AS (SELECT "
+        + ", ".join(
+            f"AVG({c}) AS mu_{i}, STDDEV_SAMP({c}) AS sd_{i}"
+            for i, c in enumerate(_MAHA_FEATS)
+        )
+        + " FROM lineitem) "
+        "SELECT l_orderkey, l_linenumber, "
+        + sql_round(
+            " + ".join(
+                f"(({c} - mu_{i}) / sd_{i}) * (({c} - mu_{i}) / sd_{i})"
+                for i, c in enumerate(_MAHA_FEATS)
+            ),
+            6,
+        )
+        + " AS d2, CAST(CASE WHEN "
+        + " + ".join(
+            f"(({c} - mu_{i}) / sd_{i}) * (({c} - mu_{i}) / sd_{i})"
+            for i, c in enumerate(_MAHA_FEATS)
+        )
+        + f" > {_CHI2_95_DF4} THEN 1 ELSE 0 END AS INT) AS is_outlier "
+        "FROM lineitem, s"
+    ),
+    tags=("ml", "outlier"),
+)
+def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagonal-covariance Mahalanobis screen: d² = Σᵢ((xᵢ−μᵢ)/σᵢ)²
+    over the four lineitem numerics, flagged against the χ²₀.₉₅ (df=4)
+    critical value — the multivariate companion to the per-group
+    median/MAD screen (q_mad_outlier): a row can be unremarkable on
+    every axis yet jointly improbable. Diagonal Σ on purpose: the full
+    inverse-covariance form needs a 4×4 solve (driver numpy on the
+    collected covariance — trivial) but its matrix arithmetic is not
+    reproducible across engines, while the diagonal form is pure
+    column math both engines evaluate identically.
+
+    Plan: identical shape to q_standard_scale — one tiny stats
+    aggregate (map-side combinable), broadcast back, zero shuffle of
+    the fact table, whole-stage codegen throughout."""
+    li = load_table(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        *[
+            a
+            for i, c in enumerate(_MAHA_FEATS)
+            for a in (
+                F.avg(c).alias(f"mu_{i}"),
+                F.stddev_samp(c).alias(f"sd_{i}"),
+            )
+        ]
+    )
+    d2 = None
+    for i, c in enumerate(_MAHA_FEATS):
+        z = (F.col(c) - F.col(f"mu_{i}")) / F.col(f"sd_{i}")
+        term = z * z
+        d2 = term if d2 is None else d2 + term
+    return li.crossJoin(F.broadcast(stats)).select(
+        "l_orderkey",
+        "l_linenumber",
+        pround(d2, 6).alias("d2"),
+        (d2 > F.lit(_CHI2_95_DF4)).cast("int").alias("is_outlier"),
+    )

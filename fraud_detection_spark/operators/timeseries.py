@@ -1,0 +1,268 @@
+"""Time-evolution operators: EWMA smoothing, CUSUM changepoint
+scoring, and SCD2 (slowly-changing-dimension) interval building.
+
+The reference's data has a Time axis (generate_synthetic_data.py:12
+sorts uniform seconds precisely so time-series treatment is possible)
+but nothing in it ever *uses* time beyond sorting; a deployed fraud
+platform monitors its inputs and scores over time (did the amount
+distribution drift? when?) and versions its dimensions (what was this
+customer's tier when the charge happened?). These are those operators,
+each SQL-expressible and oracle-checked:
+
+- q_ewma   per-user exponentially-weighted moving average of the event
+           amount (finite window, lag-composed — closed form, no
+           recursion)
+- q_cusum  CUSUM changepoint curve over daily mean amounts
+           (S_t = Σ_{i≤t}(x̄_i − x̄), the classic drift detector whose
+           |S| peak marks the change day)
+- q_scd2   type-2 slowly-changing-dimension intervals from an event
+           log (valid_from / valid_to / is_current per attribute run)
+
+Scale posture: q_ewma is one partitioned window pass (shuffle on
+user_id only — the lag composition makes the whole EWMA a codegen'd
+projection over 8 lag frames, no recursion, no UDF); q_cusum folds the
+fact table to ≤|days| rows with one map-side-combinable aggregate and
+runs its cumulative window over that bounded table only; q_scd2 is two
+partitioned windows + one hash aggregate, all keyed by custkey — no
+global sort anywhere. Determinism: daily means and their grand mean
+use exact fixed-point units (functions.fixed_sum discipline), EWMA
+weights are identical float literals composed in identical order on
+both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fraud_detection_spark.functions import pround
+from fraud_detection_spark.registry import query, sql_double_lit, sql_round
+from fraud_detection_spark.sources import load_table
+
+_SEC_SQL = "(epoch_ns(ts) // 1000000000)"
+
+# ---------------------------------------------------------------------------
+# q_ewma — weights q^k over the trailing K events; generated from one
+# spec on both engines so the arithmetic is structurally identical.
+
+_EWMA_K = 8
+_EWMA_Q = 0.8
+_EWMA_W = [_EWMA_Q**k for k in range(_EWMA_K)]
+
+
+def _ewma_cols(w: Window) -> tuple[Column, Column]:
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k, wk in enumerate(_EWMA_W):
+        lagk = F.col("value") if k == 0 else F.lag("value", k).over(w)
+        num = num + F.coalesce(lagk * F.lit(wk), F.lit(0.0))
+        den = den + F.when(lagk.isNotNull(), F.lit(wk)).otherwise(F.lit(0.0))
+    return num, den
+
+
+def _ewma_sql() -> tuple[str, str]:
+    over = "OVER (PARTITION BY user_id ORDER BY ts, event_id)"
+    nums, dens = [], []
+    for k, wk in enumerate(_EWMA_W):
+        lagk = "value" if k == 0 else f"LAG(value, {k}) {over}"
+        lit = sql_double_lit(wk)  # exact: bare 0.8^k literals have 17 digits
+        nums.append(f"COALESCE({lagk} * {lit}, 0.0)")
+        dens.append(f"CASE WHEN {lagk} IS NOT NULL THEN {lit} ELSE 0.0 END")
+    return " + ".join(nums), " + ".join(dens)
+
+
+_EWMA_NUM_SQL, _EWMA_DEN_SQL = _ewma_sql()
+
+
+@query(
+    "q_ewma",
+    oracle=(
+        "SELECT event_id, user_id, "
+        + sql_round(f"({_EWMA_NUM_SQL}) / ({_EWMA_DEN_SQL})", 6)
+        + " AS ewma FROM events"
+    ),
+    tags=("timeseries", "window"),
+)
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of the transaction amount over the trailing 8
+    events (decay 0.8) — the smoothed-baseline feature fraud velocity
+    rules compare against ("amount is 5× this card's EWMA"). The
+    reference's Time column exists for exactly this and is never used
+    (SURVEY §2: eda.py sorts it, nothing windows it).
+
+    Closed form, not recursion: a finite-window EWMA is a weighted sum
+    of K lags, so the whole operator is ONE window pass whose frame
+    Spark evaluates with 8 lag expressions in a single codegen'd
+    projection — shuffles once on user_id, sorts within partitions
+    only. The partial-window edge (first K−1 events) renormalizes by
+    the present-weight sum, matching pandas ewm(adjust=True).
+    Weight literals and addition order are generated from one spec for
+    both engines, so the doubles agree bitwise."""
+    ev = load_table(spark, sf_dir, "events")
+    lag_w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num, den = _ewma_cols(lag_w)
+    return ev.select(
+        "event_id",
+        "user_id",
+        pround(num / den, 6).alias("ewma"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cusum",
+    oracle=(
+        f"WITH d AS (SELECT {_SEC_SQL} // 86400 AS day, "
+        "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 10000 / COUNT(*) AS day_mean "
+        "FROM events GROUP BY day), "
+        "g AS (SELECT CAST(SUM(CAST(FLOOR(day_mean * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 10000 / COUNT(*) AS grand_mean FROM d) "
+        "SELECT CAST(day AS BIGINT) AS day, "
+        + sql_round("day_mean", 4) + " AS day_mean, "
+        + sql_round(
+            "SUM(day_mean - grand_mean) OVER (ORDER BY day)", 4
+        )
+        + " AS s FROM d, g"
+    ),
+    tags=("timeseries", "drift"),
+)
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint curve over daily mean amounts:
+    S_t = Σ_{i≤t}(x̄_i − x̄). Under a stable process S wanders near 0;
+    a mean shift bends it into a V whose vertex |S| peak is the
+    change-day estimate (Page 1954 / Taylor's cumulative-sum charts) —
+    the when-did-it-drift companion to q_psi's how-much.
+
+    Scale shape: the fact table folds to ≤|days| rows in one hash
+    aggregate (map-side combinable: integer unit sums + counts); the
+    grand mean and the cumulative window run over that bounded day
+    table only — same bounded-table discipline as q_roc_points. Daily
+    and grand means use exact fixed-point unit sums, so no engine or
+    partitioning can move them; the running sum's addition order is
+    the frame order, identical on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    # integer epoch math only: ts is epoch *nanos* (~1.7e18), beyond
+    # double's 2^53 exact range, so float division could misplace a
+    # boundary row
+    day = F.expr("ts div 1000000000 div 86400")
+    d = (
+        ev.groupBy(day.cast("bigint").alias("day"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / 10000
+                / F.count("*")
+            ).alias("day_mean")
+        )
+    )
+    g = d.agg(
+        (
+            F.sum(F.floor(F.col("day_mean") * 10000 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / 10000
+            / F.count("*")
+        ).alias("grand_mean")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.crossJoin(F.broadcast(g))
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            pround(F.col("day_mean"), 4).alias("day_mean"),
+            pround(
+                F.sum(F.col("day_mean") - F.col("grand_mean")).over(w), 4
+            ).alias("s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+_SCD2_OVER = "(PARTITION BY o_custkey ORDER BY datekey, o_orderkey)"
+
+
+@query(
+    "q_scd2",
+    oracle=(
+        "WITH t0 AS (SELECT o_custkey, o_orderkey, o_orderpriority, "
+        "CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 "
+        "+ day(o_orderdate) AS INT) AS datekey FROM orders), "
+        "t AS (SELECT *, "
+        f"LAG(o_orderpriority) OVER {_SCD2_OVER} AS prev_prio "
+        "FROM t0), "
+        "v AS (SELECT *, SUM(CASE WHEN prev_prio IS NULL "
+        "OR prev_prio <> o_orderpriority THEN 1 ELSE 0 END) "
+        f"OVER {_SCD2_OVER} AS version FROM t), "
+        "r AS (SELECT o_custkey AS custkey, CAST(version AS BIGINT) AS version, "
+        "MIN(o_orderpriority) AS prio, CAST(MIN(datekey) AS INT) AS valid_from, "
+        "CAST(COUNT(*) AS BIGINT) AS n_rows "
+        "FROM v GROUP BY o_custkey, version) "
+        "SELECT custkey, version, prio, valid_from, "
+        "CAST(LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY version) AS INT)"
+        " AS valid_to, "
+        "CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY version)"
+        " IS NULL THEN 1 ELSE 0 END AS INT) AS is_current, n_rows FROM r"
+    ),
+    tags=("warehouse", "window"),
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 interval build: collapse each customer's order-
+    priority timeline into versioned validity intervals
+    (valid_from, valid_to, is_current) — the dimension-versioning step
+    every warehouse ETL runs so facts can join the attribute *as of*
+    the transaction (the reference serves only current-state features,
+    api/app.py:196; point-in-time correctness needs these intervals).
+
+    Run-length detection via LAG ≠, version via a running SUM of
+    change flags, then one hash aggregate per (custkey, version) and a
+    LEAD to close each interval — two partitioned windows and one
+    shuffle, all keyed by custkey; no global ordering. Dates are
+    emitted as yyyymmdd ints (timezone-proof on both engines)."""
+    o = load_table(spark, sf_dir, "orders")
+    datekey = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    ).cast("int")
+    w = Window.partitionBy("o_custkey").orderBy("datekey", "o_orderkey")
+    t = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        datekey.alias("datekey"),
+    ).withColumn("prev_prio", F.lag("o_orderpriority").over(w))
+    v = t.withColumn(
+        "version",
+        F.sum(
+            F.when(
+                F.col("prev_prio").isNull()
+                | (F.col("prev_prio") != F.col("o_orderpriority")),
+                1,
+            ).otherwise(0)
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    r = v.groupBy(
+        F.col("o_custkey").alias("custkey"),
+        F.col("version").cast("bigint").alias("version"),
+    ).agg(
+        F.min("o_orderpriority").alias("prio"),
+        F.min("datekey").cast("int").alias("valid_from"),
+        F.count("*").cast("bigint").alias("n_rows"),
+    )
+    w2 = Window.partitionBy("custkey").orderBy("version")
+    lead_from = F.lead("valid_from").over(w2)
+    return r.select(
+        "custkey",
+        "version",
+        "prio",
+        "valid_from",
+        lead_from.cast("int").alias("valid_to"),
+        lead_from.isNull().cast("int").alias("is_current"),
+        "n_rows",
+    )

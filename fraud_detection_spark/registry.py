@@ -12,7 +12,13 @@ columns sorted by name), so:
 - integer aggregates are cast to BIGINT on both sides (DuckDB SUM(int)
   is HUGEINT otherwise);
 - raw timestamps are never emitted — epoch seconds (BIGINT) instead,
-  which is timezone-independent in both engines.
+  which is timezone-independent in both engines;
+- computed double literals embedded in oracle text go through
+  ``sql_double_lit``: a bare decimal literal with >15 significant
+  digits parses as DECIMAL first and DuckDB's DECIMAL→DOUBLE cast is
+  not correctly rounded (found by tests/test_portable_round_hypothesis
+  — 180143985.25465846 lands 1 ulp high), while a quoted-string cast
+  takes the correctly-rounded strtod path.
 """
 
 from __future__ import annotations
@@ -36,6 +42,18 @@ def sql_round(expr: str, n: int) -> str:
     """
     p = 10 ** n
     return f"FLOOR(({expr}) * {p} + 0.5) / {p}"
+
+
+def sql_double_lit(x: float) -> str:
+    """Render a Python float as an EXACT double literal for oracle SQL.
+
+    ``repr(x)`` is the shortest decimal that round-trips to x's bits;
+    parsing it with strtod (the quoted-string cast path) is correctly
+    rounded in DuckDB, so the oracle sees bit-identical doubles to the
+    ``F.lit(x)`` on the Spark side. A *bare* numeric literal would
+    parse as DECIMAL(w,s) first, and the DECIMAL→DOUBLE conversion can
+    land 1 ulp off for >15-significant-digit values."""
+    return f"CAST('{x!r}' AS DOUBLE)"
 
 
 def sql_fixed_sum(expr: str, n: int = 2) -> str:
@@ -104,6 +122,7 @@ def load_all() -> dict[str, Query]:
         corpus,
         curation,
         dedup,
+        feature_eng,
         graph,
         incremental,
         ml_metrics,
@@ -118,6 +137,7 @@ def load_all() -> dict[str, Query]:
         scale,
         similarity,
         text,
+        timeseries,
         udf_examples,
         windows,
     )
