@@ -100,6 +100,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_cusum",
     "q_scd2",
     "q_mahalanobis",
+    "q_hll_sketch",               # mergeable persisted-sketch cardinality
 })
 
 

@@ -150,3 +150,91 @@ def test_shingle_arrow_matches_hof(spark, sf_dir):
     assert len(h) == len(a)
     for i in range(len(h)):
         assert list(h["tokens"][i]) == list(a["tokens"][i]), f"doc {h['doc_id'][i]}"
+
+
+def test_hll_sketch_close_to_exact(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from fraud_detection_spark.registry import load_all
+    from fraud_detection_spark.sources import load_table
+
+    R = load_all()
+
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: (r["d"], r["n"])
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("d"), F.count("*").alias("n")
+        )
+        .collect()
+    }
+    got = {
+        r["event_type"]: (r["est_users"], r["n_events"])
+        for r in R["q_hll_sketch"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(exact)
+    for k, (d, n) in exact.items():
+        est, n_got = got[k]
+        assert n_got == n, k
+        assert abs(est - d) / max(d, 1) < 0.05, (k, d, est)
+
+
+def test_hll_merge_matches_direct(spark, sf_dir):
+    """Union of daily sketches must estimate like one direct sketch —
+    the mergeability property the persisted-index path relies on."""
+    from pyspark.sql import functions as F
+
+    from fraud_detection_spark.registry import load_all
+    from fraud_detection_spark.sources import load_table
+
+    R = load_all()
+
+    ev = load_table(spark, sf_dir, "events")
+    direct = {
+        r["event_type"]: r["e"]
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e"))
+        .collect()
+    }
+    merged = {
+        r["event_type"]: r["est_users"]
+        for r in R["q_hll_sketch"].fn(spark, sf_dir).collect()
+    }
+    assert merged == {k: int(v) for k, v in direct.items()}
+
+
+def test_hll_index_roundtrip_and_pruning(spark, sf_dir, tmp_path):
+    """Persisted sketches must survive parquet round-trip bit-for-bit
+    (identical estimates) and answer from the index without the fact
+    table; day_min pruning must reduce the estimate monotonically."""
+    from fraud_detection_spark.operators.scale import (
+        build_hll_index,
+        estimate_from_index,
+    )
+    from fraud_detection_spark.registry import load_all
+
+    R = load_all()
+
+    out = str(tmp_path / "hll_idx")
+    build_hll_index(spark, sf_dir, out)
+    full = {
+        r["event_type"]: (r["est_users"], r["n_events"])
+        for r in estimate_from_index(spark, out).collect()
+    }
+    live = {
+        r["event_type"]: (r["est_users"], r["n_events"])
+        for r in R["q_hll_sketch"].fn(spark, sf_dir).collect()
+    }
+    assert full == live
+    days = sorted(
+        r["day"]
+        for r in spark.read.parquet(out).select("day").distinct().collect()
+    )
+    mid = days[len(days) // 2]
+    pruned = {
+        r["event_type"]: r["est_users"]
+        for r in estimate_from_index(spark, out, day_min=mid).collect()
+    }
+    for k, est in pruned.items():
+        assert est <= full[k][0]
