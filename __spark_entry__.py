@@ -101,6 +101,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_scd2",
     "q_mahalanobis",
     "q_hll_sketch",               # mergeable persisted-sketch cardinality
+    "q_asof_interval",            # SCD2 point-in-time join
+    "q_isotonic",                 # PAV calibration over bounded bands
 })
 
 

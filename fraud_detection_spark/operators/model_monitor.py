@@ -573,3 +573,77 @@ def q_hourly_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("sum_value") / F.col("n"), 4).alias("mean_value"),
         pround((F.col("n") - F.col("mu")) / F.col("sd"), 6).alias("volume_z"),
     )
+
+
+def _pav(rates: list[float], weights: list[float]) -> list[float]:
+    """Pool-adjacent-violators: weighted isotonic fit of per-band rates.
+
+    Standard stack algorithm: walk bands in score order, merging any
+    block whose mean drops below its predecessor's into one weighted
+    pool, until the sequence is non-decreasing; then expand each
+    pooled mean back over its member bands. O(bands)."""
+    blocks: list[list[float]] = []  # [mean, weight, n_bands]
+    for r, w in zip(rates, weights):
+        blocks.append([r, w, 1])
+        while len(blocks) > 1 and blocks[-2][0] > blocks[-1][0]:
+            r2, w2, k2 = blocks.pop()
+            r1, w1, k1 = blocks.pop()
+            wt = w1 + w2
+            blocks.append([(r1 * w1 + r2 * w2) / wt, wt, k1 + k2])
+    res: list[float] = []
+    for mean, _, k in blocks:
+        res.extend([mean] * k)
+    return res
+
+
+@query("q_isotonic", oracle=None, tags=("ml", "monitor", "calibration"))
+def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic score calibration (pool-adjacent-violators): fit a
+    monotone map from raw score to observed fraud rate — the standard
+    fix when a scorer ranks well (good AUC) but its probabilities are
+    off (bad calibration curve, q_calibration). The reference serves
+    raw sigmoid outputs (predict_single.py:30) with no calibration
+    layer at all.
+
+    Scale shape: PAV is sequential, but its INPUT is the binned
+    reliability table (≤50 rows), not the fact table — one hash
+    aggregate folds the 100 TB of scores into bands, the ≤50-row table
+    comes to the driver (bounded metadata, same discipline as
+    centroid/bucket-offset collects), numpy-free PAV runs in
+    microseconds, and the monotone band→rate map broadcasts back as a
+    codegen'd join. Declared rows-only: the pooling recursion is not
+    a single SQL expression (DuckDB has no isotonic aggregate)."""
+    s = scored(spark, sf_dir)
+    bands = (
+        s.groupBy(F.floor(F.col("score") * 50).cast("bigint").alias("band"))
+        .agg(F.count("*").alias("n"), F.sum("label").alias("pos"))
+        .orderBy("band")
+    )
+    rows = bands.collect()  # ≤51 rows — bounded by construction
+    rates = [r.pos / r.n for r in rows]
+    weights = [float(r.n) for r in rows]
+    fitted = _pav(rates, weights)
+    cal = spark.createDataFrame(
+        [
+            (r.band, float(rate), int(r.n), int(r.pos))
+            for r, rate in zip(rows, fitted)
+        ],
+        "band bigint, rate_cal double, n bigint, pos bigint",
+    )
+    return (
+        s.join(
+            F.broadcast(cal),
+            F.floor(F.col("score") * 50).cast("bigint") == F.col("band"),
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            pround(F.first("rate_cal"), 6).alias("rate_cal"),
+            pround(
+                F.sum(fp_units(F.col("score"), 6)).cast("double") / 1000000
+                / F.count("*"),
+                6,
+            ).alias("mean_score"),
+        )
+        .orderBy("band")
+    )

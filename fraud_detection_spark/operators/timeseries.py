@@ -186,31 +186,30 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SCD2_OVER = "(PARTITION BY o_custkey ORDER BY datekey, o_orderkey)"
 
-
-@query(
-    "q_scd2",
-    oracle=(
-        "WITH t0 AS (SELECT o_custkey, o_orderkey, o_orderpriority, "
-        "CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 "
-        "+ day(o_orderdate) AS INT) AS datekey FROM orders), "
-        "t AS (SELECT *, "
-        f"LAG(o_orderpriority) OVER {_SCD2_OVER} AS prev_prio "
-        "FROM t0), "
-        "v AS (SELECT *, SUM(CASE WHEN prev_prio IS NULL "
-        "OR prev_prio <> o_orderpriority THEN 1 ELSE 0 END) "
-        f"OVER {_SCD2_OVER} AS version FROM t), "
-        "r AS (SELECT o_custkey AS custkey, CAST(version AS BIGINT) AS version, "
-        "MIN(o_orderpriority) AS prio, CAST(MIN(datekey) AS INT) AS valid_from, "
-        "CAST(COUNT(*) AS BIGINT) AS n_rows "
-        "FROM v GROUP BY o_custkey, version) "
-        "SELECT custkey, version, prio, valid_from, "
-        "CAST(LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY version) AS INT)"
-        " AS valid_to, "
-        "CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY version)"
-        " IS NULL THEN 1 ELSE 0 END AS INT) AS is_current, n_rows FROM r"
-    ),
-    tags=("warehouse", "window"),
+# Interval-table SELECT shared by q_scd2 and the as-of consumer below.
+_SCD2_SQL = (
+    "WITH t0 AS (SELECT o_custkey, o_orderkey, o_orderpriority, "
+    "CAST(year(o_orderdate) * 10000 + month(o_orderdate) * 100 "
+    "+ day(o_orderdate) AS INT) AS datekey FROM orders), "
+    "t AS (SELECT *, "
+    f"LAG(o_orderpriority) OVER {_SCD2_OVER} AS prev_prio "
+    "FROM t0), "
+    "v AS (SELECT *, SUM(CASE WHEN prev_prio IS NULL "
+    "OR prev_prio <> o_orderpriority THEN 1 ELSE 0 END) "
+    f"OVER {_SCD2_OVER} AS version FROM t), "
+    "r AS (SELECT o_custkey AS custkey, CAST(version AS BIGINT) AS version, "
+    "MIN(o_orderpriority) AS prio, CAST(MIN(datekey) AS INT) AS valid_from, "
+    "CAST(COUNT(*) AS BIGINT) AS n_rows "
+    "FROM v GROUP BY o_custkey, version) "
+    "SELECT custkey, version, prio, valid_from, "
+    "CAST(LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY version) AS INT)"
+    " AS valid_to, "
+    "CAST(CASE WHEN LEAD(valid_from) OVER (PARTITION BY custkey ORDER BY version)"
+    " IS NULL THEN 1 ELSE 0 END AS INT) AS is_current, n_rows FROM r"
 )
+
+
+@query("q_scd2", oracle=_SCD2_SQL, tags=("warehouse", "window"))
 def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SCD type-2 interval build: collapse each customer's order-
     priority timeline into versioned validity intervals
@@ -265,4 +264,65 @@ def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
         lead_from.cast("int").alias("valid_to"),
         lead_from.isNull().cast("int").alias("is_current"),
         "n_rows",
+    )
+
+
+@query(
+    "q_asof_interval",
+    oracle=(
+        f"WITH iv AS ({_SCD2_SQL}) "
+        "SELECT o.o_orderkey, iv.custkey, "
+        "CAST(year(o.o_orderdate) * 10000 + month(o.o_orderdate) * 100 "
+        "+ day(o.o_orderdate) AS INT) AS datekey, "
+        "iv.version, iv.prio, "
+        "CAST(CASE WHEN iv.prio = o.o_orderpriority THEN 1 ELSE 0 END AS INT)"
+        " AS own_version "
+        "FROM orders o JOIN iv ON o.o_custkey = iv.custkey "
+        "AND year(o.o_orderdate) * 10000 + month(o.o_orderdate) * 100 "
+        "+ day(o.o_orderdate) >= iv.valid_from "
+        "AND (iv.valid_to IS NULL OR "
+        "year(o.o_orderdate) * 10000 + month(o.o_orderdate) * 100 "
+        "+ day(o.o_orderdate) < iv.valid_to)"
+    ),
+    tags=("warehouse", "join", "asof"),
+)
+def q_asof_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) dimension join: each fact row picks the
+    SCD2 interval covering its transaction date — the lookup that makes
+    training features leak-free (the reference scores against
+    *current* state only, api/app.py:196; a model trained that way
+    sees the future). Half-open [valid_from, valid_to) intervals
+    partition each customer's timeline, so every order matches exactly
+    one interval; ``own_version`` flags the handful of same-day
+    priority flips where the covering interval is the day's *last*
+    version, not the order's own.
+
+    Plan: the interval table is dimension-sized (≤ a few rows per
+    customer), so Spark broadcasts it and the containment predicate
+    evaluates map-side — the fact table never shuffles. At 100 TB the
+    equi-key (custkey) carries the join; the range predicate is a
+    post-join filter, which AQE handles as a broadcast hash join with
+    residual condition (never a nested-loop over facts)."""
+    o = load_table(spark, sf_dir, "orders")
+    iv = q_scd2(spark, sf_dir)
+    datekey = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    ).cast("int")
+    f = o.select(
+        "o_orderkey", "o_custkey", "o_orderpriority", datekey.alias("datekey")
+    )
+    cond = (
+        (f.o_custkey == iv.custkey)
+        & (f.datekey >= iv.valid_from)
+        & (iv.valid_to.isNull() | (f.datekey < iv.valid_to))
+    )
+    return f.join(F.broadcast(iv), cond).select(
+        "o_orderkey",
+        "custkey",
+        "datekey",
+        "version",
+        "prio",
+        (F.col("prio") == F.col("o_orderpriority")).cast("int").alias("own_version"),
     )

@@ -256,3 +256,92 @@ def test_mahalanobis_matches_numpy(spark, sf_dir):
     # the flag rate should be loosely near the chi-square tail mass for
     # correlated-but-centered data: just sanity-bound it
     assert 0.0 < got.is_outlier.mean() < 0.25
+
+
+# ---------------------------------------------------------------------------
+# q_asof_interval
+
+
+def test_asof_interval_covers_every_order_once(spark, sf_dir):
+    got = REGISTRY["q_asof_interval"].fn(spark, sf_dir).toPandas()
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    # every order matched by exactly one interval
+    assert len(got) == len(orders)
+    assert got.o_orderkey.value_counts().max() == 1
+    # the overwhelming majority of orders fall in their own version's
+    # interval; mismatches only occur on same-day priority flips
+    assert got.own_version.mean() > 0.9
+    # matched interval must contain the date
+    iv = REGISTRY["q_scd2"].fn(spark, sf_dir).toPandas()
+    m = got.merge(iv, on=["custkey", "version"])
+    assert (m.datekey >= m.valid_from).all()
+    assert ((m.valid_to.isna()) | (m.datekey < m.valid_to.fillna(10**9))).all()
+
+
+# ---------------------------------------------------------------------------
+# q_isotonic
+
+
+def _pav_ref(rates, weights):
+    """Quadratic-time reference PAV: repeatedly merge the first
+    violating adjacent pair — independent of the stack implementation."""
+    blocks = [[r, w, [i]] for i, (r, w) in enumerate(zip(rates, weights))]
+    changed = True
+    while changed:
+        changed = False
+        for i in range(len(blocks) - 1):
+            if blocks[i][0] > blocks[i + 1][0] + 1e-15:
+                r1, w1, m1 = blocks[i]
+                r2, w2, m2 = blocks[i + 1]
+                blocks[i : i + 2] = [
+                    [(r1 * w1 + r2 * w2) / (w1 + w2), w1 + w2, m1 + m2]
+                ]
+                changed = True
+                break
+    out = [0.0] * len(rates)
+    for r, _, members in blocks:
+        for i in members:
+            out[i] = r
+    return out
+
+
+def test_pav_matches_quadratic_reference():
+    import random
+
+    from fraud_detection_spark.operators.model_monitor import _pav
+
+    rng = random.Random(7)
+    for _ in range(50):
+        n = rng.randint(1, 40)
+        rates = [rng.random() for _ in range(n)]
+        weights = [float(rng.randint(1, 100)) for _ in range(n)]
+        got = _pav(rates, weights)
+        want = _pav_ref(rates, weights)
+        assert max(abs(a - b) for a, b in zip(got, want)) < 1e-12
+        # monotone non-decreasing
+        assert all(a <= b + 1e-12 for a, b in zip(got, got[1:]))
+        # weighted mean preserved
+        tot = sum(weights)
+        assert (
+            abs(
+                sum(r * w for r, w in zip(got, weights)) / tot
+                - sum(r * w for r, w in zip(rates, weights)) / tot
+            )
+            < 1e-12
+        )
+
+
+def test_isotonic_query_invariants(spark, sf_dir):
+    pdf = REGISTRY["q_isotonic"].fn(spark, sf_dir).toPandas().sort_values("band")
+    # calibrated rates are monotone in score band
+    assert (pdf.rate_cal.diff().dropna() >= -1e-9).all()
+    assert ((pdf.rate_cal >= 0) & (pdf.rate_cal <= 1)).all()
+    # per-band mean scores are monotone by construction of the binning
+    assert (pdf.mean_score.diff().dropna() > 0).all()
+    # calibration preserves the global positive rate
+    from fraud_detection_spark.operators.ml_metrics import scored
+
+    s = scored(spark, sf_dir).toPandas()
+    global_rate = s.label.mean()
+    fitted_rate = (pdf.rate_cal * pdf.n).sum() / pdf.n.sum()
+    assert abs(fitted_rate - global_rate) < 1e-4
