@@ -345,3 +345,62 @@ def test_isotonic_query_invariants(spark, sf_dir):
     global_rate = s.label.mean()
     fitted_rate = (pdf.rate_cal * pdf.n).sum() / pdf.n.sum()
     assert abs(fitted_rate - global_rate) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# Plan shape — the SCALE.md claims for this family, asserted
+
+
+def test_tree_score_plan_zero_shuffle_codegen(spark, sf_dir):
+    from fraud_detection_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_tree_score"].fn(spark, sf_dir))
+    assert "Exchange" not in plan, "tree inference must not shuffle"
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "codegen id" in plan  # formatted-mode marker for whole-stage codegen
+
+
+def test_broadcast_stats_family_plans(spark, sf_dir):
+    from fraud_detection_spark.plans.checks import (
+        assert_broadcast_join,
+        formatted_plan,
+    )
+
+    for name in ("q_robust_scale", "q_mahalanobis", "q_onehot_topk"):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        assert_broadcast_join(df)
+        plan = formatted_plan(df)
+        assert "BatchEvalPython" not in plan, name
+        # the fact table itself must not hash-repartition: the only
+        # exchanges allowed are the stats/category aggregate's own
+        # (SinglePartition or tiny-group) and the broadcast
+        assert plan.count("Exchange hashpartitioning") <= 1, (name, plan)
+
+
+def test_asof_interval_plan_broadcasts_dimension(spark, sf_dir):
+    from fraud_detection_spark.plans.checks import (
+        assert_broadcast_join,
+        assert_no_cartesian,
+    )
+
+    df = REGISTRY["q_asof_interval"].fn(spark, sf_dir)
+    assert_broadcast_join(df)
+    assert_no_cartesian(df)
+
+
+def test_sample_weighted_plan_is_top_n(spark, sf_dir):
+    from fraud_detection_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_sample_weighted"].fn(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, "must be per-partition top-N, not global sort"
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_ewma_scd2_windows_are_partitioned(spark, sf_dir):
+    from fraud_detection_spark.plans.checks import formatted_plan
+
+    for name in ("q_ewma", "q_scd2", "q_velocity"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        # no single-partition window over the fact table: every Window
+        # operator must sit under a hashpartitioning exchange on a key
+        assert "Exchange SinglePartition" not in plan, (name, plan)
