@@ -1,0 +1,119 @@
+"""Fraud feature-assembly pipeline (pipelines/fraud_features.py):
+leak-freedom, trailing-frame exclusivity, grouped split, determinism.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import pytest
+
+from fraud_detection_spark.pipelines.fraud_features import (
+    feature_table,
+    run_feature_job,
+)
+
+FEATURE_COLS = [
+    "hour_of_day",
+    "user_event_idx",
+    "secs_since_prev",
+    "n_1h",
+    "n_24h",
+    "amt_24h",
+    "ewma_prev",
+    "dev_ratio",
+    "expanding_mean",
+]
+
+
+@pytest.fixture(scope="module")
+def feats(spark, sf_dir):
+    return feature_table(spark, sf_dir).toPandas()
+
+
+def test_first_event_has_no_history(feats):
+    first = feats[feats.user_event_idx == 1]
+    assert len(first) > 0
+    assert (first.secs_since_prev == -1).all()
+    assert (first.n_1h == 0).all()
+    assert (first.n_24h == 0).all()
+    assert (first.amt_24h == 0).all()
+    assert first.ewma_prev.isna().all()
+    assert first.expanding_mean.isna().all()
+    assert first.dev_ratio.isna().all()
+
+
+def test_trailing_frames_exclude_current(feats, spark, sf_dir):
+    """n_24h must equal the count of the user's STRICTLY earlier events
+    within 24h — pandas reference on every user."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "ts", "value")
+        .toPandas()
+    )
+    ev["ts_sec"] = ev.ts.astype("int64") // 10**9
+    got = feats.set_index("event_id")
+    for _, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_sec", "event_id"])
+        secs = g.ts_sec.to_numpy()
+        for i, eid in enumerate(g.event_id):
+            want = int(((secs < secs[i]) & (secs >= secs[i] - 86400)).sum())
+            assert got.loc[eid, "n_24h"] == want, eid
+
+
+def test_leak_free_under_truncation(spark, sf_dir, tmp_path):
+    """Recomputing on a time-truncated copy of the data must reproduce
+    the feature rows of the surviving events bit-for-bit: features
+    depend only on the past. (The target column is excluded — it is a
+    label computed over the full history by design.)"""
+    tbl = pq.read_table(f"{sf_dir}/events.parquet")
+    ts = tbl.column("ts")
+    cutoff = pc.quantile(ts.cast("int64"), q=0.6).to_pylist()[0]
+    kept = tbl.filter(pc.less_equal(ts.cast("int64"), int(cutoff)))
+    trunc_dir = tmp_path / "trunc"
+    trunc_dir.mkdir()
+    pq.write_table(kept, trunc_dir / "events.parquet")
+
+    full = feature_table(spark, sf_dir).toPandas()
+    part = feature_table(spark, str(trunc_dir)).toPandas()
+    keep_ids = set(part.event_id)
+    full_sub = (
+        full[full.event_id.isin(keep_ids)][["event_id"] + FEATURE_COLS]
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    part_sub = (
+        part[["event_id"] + FEATURE_COLS].sort_values("event_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(full_sub, part_sub)
+
+
+def test_layout_determinism(spark, sf_dir, feats):
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        again = feature_table(spark, sf_dir).toPandas()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    a = feats.sort_values("event_id").reset_index(drop=True)
+    b = again.sort_values("event_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
+
+
+def test_feature_job_grouped_split_and_partitioned_write(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "feats")
+    rep = run_feature_job(spark, sf_dir, out_path=out, train_frac=0.8)
+    assert rep.n_rows > 0 and rep.n_train + rep.n_test == rep.n_rows
+    assert 0.0 < rep.positive_rate < 0.5
+    df = spark.read.parquet(out).toPandas()
+    # hive layout by day
+    import os
+
+    assert any(d.startswith("day=") for d in os.listdir(out))
+    # grouped split: every user entirely on one side
+    sides = df.groupby("user_id").is_train.nunique()
+    assert (sides == 1).all()
+    # split rate is loosely the requested fraction (user-level hash)
+    frac = df.is_train.mean()
+    assert 0.6 < frac < 0.95
