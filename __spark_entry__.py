@@ -103,6 +103,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_hll_sketch",               # mergeable persisted-sketch cardinality
     "q_asof_interval",            # SCD2 point-in-time join
     "q_isotonic",                 # PAV calibration over bounded bands
+    "q_cap_per_group",            # max-N-per-source curation cap
+    "q_record_linkage",           # blocked fuzzy entity resolution
 })
 
 

@@ -131,3 +131,40 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("seq_id"),
     )
+
+
+_CAP_N = 30
+
+
+@query(
+    "q_cap_per_group",
+    oracle=(
+        "WITH r AS (SELECT doc_id, source, ROW_NUMBER() OVER "
+        f"(PARTITION BY source ORDER BY {_u_sql('doc_id')}, doc_id) AS rk "
+        "FROM documents) "
+        "SELECT doc_id, source, CAST(rk AS BIGINT) AS rk "
+        f"FROM r WHERE rk <= {_CAP_N}"
+    ),
+    tags=("sampling", "curation"),
+)
+def q_cap_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group cap: keep at most N documents per source, chosen by
+    deterministic hash order — the "max N pages per domain" rule every
+    web-corpus recipe applies so one giant domain cannot dominate the
+    mix (the per-group form of q_sample_uniform's rate cut: a cap
+    bounds the CONTRIBUTION, a rate only scales it).
+
+    One window keyed by the group — shuffles once on source, sorts
+    only within each group, and the hash sort key makes the kept set
+    independent of physical row order (retry/layout-stable) AND stable
+    under corpus growth: a new crawl shifts a group's kept set only
+    where new docs hash below the old cap boundary. At 100 TB the
+    same plan holds; for heavily skewed group sizes the window sort is
+    the cost, and the standard refinement is a pre-filter at the cap
+    quantile of u per group before the exact window."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(_u_expr("doc_id").asc(), F.col("doc_id").asc())
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= _CAP_N)
+    )

@@ -125,6 +125,7 @@ def load_all() -> dict[str, Query]:
         feature_eng,
         graph,
         incremental,
+        linkage,
         ml_metrics,
         model_monitor,
         multimodal,

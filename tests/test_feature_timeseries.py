@@ -404,3 +404,48 @@ def test_ewma_scd2_windows_are_partitioned(spark, sf_dir):
         # no single-partition window over the fact table: every Window
         # operator must sit under a hashpartitioning exchange on a key
         assert "Exchange SinglePartition" not in plan, (name, plan)
+
+
+# ---------------------------------------------------------------------------
+# q_record_linkage / q_cap_per_group
+
+
+def test_record_linkage_recovers_planted_truth(spark, sf_dir):
+    pdf = REGISTRY["q_record_linkage"].fn(spark, sf_dir).toPandas()
+    n_parts = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        .filter("length(p_name) > 6")
+        .count()
+    )
+    # every dirty record resolves (its parent is always a candidate)
+    assert len(pdf) == n_parts
+    assert pdf.d_id.is_unique
+    # one dropped char => best distance is exactly 1 when correct
+    assert (pdf.loc[pdf.hit == 1, "lev"] == 1).all()
+    assert pdf.hit.mean() >= 0.95
+
+
+def test_record_linkage_plan_is_blocked_not_cartesian(spark, sf_dir):
+    from fraud_detection_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_record_linkage"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan, (
+        "blocking must plan as an equi-join on the prefix key"
+    )
+    # the cheap length cut must sit in the join condition / filter, and
+    # levenshtein must NOT be the join key (it runs post-join on
+    # blocked candidates only)
+    assert "levenshtein" in plan
+
+
+def test_cap_per_group_invariants(spark, sf_dir):
+    pdf = REGISTRY["q_cap_per_group"].fn(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    sizes = docs.groupby("source").size()
+    got = pdf.groupby("source").size()
+    for src, n in sizes.items():
+        assert got.get(src, 0) == min(n, 30), src
+    # deterministic: same kept set on a second run
+    again = REGISTRY["q_cap_per_group"].fn(spark, sf_dir).toPandas()
+    assert set(pdf.doc_id) == set(again.doc_id)
