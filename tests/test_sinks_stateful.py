@@ -238,3 +238,37 @@ def test_state_v2_profile_matches_batch(spark, sf_dir, tmp_path):
     assert (got.n_events.values == want.n_events.values).all()
     assert (abs(got.mean_value.values - want.mean_value.values) < 1e-9).all()
     assert (got.last_seen_sec.values == want.last_seen_sec.values).all()
+
+
+def test_drift_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming drift monitor (windowed agg over event-time days)
+    must equal its batch twin exactly: same day ids (epoch-aligned
+    windows vs integer div), same fixed-point means, same smoothed PSI."""
+    from fraud_detection_spark.sources import events_with_time
+    from fraud_detection_spark.streaming.drift import drift_batch, drift_stream
+
+    ev = events_with_time(spark, sf_dir).select("event_id", "ts_sec", "value")
+    src = str(tmp_path / "drift_src")
+    ev.orderBy("ts_sec", "event_id").coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream_in = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        drift_stream(stream_in)
+        .writeStream.format("memory")
+        .queryName("drift")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.sql("SELECT * FROM drift").toPandas().sort_values("day").reset_index(drop=True)
+    )
+    want = drift_batch(ev).toPandas().sort_values("day").reset_index(drop=True)
+    assert got.day.to_list() == want.day.to_list()
+    assert got.n.to_list() == want.n.to_list()
+    assert (got.day_mean - want.day_mean).abs().max() == 0.0
+    assert (got.psi - want.psi).abs().max() == 0.0
+    # drift against the uniform prior is present and finite
+    assert got.psi.notna().all() and (got.psi >= 0).all()
