@@ -105,6 +105,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_isotonic",                 # PAV calibration over bounded bands
     "q_cap_per_group",            # max-N-per-source curation cap
     "q_record_linkage",           # blocked fuzzy entity resolution
+    "q_time_split",               # temporal eval split
 })
 
 

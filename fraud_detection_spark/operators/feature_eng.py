@@ -356,3 +356,59 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_N)
         .drop("_k")
     )
+
+
+# ---------------------------------------------------------------------------
+
+_TS_SEC_SQL = "(epoch_ns(ts) // 1000000000)"
+
+
+@query(
+    "q_time_split",
+    oracle=(
+        f"WITH c AS (SELECT quantile_disc({_TS_SEC_SQL}, 0.8) AS cutoff FROM events) "
+        f"SELECT CASE WHEN {_TS_SEC_SQL} <= cutoff THEN 1 ELSE 0 END AS is_train, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, "
+        f"CAST(MIN({_TS_SEC_SQL}) AS BIGINT) AS ts_min, "
+        f"CAST(MAX({_TS_SEC_SQL}) AS BIGINT) AS ts_max "
+        "FROM events, c GROUP BY is_train"
+    ),
+    tags=("ml", "split", "timeseries"),
+)
+def q_time_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal train/test split at the 80th time percentile: train on
+    the past, evaluate on the future — the evaluation protocol
+    time-dependent fraud data actually requires. The reference's
+    random row split (preprocess.py:36-38, mirrored by q_split) lets
+    the model train on events *after* its test set, inflating offline
+    AUC relative to deployment; fraud patterns drift, so the honest
+    estimate comes from a time cut.
+
+    The cutoff is PERCENTILE_DISC of epoch seconds (selects an actual
+    element — engine-exact, see q_percentiles) computed in one tiny
+    aggregate and broadcast back; the split itself is a codegen'd
+    comparison. Output is the per-side summary (counts, user counts,
+    time ranges) whose ts_max(train) <= ts_min(test)+1s boundary the
+    test asserts."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    e = ev.select(sec.alias("ts_sec"), "user_id")
+    cutoff = e.agg(
+        F.expr("percentile_disc(0.8) WITHIN GROUP (ORDER BY ts_sec)").alias("cutoff")
+    )
+    return (
+        e.crossJoin(F.broadcast(cutoff))
+        .select(
+            F.when(F.col("ts_sec") <= F.col("cutoff"), 1).otherwise(0).alias("is_train"),
+            "ts_sec",
+            "user_id",
+        )
+        .groupBy("is_train")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("ts_sec").cast("bigint").alias("ts_min"),
+            F.max("ts_sec").cast("bigint").alias("ts_max"),
+        )
+    )

@@ -449,3 +449,18 @@ def test_cap_per_group_invariants(spark, sf_dir):
     # deterministic: same kept set on a second run
     again = REGISTRY["q_cap_per_group"].fn(spark, sf_dir).toPandas()
     assert set(pdf.doc_id) == set(again.doc_id)
+
+
+# ---------------------------------------------------------------------------
+# q_time_split
+
+
+def test_time_split_is_temporal(spark, sf_dir):
+    pdf = REGISTRY["q_time_split"].fn(spark, sf_dir).toPandas().set_index("is_train")
+    ev_n = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert pdf.n.sum() == ev_n
+    # train strictly precedes test — the whole point of the cut
+    assert pdf.loc[1, "ts_max"] < pdf.loc[0, "ts_min"]
+    # ~80/20 by construction of the percentile cutoff
+    frac = pdf.loc[1, "n"] / pdf.n.sum()
+    assert 0.75 <= frac <= 0.85
