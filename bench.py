@@ -112,6 +112,20 @@ HEADLINE = [
     "q_ks_stat",
     "q_target_encode",
     "q_velocity",
+    # round-6 continuation: the feature-engineering / time-evolution
+    # family, one representative per distinct plan shape — codegen tree
+    # inference (zero shuffle), array-fraction percentile broadcast
+    # stats, Efraimidis-Spirakis top-N, partitioned lag-window EWMA,
+    # SCD2 window+agg chain, broadcast interval as-of join, blocked
+    # fuzzy linkage join, mergeable HLL sketch aggregate
+    "q_tree_score",
+    "q_robust_scale",
+    "q_sample_weighted",
+    "q_ewma",
+    "q_scd2",
+    "q_asof_interval",
+    "q_record_linkage",
+    "q_hll_sketch",
 ]
 
 
