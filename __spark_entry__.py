@@ -106,6 +106,11 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_cap_per_group",            # max-N-per-source curation cap
     "q_record_linkage",           # blocked fuzzy entity resolution
     "q_time_split",               # temporal eval split
+    # AML screen family (operators/aml.py, new):
+    "q_structuring",
+    "q_dormancy",
+    "q_round_amount",
+    "q_fraud_rings",
 })
 
 

@@ -1,0 +1,243 @@
+"""AML / fraud-pattern screens.
+
+The reference scores transactions one at a time against a learned
+model (predict_single.py); a production fraud desk additionally runs
+RULE screens for the patterns regulators name explicitly. These are
+those screens as declared, oracle-checked queries — each a direct
+translation of a classic AML typology onto the event stream:
+
+- q_structuring   "smurfing": many just-below-threshold amounts per
+                  account (31 CFR structuring; the [81,90) band below
+                  the value-90 reporting line here)
+- q_dormancy      dormancy reactivation: an account silent >2 days
+                  that suddenly bursts (≥3 events in the next hour) —
+                  the account-takeover tell
+- q_round_amount  round-amount bias: fraudsters favor round numbers;
+                  per-account share of near-integer amounts with a
+                  binomial z against the global rate
+- q_fraud_rings   ring detection: connected components over the
+                  customer—supplier transaction graph restricted to
+                  heavy edges — members of one component move money
+                  through shared counterparties
+
+Scale posture: the three screens are hash aggregates / user-partitioned
+windows (one shuffle each, map-side combinable); ring detection reuses
+the engine's min-label propagation (operators/dedup.py) over a
+suspicion-filtered — therefore sparse — edge list, with a DuckDB
+recursive-CTE oracle (same pattern as q_dedup_cluster).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fraud_detection_spark.functions import pround
+from fraud_detection_spark.operators.dedup import label_propagation
+from fraud_detection_spark.operators.graph import _EDGE_SQL, edges
+from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.sources import load_table
+
+_SEC_SQL = "(epoch_ns(ts) // 1000000000)"
+
+# Structuring band: amounts in [81, 90) sit just under the value-90
+# "reporting threshold" of this dataset's [0,100) amount range.
+_STRUCT_LO, _STRUCT_HI = 81.0, 90.0
+_STRUCT_EXPECTED = (_STRUCT_HI - _STRUCT_LO) / 100.0  # uniform prior share
+
+
+@query(
+    "q_structuring",
+    oracle=(
+        "SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(CASE WHEN value >= {_STRUCT_LO} AND value < {_STRUCT_HI} "
+        "THEN 1 ELSE 0 END) AS BIGINT) AS n_band, "
+        + sql_round(
+            f"SUM(CASE WHEN value >= {_STRUCT_LO} AND value < {_STRUCT_HI} "
+            f"THEN 1 ELSE 0 END) * 1.0 / COUNT(*) / {_STRUCT_EXPECTED}",
+            6,
+        )
+        + " AS lift, "
+        f"CAST(CASE WHEN SUM(CASE WHEN value >= {_STRUCT_LO} AND value < "
+        f"{_STRUCT_HI} THEN 1 ELSE 0 END) >= 10 AND "
+        f"SUM(CASE WHEN value >= {_STRUCT_LO} AND value < {_STRUCT_HI} "
+        f"THEN 1 ELSE 0 END) * 1.0 / COUNT(*) > 2 * {_STRUCT_EXPECTED} "
+        "THEN 1 ELSE 0 END AS INT) AS flag "
+        "FROM events GROUP BY user_id"
+    ),
+    tags=("aml", "fraud", "agg"),
+)
+def q_structuring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structuring screen: per account, the count and lift of amounts
+    parked just below the reporting threshold. Flag = ≥10 band hits AND
+    band share >2× the uniform prior. One hash aggregate — the whole
+    100 TB stream folds map-side into |accounts| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    in_band = (
+        (F.col("value") >= _STRUCT_LO) & (F.col("value") < _STRUCT_HI)
+    ).cast("int")
+    g = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(in_band).cast("bigint").alias("n_band"),
+    )
+    share = F.col("n_band") * 1.0 / F.col("n")
+    return g.select(
+        "user_id",
+        "n",
+        "n_band",
+        pround(share / F.lit(_STRUCT_EXPECTED), 6).alias("lift"),
+        (
+            (F.col("n_band") >= 10) & (share > 2 * _STRUCT_EXPECTED)
+        ).cast("int").alias("flag"),
+    )
+
+
+_DORMANT_SEC = 2 * 86400
+_BURST_N = 3
+
+
+@query(
+    "q_dormancy",
+    oracle=(
+        f"WITH e AS (SELECT event_id, user_id, {_SEC_SQL} AS ts_sec FROM events), "
+        "g AS (SELECT *, ts_sec - LAG(ts_sec) OVER "
+        "(PARTITION BY user_id ORDER BY ts_sec, event_id) AS gap, "
+        "COUNT(*) OVER (PARTITION BY user_id ORDER BY ts_sec "
+        "RANGE BETWEEN CURRENT ROW AND 3600 FOLLOWING) AS burst_n FROM e) "
+        # // not CAST(x/y): DuckDB's double->BIGINT cast ROUNDS where Spark
+        # truncates — integer floor division agrees on both engines
+        "SELECT event_id, user_id, CAST(gap // 86400 AS BIGINT) AS gap_days, "
+        "CAST(burst_n AS BIGINT) AS burst_n, "
+        f"CAST(CASE WHEN burst_n >= {_BURST_N} THEN 1 ELSE 0 END AS INT) AS flag "
+        f"FROM g WHERE gap > {_DORMANT_SEC}"
+    ),
+    tags=("aml", "fraud", "window"),
+)
+def q_dormancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dormancy-reactivation screen: events that break a >2-day silence
+    for their account (threshold tuned to the synthetic stream's gap
+    distribution, whose maximum inter-event gap is ~6 days — a 7-day
+    rule would be vacuously empty), with the burst size in the
+    following hour —
+    silent-then-burst is the classic account-takeover signature. Two
+    user-partitioned windows (LAG + forward RANGE count) over one
+    shuffle; the output is only the reactivation events."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("event_id", "user_id", F.expr("ts div 1000000000").alias("ts_sec"))
+    w_ord = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    w_fwd = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(0, 3600)
+    g = e.select(
+        "event_id",
+        "user_id",
+        (F.col("ts_sec") - F.lag("ts_sec").over(w_ord)).alias("gap"),
+        F.count("*").over(w_fwd).cast("bigint").alias("burst_n"),
+    )
+    return g.filter(F.col("gap") > _DORMANT_SEC).select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("gap") / 86400).cast("bigint").alias("gap_days"),
+        "burst_n",
+        (F.col("burst_n") >= _BURST_N).cast("int").alias("flag"),
+    )
+
+
+_ROUND_TOL = 0.05  # |value - nearest integer| < tol => "round" amount
+
+
+@query(
+    "q_round_amount",
+    oracle=(
+        "WITH r AS (SELECT user_id, "
+        f"CASE WHEN ABS(value - FLOOR(value + 0.5)) < {_ROUND_TOL} "
+        "THEN 1 ELSE 0 END AS is_round FROM events), "
+        "g AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(is_round) AS BIGINT) AS n_round FROM r GROUP BY user_id), "
+        "t AS (SELECT SUM(n_round) * 1.0 / SUM(n) AS p0 FROM g) "
+        "SELECT user_id, n, n_round, "
+        + sql_round("n_round * 1.0 / n", 6) + " AS share, "
+        + sql_round(
+            "(n_round * 1.0 / n - p0) / SQRT(p0 * (1 - p0) / n)", 6
+        )
+        + " AS z FROM g, t"
+    ),
+    tags=("aml", "fraud", "agg"),
+)
+def q_round_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-amount bias screen: fraudulent transfers over-index on
+    round figures. Per account: share of near-integer amounts and the
+    binomial z of that share against the global rate (broadcast one-row
+    prior). Two hash aggregates + a broadcast — no fact-table
+    reshuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    is_round = (
+        F.abs(F.col("value") - F.floor(F.col("value") + F.lit(0.5))) < _ROUND_TOL
+    ).cast("int")
+    g = ev.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(is_round).cast("bigint").alias("n_round"),
+    )
+    t = g.agg((F.sum("n_round") * 1.0 / F.sum("n")).alias("p0"))
+    share = F.col("n_round") * 1.0 / F.col("n")
+    return g.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        "n",
+        "n_round",
+        pround(share, 6).alias("share"),
+        pround(
+            (share - F.col("p0"))
+            / F.sqrt(F.col("p0") * (1 - F.col("p0")) / F.col("n")),
+            6,
+        ).alias("z"),
+    )
+
+
+_RING_MIN_TXN = 4  # an edge is "heavy" at >= this many transactions
+
+
+@query(
+    "q_fraud_rings",
+    oracle=(
+        "WITH RECURSIVE "
+        f"e AS ({_EDGE_SQL}), "
+        f"heavy AS (SELECT custkey, suppkey FROM e WHERE n >= {_RING_MIN_TXN}), "
+        # bipartite vertex ids: customer -> 2k, supplier -> 2k+1
+        "pairs AS (SELECT custkey * 2 AS x, suppkey * 2 + 1 AS y FROM heavy "
+        "UNION ALL SELECT suppkey * 2 + 1, custkey * 2 FROM heavy), "
+        "verts AS (SELECT DISTINCT x AS v FROM pairs), "
+        "reach(v, r) AS ("
+        "SELECT v, v FROM verts "
+        "UNION "
+        "SELECT p.x, reach.r FROM pairs p JOIN reach ON p.y = reach.v) "
+        "SELECT CAST(v // 2 AS BIGINT) AS custkey, "
+        "CAST(MIN(r) AS BIGINT) AS ring_id "
+        "FROM reach WHERE v % 2 = 0 GROUP BY v"
+    ),
+    tags=("aml", "fraud", "graph", "iterative"),
+)
+def q_fraud_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ring detection: connected components over the customer—supplier
+    graph restricted to heavy edges (≥4 transactions) — accounts in one
+    component transact through shared counterparties, the money-mule
+    ring shape. Bipartite vertices are disambiguated as 2k / 2k+1 and
+    only customers are emitted, labeled with their component's minimum
+    vertex id.
+
+    Spark side reuses the engine's min-label propagation (one join +
+    aggregate per round over the suspicion-FILTERED edge list — sparse
+    by construction); the oracle is a DuckDB recursive CTE over the
+    identical pair set (q_dedup_cluster pattern)."""
+    heavy = edges(spark, sf_dir).filter(F.col("n") >= _RING_MIN_TXN)
+    fwd = heavy.select(
+        (F.col("custkey") * 2).alias("src"), (F.col("suppkey") * 2 + 1).alias("dst")
+    )
+    pairs = fwd.unionAll(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    verts = pairs.select(F.col("src").alias("v")).distinct()
+    labeled = label_propagation(verts, pairs, "v")
+    return (
+        labeled.filter(F.col("v") % 2 == 0)
+        .select(
+            (F.col("v") / 2).cast("bigint").alias("custkey"),
+            F.col("cluster_id").cast("bigint").alias("ring_id"),
+        )
+    )

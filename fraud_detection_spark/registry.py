@@ -117,6 +117,7 @@ def load_all() -> dict[str, Query]:
     """Import every operator module so decorators run, then return REGISTRY."""
     from fraud_detection_spark.operators import (  # noqa: F401
         aggregates,
+        aml,
         analytics,
         behavior,
         corpus,

@@ -1,0 +1,105 @@
+"""AML screen invariants and independent python references
+(operators/aml.py); oracle parity is covered by test_oracle_parity.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from fraud_detection_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def test_structuring_matches_pandas(spark, sf_dir):
+    got = REGISTRY["q_structuring"].fn(spark, sf_dir).toPandas().set_index("user_id")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "value"
+    ).toPandas()
+    ev["band"] = ((ev.value >= 81.0) & (ev.value < 90.0)).astype(int)
+    ref = (
+        ev.groupby("user_id")
+        .agg(n=("value", "size"), n_band=("band", "sum"))
+        .reindex(got.index)
+    )
+    assert (got.n == ref.n).all() and (got.n_band == ref.n_band).all()
+    want_flag = ((ref.n_band >= 10) & (ref.n_band / ref.n > 0.18)).astype(int)
+    assert (got.flag == want_flag).all()
+
+
+def test_dormancy_is_nonvacuous(spark, sf_dir):
+    """The threshold must actually fire on this data (a 7-day rule was
+    vacuously empty — max synthetic gap is ~6 days)."""
+    assert len(REGISTRY["q_dormancy"].fn(spark, sf_dir).toPandas()) > 0
+
+
+def test_dormancy_reference(spark, sf_dir):
+    got = REGISTRY["q_dormancy"].fn(spark, sf_dir).toPandas()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "ts"
+    ).toPandas()
+    ev["ts_sec"] = ev.ts.astype("int64") // 10**9
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        g = g.sort_values(["ts_sec", "event_id"])
+        secs = g.ts_sec.to_numpy()
+        prev = None
+        for i, (eid, t) in enumerate(zip(g.event_id, secs)):
+            if prev is not None and t - prev > 2 * 86400:
+                burst = int(((secs >= t) & (secs <= t + 3600)).sum())
+                rows.append((eid, uid, (t - prev) // 86400, burst))
+            prev = t
+    want = pd.DataFrame(
+        rows, columns=["event_id", "user_id", "gap_days", "burst_n"]
+    ).sort_values("event_id").reset_index(drop=True)
+    got_s = got.sort_values("event_id").reset_index(drop=True)
+    assert got_s.event_id.to_list() == want.event_id.to_list()
+    assert got_s.gap_days.to_list() == want.gap_days.to_list()
+    assert got_s.burst_n.to_list() == want.burst_n.to_list()
+    assert (got_s.flag == (got_s.burst_n >= 3).astype(int)).all()
+
+
+def test_round_amount_statistics(spark, sf_dir):
+    got = REGISTRY["q_round_amount"].fn(spark, sf_dir).toPandas()
+    # uniform amounts: global round share ~10% (|v - round(v)| < 0.05)
+    p0 = got.n_round.sum() / got.n.sum()
+    assert 0.05 < p0 < 0.15
+    # binomial z's are roughly centered under the null
+    assert abs((got.z * got.n).sum() / got.n.sum()) < 0.5
+
+
+def _union_find_rings(pairs):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_fraud_rings_match_union_find(spark, sf_dir):
+    from fraud_detection_spark.operators.graph import edges
+
+    got = REGISTRY["q_fraud_rings"].fn(spark, sf_dir).toPandas()
+    heavy = (
+        edges(spark, sf_dir).filter("n >= 4").select("custkey", "suppkey").toPandas()
+    )
+    pairs = [(int(c) * 2, int(s) * 2 + 1) for c, s in heavy.itertuples(index=False)]
+    labels = _union_find_rings(pairs)
+    want = {
+        v // 2: r for v, r in labels.items() if v % 2 == 0
+    }
+    got_map = dict(zip(got.custkey, got.ring_id))
+    assert got_map == want
+    # two customers sharing a heavy supplier are in one ring
+    by_supp = heavy.groupby("suppkey").custkey.apply(list)
+    for members in by_supp:
+        rings = {got_map[c] for c in members}
+        assert len(rings) == 1
