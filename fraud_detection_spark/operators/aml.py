@@ -17,8 +17,8 @@ translation of a classic AML typology onto the event stream:
                   binomial z against the global rate
 - q_fraud_rings   ring detection: connected components over the
                   customer—supplier transaction graph restricted to
-                  heavy edges — members of one component move money
-                  through shared counterparties
+                  repeat-business edges — members of one component move
+                  money through shared counterparties
 
 Scale posture: the three screens are hash aggregates / user-partitioned
 windows (one shuffle each, map-side combinable); ring detection reuses
@@ -192,7 +192,7 @@ def q_round_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RING_MIN_TXN = 4  # an edge is "heavy" at >= this many transactions
+_RING_FACTOR = 2.5  # "suspicious" = edge weight >= 2.5x the typical one
 
 
 @query(
@@ -200,7 +200,8 @@ _RING_MIN_TXN = 4  # an edge is "heavy" at >= this many transactions
     oracle=(
         "WITH RECURSIVE "
         f"e AS ({_EDGE_SQL}), "
-        f"heavy AS (SELECT custkey, suppkey FROM e WHERE n >= {_RING_MIN_TXN}), "
+        f"t AS (SELECT CEIL({_RING_FACTOR} * AVG(n)) AS k FROM e), "
+        "heavy AS (SELECT custkey, suppkey FROM e, t WHERE n >= k), "
         # bipartite vertex ids: customer -> 2k, supplier -> 2k+1
         "pairs AS (SELECT custkey * 2 AS x, suppkey * 2 + 1 AS y FROM heavy "
         "UNION ALL SELECT suppkey * 2 + 1, custkey * 2 FROM heavy), "
@@ -217,17 +218,31 @@ _RING_MIN_TXN = 4  # an edge is "heavy" at >= this many transactions
 )
 def q_fraud_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ring detection: connected components over the customer—supplier
-    graph restricted to heavy edges (≥4 transactions) — accounts in one
-    component transact through shared counterparties, the money-mule
-    ring shape. Bipartite vertices are disambiguated as 2k / 2k+1 and
-    only customers are emitted, labeled with their component's minimum
-    vertex id.
+    graph restricted to suspicious edges — accounts in one component
+    transact through shared counterparties, the money-mule ring shape.
 
-    Spark side reuses the engine's min-label propagation (one join +
-    aggregate per round over the suspicion-FILTERED edge list — sparse
-    by construction); the oracle is a DuckDB recursive CTE over the
-    identical pair set (q_dedup_cluster pattern)."""
-    heavy = edges(spark, sf_dir).filter(F.col("n") >= _RING_MIN_TXN)
+    The suspicion cut is RELATIVE: an edge is heavy when its
+    transaction count is ≥2.5× the mean observed counterparty
+    relationship. An absolute threshold cannot survive scale on this
+    graph — the pair space grows as |customers|×|suppliers| while
+    transactions grow linearly, so the mean edge weight FALLS with SF
+    and any fixed n≥k is either a giant component (k low: one ring of
+    7,897 customers at sf0.1 with k=2) or vacuous (k high: one lone
+    edge at sf0.1 with k=4). The 2.5×-mean rule lands on non-trivial
+    multi-ring structure at every SF (7/73/157 components at
+    sf0.001/0.01/0.1). The threshold is one tiny aggregate broadcast
+    into the edge filter; AVG = exact-int SUM / COUNT is one IEEE
+    division, identical on both engines, so the CEIL cannot disagree.
+
+    Bipartite vertices are disambiguated as 2k / 2k+1 and only
+    customers are emitted, labeled with their component's minimum
+    vertex id. Spark reuses the engine's min-label propagation (one
+    join + aggregate per round over the suspicion-FILTERED edge list —
+    sparse by construction); the oracle is a DuckDB recursive CTE over
+    the identical pair set (q_dedup_cluster pattern)."""
+    e = edges(spark, sf_dir)
+    thr = e.agg(F.ceil(F.lit(_RING_FACTOR) * F.avg("n")).alias("k"))
+    heavy = e.crossJoin(F.broadcast(thr)).filter(F.col("n") >= F.col("k"))
     fwd = heavy.select(
         (F.col("custkey") * 2).alias("src"), (F.col("suppkey") * 2 + 1).alias("dst")
     )

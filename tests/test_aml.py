@@ -85,12 +85,15 @@ def _union_find_rings(pairs):
 
 
 def test_fraud_rings_match_union_find(spark, sf_dir):
+    import math
+
+    from fraud_detection_spark.operators.aml import _RING_FACTOR
     from fraud_detection_spark.operators.graph import edges
 
     got = REGISTRY["q_fraud_rings"].fn(spark, sf_dir).toPandas()
-    heavy = (
-        edges(spark, sf_dir).filter("n >= 4").select("custkey", "suppkey").toPandas()
-    )
+    e = edges(spark, sf_dir).toPandas()
+    k = math.ceil(_RING_FACTOR * e.n.mean())
+    heavy = e[e.n >= k][["custkey", "suppkey"]]
     pairs = [(int(c) * 2, int(s) * 2 + 1) for c, s in heavy.itertuples(index=False)]
     labels = _union_find_rings(pairs)
     want = {
