@@ -111,6 +111,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_dormancy",
     "q_round_amount",
     "q_fraud_rings",
+    "q_champion_challenger",      # one-scan model comparison + McNemar
 })
 
 

@@ -647,3 +647,111 @@ def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+def _cc_oracle() -> str:
+    from fraud_detection_spark.operators.feature_eng import _TREE_SCORE_SQL
+
+    champ_sql = sql_round(
+        "1.0 / (1.0 + EXP(-(-2.0 + 0.03 * l_quantity + 9.0 * l_discount "
+        "+ 0.8 * (l_extendedprice / 100000.0))))",
+        6,
+    )
+    return (
+        f"WITH s AS (SELECT {champ_sql} AS champ, {_TREE_SCORE_SQL} AS chall, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label FROM lineitem) "
+        "SELECT CAST(FLOOR(champ * 10) AS BIGINT) AS decile, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(label) AS BIGINT) AS n_pos, "
+        + sql_round(
+            "CAST(SUM(CAST(FLOOR(champ * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+            " / 1000000 / COUNT(*)",
+            6,
+        )
+        + " AS mean_champ, "
+        + sql_round(
+            "CAST(SUM(CAST(FLOOR(chall * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+            " / 1000000 / COUNT(*)",
+            6,
+        )
+        + " AS mean_chall, "
+        "CAST(SUM(CASE WHEN champ >= 0.5 AND chall < 0.5 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS mcnemar_b, "
+        "CAST(SUM(CASE WHEN champ < 0.5 AND chall >= 0.5 THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS mcnemar_c, "
+        "CAST(SUM(CASE WHEN (champ >= 0.5) = (chall >= 0.5) THEN 1 ELSE 0 END)"
+        " AS BIGINT) AS n_agree "
+        "FROM s GROUP BY decile"
+    )
+
+
+@query(
+    "q_champion_challenger",
+    oracle=_cc_oracle(),
+    tags=("ml", "monitor", "compare"),
+)
+def q_champion_challenger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Champion/challenger comparison: the served linear scorer vs the
+    GBT ensemble (q_tree_score), evaluated on the same rows in ONE
+    scan — agreement, McNemar discordant counts (champion-only vs
+    challenger-only positives at the 0.5 operating point) and mean
+    scores per champion decile. The registry's stage machine
+    (ml/registry.py) decides WHICH model serves; this is the query
+    that produces the evidence (the reference registers versions,
+    train_model.py:117-163, but never compares them on data).
+
+    Plan: both scorers are codegen'd column expressions over one scan
+    (no join — they share the input row), folded by a single hash
+    aggregate into ≤10 decile rows. McNemar's b/c counts are the exact
+    sufficient statistics for the paired significance test, computed
+    distributed; the χ² itself is one driver-side division on 10 rows.
+    """
+    from fraud_detection_spark.operators.feature_eng import (
+        _TREE_BIAS,
+        _TREES,
+        _tree_col,
+        _leaf_margin,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    logit = (
+        F.lit(-2.0)
+        + F.lit(0.03) * F.col("l_quantity")
+        + F.lit(9.0) * F.col("l_discount")
+        + F.lit(0.8) * (F.col("l_extendedprice") / 100000.0)
+    )
+    champ = pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6)
+    margin = F.lit(_TREE_BIAS)
+    for t in _TREES:
+        margin = margin + _tree_col(t, _leaf_margin)
+    chall = pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-margin)), 6)
+    label = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    s = li.select(
+        champ.alias("champ"),
+        chall.alias("chall"),
+        label.alias("label"),
+    )
+    agg = s.groupBy(
+        F.floor(F.col("champ") * 10).cast("bigint").alias("decile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("n_pos"),
+        pround(
+            F.sum(fp_units(F.col("champ"), 6)).cast("double") / 1000000 / F.count("*"),
+            6,
+        ).alias("mean_champ"),
+        pround(
+            F.sum(fp_units(F.col("chall"), 6)).cast("double") / 1000000 / F.count("*"),
+            6,
+        ).alias("mean_chall"),
+        F.sum(
+            ((F.col("champ") >= 0.5) & (F.col("chall") < 0.5)).cast("int")
+        ).cast("bigint").alias("mcnemar_b"),
+        F.sum(
+            ((F.col("champ") < 0.5) & (F.col("chall") >= 0.5)).cast("int")
+        ).cast("bigint").alias("mcnemar_c"),
+        F.sum(
+            ((F.col("champ") >= 0.5) == (F.col("chall") >= 0.5)).cast("int")
+        ).cast("bigint").alias("n_agree"),
+    )
+    return agg
