@@ -112,6 +112,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_round_amount",
     "q_fraud_rings",
     "q_champion_challenger",      # one-scan model comparison + McNemar
+    "q_debounce",                 # time-bounded repeat-submission flag
 })
 
 

@@ -173,3 +173,50 @@ def q_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         pround(F.col("value") - F.lag("value").over(w), 4).alias("delta"),
     )
+
+
+_DEBOUNCE_SEC = 600
+
+
+@query(
+    "q_debounce",
+    oracle=(
+        "WITH e AS (SELECT event_id, user_id, event_type, "
+        "(epoch_ns(ts) // 1000000000) AS ts_sec FROM events), "
+        "g AS (SELECT *, ts_sec - LAG(ts_sec) OVER "
+        "(PARTITION BY user_id, event_type ORDER BY ts_sec, event_id) AS gap "
+        "FROM e) "
+        "SELECT event_id, user_id, event_type, "
+        "CAST(CASE WHEN gap IS NOT NULL AND gap <= 600 THEN 1 ELSE 0 END "
+        "AS INT) AS is_bounce "
+        "FROM g"
+    ),
+    tags=("dedup", "window", "streaming"),
+)
+def q_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Debounce: flag repeat events of the same (user, type) arriving
+    within 10 minutes of the previous one — duplicate *submissions*
+    (double-click, retry storm) rather than duplicate *deliveries*
+    (exact event_id replays, which q_stream_dedup handles). Downstream
+    keeps ``is_bounce = 0`` rows. The classic event-stream hygiene
+    filter between ingestion and feature computation.
+
+    One LAG over a (user_id, event_type)-partitioned window — single
+    shuffle, no state; the streaming twin is dropDuplicatesWithinWatermark
+    on the composite key. Flagging (not dropping) keeps the operator a
+    per-row annotation so the oracle checks every row."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000000").alias("ts_sec"),
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_sec", "event_id")
+    gap = F.col("ts_sec") - F.lag("ts_sec").over(w)
+    return e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        (gap.isNotNull() & (gap <= _DEBOUNCE_SEC)).cast("int").alias("is_bounce"),
+    )

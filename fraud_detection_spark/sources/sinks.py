@@ -40,3 +40,71 @@ def read_partitioned(spark: SparkSession, path: str, fmt: str = "parquet") -> Da
     """Read back a partitioned layout; partition-column filters prune
     directories (verify via PartitionFilters in .explain())."""
     return spark.read.format(fmt).load(path)
+
+
+def zorder_key(cols: list, bits: int = 16):
+    """Morton (Z-order) interleave of the given numeric columns.
+
+    Each column is min-max scaled to ``bits`` levels with a broadcast
+    stats row, then the bit planes are interleaved MSB-first into one
+    BIGINT sort key — pure codegen integer math (shiftleft/or), no UDF.
+    Returns (key_column_builder) taking the stats-joined DataFrame.
+    """
+    from pyspark.sql import functions as F
+
+    def key(df):
+        quant = []
+        for c in cols:
+            lo, hi = F.col(f"__min_{c}"), F.col(f"__max_{c}")
+            q = F.floor(
+                (F.col(c) - lo) / ((hi - lo) / (1 << bits) + F.lit(1e-300))
+            ).cast("bigint")
+            quant.append(F.least(q, F.lit((1 << bits) - 1)))
+        one = F.lit(1).cast("bigint")
+        z = F.lit(0).cast("bigint")
+        for plane in range(bits - 1, -1, -1):
+            for qc in quant:
+                # bitwiseOR/AND, not |/& (those are Column LOGICAL ops)
+                z = F.shiftleft(z, 1).bitwiseOR(
+                    F.shiftright(qc, plane).bitwiseAND(one)
+                )
+        return z
+
+    return key
+
+
+def write_zorder(df, cols: list, path: str, bits: int = 16, files: int = 8) -> None:
+    """Z-order clustered parquet write: range-partition + sort by the
+    Morton key of ``cols`` so EVERY clustered column has narrow per-file
+    (and per-row-group) min/max ranges — multi-column data skipping,
+    where a plain sort helps only its leading column. This is the
+    Delta/Iceberg OPTIMIZE ZORDER layout, built from primitives:
+    broadcast min/max stats -> codegen'd bit interleave ->
+    repartitionByRange(key) -> sortWithinPartitions(key) -> parquet.
+
+    At 100 TB the win is row-group pruning on ANY clustered dimension:
+    parquet footers carry min/max per column, and a Z-layout makes
+    those ranges tight for all ``cols`` simultaneously (verified by the
+    bounding-box test, which reads the written footers)."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[
+            s
+            for c in cols
+            for s in (
+                F.min(c).alias(f"__min_{c}"),
+                F.max(c).alias(f"__max_{c}"),
+            )
+        ]
+    )
+    keyed = df.crossJoin(F.broadcast(stats)).withColumn(
+        "__z", zorder_key(cols, bits)(df)
+    )
+    (
+        keyed.repartitionByRange(files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z", *[f"__min_{c}" for c in cols], *[f"__max_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -272,3 +272,66 @@ def test_drift_stream_matches_batch(spark, sf_dir, tmp_path):
     assert (got.psi - want.psi).abs().max() == 0.0
     # drift against the uniform prior is present and finite
     assert got.psi.notna().all() and (got.psi >= 0).all()
+
+
+def test_zorder_write_shrinks_rowgroup_bounding_boxes(spark, sf_dir, tmp_path):
+    """Z-order clustering must make per-file min/max ranges tight on
+    BOTH clustered columns simultaneously (the data-skipping property),
+    verified from the actual parquet footers — vs the unordered layout
+    where every file spans ~the full domain on at least one column."""
+    import pyarrow.parquet as pq
+
+    from fraud_detection_spark.sources import load_table
+    from fraud_detection_spark.sources.sinks import write_zorder
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zorder")
+    li.repartition(8).write.mode("overwrite").parquet(plain)
+    write_zorder(li, ["l_quantity", "l_extendedprice"], zord, files=8)
+
+    def mean_box_volume(path):
+        import os
+
+        vols, dom = [], {}
+        files = [
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        ]
+        # global domain from all footers
+        spans = {c: [float("inf"), float("-inf")] for c in ("l_quantity", "l_extendedprice")}
+        boxes = []
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                box = {}
+                for i in range(md.num_columns):
+                    col = md.row_group(rg).column(i)
+                    name = col.path_in_schema
+                    if name in spans:
+                        st = col.statistics
+                        box[name] = (st.min, st.max)
+                        spans[name][0] = min(spans[name][0], st.min)
+                        spans[name][1] = max(spans[name][1], st.max)
+                boxes.append(box)
+        vol = 0.0
+        for box in boxes:
+            v = 1.0
+            for c, (lo, hi) in box.items():
+                width = spans[c][1] - spans[c][0]
+                v *= (hi - lo) / width
+            vol += v
+        del dom, vols
+        return vol / len(boxes)
+
+    v_plain = mean_box_volume(plain)
+    v_z = mean_box_volume(zord)
+    # random layout: every row group spans ~the whole plane (volume ~1);
+    # z-order: each covers a small tile
+    assert v_plain > 0.5, v_plain
+    assert v_z < v_plain / 3, (v_z, v_plain)
+    # and the data survives intact
+    back = spark.read.parquet(zord)
+    assert back.count() == li.count()
+    assert sorted(back.columns) == sorted(li.columns)
