@@ -113,6 +113,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_fraud_rings",
     "q_champion_challenger",      # one-scan model comparison + McNemar
     "q_debounce",                 # time-bounded repeat-submission flag
+    "q_kaplan_meier",             # survival curve w/ censoring
 })
 
 

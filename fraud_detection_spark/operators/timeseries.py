@@ -326,3 +326,95 @@ def q_asof_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "prio",
         (F.col("prio") == F.col("o_orderpriority")).cast("int").alias("own_version"),
     )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle=(
+        "WITH u AS (SELECT user_id, "
+        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
+        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
+        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
+        "END) AS err_sec FROM events GROUP BY user_id), "
+        "d AS (SELECT CASE WHEN err_sec IS NOT NULL "
+        "THEN (err_sec - first_sec) // 86400 "
+        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
+        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
+        "t AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_event, "
+        "CAST(COUNT(*) - SUM(ev) AS BIGINT) AS n_censored FROM d GROUP BY dur), "
+        "r AS (SELECT *, CAST(SUM(n_event + n_censored) OVER "
+        "(ORDER BY dur DESC) AS BIGINT) AS n_risk FROM t), "
+        "s AS (SELECT *, "
+        "MIN(CASE WHEN n_event = n_risk THEN 0 ELSE 1 END) OVER (ORDER BY dur)"
+        " AS alive, "
+        "SUM(CASE WHEN n_event < n_risk THEN LN(1 - n_event * 1.0 / n_risk) "
+        "ELSE NULL END) OVER (ORDER BY dur) AS ln_s FROM r) "
+        "SELECT CAST(dur AS BIGINT) AS dur_days, n_risk, n_event, n_censored, "
+        "CASE WHEN alive = 0 THEN 0.0 ELSE "
+        + sql_round("EXP(ln_s)", 6) + " END AS survival FROM s"
+    ),
+    tags=("timeseries", "survival", "agg"),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve of time-to-first-failure: per
+    account, days from the first event to the first 'error' event;
+    accounts that never error are right-censored at their last
+    activity. The product-limit estimator with censoring is the honest
+    way to answer "how long until X happens" when X hasn't happened to
+    everyone yet — naive averaging of observed times is biased by
+    exactly the accounts still running. At a fraud desk the same curve
+    over time-to-first-chargeback prices exposure windows; next to
+    q_retention_cohort it is the standard retention deliverable.
+
+    Scale shape: the 100 TB event stream folds to one row per account
+    (a single conditional MIN/MAX aggregate), then to one row per
+    distinct DURATION - a bounded table (<= observed span in days) on
+    which the at-risk counts (reverse cumulative) and the estimator
+    run. The cumulative product is EXP(SUM ln(1-d_i/n_i)) with the zero
+    factor (d_i=n_i) handled by an explicit extinction flag, because
+    Spark's ln(0) is NULL while DuckDB's is -inf - the flag makes both
+    engines emit exact 0 from there on."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    u = ev.groupBy("user_id").agg(
+        F.min(sec).alias("first_sec"),
+        F.max(sec).alias("last_sec"),
+        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
+    )
+    d = u.select(
+        F.when(
+            F.col("err_sec").isNotNull(),
+            F.expr("(err_sec - first_sec) div 86400"),
+        )
+        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
+        .alias("dur"),
+        F.col("err_sec").isNotNull().cast("int").alias("ev"),
+    )
+    t = d.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("n_event"),
+        (F.count("*") - F.sum("ev")).cast("bigint").alias("n_censored"),
+    )
+    w_rev = Window.orderBy(F.desc("dur")).rowsBetween(Window.unboundedPreceding, 0)
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    r = t.withColumn(
+        "n_risk", F.sum(F.col("n_event") + F.col("n_censored")).over(w_rev).cast("bigint")
+    )
+    ratio = F.col("n_event") * 1.0 / F.col("n_risk")
+    s = r.withColumn(
+        "alive",
+        F.min(F.when(F.col("n_event") == F.col("n_risk"), 0).otherwise(1)).over(w_cum),
+    ).withColumn(
+        "ln_s",
+        F.sum(
+            F.when(F.col("n_event") < F.col("n_risk"), F.log(F.lit(1.0) - ratio))
+        ).over(w_cum),
+    )
+    return s.select(
+        F.col("dur").cast("bigint").alias("dur_days"),
+        "n_risk",
+        "n_event",
+        "n_censored",
+        F.when(F.col("alive") == 0, F.lit(0.0))
+        .otherwise(pround(F.exp("ln_s"), 6))
+        .alias("survival"),
+    )

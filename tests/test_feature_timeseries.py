@@ -464,3 +464,53 @@ def test_time_split_is_temporal(spark, sf_dir):
     # ~80/20 by construction of the percentile cutoff
     frac = pdf.loc[1, "n"] / pdf.n.sum()
     assert 0.75 <= frac <= 0.85
+
+
+# ---------------------------------------------------------------------------
+# q_kaplan_meier
+
+
+def test_kaplan_meier_matches_product_limit_reference(spark, sf_dir):
+    got = (
+        REGISTRY["q_kaplan_meier"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("dur_days")
+        .reset_index(drop=True)
+    )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "user_id", "ts", "event_type"
+    ).toPandas()
+    ev["sec"] = ev.ts.astype("int64") // 10**9
+    durs = []
+    for _, g in ev.groupby("user_id"):
+        first = g.sec.min()
+        errs = g.loc[g.event_type == "error", "sec"]
+        if len(errs):
+            durs.append(((errs.min() - first) // 86400, 1))
+        else:
+            durs.append(((g.sec.max() - first) // 86400, 0))
+    import collections
+
+    by_dur = collections.defaultdict(lambda: [0, 0])
+    for d, e in durs:
+        by_dur[d][0] += e
+        by_dur[d][1] += 1 - e
+    s, out = 1.0, {}
+    at_risk = len(durs)
+    extinct = False
+    for d in sorted(by_dur):
+        n_ev, n_cen = by_dur[d]
+        if n_ev == at_risk:
+            extinct = True
+        if not extinct:
+            s *= 1 - n_ev / at_risk
+        out[d] = (at_risk, n_ev, n_cen, 0.0 if extinct else s)
+        at_risk -= n_ev + n_cen
+    assert got.dur_days.to_list() == sorted(out)
+    for r in got.itertuples():
+        n_risk, n_ev, n_cen, surv = out[r.dur_days]
+        assert (r.n_risk, r.n_event, r.n_censored) == (n_risk, n_ev, n_cen)
+        assert abs(r.survival - surv) < 1e-6, r.dur_days
+    # survival is non-increasing and within [0, 1]
+    assert (got.survival.diff().dropna() <= 1e-12).all()
+    assert ((got.survival >= 0) & (got.survival <= 1)).all()
