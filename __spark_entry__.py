@@ -114,6 +114,9 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_champion_challenger",      # one-scan model comparison + McNemar
     "q_debounce",                 # time-bounded repeat-submission flag
     "q_kaplan_meier",             # survival curve w/ censoring
+    "q_brier",
+    "q_ece",
+    "q_drift_profile",
 })
 
 

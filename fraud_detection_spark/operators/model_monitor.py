@@ -755,3 +755,176 @@ def q_champion_challenger(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n_agree"),
     )
     return agg
+
+
+@query(
+    "q_brier",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}) "
+        "SELECT " + sql_round(
+            "CAST(SUM(CAST(FLOOR((score - label) * (score - label) * 100000000 + 0.5)"
+            " AS BIGINT)) AS DOUBLE) / 100000000 / COUNT(*)",
+            8,
+        )
+        + " AS brier, CAST(COUNT(*) AS BIGINT) AS n FROM s"
+    ),
+    tags=("ml", "metric"),
+)
+def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score — mean squared error of the predicted probability
+    against the outcome: the proper scoring rule that penalizes BOTH
+    bad ranking and bad calibration (AUC sees only ranking; the
+    reliability curve only calibration). One map-side-combinable
+    aggregate; per-row squared errors go through fixed-point units so
+    the mean is layout-exact."""
+    s = scored(spark, sf_dir)
+    sq = (F.col("score") - F.col("label")) * (F.col("score") - F.col("label"))
+    return s.agg(
+        pround(
+            F.sum(fp_units(sq, 8)).cast("double") / 100000000 / F.count("*"), 8
+        ).alias("brier"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "q_ece",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), b AS ("
+        "SELECT CAST(FLOOR(score * 20) AS BIGINT) AS band, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 1000000 / COUNT(*) AS mean_score, "
+        "SUM(label) * 1.0 / COUNT(*) AS rate FROM s GROUP BY band), "
+        "t AS (SELECT SUM(n) AS n_all FROM b) "
+        "SELECT " + sql_round(
+            "SUM(n * ABS(mean_score - rate)) / MAX(n_all)", 6
+        )
+        + " AS ece, CAST(COUNT(*) AS BIGINT) AS n_bands FROM b, t"
+    ),
+    tags=("ml", "monitor", "calibration"),
+)
+def q_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error: the n-weighted mean |confidence −
+    accuracy| gap over 20 score bands — the single-number summary of
+    the reliability curve (q_calibration), and the quantity isotonic
+    recalibration (q_isotonic) exists to shrink. Same bounded-band
+    shape: one hash aggregate to ≤21 rows, then a tiny weighted sum."""
+    s = scored(spark, sf_dir)
+    b = s.groupBy(F.floor(F.col("score") * 20).cast("bigint").alias("band")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.sum(fp_units(F.col("score"), 6)).cast("double") / 1000000 / F.count("*")
+        ).alias("mean_score"),
+        (F.sum("label") * 1.0 / F.count("*")).alias("rate"),
+    )
+    t = b.agg(F.sum("n").alias("n_all"))
+    return b.crossJoin(F.broadcast(t)).agg(
+        pround(
+            F.sum(F.col("n") * F.abs(F.col("mean_score") - F.col("rate")))
+            / F.max("n_all"),
+            6,
+        ).alias("ece"),
+        F.count("*").cast("bigint").alias("n_bands"),
+    )
+
+
+_DRIFT_FEATS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_DRIFT_QS = [i / 10 for i in range(1, 10)]
+
+
+def _drift_profile_sql() -> str:
+    q_list = ", ".join(str(q) for q in _DRIFT_QS)
+    parts = []
+    for c in _DRIFT_FEATS:
+        cuts = f"(SELECT quantile_disc({c}, [{q_list}]) AS cut FROM lineitem)"
+        band = " + ".join(f"CASE WHEN {c} > cut[{i + 1}] THEN 1 ELSE 0 END"
+                          for i in range(len(_DRIFT_QS)))
+        parts.append(
+            "SELECT "
+            f"'{c}' AS feature, CAST(1 + {band} AS BIGINT) AS band, "
+            "CAST(SUM(CASE WHEN (l_orderkey * 2654435761 + l_linenumber) % 1000 < 800 "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS n_expected, "
+            "CAST(SUM(CASE WHEN (l_orderkey * 2654435761 + l_linenumber) % 1000 < 800 "
+            "THEN 0 ELSE 1 END) AS BIGINT) AS n_actual "
+            f"FROM lineitem, {cuts} GROUP BY band"
+        )
+    return (
+        "WITH u AS (" + " UNION ALL ".join(parts) + "), "
+        "t AS (SELECT feature, SUM(n_expected) AS tot_e, SUM(n_actual) AS tot_a "
+        "FROM u GROUP BY feature) "
+        "SELECT u.feature, u.band, u.n_expected, u.n_actual, "
+        + sql_round(
+            "(u.n_actual * 1.0 / t.tot_a - u.n_expected * 1.0 / t.tot_e) "
+            "* LN(NULLIF(u.n_actual * 1.0 / t.tot_a, 0) / "
+            "NULLIF(u.n_expected * 1.0 / t.tot_e, 0))",
+            6,
+        )
+        + " AS psi_term FROM u JOIN t ON u.feature = t.feature"
+    )
+
+
+@query("q_drift_profile", oracle=_drift_profile_sql(), tags=("ml", "monitor", "drift"))
+def q_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-FEATURE drift profile in long format (feature, decile band,
+    expected/actual counts, PSI term) across the train/holdout hash
+    split — q_psi watches the SCORE distribution; when it fires, this
+    is the query that says WHICH input moved.
+
+    Band edges are the feature's own deciles via PERCENTILE_DISC
+    (engine-exact element selection, the q_percentiles rule), computed
+    in ONE array-fraction aggregate per feature and broadcast back as
+    cutoffs; band = 1 + #cutoffs_below. No NTILE and therefore no
+    global sort — an earlier draft used NTILE and would have been this
+    engine's only single-partition window; the cutoff form is also the
+    production shape, where edges are frozen artifacts of the training
+    snapshot (at 100 TB: approx_percentile of that snapshot) rather
+    than recomputed per run. Value ties share a band by construction.
+    Output is bounded at <= 4x10 rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    split = (
+        (F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber")) % 1000 < 800
+    ).cast("int")
+    q_list = ", ".join(str(q) for q in _DRIFT_QS)
+    outs = []
+    for c in _DRIFT_FEATS:
+        cuts = li.agg(
+            F.expr(
+                f"percentile_disc(array({q_list})) WITHIN GROUP (ORDER BY {c})"
+            ).alias("cut")
+        )
+        band = F.lit(1)
+        for i in range(len(_DRIFT_QS)):
+            band = band + (F.col(c) > F.col("cut")[i]).cast("int")
+        b = (
+            li.crossJoin(F.broadcast(cuts))
+            .select(split.alias("is_train"), band.cast("bigint").alias("band"))
+            .groupBy("band")
+            .agg(
+                F.sum("is_train").cast("bigint").alias("n_expected"),
+                F.sum(1 - F.col("is_train")).cast("bigint").alias("n_actual"),
+            )
+            .select(F.lit(c).alias("feature"), "band", "n_expected", "n_actual")
+        )
+        outs.append(b)
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    t = u.groupBy("feature").agg(
+        F.sum("n_expected").alias("tot_e"), F.sum("n_actual").alias("tot_a")
+    )
+    share_a = F.col("n_actual") * 1.0 / F.col("tot_a")
+    share_e = F.col("n_expected") * 1.0 / F.col("tot_e")
+    return u.join(F.broadcast(t), "feature").select(
+        "feature",
+        "band",
+        "n_expected",
+        "n_actual",
+        pround(
+            (share_a - share_e)
+            * F.log(
+                F.nullif(share_a, F.lit(0.0)) / F.nullif(share_e, F.lit(0.0))
+            ),
+            6,
+        ).alias("psi_term"),
+    )
