@@ -117,6 +117,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_brier",
     "q_ece",
     "q_drift_profile",
+    "q_trend_forecast",
 })
 
 

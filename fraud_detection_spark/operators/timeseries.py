@@ -418,3 +418,87 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(pround(F.exp("ln_s"), 6))
         .alias("survival"),
     )
+
+
+_FORECAST_H = 7  # days ahead
+
+
+@query(
+    "q_trend_forecast",
+    oracle=(
+        "WITH d AS (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day, "
+        "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 10000 / COUNT(*) AS y FROM events GROUP BY day), "
+        "x AS (SELECT day - MIN(day) OVER () AS t, y, day FROM d), "
+        "f AS (SELECT COUNT(*) AS n, SUM(t) AS sx, SUM(y) AS sy, "
+        "SUM(t * t) AS sxx, SUM(t * y) AS sxy, SUM(y * y) AS syy, "
+        "MAX(t) AS t_max, MAX(day) AS day_max FROM x) "
+        "SELECT CAST(day_max + h.h AS BIGINT) AS day, CAST(h.h AS INT) AS horizon, "
+        + sql_round(
+            "((sy * sxx - sx * sxy) / (n * sxx - sx * sx)) "
+            "+ ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * (t_max + h.h)",
+            4,
+        )
+        + " AS forecast, "
+        + sql_round(
+            "POWER(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))",
+            6,
+        )
+        + " AS r2 "
+        f"FROM f, (SELECT unnest(range(1, {_FORECAST_H + 1})) AS h) h"
+    ),
+    tags=("timeseries", "forecast", "agg"),
+)
+def q_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-trend forecast of the daily mean amount, 7 days ahead —
+    the closed-form OLS line (slope/intercept from the five sufficient
+    sums) extended past the data, with R² attached so the consumer
+    knows how much to trust it. The capacity-planning companion to the
+    drift monitors: PSI says the input moved, CUSUM says when, this
+    says where it is heading.
+
+    Scale shape: the stream folds to ≤|days| fixed-point daily means;
+    the OLS sufficient statistics are ONE aggregate over that bounded
+    table (sums of t, y, t², ty, y² — all exact-ish doubles over ≤10³
+    terms in deterministic combine order at this cardinality, rounded
+    at 4-6 dp); the 7 forecast rows are a tiny cross join. No window
+    over facts, no iteration — closed-form regression is the
+    distributed-friendly form (MLlib's LinearRegression solves the
+    same normal equations when it picks the 'normal' solver)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.expr("ts div 1000000000 div 86400").alias("day"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / 10000
+                / F.count("*")
+            ).alias("y")
+        )
+    )
+    w_all = Window.partitionBy()
+    x = d.select((F.col("day") - F.min("day").over(w_all)).alias("t"), "y", "day")
+    f = x.agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        F.sum(F.col("t") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.max("t").alias("t_max"),
+        F.max("day").alias("day_max"),
+    )
+    h = spark.range(1, _FORECAST_H + 1).select(F.col("id").alias("h"))
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    intercept = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den
+    r2 = F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2) / (
+        den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    return f.crossJoin(h).select(
+        (F.col("day_max") + F.col("h")).cast("bigint").alias("day"),
+        F.col("h").cast("int").alias("horizon"),
+        pround(intercept + slope * (F.col("t_max") + F.col("h")), 4).alias("forecast"),
+        pround(r2, 6).alias("r2"),
+    )
