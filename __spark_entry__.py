@@ -118,6 +118,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_ece",
     "q_drift_profile",
     "q_trend_forecast",
+    "q_shared_counterparties",
 })
 
 

@@ -256,3 +256,50 @@ def q_fraud_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cluster_id").cast("bigint").alias("ring_id"),
         )
     )
+
+
+@query(
+    "q_shared_counterparties",
+    oracle=(
+        f"WITH e AS ({_EDGE_SQL}), "
+        f"t AS (SELECT CEIL({_RING_FACTOR} * AVG(n)) AS k FROM e), "
+        "heavy AS (SELECT custkey, suppkey FROM e, t WHERE n >= k) "
+        "SELECT a.custkey AS cust_a, b.custkey AS cust_b, "
+        "CAST(COUNT(*) AS BIGINT) AS n_shared "
+        "FROM heavy a JOIN heavy b "
+        "ON a.suppkey = b.suppkey AND a.custkey < b.custkey "
+        "GROUP BY cust_a, cust_b"
+    ),
+    tags=("aml", "fraud", "graph", "join"),
+)
+def q_shared_counterparties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite projection of the suspicious transaction graph:
+    customer pairs sharing a heavy counterparty, with the shared
+    count as the tie strength — the pairwise evidence behind
+    q_fraud_rings' components (a component tells you WHO is connected;
+    this says HOW STRONGLY each pair is). Two accounts repeatedly
+    routing through the same two-plus counterparties is the
+    collusion/mule-pair signature analysts actually review.
+
+    Scale: the self-join runs on the suspicion-FILTERED edge list only
+    (≥2.5×-mean edges — sparse by the q_fraud_rings argument), keyed
+    on suppkey; the quadratic blowup of a hub supplier is bounded by
+    that same relative cut. The n_shared strength lets the consumer
+    raise the evidence bar (≥2 shared keys is the classic collusion
+    cut — on this uniform synthetic graph it is empty at every SF, so
+    the query emits all pairs and keeps the count)."""
+    e = edges(spark, sf_dir)
+    thr = e.agg(F.ceil(F.lit(_RING_FACTOR) * F.avg("n")).alias("k"))
+    heavy = (
+        e.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("k"))
+        .select("custkey", "suppkey")
+    )
+    a = heavy.select(F.col("custkey").alias("cust_a"), "suppkey")
+    b = heavy.select(F.col("custkey").alias("cust_b"), "suppkey")
+    return (
+        a.join(b, "suppkey")
+        .filter(F.col("cust_a") < F.col("cust_b"))
+        .groupBy("cust_a", "cust_b")
+        .agg(F.count("*").cast("bigint").alias("n_shared"))
+    )

@@ -103,3 +103,23 @@ def drift_batch(events: DataFrame) -> DataFrame:
         *_band_aggs(),
     )
     return _drift_select(grouped, F.col("d"))
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Streaming session windows per user (30-min inactivity gap):
+    the stateful twin of the declared batch query q_session_window,
+    sharing the native ``session_window`` aggregate — one definition
+    of sessionhood for batch and stream, which is the whole point of
+    Structured Streaming's unified model. State = open sessions only,
+    closed by the watermark. ``events`` needs ``ts_m`` (a microsecond
+    timestamp, as events_with_time provides) and ``user_id``."""
+    return (
+        events.withWatermark("ts_m", "1 day")
+        .groupBy(F.col("user_id"), F.session_window("ts_m", gap).alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("long").alias("session_start"),
+            "n_events",
+        )
+    )

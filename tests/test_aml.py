@@ -106,3 +106,16 @@ def test_fraud_rings_match_union_find(spark, sf_dir):
     for members in by_supp:
         rings = {got_map[c] for c in members}
         assert len(rings) == 1
+
+
+def test_shared_counterparties_consistent_with_rings(spark, sf_dir):
+    """Every pair sharing a heavy counterparty must land in the same
+    connected component — the pairwise and component views of the same
+    suspicious graph must agree."""
+    pairs = REGISTRY["q_shared_counterparties"].fn(spark, sf_dir).toPandas()
+    rings = REGISTRY["q_fraud_rings"].fn(spark, sf_dir).toPandas()
+    ring_of = dict(zip(rings.custkey, rings.ring_id))
+    assert len(pairs) > 0
+    assert (pairs.n_shared >= 1).all()
+    for r in pairs.itertuples():
+        assert ring_of[r.cust_a] == ring_of[r.cust_b], (r.cust_a, r.cust_b)

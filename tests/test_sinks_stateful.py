@@ -335,3 +335,43 @@ def test_zorder_write_shrinks_rowgroup_bounding_boxes(spark, sf_dir, tmp_path):
     back = spark.read.parquet(zord)
     assert back.count() == li.count()
     assert sorted(back.columns) == sorted(li.columns)
+
+
+def test_session_stream_matches_batch_session_window(spark, sf_dir, tmp_path):
+    """Streaming session_window must emit the exact batch session set
+    (q_session_window) once all data is processed — same native
+    aggregate, state closed by the watermark under availableNow."""
+    from fraud_detection_spark.registry import load_all
+    from fraud_detection_spark.sources import events_with_time
+    from fraud_detection_spark.streaming.drift import session_stream
+
+    ev = events_with_time(spark, sf_dir).select("event_id", "user_id", "ts_m")
+    src = str(tmp_path / "sess_src")
+    ev.orderBy("ts_m", "event_id").coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream_in = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        session_stream(stream_in)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.sql("SELECT * FROM sessions")
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    want = (
+        load_all()["q_session_window"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["user_id", "session_start"])
+        .reset_index(drop=True)
+    )
+    assert got.user_id.to_list() == want.user_id.to_list()
+    assert got.session_start.to_list() == want.session_start.to_list()
+    assert got.n_events.to_list() == want.n_events.to_list()
