@@ -119,6 +119,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_drift_profile",
     "q_trend_forecast",
     "q_shared_counterparties",
+    "q_hard_negatives",
+    "q_auc_by_segment",
 })
 
 

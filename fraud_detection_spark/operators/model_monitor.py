@@ -928,3 +928,88 @@ def q_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_term"),
     )
+
+
+@query(
+    "q_auc_by_segment",
+    oracle=(
+        "WITH s AS (SELECT l_linestatus AS seg, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        + sql_round(
+            "1.0 / (1.0 + EXP(-(-2.0 + 0.03 * l_quantity + 9.0 * l_discount "
+            "+ 0.8 * (l_extendedprice / 100000.0))))",
+            6,
+        )
+        + " AS score FROM lineitem), "
+        "b AS (SELECT seg, CAST(FLOOR(score * 50) AS BIGINT) AS bucket, "
+        "SUM(label) AS pos, COUNT(*) - SUM(label) AS neg FROM s GROUP BY seg, bucket), "
+        "c AS (SELECT seg, bucket, "
+        "SUM(pos) OVER (PARTITION BY seg ORDER BY bucket DESC "
+        "ROWS UNBOUNDED PRECEDING) * 1.0 / SUM(pos) OVER (PARTITION BY seg) AS tpr, "
+        "SUM(neg) OVER (PARTITION BY seg ORDER BY bucket DESC "
+        "ROWS UNBOUNDED PRECEDING) * 1.0 / SUM(neg) OVER (PARTITION BY seg) AS fpr "
+        "FROM b), "
+        "d AS (SELECT seg, tpr, fpr, "
+        "LAG(tpr, 1, 0.0) OVER (PARTITION BY seg ORDER BY fpr, tpr) AS ptpr, "
+        "LAG(fpr, 1, 0.0) OVER (PARTITION BY seg ORDER BY fpr, tpr) AS pfpr FROM c) "
+        "SELECT seg, " + sql_round("SUM((fpr - pfpr) * (tpr + ptpr) / 2.0)", 6)
+        + " AS auc FROM d GROUP BY seg"
+    ),
+    tags=("ml", "monitor", "metric"),
+)
+def q_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment AUC (binned trapezoid, the q_auc_binned shape
+    partitioned by l_linestatus) — the disaggregated model-performance
+    readout behind every "the model is worse on segment X" finding; a
+    global AUC hides a segment where the scorer fails (the reference
+    evaluates globally only, evaluate_model.py:26-50).
+
+    Score, label and segment come from ONE lineitem scan (the
+    q_champion_challenger no-join trick — a key join-back would
+    replicate the synthetic duplicate keys); the cumulative windows
+    partition BY SEGMENT over bounded <=51-bucket tables — no
+    unpartitioned window, no fact-table sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    logit = (
+        F.lit(-2.0)
+        + F.lit(0.03) * F.col("l_quantity")
+        + F.lit(9.0) * F.col("l_discount")
+        + F.lit(0.8) * (F.col("l_extendedprice") / 100000.0)
+    )
+    s = li.select(
+        F.col("l_linestatus").alias("seg"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias("score"),
+    )
+    b = s.groupBy(
+        "seg", F.floor(F.col("score") * 50).cast("bigint").alias("bucket")
+    ).agg(
+        F.sum("label").alias("pos"),
+        (F.count("*") - F.sum("label")).alias("neg"),
+    )
+    w_cum = (
+        Window.partitionBy("seg")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_seg = Window.partitionBy("seg")
+    c = b.select(
+        "seg",
+        "bucket",
+        (F.sum("pos").over(w_cum) * 1.0 / F.sum("pos").over(w_seg)).alias("tpr"),
+        (F.sum("neg").over(w_cum) * 1.0 / F.sum("neg").over(w_seg)).alias("fpr"),
+    )
+    w_lag = Window.partitionBy("seg").orderBy("fpr", "tpr")
+    d = c.select(
+        "seg",
+        "tpr",
+        "fpr",
+        F.lag("tpr", 1, 0.0).over(w_lag).alias("ptpr"),
+        F.lag("fpr", 1, 0.0).over(w_lag).alias("pfpr"),
+    )
+    return d.groupBy("seg").agg(
+        pround(
+            F.sum((F.col("fpr") - F.col("pfpr")) * (F.col("tpr") + F.col("ptpr")) / 2.0),
+            6,
+        ).alias("auc")
+    )

@@ -887,3 +887,72 @@ def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(10)
     )
+
+
+_HN_ANCHORS = 8  # anchors = vec_id 0..7 (deterministic subset)
+
+
+@query(
+    "q_hard_negatives",
+    oracle=(
+        f"WITH a AS (SELECT vec_id AS anchor_id, label AS anchor_label, "
+        "CAST(embedding AS DOUBLE[]) AS ae FROM embeddings "
+        f"WHERE vec_id < {_HN_ANCHORS}), "
+        "c AS (SELECT a.anchor_id, e.vec_id AS neg_id, e.label AS neg_label, "
+        + sql_round(
+            "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.ae)", 6
+        )
+        + " AS cosine "
+        "FROM embeddings e CROSS JOIN a "
+        "WHERE e.label <> a.anchor_label), "
+        "r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY anchor_id "
+        "ORDER BY cosine DESC, neg_id) AS rk FROM c) "
+        "SELECT anchor_id, neg_id, neg_label, cosine FROM r WHERE rk = 1"
+    ),
+    tags=("similarity", "ml", "mining"),
+)
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    embedding, the MOST similar vector carrying a DIFFERENT label —
+    the negatives that actually teach a metric-learning model
+    (random negatives are trivially separable; the hard ones sit at
+    the decision boundary). Standard step in embedding-model and
+    reranker training pipelines over exactly this kind of
+    (vector, label) table.
+
+    Scale shape: the 8 anchor vectors broadcast (bounded metadata, the
+    q_knn_batch discipline); similarity is the sequential-fold
+    zip_with dot product (engine-exact, see cosine_to_query); the
+    top-1-per-anchor window partitions by anchor. At corpus scale the
+    exact scan swaps for the IVF/PQ index probes (same module) with
+    a label-filtered rerank."""
+    e = load_table(spark, sf_dir, "embeddings")
+    anchors = (
+        e.filter(F.col("vec_id") < _HN_ANCHORS)
+        .select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            _as_double("embedding").alias("ae"),
+        )
+    )
+    cand = (
+        e.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            _as_double("embedding").alias("ne"),
+        )
+        .crossJoin(F.broadcast(anchors))
+        .filter(F.col("neg_label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "neg_id",
+            "neg_label",
+            pround(cosine_to_query("ne", "ae"), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cosine"), F.asc("neg_id"))
+    return (
+        cand.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
