@@ -121,6 +121,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_shared_counterparties",
     "q_hard_negatives",
     "q_auc_by_segment",
+    "q_threshold_sweep",
+    "q_compression_ratio",
 })
 
 

@@ -683,3 +683,50 @@ def _qc_scorer():
             )
 
     return gen
+
+
+_COMP_MAX_RATIO = 0.45  # below => suspiciously compressible (repetitive)
+
+
+def _compression_batches(batches):
+    import zlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        raw = pdf["text"].str.encode("utf-8")
+        n_raw = raw.str.len().astype("int64")
+        n_comp = raw.map(lambda b: len(zlib.compress(b, 6))).astype("int64")
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_raw": n_raw,
+                "n_comp": n_comp,
+                "ratio": (n_comp / n_raw.clip(lower=1)).round(6),
+            }
+        )
+
+
+@query("q_compression_ratio", oracle=None, tags=("curation", "quality", "text"))
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compression-ratio quality filter: zlib(level 6) bytes over raw
+    bytes per document, flagging docs that compress suspiciously well —
+    the classic low-entropy screen from the large-corpus curation
+    literature (boilerplate, repeated templates and looped n-grams
+    compress far below natural prose; the complementary high-ratio
+    tail catches binary junk). Complements the exact token-statistics
+    repetition screen (q_repetition) with a model-free whole-document
+    entropy estimate.
+
+    Rows-only by necessity: no SQL engine exposes zlib. One Arrow
+    ``mapInPandas`` pass — zero shuffle, the bytes never leave the
+    executor; determinism comes from zlib's fixed algorithm (asserted
+    by the double-run test, plus a python-reference recomputation)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    out = d.mapInPandas(
+        _compression_batches,
+        schema="doc_id long, n_raw long, n_comp long, ratio double",
+    )
+    return out.withColumn(
+        "low_entropy", (F.col("ratio") < _COMP_MAX_RATIO).cast("int")
+    )

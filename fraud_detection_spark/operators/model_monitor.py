@@ -1013,3 +1013,73 @@ def q_auc_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("auc")
     )
+
+
+@query(
+    "q_threshold_sweep",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), b AS ("
+        "SELECT CAST(FLOOR(score * 50) AS BIGINT) AS bucket, "
+        "SUM(label) AS pos, COUNT(*) - SUM(label) AS neg FROM s GROUP BY bucket), "
+        "t AS (SELECT bucket, "
+        "SUM(pos) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS tp, "
+        "SUM(neg) OVER (ORDER BY bucket DESC ROWS UNBOUNDED PRECEDING) AS fp, "
+        "SUM(pos) OVER () AS p_all, SUM(neg) OVER () AS n_all FROM b) "
+        "SELECT " + sql_round("bucket / 50.0", 6) + " AS threshold, "
+        "CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, "
+        "CAST(p_all - tp AS BIGINT) AS fn, "
+        + sql_round("tp * 1.0 / NULLIF(tp + fp, 0)", 6) + " AS precision, "
+        + sql_round("tp * 1.0 / p_all", 6) + " AS recall, "
+        + sql_round("2.0 * tp / NULLIF(2.0 * tp + fp + (p_all - tp), 0)", 6)
+        + " AS f1, "
+        + sql_round("tp * 1.0 / p_all - fp * 1.0 / n_all", 6) + " AS youden_j "
+        "FROM t"
+    ),
+    tags=("ml", "monitor", "metric"),
+)
+def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operating-point sweep: precision / recall / F1 / Youden's J at
+    every candidate score threshold — the table a fraud desk reads to
+    SET the alert threshold (the reference hardcodes 0.5,
+    predict_single.py:31; the right cut depends on review capacity and
+    the FP/FN cost ratio, and this sweep is the evidence). argmax(f1)
+    or argmax(youden_j) is one driver-side scan of ≤51 rows.
+
+    Same bounded-band discipline as q_roc_points: one hash aggregate
+    folds the facts into 50 score buckets; the threshold-sweep
+    cumulative runs over that table only. All ratios are
+    integer/integer — engine-exact."""
+    s = scored(spark, sf_dir)
+    b = s.groupBy(F.floor(F.col("score") * 50).cast("bigint").alias("bucket")).agg(
+        F.sum("label").alias("pos"),
+        (F.count("*") - F.sum("label")).alias("neg"),
+    )
+    w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    t = b.select(
+        "bucket",
+        F.sum("pos").over(w_cum).alias("tp"),
+        F.sum("neg").over(w_cum).alias("fp"),
+        F.sum("pos").over(w_all).alias("p_all"),
+        F.sum("neg").over(w_all).alias("n_all"),
+    )
+    fn = F.col("p_all") - F.col("tp")
+    return t.select(
+        pround(F.col("bucket") / 50.0, 6).alias("threshold"),
+        F.col("tp").cast("bigint").alias("tp"),
+        F.col("fp").cast("bigint").alias("fp"),
+        fn.cast("bigint").alias("fn"),
+        pround(
+            F.col("tp") * 1.0 / F.nullif(F.col("tp") + F.col("fp"), F.lit(0)), 6
+        ).alias("precision"),
+        pround(F.col("tp") * 1.0 / F.col("p_all"), 6).alias("recall"),
+        pround(
+            2.0 * F.col("tp")
+            / F.nullif(2.0 * F.col("tp") + F.col("fp") + fn, F.lit(0)),
+            6,
+        ).alias("f1"),
+        pround(
+            F.col("tp") * 1.0 / F.col("p_all") - F.col("fp") * 1.0 / F.col("n_all"),
+            6,
+        ).alias("youden_j"),
+    )

@@ -497,3 +497,37 @@ def test_semdedup_keeper_rule_reference(spark, sf_dir):
         assert got[v]["keep"] == int(keep[i]), (v, got[v], keep[i])
         assert got[v]["cluster"] == cl[i]
     assert (~keep).sum() >= 1, "fixture has no semantic dup at this sf"
+
+
+def test_compression_ratio_matches_zlib_reference(spark, sf_dir):
+    """q_compression_ratio must equal a direct python zlib pass (same
+    level), be deterministic across runs, and correlate with the
+    repetition screen in direction (repetitive docs compress better)."""
+    import zlib
+
+    from fraud_detection_spark.registry import load_all
+
+    R = load_all()
+    got = (
+        R["q_compression_ratio"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert got.doc_id.to_list() == docs.doc_id.to_list()
+    for r, text in zip(got.itertuples(), docs.text):
+        raw = text.encode("utf-8")
+        assert r.n_raw == len(raw)
+        assert r.n_comp == len(zlib.compress(raw, 6))
+        assert abs(r.ratio - round(len(zlib.compress(raw, 6)) / max(len(raw), 1), 6)) < 1e-9
+    again = R["q_compression_ratio"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
+    assert (again.ratio.to_numpy() == got.ratio.to_numpy()).all()
+    # ratios are in a sane band for word-soup text
+    assert got.ratio.between(0.05, 1.2).all()
