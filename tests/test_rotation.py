@@ -81,8 +81,14 @@ def test_real_schedule_first_50_disjoint_from_latest_round():
     # enough never/old-green queries exist that even touched prev-round
     # queries stay out of the sample entirely
     assert not (first50 & prev_sample)
-    # new queries (no history) are all inside the sampled prefix
-    assert set(new_this_round) <= first50
+    # the sample budget goes to queries with no driver history: when
+    # more than 50 such queries exist (round 6 added 51+), the prefix
+    # must consist ENTIRELY of them (pigeonhole: they cannot all fit);
+    # otherwise they must all be inside the prefix
+    if len(new_this_round) >= 50:
+        assert first50 <= set(new_this_round)
+    else:
+        assert set(new_this_round) <= first50
 
 
 def test_real_schedule_oldest_green_first():
