@@ -123,6 +123,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_auc_by_segment",
     "q_threshold_sweep",
     "q_compression_ratio",
+    "q_distinctive_terms",
 })
 
 

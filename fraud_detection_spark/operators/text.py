@@ -13,6 +13,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fraud_detection_spark.functions import pround
 from fraud_detection_spark.registry import query, sql_round
@@ -729,4 +730,101 @@ def q_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("n_bytes").cast("double") / F.col("n_tokens"), 6).alias(
             "bytes_per_token"
         ),
+    )
+
+
+_LOGODDS_ALPHA = 0.5  # Dirichlet prior pseudo-count per token
+_LOGODDS_TOPK = 5
+
+
+@query(
+    "q_distinctive_terms",
+    oracle=(
+        "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "tc AS (SELECT source, w, COUNT(*) AS n FROM tok WHERE w <> '' "
+        "GROUP BY source, w), "
+        "st AS (SELECT source, SUM(n) AS n_src FROM tc GROUP BY source), "
+        "gt AS (SELECT w, SUM(n) AS n_tot FROM tc GROUP BY w), "
+        "g AS (SELECT SUM(n) AS n_all FROM tc), "
+        "z AS (SELECT tc.source, tc.w, tc.n, "
+        f"LN((tc.n + {_LOGODDS_ALPHA}) / (st.n_src - tc.n + {_LOGODDS_ALPHA})) - "
+        f"LN((gt.n_tot - tc.n + {_LOGODDS_ALPHA}) / "
+        f"(g.n_all - gt.n_tot - st.n_src + tc.n + {_LOGODDS_ALPHA})) AS delta, "
+        f"1.0 / (tc.n + {_LOGODDS_ALPHA}) + "
+        f"1.0 / (gt.n_tot - tc.n + {_LOGODDS_ALPHA}) AS var "
+        "FROM tc JOIN st USING (source) JOIN gt USING (w) CROSS JOIN g), "
+        "r AS (SELECT source, w AS token, CAST(n AS BIGINT) AS n, "
+        + sql_round("delta / SQRT(var)", 6) + " AS zscore, "
+        "ROW_NUMBER() OVER (PARTITION BY source "
+        "ORDER BY delta / SQRT(var) DESC, w) AS rk FROM z) "
+        f"SELECT source, token, n, zscore FROM r WHERE rk <= {_LOGODDS_TOPK}"
+    ),
+    tags=("text", "corpus", "analysis"),
+)
+def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive terms per source: weighted log-odds with a Dirichlet
+    prior (Monroe, Colaresi & Quinn 2008 — "Fightin' Words") of each
+    token in one source against the rest of the corpus, z-scored by
+    the delta's variance; top-5 per source. Raw frequency surfaces
+    stopwords and TF-IDF overweights rarities — the regularized
+    log-odds z is the standard answer for "what words characterize
+    this subcorpus", which is exactly the what-is-this-source question
+    a corpus audit asks before mixing (q_domain_mix).
+
+    Scale: token counts are one explode+hash aggregate (map-side
+    combinable); source totals / global totals are tiny aggregates
+    joined back (group counts ≤ |sources|·|vocab|); the top-k window
+    partitions by source. The z formula is pure arithmetic from
+    integer counts — engine-exact before the final rounding."""
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").alias("n"))
+    )
+    st = tc.groupBy("source").agg(F.sum("n").alias("n_src"))
+    gt = tc.groupBy("w").agg(F.sum("n").alias("n_tot"))
+    g = tc.agg(F.sum("n").alias("n_all"))
+    a = F.lit(_LOGODDS_ALPHA)
+    z = (
+        tc.join(st, "source")
+        .join(gt, "w")
+        .crossJoin(F.broadcast(g))
+        .select(
+            "source",
+            "w",
+            "n",
+            (
+                F.log((F.col("n") + a) / (F.col("n_src") - F.col("n") + a))
+                - F.log(
+                    (F.col("n_tot") - F.col("n") + a)
+                    / (
+                        F.col("n_all")
+                        - F.col("n_tot")
+                        - F.col("n_src")
+                        + F.col("n")
+                        + a
+                    )
+                )
+            ).alias("delta"),
+            (
+                1.0 / (F.col("n") + a)
+                + 1.0 / (F.col("n_tot") - F.col("n") + a)
+            ).alias("var"),
+        )
+    )
+    w_rk = Window.partitionBy("source").orderBy(
+        F.desc(F.col("delta") / F.sqrt(F.col("var"))), F.asc("w")
+    )
+    return (
+        z.withColumn("rk", F.row_number().over(w_rk))
+        .filter(F.col("rk") <= _LOGODDS_TOPK)
+        .select(
+            "source",
+            F.col("w").alias("token"),
+            F.col("n").cast("bigint").alias("n"),
+            pround(F.col("delta") / F.sqrt(F.col("var")), 6).alias("zscore"),
+        )
     )
