@@ -872,44 +872,58 @@ def q_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the query that says WHICH input moved.
 
     Band edges are the feature's own deciles via PERCENTILE_DISC
-    (engine-exact element selection, the q_percentiles rule), computed
-    in ONE array-fraction aggregate per feature and broadcast back as
-    cutoffs; band = 1 + #cutoffs_below. No NTILE and therefore no
-    global sort — an earlier draft used NTILE and would have been this
-    engine's only single-partition window; the cutoff form is also the
-    production shape, where edges are frozen artifacts of the training
-    snapshot (at 100 TB: approx_percentile of that snapshot) rather
-    than recomputed per run. Value ties share a band by construction.
-    Output is bounded at <= 4x10 rows."""
+    (engine-exact element selection, the q_percentiles rule), all four
+    columns' cutoffs computed in ONE aggregate and broadcast back;
+    band = 1 + #cutoffs_below. The per-feature binning then runs as a
+    single scan: each row explodes into 4 (feature, band) pairs and
+    one hash aggregate folds them (first cut ran 4 separate
+    percentile jobs + 4 binning scans; the fold saves the extra scans,
+    4.3 -> 3.9 s at sf0.1 — the remaining cost IS the four exact
+    percentile buffers, which the production approx_percentile swap
+    removes).
+    No NTILE and therefore no global sort — the cutoff form is also
+    the production shape, where edges are frozen artifacts of the
+    training snapshot (at 100 TB: approx_percentile of that snapshot)
+    rather than recomputed per run. Value ties share a band by
+    construction. Output is bounded at <= 4x10 rows."""
     li = load_table(spark, sf_dir, "lineitem")
     split = (
         (F.col("l_orderkey") * F.lit(2654435761) + F.col("l_linenumber")) % 1000 < 800
     ).cast("int")
     q_list = ", ".join(str(q) for q in _DRIFT_QS)
-    outs = []
-    for c in _DRIFT_FEATS:
-        cuts = li.agg(
+    cuts = li.agg(
+        *[
             F.expr(
                 f"percentile_disc(array({q_list})) WITHIN GROUP (ORDER BY {c})"
-            ).alias("cut")
-        )
-        band = F.lit(1)
+            ).alias(f"cut_{c}")
+            for c in _DRIFT_FEATS
+        ]
+    )
+
+    def band_for(c: str):
+        b = F.lit(1)
         for i in range(len(_DRIFT_QS)):
-            band = band + (F.col(c) > F.col("cut")[i]).cast("int")
-        b = (
-            li.crossJoin(F.broadcast(cuts))
-            .select(split.alias("is_train"), band.cast("bigint").alias("band"))
-            .groupBy("band")
-            .agg(
-                F.sum("is_train").cast("bigint").alias("n_expected"),
-                F.sum(1 - F.col("is_train")).cast("bigint").alias("n_actual"),
-            )
-            .select(F.lit(c).alias("feature"), "band", "n_expected", "n_actual")
+            b = b + (F.col(c) > F.col(f"cut_{c}")[i]).cast("int")
+        return b.cast("bigint")
+
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(c).alias("feature"), band_for(c).alias("band"))
+                for c in _DRIFT_FEATS
+            ]
         )
-        outs.append(b)
-    u = outs[0]
-    for o in outs[1:]:
-        u = u.unionByName(o)
+    )
+    u = (
+        li.crossJoin(F.broadcast(cuts))
+        .select(split.alias("is_train"), pairs.alias("p"))
+        .select("is_train", F.col("p.feature").alias("feature"), F.col("p.band").alias("band"))
+        .groupBy("feature", "band")
+        .agg(
+            F.sum("is_train").cast("bigint").alias("n_expected"),
+            F.sum(1 - F.col("is_train")).cast("bigint").alias("n_actual"),
+        )
+    )
     t = u.groupBy("feature").agg(
         F.sum("n_expected").alias("tot_e"), F.sum("n_actual").alias("tot_a")
     )
@@ -928,6 +942,7 @@ def q_drift_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("psi_term"),
     )
+
 
 
 @query(
