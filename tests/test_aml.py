@@ -119,3 +119,32 @@ def test_shared_counterparties_consistent_with_rings(spark, sf_dir):
     assert (pairs.n_shared >= 1).all()
     for r in pairs.itertuples():
         assert ring_of[r.cust_a] == ring_of[r.cust_b], (r.cust_a, r.cust_b)
+
+
+def test_aml_plan_shapes(spark, sf_dir):
+    """Pin the SCALE.md claims: the screens are single-shuffle shapes
+    with no python boundary and no cartesian blowup."""
+    from fraud_detection_spark.plans.checks import formatted_plan
+
+    for name, max_hash_exchanges in (
+        ("q_structuring", 1),   # one groupBy(user_id)
+        ("q_round_amount", 1),  # groupBy + broadcast prior
+        ("q_dormancy", 1),      # both windows share the user_id shuffle
+    ):
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert plan.count("Exchange hashpartitioning") <= max_hash_exchanges, (
+            name,
+            plan.count("Exchange hashpartitioning"),
+        )
+
+
+def test_shared_counterparties_plan_not_cartesian(spark, sf_dir):
+    from fraud_detection_spark.plans.checks import formatted_plan
+
+    plan = formatted_plan(REGISTRY["q_shared_counterparties"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # the self-join keys on suppkey (equi-join), never a nested loop
+    # over the edge list
+    assert "BroadcastNestedLoopJoin" not in plan or "heavy" not in plan
