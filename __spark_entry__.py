@@ -124,6 +124,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_threshold_sweep",
     "q_compression_ratio",
     "q_distinctive_terms",
+    "q_basket_rules",
 })
 
 

@@ -894,3 +894,88 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), F.asc("s_name"))
         .limit(10)
     )
+
+
+_BASKET_MIN_SUPPORT = 20  # pair must co-occur in >= this many orders
+
+
+@query(
+    "q_basket_rules",
+    oracle=(
+        "WITH it AS (SELECT DISTINCT l_orderkey AS okey, p_type AS item "
+        "FROM lineitem JOIN part ON l_partkey = p_partkey), "
+        "n AS (SELECT COUNT(DISTINCT okey) AS n_orders FROM it), "
+        "sup AS (SELECT item, COUNT(*) AS n_item FROM it GROUP BY item), "
+        "pairs AS (SELECT a.item AS ante, b.item AS cons, COUNT(*) AS n_pair "
+        "FROM it a JOIN it b ON a.okey = b.okey AND a.item < b.item "
+        f"GROUP BY ante, cons HAVING COUNT(*) >= {_BASKET_MIN_SUPPORT}) "
+        "SELECT p.ante, p.cons, CAST(p.n_pair AS BIGINT) AS n_pair, "
+        + sql_round("p.n_pair * 1.0 / n.n_orders", 6) + " AS support, "
+        + sql_round("p.n_pair * 1.0 / sa.n_item", 6) + " AS confidence, "
+        + sql_round(
+            "(p.n_pair * 1.0 / n.n_orders) / "
+            "((sa.n_item * 1.0 / n.n_orders) * (sc.n_item * 1.0 / n.n_orders))",
+            6,
+        )
+        + " AS lift "
+        "FROM pairs p JOIN sup sa ON p.ante = sa.item "
+        "JOIN sup sc ON p.cons = sc.item CROSS JOIN n"
+    ),
+    tags=("analytics", "basket", "join"),
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-ordered part types:
+    support / confidence / lift for every type pair appearing together
+    in ≥20 orders — the classic co-occurrence analytic (and, at a
+    fraud desk, the same machinery surfaces anomalous product
+    combinations on one card). Items are the distinct types per order,
+    so quantity within an order doesn't inflate a pair.
+
+    Scale shape: the order→item set is one distinct aggregate after a
+    broadcast dim join; the pair generation self-joins on the ORDER
+    key, so the blowup per order is (items choose 2) — bounded by
+    basket size, never |orders|² (the a.item < b.item cut halves it
+    and canonicalizes the pair). The support HAVING prunes the long
+    tail inside the aggregate; item supports and the order count are
+    tiny broadcast joins. This is exactly FPGrowth's first pass; for
+    deeper itemsets MLlib's FPGrowth takes over (same input shape)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    it = (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_type").alias("item"))
+        .distinct()
+    )
+    n = it.agg(F.countDistinct("okey").alias("n_orders"))
+    sup = it.groupBy("item").agg(F.count("*").alias("n_item"))
+    a = it.select(F.col("okey"), F.col("item").alias("ante"))
+    b = it.select(F.col("okey"), F.col("item").alias("cons"))
+    pairs = (
+        a.join(b, "okey")
+        .filter(F.col("ante") < F.col("cons"))
+        .groupBy("ante", "cons")
+        .agg(F.count("*").alias("n_pair"))
+        .filter(F.col("n_pair") >= _BASKET_MIN_SUPPORT)
+    )
+    sa = sup.select(F.col("item").alias("ante"), F.col("n_item").alias("n_ante"))
+    sc = sup.select(F.col("item").alias("cons"), F.col("n_item").alias("n_cons"))
+    return (
+        pairs.join(F.broadcast(sa), "ante")
+        .join(F.broadcast(sc), "cons")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "ante",
+            "cons",
+            F.col("n_pair").cast("bigint").alias("n_pair"),
+            pround(F.col("n_pair") * 1.0 / F.col("n_orders"), 6).alias("support"),
+            pround(F.col("n_pair") * 1.0 / F.col("n_ante"), 6).alias("confidence"),
+            pround(
+                (F.col("n_pair") * 1.0 / F.col("n_orders"))
+                / (
+                    (F.col("n_ante") * 1.0 / F.col("n_orders"))
+                    * (F.col("n_cons") * 1.0 / F.col("n_orders"))
+                ),
+                6,
+            ).alias("lift"),
+        )
+    )
