@@ -125,6 +125,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_compression_ratio",
     "q_distinctive_terms",
     "q_basket_rules",
+    "q_neighbor_degree",
 })
 
 

@@ -347,3 +347,47 @@ def q_mahalanobis(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(d2, 6).alias("d2"),
         (d2 > F.lit(_CHI2_95_DF4)).cast("int").alias("is_outlier"),
     )
+
+
+@query(
+    "q_neighbor_degree",
+    oracle=(
+        f"WITH e AS ({_EDGE_SQL}), "
+        "sd AS (SELECT suppkey, COUNT(*) AS s_degree FROM e GROUP BY suppkey) "
+        "SELECT e.custkey, CAST(COUNT(*) AS BIGINT) AS n_counterparties, "
+        + sql_round(
+            "CAST(SUM(CAST(sd.s_degree AS BIGINT)) AS DOUBLE) / COUNT(*)", 6
+        )
+        + " AS avg_nbr_degree, "
+        "CAST(MAX(sd.s_degree) AS BIGINT) AS max_nbr_degree "
+        "FROM e JOIN sd USING (suppkey) GROUP BY e.custkey"
+    ),
+    tags=("graph", "fraud", "feature"),
+)
+def q_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order graph features: for each customer, the mean and max
+    popularity (customer-degree) of its counterparties — first-order
+    degree (q_graph_degree) says HOW MANY counterparties; this says
+    WHAT KIND. Low neighbor degree is the mule tell (money moves
+    through obscure counterparties); high is normal retail. One
+    neighbor-aggregation hop is also the hand-rolled form of a
+    GraphSAGE-style feature layer.
+
+    Plan: supplier degrees are one hash aggregate over the edge list
+    (≤|suppliers| rows — broadcast back onto the edges), then one
+    aggregate per customer. Exact integer sums; the mean is an
+    int-sum / count division — engine-exact before rounding."""
+    e = edges(spark, sf_dir)
+    sd = e.groupBy("suppkey").agg(F.count("*").alias("s_degree"))
+    return (
+        e.join(F.broadcast(sd), "suppkey")
+        .groupBy("custkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_counterparties"),
+            pround(
+                F.sum(F.col("s_degree").cast("bigint")).cast("double") / F.count("*"),
+                6,
+            ).alias("avg_nbr_degree"),
+            F.max("s_degree").cast("bigint").alias("max_nbr_degree"),
+        )
+    )

@@ -148,3 +148,41 @@ def test_shared_counterparties_plan_not_cartesian(spark, sf_dir):
     # the self-join keys on suppkey (equi-join), never a nested loop
     # over the edge list
     assert "BroadcastNestedLoopJoin" not in plan or "heavy" not in plan
+
+
+def test_fpgrowth_agrees_with_basket_rules(spark, sf_dir):
+    """MLlib FPGrowth on the same order→item baskets must find exactly
+    the q_basket_rules pair set (same min support) with equal counts —
+    the declared SQL form IS FPGrowth's first pass, and FPGrowth is
+    the documented scale path for deeper itemsets."""
+    from pyspark.ml.fpm import FPGrowth
+    from pyspark.sql import functions as F
+
+    from fraud_detection_spark.operators.analytics import _BASKET_MIN_SUPPORT
+    from fraud_detection_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    baskets = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select(F.col("l_orderkey").alias("okey"), F.col("p_type").alias("item"))
+        .distinct()
+        .groupBy("okey")
+        .agg(F.collect_set("item").alias("items"))
+    )
+    n_orders = baskets.count()
+    model = FPGrowth(
+        itemsCol="items",
+        minSupport=_BASKET_MIN_SUPPORT / n_orders - 1e-9,
+        minConfidence=0.0,
+    ).fit(baskets)
+    fp_pairs = {
+        (min(r["items"]), max(r["items"])): r["freq"]
+        for r in model.freqItemsets.collect()
+        if len(r["items"]) == 2
+    }
+    sql_pairs = {
+        (r.ante, r.cons): r.n_pair
+        for r in REGISTRY["q_basket_rules"].fn(spark, sf_dir).collect()
+    }
+    assert sql_pairs == fp_pairs
