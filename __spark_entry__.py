@@ -126,6 +126,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_distinctive_terms",
     "q_basket_rules",
     "q_neighbor_degree",
+    "q_rfm",
+    "q_hhi",
 })
 
 

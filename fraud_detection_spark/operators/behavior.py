@@ -25,7 +25,7 @@ from pyspark.sql.window import Window
 
 from fraud_detection_spark.functions import pround
 from fraud_detection_spark.registry import query, sql_round
-from fraud_detection_spark.sources import events_with_time
+from fraud_detection_spark.sources import events_with_time, load_table
 
 _SEC_SQL = "(epoch_ns(ts) // 1000000000)"
 _DAY_SQL = f"({_SEC_SQL} // 86400)"
@@ -175,4 +175,103 @@ def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "to_type",
         F.col("n").cast("bigint").alias("n"),
         pround(F.col("n") * 1.0 / F.sum("n").over(w_from), 6).alias("p"),
+    )
+
+
+_RFM_QS = [0.2, 0.4, 0.6, 0.8]
+
+
+@query(
+    "q_rfm",
+    oracle=(
+        "WITH u AS (SELECT user_id, "
+        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
+        "CAST(COUNT(*) AS BIGINT) AS freq, "
+        "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000"
+        " AS monetary FROM events GROUP BY user_id), "
+        "g AS (SELECT MAX(last_sec) AS end_sec FROM u), "
+        "r AS (SELECT user_id, CAST((end_sec - last_sec) // 86400 AS BIGINT)"
+        " AS recency_days, freq, monetary FROM u, g), "
+        "c AS (SELECT "
+        + ", ".join(
+            f"quantile_disc(recency_days, {q}) AS rc{i}, "
+            f"quantile_disc(freq, {q}) AS fc{i}, "
+            f"quantile_disc(monetary, {q}) AS mc{i}"
+            for i, q in enumerate(_RFM_QS)
+        )
+        + " FROM r) "
+        "SELECT user_id, recency_days, freq, "
+        + "floor(monetary * 10000 + 0.5) / 10000"
+        + " AS monetary, "
+        # recency scores INVERTED: recent (small) = 5
+        "CAST(5 - (" + " + ".join(
+            f"CASE WHEN recency_days > rc{i} THEN 1 ELSE 0 END"
+            for i in range(len(_RFM_QS))
+        ) + ") AS INT) AS r_score, "
+        "CAST(1 + " + " + ".join(
+            f"CASE WHEN freq > fc{i} THEN 1 ELSE 0 END"
+            for i in range(len(_RFM_QS))
+        ) + " AS INT) AS f_score, "
+        "CAST(1 + " + " + ".join(
+            f"CASE WHEN monetary > mc{i} THEN 1 ELSE 0 END"
+            for i in range(len(_RFM_QS))
+        ) + " AS INT) AS m_score "
+        "FROM r, c"
+    ),
+    tags=("behavior", "segmentation", "agg"),
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency (days since last event, inverted so
+    recent = 5), frequency and monetary quintile scores per account —
+    the classic customer-value segmentation, and at a fraud desk the
+    prior for which accounts even matter (an attack on a 555 account
+    outranks one on a 111). Monetary uses exact fixed-point sums.
+
+    Shape: one per-account aggregate folds the stream; the 12 quintile
+    cutoffs come from ONE array-free quantile aggregate over the
+    ≤|accounts| table and broadcast back (the q_drift_profile cutoff
+    pattern — PERCENTILE_DISC selects elements, so both engines cut
+    identically); scores are codegen CASE sums. No window, no sort of
+    anything unbounded."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.max(F.expr("ts div 1000000000")).alias("last_sec"),
+        F.count("*").cast("bigint").alias("freq"),
+        (
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / 10000
+        ).alias("monetary"),
+    )
+    g = u.agg(F.max("last_sec").alias("end_sec"))
+    r = u.crossJoin(F.broadcast(g)).select(
+        "user_id",
+        F.expr("(end_sec - last_sec) div 86400").cast("bigint").alias("recency_days"),
+        "freq",
+        "monetary",
+    )
+    cuts = r.agg(
+        *[
+            F.expr(f"percentile_disc({q}) WITHIN GROUP (ORDER BY {col})").alias(
+                f"{tag}{i}"
+            )
+            for col, tag in (("recency_days", "rc"), ("freq", "fc"), ("monetary", "mc"))
+            for i, q in enumerate(_RFM_QS)
+        ]
+    )
+
+    def score(col: str, tag: str):
+        s = F.lit(1)
+        for i in range(len(_RFM_QS)):
+            s = s + (F.col(col) > F.col(f"{tag}{i}")).cast("int")
+        return s
+
+    return r.crossJoin(F.broadcast(cuts)).select(
+        "user_id",
+        "recency_days",
+        "freq",
+        F.expr("floor(monetary * 10000 + 0.5) / 10000").alias("monetary"),
+        (F.lit(6) - score("recency_days", "rc")).cast("int").alias("r_score"),
+        score("freq", "fc").cast("int").alias("f_score"),
+        score("monetary", "mc").cast("int").alias("m_score"),
     )

@@ -391,3 +391,46 @@ def q_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("s_degree").cast("bigint").alias("max_nbr_degree"),
         )
     )
+
+
+@query(
+    "q_hhi",
+    oracle=(
+        f"WITH e AS ({_EDGE_SQL}), "
+        "t AS (SELECT custkey, SUM(n) AS n_tot FROM e GROUP BY custkey) "
+        "SELECT e.custkey, CAST(t.n_tot AS BIGINT) AS n_txn, "
+        "CAST(COUNT(*) AS BIGINT) AS n_counterparties, "
+        + sql_round(
+            "SUM((e.n * 1.0 / t.n_tot) * (e.n * 1.0 / t.n_tot))", 6
+        )
+        + " AS hhi FROM e JOIN t USING (custkey) GROUP BY e.custkey, t.n_tot"
+    ),
+    tags=("graph", "fraud", "feature"),
+)
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl–Hirschman concentration of each customer's
+    counterparty mix: Σ shareᵢ² over its suppliers — 1.0 = everything
+    through one counterparty (the mule-funnel shape), 1/k = spread
+    evenly over k. Completes q_graph_degree's max-share concentration
+    with the full-distribution index regulators actually use for
+    concentration. Shares are integer/integer ratios; their squares
+    sum per customer in one map-side-combinable aggregate — engine-
+    exact at 6 dp (each group's sum is over that customer's ≤|suppliers|
+    terms, and the partition-stress test pins bit-equality)."""
+    e = edges(spark, sf_dir)
+    t = e.groupBy("custkey").agg(F.sum("n").alias("n_tot"))
+    share = F.col("n") * 1.0 / F.col("n_tot")
+    return (
+        e.join(F.broadcast(t), "custkey")
+        .groupBy("custkey", "n_tot")
+        .agg(
+            F.count("*").cast("bigint").alias("n_counterparties"),
+            pround(F.sum(share * share), 6).alias("hhi"),
+        )
+        .select(
+            "custkey",
+            F.col("n_tot").cast("bigint").alias("n_txn"),
+            "n_counterparties",
+            "hhi",
+        )
+    )
