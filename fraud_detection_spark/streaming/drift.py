@@ -123,3 +123,31 @@ def session_stream(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
             "n_events",
         )
     )
+
+
+def structuring_stream(events: DataFrame) -> DataFrame:
+    """The structuring screen (q_structuring) as a streaming
+    aggregation: per-account totals and below-threshold band counts
+    update as events arrive, so the flag flips ONLINE the moment an
+    account crosses the rule — not at the nightly batch. Same band,
+    same flag rule, exact parity with the batch query asserted in
+    tests. State is one row per account (bounded by the account
+    population); complete/update output modes both apply."""
+    in_band = (
+        (F.col("value") >= 81.0) & (F.col("value") < 90.0)
+    ).cast("int")
+    g = events.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(in_band).cast("bigint").alias("n_band"),
+    )
+    share = F.col("n_band") * 1.0 / F.col("n")
+    # double math, not F.expr with a bare 0.09 literal (that parses as
+    # DECIMAL and the output column comes back as decimal.Decimal)
+    lift = F.floor(share / F.lit(0.09) * 1000000 + F.lit(0.5)) / 1000000
+    return g.select(
+        "user_id",
+        "n",
+        "n_band",
+        lift.alias("lift"),
+        ((F.col("n_band") >= 10) & (share > 0.18)).cast("int").alias("flag"),
+    )

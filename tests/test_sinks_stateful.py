@@ -375,3 +375,43 @@ def test_session_stream_matches_batch_session_window(spark, sf_dir, tmp_path):
     assert got.user_id.to_list() == want.user_id.to_list()
     assert got.session_start.to_list() == want.session_start.to_list()
     assert got.n_events.to_list() == want.n_events.to_list()
+
+
+def test_structuring_stream_matches_batch(spark, sf_dir, tmp_path):
+    """The online structuring screen must converge to the declared
+    batch screen exactly once the backlog is processed."""
+    from fraud_detection_spark.registry import load_all
+    from fraud_detection_spark.sources import load_table
+    from fraud_detection_spark.streaming.drift import structuring_stream
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    src = str(tmp_path / "struct_src")
+    ev.coalesce(1).write.mode("overwrite").parquet(src)
+
+    stream_in = spark.readStream.schema(ev.schema).parquet(src)
+    q = (
+        structuring_stream(stream_in)
+        .writeStream.format("memory")
+        .queryName("structuring")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = (
+        spark.sql("SELECT * FROM structuring")
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        load_all()["q_structuring"].fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert got.user_id.to_list() == want.user_id.to_list()
+    for c in ("n", "n_band", "flag"):
+        assert got[c].to_list() == want[c].to_list(), c
+    assert (got.lift - want.lift).abs().max() == 0.0
