@@ -128,6 +128,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_neighbor_degree",
     "q_rfm",
     "q_hhi",
+    "q_attribution",
 })
 
 

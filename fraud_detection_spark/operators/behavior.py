@@ -275,3 +275,74 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         score("freq", "fc").cast("int").alias("f_score"),
         score("monetary", "mc").cast("int").alias("m_score"),
     )
+
+
+_ATTR_WINDOW_SEC = 86400  # look back one day for the touch
+
+
+@query(
+    "q_attribution",
+    oracle=(
+        "WITH e AS (SELECT event_id, user_id, event_type, "
+        "(epoch_ns(ts) // 1000000000) AS ts_sec FROM events), "
+        "w AS (SELECT *, "
+        "LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_type END "
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_type, "
+        "LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts_sec END "
+        "IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_sec "
+        "FROM e) "
+        "SELECT event_id, user_id, "
+        f"CASE WHEN prev_sec >= ts_sec - {_ATTR_WINDOW_SEC} "
+        "THEN prev_type ELSE 'none' END AS touch, "
+        f"CAST(CASE WHEN prev_sec >= ts_sec - {_ATTR_WINDOW_SEC} "
+        "THEN ts_sec - prev_sec ELSE -1 END AS BIGINT) AS touch_age_sec "
+        "FROM w WHERE event_type = 'purchase'"
+    ),
+    tags=("behavior", "attribution", "window"),
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: each purchase is credited to the user's
+    most recent NON-purchase event within the trailing day (its type
+    and age), or 'none' — the conversion-credit assignment behind every
+    funnel ROI readout, and at a fraud desk the same lookup answers
+    "what did the account do right before this charge".
+
+    One pass: LAST_VALUE(... IGNORE NULLS) over a preceding-rows frame
+    picks the latest earlier touch without a self-join (the ASOF-style
+    window idiom; pyspark's lag() has no ignorenulls, last() over
+    [unbounded, -1] is the equivalent both engines share). The day
+    cutoff is a codegen comparison. Single shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000000").alias("ts_sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    non_purchase = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    non_purchase_sec = F.when(F.col("event_type") != "purchase", F.col("ts_sec"))
+    g = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_sec",
+        F.last(non_purchase, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_type"),
+        F.last(non_purchase_sec, ignorenulls=True)
+        .over(w.rowsBetween(Window.unboundedPreceding, -1))
+        .alias("prev_sec"),
+    )
+    in_window = F.col("prev_sec") >= F.col("ts_sec") - _ATTR_WINDOW_SEC
+    return g.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "user_id",
+        F.when(in_window, F.col("prev_type")).otherwise(F.lit("none")).alias("touch"),
+        F.when(in_window, F.col("ts_sec") - F.col("prev_sec"))
+        .otherwise(F.lit(-1))
+        .cast("bigint")
+        .alias("touch_age_sec"),
+    )
