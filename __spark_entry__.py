@@ -129,6 +129,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_rfm",
     "q_hhi",
     "q_attribution",
+    "q_cohort_ltv",
 })
 
 

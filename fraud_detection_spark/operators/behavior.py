@@ -346,3 +346,71 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("touch_age_sec"),
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle=(
+        f"WITH e AS (SELECT user_id, {_DAY_SQL} AS day, value FROM events), "
+        "f AS (SELECT user_id, MIN(day) AS cohort_day FROM e GROUP BY user_id), "
+        "cs AS (SELECT f.cohort_day, COUNT(*) AS cohort_size FROM f GROUP BY f.cohort_day), "
+        "r AS (SELECT f.cohort_day, e.day - f.cohort_day AS age, "
+        "SUM(CAST(FLOOR(e.value * 10000 + 0.5) AS BIGINT)) AS units "
+        "FROM e JOIN f ON e.user_id = f.user_id GROUP BY f.cohort_day, age), "
+        "c AS (SELECT r.cohort_day, r.age, cs.cohort_size, "
+        "SUM(r.units) OVER (PARTITION BY r.cohort_day ORDER BY r.age) AS cum_units "
+        "FROM r JOIN cs ON r.cohort_day = cs.cohort_day) "
+        "SELECT CAST(cohort_day AS BIGINT) AS cohort_day, "
+        "CAST(age AS BIGINT) AS age, CAST(cohort_size AS BIGINT) AS cohort_size, "
+        + sql_round("CAST(cum_units AS DOUBLE) / 10000 / cohort_size", 4)
+        + " AS ltv_per_user FROM c"
+    ),
+    tags=("behavior", "agg", "ltv"),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative value per account by cohort age —
+    the monetary companion to the retention matrix
+    (q_retention_cohort): retention says WHO comes back, this says
+    what they are WORTH as the cohort ages, the curve unit-economics
+    decisions are read from. Value accumulates in exact fixed-point
+    units; the denominator is the full cohort size (accounts that
+    churned still count — that IS the LTV convention).
+
+    Plan: per-account first-day aggregate joined back on user_id (the
+    co-partitioned key), one (cohort, age) hash aggregate of unit
+    sums, then the cumulative runs over the bounded cohort×age table
+    partitioned BY COHORT — bounded windows, no fact-table sort."""
+    ev = events_with_time(spark, sf_dir)
+    e = ev.select(
+        "user_id", F.expr("ts_sec div 86400").alias("day"), "value"
+    )
+    f = e.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    cs = f.groupBy("cohort_day").agg(F.count("*").alias("cohort_size"))
+    r = (
+        e.join(f, "user_id")
+        .groupBy("cohort_day", (F.col("day") - F.col("cohort_day")).alias("age"))
+        .agg(
+            F.sum(
+                F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")
+            ).alias("units")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    c = r.join(F.broadcast(cs), "cohort_day").select(
+        "cohort_day",
+        "age",
+        "cohort_size",
+        F.sum("units").over(w).alias("cum_units"),
+    )
+    return c.select(
+        F.col("cohort_day").cast("bigint").alias("cohort_day"),
+        F.col("age").cast("bigint").alias("age"),
+        F.col("cohort_size").cast("bigint").alias("cohort_size"),
+        pround(
+            F.col("cum_units").cast("double") / 10000 / F.col("cohort_size"), 4
+        ).alias("ltv_per_user"),
+    )
