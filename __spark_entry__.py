@@ -130,6 +130,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_hhi",
     "q_attribution",
     "q_cohort_ltv",
+    "q_duplicate_amounts",
+    "q_sequence_gaps",
 })
 
 

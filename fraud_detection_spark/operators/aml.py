@@ -303,3 +303,71 @@ def q_shared_counterparties(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cust_a", "cust_b")
         .agg(F.count("*").cast("bigint").alias("n_shared"))
     )
+
+
+_DUP_WINDOW_SEC = 3600
+
+
+@query(
+    "q_duplicate_amounts",
+    oracle=(
+        "WITH e AS (SELECT event_id, user_id, "
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents, "
+        f"{_SEC_SQL} AS ts_sec FROM events), "
+        "p AS (SELECT a.event_id AS event_a, b.event_id AS event_b, "
+        "a.user_id AS user_a, b.user_id AS user_b, a.cents, "
+        "CAST(ABS(a.ts_sec - b.ts_sec) AS BIGINT) AS dt_sec "
+        "FROM e a JOIN e b ON a.cents = b.cents "
+        "AND a.event_id < b.event_id AND a.user_id <> b.user_id "
+        f"AND ABS(a.ts_sec - b.ts_sec) <= {_DUP_WINDOW_SEC}) "
+        "SELECT event_a, event_b, user_a, user_b, cents, dt_sec FROM p"
+    ),
+    tags=("aml", "fraud", "join"),
+)
+def q_duplicate_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coordinated-duplicate screen: pairs of events from DIFFERENT
+    accounts with the exact same amount (to the cent) within an hour —
+    the duplicate-invoice / split-payment tell (one actor pushing the
+    same charge through several accounts). Complements q_debounce,
+    which watches repeats WITHIN one account.
+
+    Blocked self-join: the equi-key is the exact cent amount, so
+    candidates exist only inside an amount bucket (uniform amounts →
+    ~|events|/10⁴ per bucket); the hour cut and a<b canonicalization
+    are residual predicates. Never all-pairs — the amount IS the
+    block, the same discipline as every blocked join in this engine."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.expr("ts div 1000000000").alias("ts_sec"),
+    )
+    a = e.select(
+        F.col("event_id").alias("event_a"),
+        F.col("user_id").alias("user_a"),
+        "cents",
+        F.col("ts_sec").alias("sec_a"),
+    )
+    b = e.select(
+        F.col("event_id").alias("event_b"),
+        F.col("user_id").alias("user_b"),
+        "cents",
+        F.col("ts_sec").alias("sec_b"),
+    )
+    return (
+        a.join(b, "cents")
+        .filter(
+            (F.col("event_a") < F.col("event_b"))
+            & (F.col("user_a") != F.col("user_b"))
+            & (F.abs(F.col("sec_a") - F.col("sec_b")) <= _DUP_WINDOW_SEC)
+        )
+        .select(
+            "event_a",
+            "event_b",
+            "user_a",
+            "user_b",
+            "cents",
+            F.abs(F.col("sec_a") - F.col("sec_b")).cast("bigint").alias("dt_sec"),
+        )
+    )

@@ -78,3 +78,72 @@ def q_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(fp_units(F.col("v"), 4)).cast("double") / 10000 / F.count("v"), 6
         ).alias("mean_v"),
     )
+
+
+_GAP_BUCKET = 1000  # ids per completeness bucket
+
+
+@query(
+    "q_sequence_gaps",
+    oracle=(
+        "WITH b AS (SELECT event_id // 1000 AS bucket, "
+        "CAST(COUNT(*) AS BIGINT) AS n_present, "
+        "CAST(MIN(event_id) AS BIGINT) AS id_min, "
+        "CAST(MAX(event_id) AS BIGINT) AS id_max "
+        "FROM events GROUP BY bucket), "
+        "g AS (SELECT MIN(event_id) AS lo, MAX(event_id) AS hi FROM events) "
+        "SELECT CAST(bucket AS BIGINT) AS bucket, n_present, "
+        "CAST(CASE "
+        "WHEN bucket = lo // 1000 AND bucket = hi // 1000 THEN hi - lo + 1 "
+        "WHEN bucket = lo // 1000 THEN (bucket + 1) * 1000 - lo "
+        "WHEN bucket = hi // 1000 THEN hi - bucket * 1000 + 1 "
+        "ELSE 1000 END AS BIGINT) AS n_expected, "
+        "CAST(CASE "
+        "WHEN bucket = lo // 1000 AND bucket = hi // 1000 THEN hi - lo + 1 "
+        "WHEN bucket = lo // 1000 THEN (bucket + 1) * 1000 - lo "
+        "WHEN bucket = hi // 1000 THEN hi - bucket * 1000 + 1 "
+        "ELSE 1000 END - n_present AS BIGINT) AS n_missing "
+        "FROM b, g"
+    ),
+    tags=("quality", "profile", "agg"),
+)
+def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-completeness audit: per 1000-id bucket, how many ids of
+    a supposedly gap-free sequence are present vs expected — missing
+    ledger/invoice numbers are a first-class audit red flag, and in a
+    pipeline the same check catches silently dropped partitions.
+
+    The scalable shape: NOT a global lag-over-everything (that is one
+    sorted partition of the whole table) but a two-phase audit — one
+    hash aggregate folds the ids into |range|/1000 bucket rows with
+    present-counts, and expected-counts come from the range bounds
+    (edge buckets pro-rated); a second pass over FLAGGED buckets only
+    (n_missing > 0, a tiny set) can then enumerate exact missing ids.
+    This query is phase one, which is the whole scan cost."""
+    ev = load_table(spark, sf_dir, "events").select("event_id")
+    b = ev.groupBy(F.expr(f"event_id div {_GAP_BUCKET}").alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_present"),
+        F.min("event_id").cast("bigint").alias("id_min"),
+        F.max("event_id").cast("bigint").alias("id_max"),
+    )
+    g = ev.agg(
+        F.min("event_id").alias("lo"), F.max("event_id").alias("hi")
+    )
+    j = b.crossJoin(F.broadcast(g))
+    lo_b = F.expr(f"lo div {_GAP_BUCKET}")
+    hi_b = F.expr(f"hi div {_GAP_BUCKET}")
+    expected = (
+        F.when(
+            (F.col("bucket") == lo_b) & (F.col("bucket") == hi_b),
+            F.col("hi") - F.col("lo") + 1,
+        )
+        .when(F.col("bucket") == lo_b, (F.col("bucket") + 1) * _GAP_BUCKET - F.col("lo"))
+        .when(F.col("bucket") == hi_b, F.col("hi") - F.col("bucket") * _GAP_BUCKET + 1)
+        .otherwise(F.lit(_GAP_BUCKET))
+    )
+    return j.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "n_present",
+        expected.cast("bigint").alias("n_expected"),
+        (expected - F.col("n_present")).cast("bigint").alias("n_missing"),
+    )
