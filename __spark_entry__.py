@@ -132,6 +132,9 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_cohort_ltv",
     "q_duplicate_amounts",
     "q_sequence_gaps",
+    "q_active_users",
+    "q_growth_rates",
+    "q_deseasonalize",
 })
 
 

@@ -414,3 +414,174 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_units").cast("double") / 10000 / F.col("cohort_size"), 4
         ).alias("ltv_per_user"),
     )
+
+
+@query(
+    "q_active_users",
+    oracle=(
+        f"WITH e AS (SELECT DISTINCT user_id, {_DAY_SQL} AS day FROM events), "
+        "days AS (SELECT DISTINCT day FROM e) "
+        "SELECT d.day, "
+        "CAST(COUNT(DISTINCT CASE WHEN e.day = d.day THEN e.user_id END) AS BIGINT)"
+        " AS dau, "
+        "CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau, "
+        + sql_round(
+            "COUNT(DISTINCT CASE WHEN e.day = d.day THEN e.user_id END) * 1.0 "
+            "/ COUNT(DISTINCT e.user_id)",
+            6,
+        )
+        + " AS stickiness "
+        "FROM days d JOIN e ON e.day BETWEEN d.day - 6 AND d.day "
+        "GROUP BY d.day"
+    ),
+    tags=("behavior", "agg", "activity"),
+)
+def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU / stickiness per day — the canonical
+    activity triple every product and risk dashboard opens with
+    (stickiness = DAU/WAU; a fraud farm shows high DAU with no weekly
+    persistence). Distinct users must be counted per trailing window,
+    which no rolling frame can do exactly — the scalable exact form is
+    a range join of the deduplicated (user, day) activity set against
+    the tiny day dimension, then one distinct aggregate per day.
+
+    Plan: events fold to DISTINCT (user, day) once (a fraction of the
+    stream); the day dimension is ≤|days| rows and broadcast, so the
+    range join replicates activity rows at most 7×. Beyond-exact
+    scale: per-day HLL sketches unioned over the window
+    (q_hll_sketch's machinery) replace the distinct count."""
+    ev = events_with_time(spark, sf_dir)
+    e = ev.select("user_id", F.expr("ts_sec div 86400").alias("day")).distinct()
+    days = e.select("day").distinct().select(F.col("day").alias("d_day"))
+    j = e.join(
+        F.broadcast(days),
+        (F.col("day") >= F.col("d_day") - 6) & (F.col("day") <= F.col("d_day")),
+    )
+    return (
+        j.groupBy("d_day")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("day") == F.col("d_day"), F.col("user_id"))
+            ).cast("bigint").alias("dau"),
+            F.countDistinct("user_id").cast("bigint").alias("wau"),
+        )
+        .select(
+            F.col("d_day").alias("day"),
+            "dau",
+            "wau",
+            pround(F.col("dau") * 1.0 / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+@query(
+    "q_growth_rates",
+    oracle=(
+        f"WITH d AS (SELECT {_DAY_SQL} AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000"
+        " AS amt FROM events GROUP BY day) "
+        "SELECT CAST(day AS BIGINT) AS day, n, "
+        + sql_round("amt", 4) + " AS amt, "
+        + sql_round(
+            "(n - LAG(n) OVER (ORDER BY day)) * 1.0 "
+            "/ NULLIF(LAG(n) OVER (ORDER BY day), 0)",
+            6,
+        )
+        + " AS dod, "
+        + sql_round(
+            "(n - LAG(n, 7) OVER (ORDER BY day)) * 1.0 "
+            "/ NULLIF(LAG(n, 7) OVER (ORDER BY day), 0)",
+            6,
+        )
+        + " AS wow FROM d"
+    ),
+    tags=("behavior", "agg", "growth"),
+)
+def q_growth_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-over-day and week-over-week growth of event volume (with
+    exact fixed-point daily amounts) — the first derivative every
+    operations dashboard draws, and the raw series behind the alert
+    rules in the reference's monitoring stack (alert_rules.yml
+    increase() deltas are this computed by Prometheus). LAG over the
+    bounded ≤|days| table only."""
+    ev = events_with_time(spark, sf_dir)
+    d = ev.groupBy(F.expr("ts_sec div 86400").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        (
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / 10000
+        ).alias("amt"),
+    )
+    w = Window.orderBy("day")
+    return d.select(
+        F.col("day").cast("bigint").alias("day"),
+        "n",
+        pround(F.col("amt"), 4).alias("amt"),
+        pround(
+            (F.col("n") - F.lag("n").over(w)) * 1.0
+            / F.nullif(F.lag("n").over(w), F.lit(0)),
+            6,
+        ).alias("dod"),
+        pround(
+            (F.col("n") - F.lag("n", 7).over(w)) * 1.0
+            / F.nullif(F.lag("n", 7).over(w), F.lit(0)),
+            6,
+        ).alias("wow"),
+    )
+
+
+@query(
+    "q_deseasonalize",
+    oracle=(
+        f"WITH d AS (SELECT {_DAY_SQL} AS day, "
+        "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 10000 / COUNT(*) AS day_mean FROM events GROUP BY day), "
+        "s AS (SELECT day, day_mean, day % 7 AS dow, "
+        "AVG(day_mean) OVER (PARTITION BY day % 7) AS dow_mean, "
+        "AVG(day_mean) OVER () AS grand FROM d) "
+        "SELECT CAST(day AS BIGINT) AS day, CAST(dow AS BIGINT) AS dow, "
+        + sql_round("day_mean", 4) + " AS day_mean, "
+        + sql_round("dow_mean - grand", 4) + " AS seasonal, "
+        + sql_round("day_mean - (dow_mean - grand)", 4) + " AS deseasonalized "
+        "FROM s"
+    ),
+    tags=("timeseries", "behavior", "seasonality"),
+)
+def q_deseasonalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly-seasonality decomposition: each day's mean amount split
+    into a day-of-week seasonal component (that weekday's mean minus
+    the grand mean) and the deseasonalized residual — the STL-lite
+    pre-step that keeps a weekend dip from tripping the drift monitors
+    (q_cusum on raw means alarms every Saturday if weekends differ).
+
+    Both windows run over the bounded ≤|days| daily table, partitioned
+    by day-of-week / unpartitioned over ≤|days| rows — the
+    q_roc_points bounded-table discipline. Day means are exact
+    fixed-point; the dow/grand means average ≤|days| identical doubles
+    in both engines (bounded, deterministic at 4 dp)."""
+    ev = events_with_time(spark, sf_dir)
+    d = ev.groupBy(F.expr("ts_sec div 86400").alias("day")).agg(
+        (
+            F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+            .cast("double")
+            / 10000
+            / F.count("*")
+        ).alias("day_mean")
+    )
+    s = d.select(
+        "day",
+        "day_mean",
+        (F.col("day") % 7).alias("dow"),
+        F.avg("day_mean").over(Window.partitionBy(F.col("day") % 7)).alias("dow_mean"),
+        F.avg("day_mean").over(Window.partitionBy()).alias("grand"),
+    )
+    seasonal = F.col("dow_mean") - F.col("grand")
+    return s.select(
+        F.col("day").cast("bigint").alias("day"),
+        F.col("dow").cast("bigint").alias("dow"),
+        pround(F.col("day_mean"), 4).alias("day_mean"),
+        pround(seasonal, 4).alias("seasonal"),
+        pround(F.col("day_mean") - seasonal, 4).alias("deseasonalized"),
+    )
