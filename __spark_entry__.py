@@ -135,6 +135,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_active_users",
     "q_growth_rates",
     "q_deseasonalize",
+    "q_lorenz",
+    "q_new_vs_returning",
 })
 
 

@@ -585,3 +585,113 @@ def q_deseasonalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(seasonal, 4).alias("seasonal"),
         pround(F.col("day_mean") - seasonal, 4).alias("deseasonalized"),
     )
+
+
+_LORENZ_BANDS = 50
+
+
+@query(
+    "q_lorenz",
+    oracle=(
+        "WITH u AS (SELECT user_id, "
+        "SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS units "
+        "FROM events GROUP BY user_id), "
+        "m AS (SELECT MAX(units) AS u_max FROM u), "
+        f"b AS (SELECT LEAST(CAST(FLOOR(units * {_LORENZ_BANDS}.0 / (u_max + 1)) "
+        f"AS BIGINT), {_LORENZ_BANDS - 1}) AS band, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users, SUM(units) AS units "
+        "FROM u, m GROUP BY band), "
+        "c AS (SELECT band, n_users, "
+        "SUM(n_users) OVER (ORDER BY band) * 1.0 / SUM(n_users) OVER () AS cum_pop, "
+        "SUM(units) OVER (ORDER BY band) * 1.0 / SUM(units) OVER () AS cum_val "
+        "FROM b) "
+        "SELECT CAST(band AS BIGINT) AS band, n_users, "
+        + sql_round("cum_pop", 6) + " AS cum_pop, "
+        + sql_round("cum_val", 6) + " AS cum_val FROM c"
+    ),
+    tags=("behavior", "agg", "concentration"),
+)
+def q_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz concentration curve of account value: cumulative share of
+    population vs cumulative share of total value by value band — the
+    80/20 readout (and the Gini area under it) behind "our top X% of
+    accounts carry Y% of volume", and at a fraud desk the exposure-
+    concentration picture. The curve is banded, not ranked: an exact
+    Lorenz curve needs a GLOBAL sort of per-account totals, which is
+    the one thing this engine never does — 50 value bands give the
+    same curve at 1/50 resolution from one hash aggregate, and the
+    cumulative windows run over the bounded band table only
+    (q_roc_points discipline). Band shares are exact integer ratios."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")).alias(
+            "units"
+        )
+    )
+    m = u.agg(F.max("units").alias("u_max"))
+    b = (
+        u.crossJoin(F.broadcast(m))
+        .groupBy(
+            F.least(
+                F.floor(
+                    F.col("units") * float(_LORENZ_BANDS) / (F.col("u_max") + 1)
+                ).cast("bigint"),
+                F.lit(_LORENZ_BANDS - 1),
+            ).alias("band")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("units").alias("units"),
+        )
+    )
+    w_cum = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    return b.select(
+        F.col("band").cast("bigint").alias("band"),
+        "n_users",
+        pround(
+            F.sum("n_users").over(w_cum) * 1.0 / F.sum("n_users").over(w_all), 6
+        ).alias("cum_pop"),
+        pround(
+            F.sum("units").over(w_cum) * 1.0 / F.sum("units").over(w_all), 6
+        ).alias("cum_val"),
+    )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle=(
+        f"WITH e AS (SELECT user_id, {_DAY_SQL} AS day FROM events), "
+        "f AS (SELECT user_id, MIN(day) AS first_day FROM e GROUP BY user_id) "
+        "SELECT CAST(e.day AS BIGINT) AS day, "
+        "CAST(SUM(CASE WHEN e.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_new, "
+        "CAST(SUM(CASE WHEN e.day > f.first_day THEN 1 ELSE 0 END) AS BIGINT)"
+        " AS n_returning "
+        "FROM e JOIN f ON e.user_id = f.user_id GROUP BY e.day"
+    ),
+    tags=("behavior", "agg", "activity"),
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily event split by new vs returning accounts (new = the
+    account's first-seen day) — the acquisition-vs-retention mix every
+    growth dashboard shows, and the fraud-farm tell in volume form (a
+    burst of 'new' with no 'returning' tail is a throwaway cohort).
+    Per-account first-day aggregate joined back on the co-partitioned
+    user_id key; one (day) hash aggregate."""
+    ev = events_with_time(spark, sf_dir)
+    e = ev.select("user_id", F.expr("ts_sec div 86400").alias("day"))
+    f = e.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    return (
+        e.join(f, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum(
+                F.when(F.col("day") == F.col("first_day"), 1).otherwise(0)
+            ).cast("bigint").alias("n_new"),
+            F.sum(
+                F.when(F.col("day") > F.col("first_day"), 1).otherwise(0)
+            ).cast("bigint").alias("n_returning"),
+        )
+        .select(F.col("day").cast("bigint").alias("day"), "n_new", "n_returning")
+    )
