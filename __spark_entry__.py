@@ -57,86 +57,39 @@ def entry(spark: SparkSession) -> DataFrame:
 # CORRECTNESS_r*.json history by fraud_detection_spark.rotation:
 # changed-and-unsampled first, then oldest-driver-green first among
 # queries NOT in the previous round's sample, previous-round sample
-# last — consecutive rounds verify disjoint sets. The only per-round
-# input is _TOUCHED_THIS_ROUND: queries whose implementation changed
-# in the current round (fresh driver evidence wanted soonest).
-_TOUCHED_THIS_ROUND = frozenset({
-    # round 6 edits (VERDICT r5 next-round items + ADVICE):
-    "q_quality_classifier",       # new operator (V#7)
-    "q_token_fertility",          # new operator (bytes/token by lang)
-    "q_semdedup",                 # new operator (SemDeDup cluster-blocked)
-    "q_edit_distance",            # length-bound prefilter + cache drop (V#4)
-    "q_edit_distance_threshold",  # new thresholded variant (V#4)
-    "q_text_normalize",           # n_bytes_* rename (ADVICE)
-    "q_chunk_dedup",              # chunker profile outcome (V#5)
-    "q_media_features",           # stdlib image decode branch (V#3)
-    "q_multimodal",
-    # model-monitoring battery (operators/model_monitor.py, new):
-    "q_ks_stat",
-    "q_psi",
-    "q_calibration",
-    "q_lift_bands",
-    "q_benford",
-    "q_target_encode",
-    "q_woe_iv",
-    "q_velocity",
-    # transaction-graph / robust-stats family (operators/graph.py, new):
-    "q_graph_degree",
-    "q_mad_outlier",
-    "q_pagerank",
-    "q_ab_test",
-    "q_hourly_profile",
-    # behavioral-analytics family (operators/behavior.py, new):
-    "q_retention_cohort",
-    "q_funnel_steps",
-    "q_event_transitions",
-    "q_data_profile",             # numeric data-quality profile (new)
-    # feature-engineering / time-evolution family (new this round):
-    "q_tree_score",
-    "q_onehot_topk",
-    "q_robust_scale",
-    "q_sample_weighted",
-    "q_ewma",
-    "q_cusum",
-    "q_scd2",
-    "q_mahalanobis",
-    "q_hll_sketch",               # mergeable persisted-sketch cardinality
-    "q_asof_interval",            # SCD2 point-in-time join
-    "q_isotonic",                 # PAV calibration over bounded bands
-    "q_cap_per_group",            # max-N-per-source curation cap
-    "q_record_linkage",           # blocked fuzzy entity resolution
-    "q_time_split",               # temporal eval split
-    # AML screen family (operators/aml.py, new):
-    "q_structuring",
-    "q_dormancy",
-    "q_round_amount",
-    "q_fraud_rings",
-    "q_champion_challenger",      # one-scan model comparison + McNemar
-    "q_debounce",                 # time-bounded repeat-submission flag
-    "q_kaplan_meier",             # survival curve w/ censoring
-    "q_brier",
-    "q_ece",
-    "q_drift_profile",
-    "q_trend_forecast",
-    "q_shared_counterparties",
-    "q_hard_negatives",
+# last — consecutive rounds verify disjoint sets. Per-round inputs:
+# _PINNED_HEAD (queries frozen at the very front of the schedule) and
+# _TOUCHED_THIS_ROUND (queries whose implementation changed in the
+# current round; fresh driver evidence wanted soonest).
+#
+# Round 7 freeze (VERDICT r6 next-round #1): these 15 operators have
+# NEVER appeared in any CORRECTNESS_r*.json — round 6's 51 new queries
+# competed for 50 sample slots and displaced them. They lead the r7
+# sample unconditionally; new round-7 operators join BEHIND them.
+_PINNED_HEAD = (
+    "q_asof_interval",
     "q_auc_by_segment",
-    "q_threshold_sweep",
-    "q_compression_ratio",
+    "q_cusum",
+    "q_data_profile",
+    "q_debounce",
     "q_distinctive_terms",
-    "q_basket_rules",
-    "q_neighbor_degree",
-    "q_rfm",
-    "q_hhi",
-    "q_attribution",
-    "q_cohort_ltv",
-    "q_duplicate_amounts",
+    "q_ewma",
+    "q_hard_negatives",
+    "q_hll_sketch",
+    "q_kaplan_meier",
+    "q_scd2",
     "q_sequence_gaps",
-    "q_active_users",
-    "q_growth_rates",
-    "q_deseasonalize",
-    "q_lorenz",
-    "q_new_vs_returning",
+    "q_threshold_sweep",
+    "q_token_fertility",
+    "q_trend_forecast",
+)
+
+_TOUCHED_THIS_ROUND = frozenset({
+    # round 7 edits (VERDICT r6 next-round items + ADVICE r6):
+    "q_asof_interval",   # forced-broadcast hint dropped (V#2; also pinned)
+    "q_fraud_rings",     # exact integer division for vertex->custkey (ADVICE)
+    "q_active_users",    # exploded-offset equi-join replaces nested-loop (ADVICE)
+    "q_dormancy",        # docstring/frame alignment (ADVICE; behavior unchanged)
 })
 
 
@@ -148,7 +101,10 @@ def _ordered():
 
     reg = load_all()
     order = compute_priority(
-        list(reg), load_history(Path(__file__).parent), _TOUCHED_THIS_ROUND
+        list(reg),
+        load_history(Path(__file__).parent),
+        _TOUCHED_THIS_ROUND,
+        pinned=_PINNED_HEAD,
     )
     return {n: reg[n] for n in order}
 

@@ -10,8 +10,10 @@ translation of a classic AML typology onto the event stream:
                   account (31 CFR structuring; the [81,90) band below
                   the value-90 reporting line here)
 - q_dormancy      dormancy reactivation: an account silent >2 days
-                  that suddenly bursts (≥3 events in the next hour) —
-                  the account-takeover tell
+                  whose reactivation event is followed by ≥2 more
+                  within the hour (burst_n counts the event itself,
+                  so the flag fires at burst_n ≥ 3) — the
+                  account-takeover tell
 - q_round_amount  round-amount bias: fraudsters favor round numbers;
                   per-account share of near-integer amounts with a
                   binomial z against the global rate
@@ -119,10 +121,13 @@ def q_dormancy(spark: SparkSession, sf_dir: str) -> DataFrame:
     for their account (threshold tuned to the synthetic stream's gap
     distribution, whose maximum inter-event gap is ~6 days — a 7-day
     rule would be vacuously empty), with the burst size in the
-    following hour —
-    silent-then-burst is the classic account-takeover signature. Two
-    user-partitioned windows (LAG + forward RANGE count) over one
-    shuffle; the output is only the reactivation events."""
+    following hour. ``burst_n``'s forward RANGE frame INCLUDES the
+    reactivation event itself, so the flag fires when the event is
+    followed by ≥2 more within the hour (burst_n ≥ 3) — documented to
+    match the frame exactly (ADVICE r6). Silent-then-burst is the
+    classic account-takeover signature. Two user-partitioned windows
+    (LAG + forward RANGE count) over one shuffle; the output is only
+    the reactivation events."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select("event_id", "user_id", F.expr("ts div 1000000000").alias("ts_sec"))
     w_ord = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
@@ -252,7 +257,10 @@ def q_fraud_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         labeled.filter(F.col("v") % 2 == 0)
         .select(
-            (F.col("v") / 2).cast("bigint").alias("custkey"),
+            # integer div, not /2-then-cast: the double division is
+            # inexact for vertex ids above 2^53, and the oracle uses
+            # v // 2 (ADVICE r6)
+            F.expr("v div 2").cast("bigint").alias("custkey"),
             F.col("cluster_id").cast("bigint").alias("ring_id"),
         )
     )

@@ -441,22 +441,28 @@ def q_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     activity triple every product and risk dashboard opens with
     (stickiness = DAU/WAU; a fraud farm shows high DAU with no weekly
     persistence). Distinct users must be counted per trailing window,
-    which no rolling frame can do exactly — the scalable exact form is
-    a range join of the deduplicated (user, day) activity set against
-    the tiny day dimension, then one distinct aggregate per day.
+    which no rolling frame can do exactly — the scalable exact form
+    EXPLODES each (user, day) activity row into the 7 window-days it
+    contributes to, then equi-joins the tiny day dimension and runs
+    one distinct aggregate per day.
 
     Plan: events fold to DISTINCT (user, day) once (a fraction of the
-    stream); the day dimension is ≤|days| rows and broadcast, so the
-    range join replicates activity rows at most 7×. Beyond-exact
-    scale: per-day HLL sketches unioned over the window
+    stream); each row explodes to exactly 7 (user, day, d_day) rows
+    and the broadcast day-dimension join is an EQUI-join on d_day —
+    a BroadcastHashJoin with O(7·|activity|) compute. (The previous
+    range-predicate formulation planned as BroadcastNestedLoopJoin,
+    comparing every activity row against ALL days — O(|activity|·|days|)
+    compute even though output replication was 7×; ADVICE r6.)
+    Beyond-exact scale: per-day HLL sketches unioned over the window
     (q_hll_sketch's machinery) replace the distinct count."""
     ev = events_with_time(spark, sf_dir)
     e = ev.select("user_id", F.expr("ts_sec div 86400").alias("day")).distinct()
     days = e.select("day").distinct().select(F.col("day").alias("d_day"))
-    j = e.join(
-        F.broadcast(days),
-        (F.col("day") >= F.col("d_day") - 6) & (F.col("day") <= F.col("d_day")),
-    )
+    j = e.select(
+        "user_id",
+        "day",
+        F.explode(F.sequence(F.col("day"), F.col("day") + 6)).alias("d_day"),
+    ).join(F.broadcast(days), "d_day")
     return (
         j.groupBy("d_day")
         .agg(

@@ -297,12 +297,15 @@ def q_asof_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     priority flips where the covering interval is the day's *last*
     version, not the order's own.
 
-    Plan: the interval table is dimension-sized (≤ a few rows per
-    customer), so Spark broadcasts it and the containment predicate
-    evaluates map-side — the fact table never shuffles. At 100 TB the
-    equi-key (custkey) carries the join; the range predicate is a
-    post-join filter, which AQE handles as a broadcast hash join with
-    residual condition (never a nested-loop over facts)."""
+    Plan: the equi-key (custkey) carries the join with the range
+    predicate as a residual condition, so the join-side decision is
+    left to the optimizer — NO forced broadcast hint. The interval
+    table grows with |customers| × version count, i.e. in the fact
+    table's own scale dimension, so a hard ``F.broadcast()`` would OOM
+    or hit the 8 GB broadcast cap at 100 TB; at test scale AQE still
+    picks a broadcast hash join from the measured build-side size, and
+    at 100 TB it degrades gracefully to a shuffled hash/sort-merge
+    join on custkey (VERDICT r6 #2)."""
     o = load_table(spark, sf_dir, "orders")
     iv = q_scd2(spark, sf_dir)
     datekey = (
@@ -318,7 +321,7 @@ def q_asof_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (f.datekey >= iv.valid_from)
         & (iv.valid_to.isNull() | (f.datekey < iv.valid_to))
     )
-    return f.join(F.broadcast(iv), cond).select(
+    return f.join(iv, cond).select(
         "o_orderkey",
         "custkey",
         "datekey",

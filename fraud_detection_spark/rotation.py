@@ -64,8 +64,17 @@ def compute_priority(
     registry_names: list[str],
     history: dict[int, dict[str, dict]],
     touched: set[str] | frozenset[str] = frozenset(),
+    pinned: tuple[str, ...] = (),
 ) -> list[str]:
     """Order ``registry_names`` into the driver-sample schedule.
+
+    ``pinned`` names lead the schedule unconditionally, in the given
+    order, ahead of every bucket — the freeze VERDICT r6 #1 mandates:
+    queries that have NEVER appeared in any CORRECTNESS_r*.json must
+    not be displaced from the 50-slot sample by a fresh batch of
+    touched-and-unsampled round-N work (round 6's 51 new queries
+    squeezed 15 of themselves out exactly that way). Names in
+    ``pinned`` that are absent from ``registry_names`` are ignored.
 
     Pure function of its inputs; see module docstring for the policy.
     """
@@ -78,8 +87,11 @@ def compute_priority(
                 last_green[name] = max(last_green.get(name, 0), rnd)
 
     idx = {n: i for i, n in enumerate(registry_names)}
+    pin_rank = {n: i for i, n in enumerate(pinned) if n in idx}
 
     def key(name: str):
+        if name in pin_rank:
+            return (-1, pin_rank[name], 0)
         in_prev = name in prev_sample
         is_touched = name in touched
         if not in_prev and is_touched:

@@ -49,8 +49,22 @@ def zorder_key(cols: list, bits: int = 16):
     stats row, then the bit planes are interleaved MSB-first into one
     BIGINT sort key — pure codegen integer math (shiftleft/or), no UDF.
     Returns (key_column_builder) taking the stats-joined DataFrame.
+
+    The interleaved key must fit a signed BIGINT: ``len(cols) * bits``
+    may not exceed 63, else the interleave silently overflows into the
+    sign bit and produces wrapped/negative keys — a broken clustering
+    layout, not an error (ADVICE r6). Guarded explicitly.
     """
     from pyspark.sql import functions as F
+
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    if len(cols) * bits > 63:
+        raise ValueError(
+            f"zorder_key: {len(cols)} cols x {bits} bits = "
+            f"{len(cols) * bits} key bits > 63 (BIGINT sign-bit overflow); "
+            f"use bits <= {63 // len(cols)}"
+        )
 
     def key(df):
         quant = []

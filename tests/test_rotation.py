@@ -124,3 +124,31 @@ def test_history_loader_shape():
     assert set(history) == set(range(1, max(history) + 1))
     for rows in history.values():
         assert rows and all(isinstance(v, dict) for v in rows.values())
+
+
+def test_pinned_head_leads_in_given_order():
+    """Pinned names lead the schedule in the given order, even ahead of
+    touched-and-unsampled queries (VERDICT r6 #1 freeze); pinned names
+    absent from the registry are ignored."""
+    names = ["a", "b", "c", "d"]
+    history = {1: {"a": GREEN}, 2: {"b": GREEN}}
+    order = compute_priority(names, history, touched={"d"}, pinned=("c", "a", "zz"))
+    assert order[:2] == ["c", "a"]
+    assert order == ["c", "a", "d", "b"]
+
+
+def test_real_schedule_round7_pins_the_15_never_sampled():
+    """The 15 operators with zero driver history (VERDICT r6 'What's
+    missing' #1) must occupy the head of the round-7 sample."""
+    import sys
+
+    sys.path.insert(0, str(REPO))
+    import __spark_entry__ as entry
+
+    history = load_history(REPO)
+    ever = {n for rows in history.values() for n in rows}
+    names = list(entry.queries())
+    assert names[: len(entry._PINNED_HEAD)] == list(entry._PINNED_HEAD)
+    assert not (set(entry._PINNED_HEAD) & ever), (
+        "a pinned query already has driver history; unpin it"
+    )

@@ -415,3 +415,20 @@ def test_structuring_stream_matches_batch(spark, sf_dir, tmp_path):
     for c in ("n", "n_band", "flag"):
         assert got[c].to_list() == want[c].to_list(), c
     assert (got.lift - want.lift).abs().max() == 0.0
+
+
+def test_zorder_key_rejects_sign_bit_overflow():
+    """len(cols) * bits > 63 would silently interleave into the BIGINT
+    sign bit, wrapping keys negative and breaking the clustering layout
+    — the guard must raise instead (ADVICE r6)."""
+    import pytest
+
+    from fraud_detection_spark.sources.sinks import zorder_key
+
+    # 4 cols x 16 bits = 64 > 63 -> reject, message names the safe bits
+    with pytest.raises(ValueError, match="bits <= 15"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError, match="at least one column"):
+        zorder_key([])
+    # the boundary itself is fine: 3 x 21 = 63
+    assert zorder_key(["a", "b", "c"], bits=21) is not None
