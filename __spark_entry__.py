@@ -90,6 +90,9 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_fraud_rings",     # exact integer division for vertex->custkey (ADVICE)
     "q_active_users",    # exploded-offset equi-join replaces nested-loop (ADVICE)
     "q_dormancy",        # docstring/frame alignment (ADVICE; behavior unchanged)
+    # new round-7 operators (join BEHIND the pinned 15, per the freeze):
+    "q_session_paths",   # session path signatures (V#6)
+    "q_path_entropy",    # per-user journey entropy (V#6)
 })
 
 
