@@ -176,13 +176,20 @@ def upsert_batch(
     then atomic pointer flip — crash-safe at every step."""
     spark = batch_df.sparkSession
     bucket_of = F.pmod(F.xxhash64("transaction_id"), F.lit(num_buckets))
-    incoming = batch_df.dropDuplicates(["transaction_id"]).withColumn(
-        "pbucket", bucket_of
+    # persist: the batch feeds THREE jobs (touched-bucket listing,
+    # anti-join, staged write) — uncached, each job would re-scan the
+    # micro-batch's source files (measured 3x input amplification in
+    # the sf0.1 serving exercise, tests/test_streaming_scale.py)
+    incoming = (
+        batch_df.dropDuplicates(["transaction_id"])
+        .withColumn("pbucket", bucket_of)
+        .persist()
     )
     touched = sorted(
         r["pbucket"] for r in incoming.select("pbucket").distinct().collect()
     )
     if not touched:
+        incoming.unpersist()
         return
     root = _bucket_root(results_dir)
     os.makedirs(root, exist_ok=True)
@@ -211,7 +218,10 @@ def upsert_batch(
 
     # one job stages every touched bucket as a hive partition
     stage = os.path.join(results_dir, f".stage-{batch_id}")
-    merged.write.mode("overwrite").partitionBy("pbucket").parquet(stage)
+    try:
+        merged.write.mode("overwrite").partitionBy("pbucket").parquet(stage)
+    finally:
+        incoming.unpersist()
 
     version = f"v{batch_id}"
     for b in touched:
@@ -315,17 +325,28 @@ def run_serving_stream(
     requests_dir: str,
     results_dir: str,
     checkpoint_dir: str | None = None,
-) -> None:
+    max_files_per_trigger: int | None = None,
+) -> dict:
     """Consume JSON request files, score, and upsert results —
     ``availableNow`` trigger processes the backlog and stops (tests);
     a production deployment runs the same query continuously with a
-    processing-time trigger and Kafka source."""
+    processing-time trigger and Kafka source. ``max_files_per_trigger``
+    caps each micro-batch (availableNow still drains the backlog, in
+    more batches — how the sf0.1 scale exercise gets a real batch
+    cadence out of a static backlog).
+
+    Returns the query's progress summary: per-batch rows and
+    batchDuration (ms) from recentProgress, plus total rows, total ms,
+    and end-to-end rows/s — the numbers SCALE.md's serving-throughput
+    section records (reference latency budget: 500 ms P95,
+    monitoring/prometheus/rules HighAPILatency)."""
+    import json as _json
+
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="fds-ckpt-")
-    stream = (
-        spark.readStream.schema(REQUEST_SCHEMA)
-        .json(requests_dir)
-        .transform(score_requests)
-    )
+    reader = spark.readStream.schema(REQUEST_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    stream = reader.json(requests_dir).transform(score_requests)
     q = (
         stream.writeStream.foreachBatch(
             lambda bdf, bid: upsert_batch(bdf, bid, results_dir)
@@ -335,3 +356,18 @@ def run_serving_stream(
         .start()
     )
     q.awaitTermination()
+    batches = []
+    for p in q.recentProgress:
+        d = p if isinstance(p, dict) else _json.loads(p.json)
+        if d.get("numInputRows", 0):
+            batches.append(
+                {"rows": d["numInputRows"], "ms": d.get("batchDuration", 0)}
+            )
+    total_rows = sum(b["rows"] for b in batches)
+    total_ms = sum(b["ms"] for b in batches)
+    return {
+        "batches": batches,
+        "rows": total_rows,
+        "ms": total_ms,
+        "rows_per_sec": (total_rows * 1000.0 / total_ms) if total_ms else None,
+    }
