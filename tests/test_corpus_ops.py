@@ -531,3 +531,43 @@ def test_compression_ratio_matches_zlib_reference(spark, sf_dir):
     assert (again.ratio.to_numpy() == got.ratio.to_numpy()).all()
     # ratios are in a sane band for word-soup text
     assert got.ratio.between(0.05, 1.2).all()
+
+
+def test_cdc_chunker_loop_within_2x_of_vectorized_twin(sf_dir):
+    """Timing regression guard (VERDICT r6 #5): on a 10x-replicated
+    corpus the ACTIVE memoized-loop chunker must stay within 2x of the
+    vectorized factorize/cumsum/reduceat twin. SCALE.md's round-6
+    profile measured the loop at 1.27-1.36 s vs 1.37 s for the twin at
+    10x-sf0.1; the loop wins only while its word cache hits — a
+    vocabulary regime change (cache thrash past _CDC_CACHE_CAP) flips
+    that, and this assertion catches the flip in CI instead of at
+    100 TB. If it fires persistently, swap the twin in (bit-equality
+    is pinned by test_cdc_chunkers_bit_equal)."""
+    import time
+
+    from fraud_detection_spark.operators.text import (
+        _cdc_chunk_batches,
+        _cdc_chunk_vectorized,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")[["doc_id", "text"]]
+    big = pd.concat(
+        [docs.assign(doc_id=docs.doc_id + i * 10**7) for i in range(10)],
+        ignore_index=True,
+    )
+    # warm both paths once (md5 word cache, numpy import, page cache)
+    pd.concat(list(_cdc_chunk_batches([big])))
+    _cdc_chunk_vectorized(big)
+
+    t0 = time.perf_counter()
+    n_loop = len(pd.concat(list(_cdc_chunk_batches([big]))))
+    t1 = time.perf_counter()
+    n_vec = len(_cdc_chunk_vectorized(big))
+    t2 = time.perf_counter()
+    loop_s, vec_s = t1 - t0, t2 - t1
+    assert n_loop == n_vec > 0
+    # +0.25 s absolute grace keeps sub-second timings box-noise-proof
+    assert loop_s <= 2.0 * vec_s + 0.25, (
+        f"memoized loop {loop_s:.2f}s vs vectorized twin {vec_s:.2f}s — "
+        "cache-hit regime may have flipped; see SCALE.md chunk-dedup note"
+    )
