@@ -93,6 +93,16 @@ _TOUCHED_THIS_ROUND = frozenset({
     # new round-7 operators (join BEHIND the pinned 15, per the freeze):
     "q_session_paths",   # session path signatures (V#6)
     "q_path_entropy",    # per-user journey entropy (V#6)
+    "q_session_stats",   # session duration/bounce distribution
+    "q_burstiness",      # Goh-Barabási inter-event burstiness
+    "q_chi2",            # chi-square independence + Cramér's V
+    "q_mutual_info",     # MI / normalized MI of type × weekday
+    "q_triangle_count",  # projected-graph triangle participation
+    "q_neighbor_jaccard",  # neighbor-set similarity per pair
+    "q_autocorrelation",   # daily-series ACF lags 1..7
+    "q_window_suite",    # percent_rank/cume_dist/ntile/nth_value
+    "q_countmin",        # count-min sketch heavy hitters
+    "q_bloom_prefilter", # bloom decontamination prefilter
 })
 
 

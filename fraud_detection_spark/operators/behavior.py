@@ -720,15 +720,20 @@ _TOP_PATHS = 50
 
 # Shared oracle prefix: gap-session construction (>= gap starts a new
 # session — Spark's session_window end is exclusive, q_session_window's
-# convention) -> one row per session with its truncated path signature.
-_PATH_SQL = (
+# convention) -> one row per event with its (user_id, sid) session id.
+_SESS_CORE_SQL = (
     f"e AS (SELECT user_id, event_id, event_type, {_SEC_SQL} AS sec FROM events), "
     "o AS (SELECT *, CASE WHEN LAG(sec) OVER "
     "(PARTITION BY user_id ORDER BY sec, event_id) IS NULL OR "
     "sec - LAG(sec) OVER (PARTITION BY user_id ORDER BY sec, event_id) "
     f">= {_SESSION_GAP_SEC} THEN 1 ELSE 0 END AS new_s FROM e), "
     "s AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id "
-    "ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o), "
+    "ORDER BY sec, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM o)"
+)
+
+# ... -> one row per session with its truncated path signature.
+_PATH_SQL = (
+    _SESS_CORE_SQL + ", "
     "r AS (SELECT user_id, sid, event_type, ROW_NUMBER() OVER "
     "(PARTITION BY user_id, sid ORDER BY sec, event_id) AS rn FROM s), "
     "p AS (SELECT user_id, sid, STRING_AGG(event_type, '>' ORDER BY rn) "
@@ -865,4 +870,135 @@ def q_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_paths",
             "entropy",
         )
+    )
+
+
+@query(
+    "q_session_stats",
+    oracle=(
+        "WITH " + _SESS_CORE_SQL + ", "
+        "g AS (SELECT user_id, sid, MIN(sec) AS t0, MAX(sec) AS t1, "
+        "COUNT(*) AS n FROM s GROUP BY user_id, sid) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions, "
+        + sql_round("SUM(n) * 1.0 / COUNT(*)", 6) + " AS avg_events, "
+        + sql_round(
+            "SUM(CASE WHEN n = 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*)", 6
+        )
+        + " AS bounce_rate, "
+        + sql_round("SUM(t1 - t0) * 1.0 / COUNT(*)", 6) + " AS avg_dur_sec, "
+        "CAST(quantile_disc(t1 - t0, 0.5) AS BIGINT) AS p50_dur_sec, "
+        "CAST(quantile_disc(t1 - t0, 0.9) AS BIGINT) AS p90_dur_sec, "
+        "CAST(MAX(t1 - t0) AS BIGINT) AS max_dur_sec FROM g"
+    ),
+    tags=("behavior", "session", "agg"),
+)
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shape summary: count, mean events/session, bounce rate
+    (single-event sessions — the scripted-probe tell), and the
+    duration distribution (mean / exact p50 / p90 / max seconds) over
+    30-min-gap sessions. The duration percentiles are the numbers
+    session-length SLOs and bot screens quote.
+
+    Plan: one user_id shuffle builds sessions (same lag+cumsum as
+    q_session_window), a (user, sid) hash aggregate folds each session
+    to (t0, t1, n) — integer seconds and counts, so every sum is
+    exact — then ONE global aggregate over the session table;
+    percentile_disc SELECTS an element (no interpolation arithmetic
+    to disagree on; q_robust_scale's argument). At 100 TB the
+    percentile pair swaps to approx_percentile — the documented
+    q_quantiles ↔ q_approx_quantile twin."""
+    ev = events_with_time(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    new_s = (
+        F.lag("ts_sec").over(w).isNull()
+        | (F.col("ts_sec") - F.lag("ts_sec").over(w) >= 1800)
+    ).cast("int")
+    s = ev.select(
+        "user_id",
+        "ts_sec",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    g = s.groupBy("user_id", "sid").agg(
+        F.min("ts_sec").alias("t0"),
+        F.max("ts_sec").alias("t1"),
+        F.count("*").alias("n"),
+    ).select((F.col("t1") - F.col("t0")).alias("dur"), "n")
+    return g.agg(
+        F.count("*").cast("bigint").alias("n_sessions"),
+        pround(F.sum("n") * 1.0 / F.count("*"), 6).alias("avg_events"),
+        pround(
+            F.sum((F.col("n") == 1).cast("int")) * 1.0 / F.count("*"), 6
+        ).alias("bounce_rate"),
+        pround(F.sum("dur") * 1.0 / F.count("*"), 6).alias("avg_dur_sec"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY dur)")
+        .cast("bigint")
+        .alias("p50_dur_sec"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY dur)")
+        .cast("bigint")
+        .alias("p90_dur_sec"),
+        F.max("dur").cast("bigint").alias("max_dur_sec"),
+    )
+
+
+@query(
+    "q_burstiness",
+    oracle=(
+        f"WITH e AS (SELECT user_id, event_id, {_SEC_SQL} AS sec FROM events), "
+        "g AS (SELECT user_id, sec - LAG(sec) OVER "
+        "(PARTITION BY user_id ORDER BY sec, event_id) AS gap FROM e), "
+        "a AS (SELECT user_id, CAST(COUNT(gap) AS BIGINT) AS n_gaps, "
+        "CAST(SUM(gap) AS BIGINT) AS sg, "
+        "CAST(SUM(gap * gap) AS BIGINT) AS sgg "
+        "FROM g WHERE gap IS NOT NULL GROUP BY user_id "
+        "HAVING COUNT(gap) >= 2), "
+        "m AS (SELECT user_id, n_gaps, sg * 1.0 / n_gaps AS mu, "
+        "SQRT(sgg * 1.0 / n_gaps - (sg * 1.0 / n_gaps) * (sg * 1.0 / n_gaps))"
+        " AS sigma FROM a) "
+        "SELECT user_id, n_gaps, "
+        + sql_round("mu", 4) + " AS mean_gap_sec, "
+        + sql_round("CASE WHEN mu > 0 THEN sigma / mu END", 6) + " AS cv, "
+        + sql_round(
+            "CASE WHEN sigma + mu > 0 THEN (sigma - mu) / (sigma + mu) END", 6
+        )
+        + " AS burstiness FROM m"
+    ),
+    tags=("behavior", "agg", "fraud"),
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-account inter-event burstiness: coefficient of variation of
+    the gap distribution and the Goh–Barabási burstiness parameter
+    B = (σ−μ)/(σ+μ) ∈ (−1, 1) — metronome-regular bot traffic sits
+    near B = −1 (σ→0), Poisson-ish human activity near 0, bursty
+    takeover sessions push positive. The behavioral twin of
+    q_dormancy's single-gap screen, over the WHOLE gap distribution.
+
+    Plan: one user-partitioned LAG window (total order: ts + event_id)
+    then a per-user hash aggregate. Σgap and Σgap² are exact integer
+    sums (gaps are integer seconds), so μ and the population σ are
+    deterministic scalar IEEE ops on any layout — no float-sum
+    order hazard anywhere."""
+    ev = events_with_time(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    g = ev.select(
+        "user_id", (F.col("ts_sec") - F.lag("ts_sec").over(w)).alias("gap")
+    ).filter(F.col("gap").isNotNull())
+    a = (
+        g.groupBy("user_id")
+        .agg(
+            F.count("gap").cast("bigint").alias("n_gaps"),
+            F.sum("gap").cast("bigint").alias("sg"),
+            F.sum(F.col("gap") * F.col("gap")).cast("bigint").alias("sgg"),
+        )
+        .filter(F.col("n_gaps") >= 2)
+    )
+    mu = F.col("sg") * 1.0 / F.col("n_gaps")
+    sigma = F.sqrt(F.col("sgg") * 1.0 / F.col("n_gaps") - mu * mu)
+    return a.select(
+        "user_id",
+        "n_gaps",
+        pround(mu, 4).alias("mean_gap_sec"),
+        pround(F.when(mu > 0, sigma / mu), 6).alias("cv"),
+        pround(F.when(sigma + mu > 0, (sigma - mu) / (sigma + mu)), 6).alias(
+            "burstiness"
+        ),
     )

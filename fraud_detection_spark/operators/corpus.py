@@ -340,3 +340,126 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         p(0.25, "p25"), p(0.50, "p50"), p(0.75, "p75"),
         p(0.90, "p90"), p(0.99, "p99"),
     )
+
+
+# --- Bloom-filter decontamination prefilter ---------------------------
+
+_BLOOM_M = 8192  # bits
+_BLOOM_K = 3     # hash functions
+
+# shared gram CTEs (same construction q_decontaminate verifies)
+_BLOOM_GRAM_SQL = (
+    "w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "g AS (SELECT doc_id, unnest(list_transform("
+    f"range(1, len(w) - {_NGRAM - 2}), "
+    f"i -> array_to_string(w[i:i+{_NGRAM - 1}], ' '))) AS g FROM w), "
+    f"ks AS (SELECT unnest(range({_BLOOM_K})) AS i), "
+    "ebits AS (SELECT DISTINCT "
+    "CAST('0x' || substr(md5('b' || CAST(ks.i AS VARCHAR) || ':' || g.g), "
+    f"1, 8) AS BIGINT) % {_BLOOM_M} AS bit "
+    f"FROM g, ks WHERE doc_id % {_EVAL_MOD} = 0), "
+    "tg AS (SELECT DISTINCT doc_id, g FROM g "
+    f"WHERE doc_id % {_EVAL_MOD} <> 0)"
+)
+
+
+@query(
+    "q_bloom_prefilter",
+    oracle=(
+        "WITH " + _BLOOM_GRAM_SQL + ", "
+        "tb AS (SELECT doc_id, g, ks.i, "
+        "CAST('0x' || substr(md5('b' || CAST(ks.i AS VARCHAR) || ':' || g), "
+        f"1, 8) AS BIGINT) % {_BLOOM_M} AS bit FROM tg, ks), "
+        "pg AS (SELECT doc_id, g, COUNT(*) AS hit "
+        "FROM tb JOIN ebits USING (bit) GROUP BY doc_id, g "
+        f"HAVING COUNT(*) = {_BLOOM_K}), "
+        "cand AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_pass "
+        "FROM pg GROUP BY doc_id), "
+        "ex AS (SELECT tg.doc_id, COUNT(*) AS n FROM tg "
+        f"JOIN (SELECT DISTINCT g FROM g WHERE doc_id % {_EVAL_MOD} = 0) eg "
+        "USING (g) GROUP BY tg.doc_id) "
+        "SELECT d.doc_id, "
+        "CAST(COALESCE(cand.n_pass, 0) AS BIGINT) AS n_bloom_hits, "
+        "CAST(CASE WHEN COALESCE(cand.n_pass, 0) > 0 THEN 1 ELSE 0 END AS INT)"
+        " AS bloom_candidate, "
+        "CAST(CASE WHEN COALESCE(ex.n, 0) > 0 THEN 1 ELSE 0 END AS INT)"
+        " AS contaminated "
+        "FROM documents d LEFT JOIN cand USING (doc_id) "
+        "LEFT JOIN ex ON ex.doc_id = d.doc_id "
+        f"WHERE d.doc_id % {_EVAL_MOD} <> 0"
+    ),
+    tags=("corpus", "text", "decontamination", "sketch"),
+)
+def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter: the eval set's word
+    8-grams compress to an 8192-bit / 3-hash Bloom filter (1 KB — vs
+    the full gram set q_decontaminate broadcasts), and every training
+    gram is screened against it. A gram passes only if ALL 3 of its
+    bit positions are set, so the screen can NEVER miss a real
+    contamination (no false negatives — the Bloom guarantee, asserted
+    per-row against the exact `contaminated` flag the query also
+    emits); false positives are bounded by (1−e^(−kn/m))^k and get
+    resolved by the exact join over the tiny candidate set. At 100 TB
+    this is the standard two-stage scrub: ship the KB-sized filter
+    map-side with NO join at all for ~every gram, run the exact
+    (broadcast) join only on Bloom survivors.
+
+    Plan: the filter's set bits come from the eval grams (tiny side);
+    training grams explode to 3 (gram, bit) rows and count matched
+    bits per gram — pure broadcast joins, the corpus never shuffles
+    until the per-doc candidate aggregate. Hashing is the portable
+    md5-prefix idiom, so the oracle reproduces every bit decision."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select("doc_id", F.split("text", " ").alias("w"))
+    grams = w.select("doc_id", F.explode(F.expr(_gram_expr("w"))).alias("g"))
+    is_eval = F.col("doc_id") % _EVAL_MOD == 0
+    ks = d.sparkSession.range(_BLOOM_K).select(F.col("id").cast("int").alias("i"))
+
+    def bit(g_col, i_col):
+        h = F.md5(
+            F.concat(F.lit("b"), i_col.cast("string"), F.lit(":"), g_col).cast(
+                "binary"
+            )
+        )
+        return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _BLOOM_M
+
+    ebits = (
+        grams.filter(is_eval)
+        .crossJoin(F.broadcast(ks))
+        .select(bit(F.col("g"), F.col("i")).alias("bit"))
+        .distinct()
+    )
+    tg = grams.filter(~is_eval).distinct()
+    tb = tg.crossJoin(F.broadcast(ks)).select(
+        "doc_id", "g", bit(F.col("g"), F.col("i")).alias("bit")
+    )
+    pg = (
+        tb.join(F.broadcast(ebits), "bit")
+        .groupBy("doc_id", "g")
+        .agg(F.count("*").alias("hit"))
+        .filter(F.col("hit") == _BLOOM_K)
+    )
+    cand = pg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_pass"))
+    eg = grams.filter(is_eval).select("g").distinct()
+    ex = (
+        tg.join(F.broadcast(eg), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        d.filter(~is_eval)
+        .join(cand, "doc_id", "left")
+        .join(ex, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_pass", F.lit(0)).cast("bigint").alias("n_bloom_hits"),
+            F.when(F.coalesce("n_pass", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("bloom_candidate"),
+            F.when(F.coalesce("n", F.lit(0)) > 0, 1)
+            .otherwise(0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )

@@ -434,3 +434,155 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi",
         )
     )
+
+
+# --- projected-graph structure: triangles + neighbor similarity -------
+#
+# Both run on the suspicion-FILTERED projection of the bipartite graph
+# (q_fraud_rings' >= 2.5x-mean edge cut, aml.py) — the relative cut
+# keeps the pair space sparse at every SF, which is what makes the
+# self-joins below bounded (the q_shared_counterparties argument).
+
+_HEAVY_PAIR_SQL = (
+    "e AS (SELECT o_custkey AS custkey, l_suppkey AS suppkey, COUNT(*) AS n "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "GROUP BY custkey, suppkey), "
+    "t AS (SELECT CEIL(2.5 * AVG(n)) AS k FROM e), "
+    "heavy AS (SELECT custkey, suppkey FROM e, t WHERE n >= k), "
+    "pe AS (SELECT DISTINCT a.custkey AS ca, b.custkey AS cb "
+    "FROM heavy a JOIN heavy b "
+    "ON a.suppkey = b.suppkey AND a.custkey < b.custkey)"
+)
+
+
+def _heavy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct projected edges (ca < cb) between customers sharing a
+    heavy counterparty — the vertex-ordered edge list triangle
+    enumeration wants (each triangle materializes exactly once as
+    a < b < c)."""
+    e = edges(spark, sf_dir)
+    thr = e.agg(F.ceil(F.lit(2.5) * F.avg("n")).alias("k"))
+    heavy = (
+        e.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("k"))
+        .select("custkey", "suppkey")
+    )
+    a = heavy.select(F.col("custkey").alias("ca"), "suppkey")
+    b = heavy.select(F.col("custkey").alias("cb"), "suppkey")
+    return (
+        a.join(b, "suppkey")
+        .filter(F.col("ca") < F.col("cb"))
+        .select("ca", "cb")
+        .distinct()
+    )
+
+
+@query(
+    "q_triangle_count",
+    oracle=(
+        "WITH " + _HEAVY_PAIR_SQL + ", "
+        "tri AS (SELECT p1.ca AS a, p1.cb AS b, p2.cb AS c "
+        "FROM pe p1 JOIN pe p2 ON p2.ca = p1.cb "
+        "JOIN pe p3 ON p3.ca = p1.ca AND p3.cb = p2.cb), "
+        "v AS (SELECT a AS custkey FROM tri UNION ALL "
+        "SELECT b FROM tri UNION ALL SELECT c FROM tri) "
+        "SELECT custkey, CAST(COUNT(*) AS BIGINT) AS n_triangles "
+        "FROM v GROUP BY custkey"
+    ),
+    tags=("graph", "fraud", "join"),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer triangle participation in the projected collusion
+    graph: three accounts pairwise linked through shared heavy
+    counterparties are the tightest ring evidence there is (an open
+    pair can be coincidence; a closed triangle rarely is) — triangle
+    count is the standard graph feature fraud models add after degree.
+
+    Plan: the classic vertex-ordered triangle enumeration — edges kept
+    as a < b only, so each triangle (a<b<c) joins exactly once:
+    pe ⋈ pe on b, closed by a third equi-join on (a, c). All joins run
+    on the suspicion-filtered projection (sparse by the relative cut);
+    nothing touches the raw fact tables after the one edge aggregate.
+    At 100 TB add degree-ordered orientation (orient each edge from
+    lower- to higher-degree endpoint) to bound the skew of hub
+    vertices — the standard MapReduce-triangle refinement."""
+    pe = _heavy_pairs(spark, sf_dir).cache()
+    p1 = pe.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
+    p2 = pe.select(F.col("ca").alias("b"), F.col("cb").alias("c"))
+    p3 = pe.select(F.col("ca").alias("a"), F.col("cb").alias("c"))
+    tri = p1.join(p2, "b").join(p3, ["a", "c"])
+    v = (
+        tri.select(F.col("a").alias("custkey"))
+        .unionAll(tri.select(F.col("b").alias("custkey")))
+        .unionAll(tri.select(F.col("c").alias("custkey")))
+    )
+    return v.groupBy("custkey").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
+@query(
+    "q_neighbor_jaccard",
+    oracle=(
+        "WITH e AS (SELECT o_custkey AS custkey, l_suppkey AS suppkey, "
+        "COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY custkey, suppkey), "
+        "t AS (SELECT CEIL(2.5 * AVG(n)) AS k FROM e), "
+        "heavy AS (SELECT custkey, suppkey FROM e, t WHERE n >= k), "
+        "deg AS (SELECT custkey, COUNT(DISTINCT suppkey) AS d "
+        "FROM heavy GROUP BY custkey), "
+        "pe AS (SELECT a.custkey AS ca, b.custkey AS cb, "
+        "COUNT(DISTINCT a.suppkey) AS n_shared FROM heavy a JOIN heavy b "
+        "ON a.suppkey = b.suppkey AND a.custkey < b.custkey "
+        "GROUP BY ca, cb) "
+        "SELECT pe.ca AS cust_a, pe.cb AS cust_b, "
+        "CAST(pe.n_shared AS BIGINT) AS n_shared, "
+        + sql_round("pe.n_shared * 1.0 / (da.d + db.d - pe.n_shared)", 6)
+        + " AS jaccard "
+        "FROM pe JOIN deg da ON da.custkey = pe.ca "
+        "JOIN deg db ON db.custkey = pe.cb"
+    ),
+    tags=("graph", "fraud", "join"),
+)
+def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-set Jaccard similarity per projected customer pair:
+    |shared heavy counterparties| / |union| — the normalized form of
+    q_shared_counterparties' raw count (two accounts sharing 2 of
+    their 2 counterparties are a far stronger mule-pair signal than
+    two sharing 2 of 40). The standard link-prediction / entity-merge
+    score on transaction graphs.
+
+    Plan: degree table and shared counts both come off the same
+    suspicion-filtered edge list (two hash aggregates); the pair table
+    joins the per-vertex degree twice on the projected keys. Sparse by
+    the relative cut — no quadratic stage touches the raw graph."""
+    e = edges(spark, sf_dir)
+    thr = e.agg(F.ceil(F.lit(2.5) * F.avg("n")).alias("k"))
+    heavy = (
+        e.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("k"))
+        .select("custkey", "suppkey")
+    )
+    deg = heavy.groupBy("custkey").agg(F.countDistinct("suppkey").alias("d"))
+    a = heavy.select(F.col("custkey").alias("ca"), "suppkey")
+    b = heavy.select(F.col("custkey").alias("cb"), "suppkey")
+    pe = (
+        a.join(b, "suppkey")
+        .filter(F.col("ca") < F.col("cb"))
+        .groupBy("ca", "cb")
+        .agg(F.countDistinct("suppkey").alias("n_shared"))
+    )
+    return (
+        pe.join(deg.select(F.col("custkey").alias("ca"), F.col("d").alias("da")), "ca")
+        .join(deg.select(F.col("custkey").alias("cb"), F.col("d").alias("db")), "cb")
+        .select(
+            F.col("ca").alias("cust_a"),
+            F.col("cb").alias("cust_b"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            pround(
+                F.col("n_shared") * 1.0
+                / (F.col("da") + F.col("db") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

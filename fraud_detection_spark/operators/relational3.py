@@ -91,3 +91,59 @@ def q_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(m, "k").alias("k_value"),
         F.size(m).alias("n_keys"),
     )
+
+
+@query(
+    "q_window_suite",
+    oracle=(
+        "WITH d AS (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS n FROM events GROUP BY day) "
+        "SELECT CAST(day AS BIGINT) AS day, n, "
+        + sql_round("PERCENT_RANK() OVER (ORDER BY n, day)", 6)
+        + " AS pct_rank, "
+        + sql_round("CUME_DIST() OVER (ORDER BY n, day)", 6)
+        + " AS cume_dist, "
+        "CAST(NTILE(4) OVER (ORDER BY n, day) AS INT) AS quartile, "
+        "CAST(FIRST_VALUE(n) OVER (ORDER BY n, day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"
+        " AS min_n, "
+        "CAST(NTH_VALUE(n, 3) OVER (ORDER BY n, day "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS BIGINT)"
+        " AS third_n FROM d"
+    ),
+    tags=("window", "relational"),
+)
+def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining rank-family window functions in one declared
+    query — PERCENT_RANK, CUME_DIST, NTILE(4), FIRST_VALUE and
+    NTH_VALUE over the daily-volume series: where does each day's
+    volume sit in the distribution (the percentile dashboards quote),
+    which quartile is it in, and what are the reference days. Rounds
+    out the window surface next to q_window_rank's rank/dense_rank and
+    the lag/lead family used throughout.
+
+    Plan: the event stream folds to ≤|days| rows map-side; every
+    window runs on that bounded table (the unpartitioned ORDER BY is
+    over ≤31 rows by construction — same bounded-window discipline as
+    q_cusum). Ordering key (n, day) is a total order, so every
+    function is deterministic on any layout."""
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(F.expr("ts div 1000000000 div 86400").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    # bounded: ≤|days| rows by construction
+    w = Window.orderBy("n", "day")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return d.select(
+        F.col("day").cast("bigint").alias("day"),
+        "n",
+        pround(F.percent_rank().over(w), 6).alias("pct_rank"),
+        pround(F.cume_dist().over(w), 6).alias("cume_dist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.first("n").over(wf).cast("bigint").alias("min_n"),
+        F.nth_value("n", 3).over(wf).cast("bigint").alias("third_n"),
+    )

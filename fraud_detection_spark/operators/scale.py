@@ -171,3 +171,93 @@ def estimate_from_index(
             "n_events",
         )
     )
+
+
+# --- Count-min sketch heavy hitters ----------------------------------
+
+_CMS_D = 4    # hash rows (error probability decays as 2^-d)
+_CMS_W = 512  # buckets per row (overestimate ~ 2N/w)
+_CMS_TOPK = 20
+
+
+@query(
+    "q_countmin",
+    oracle=(
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok "
+        "WHERE w <> '' GROUP BY w), "
+        f"js AS (SELECT unnest(range({_CMS_D})) AS j), "
+        "cell AS (SELECT j, "
+        "CAST('0x' || substr(md5('cms' || CAST(j AS VARCHAR) || ':' || w), "
+        f"1, 8) AS BIGINT) % {_CMS_W} AS b, "
+        "CAST(SUM(n) AS BIGINT) AS cnt FROM c, js GROUP BY j, b), "
+        f"top AS (SELECT w, n FROM c ORDER BY n DESC, w LIMIT {_CMS_TOPK}), "
+        "probe AS (SELECT top.w, top.n, js.j, "
+        "CAST('0x' || substr(md5('cms' || CAST(js.j AS VARCHAR) || ':' || "
+        f"top.w), 1, 8) AS BIGINT) % {_CMS_W} AS b FROM top, js) "
+        "SELECT probe.w AS token, MAX(probe.n) AS n_exact, "
+        "CAST(MIN(cell.cnt) AS BIGINT) AS n_est, "
+        "CAST(MIN(cell.cnt) - MAX(probe.n) AS BIGINT) AS overcount "
+        "FROM probe JOIN cell ON cell.j = probe.j AND cell.b = probe.b "
+        "GROUP BY probe.w"
+    ),
+    tags=("scale", "sketch", "text"),
+)
+def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode–Muthukrishnan) heavy-hitter estimates:
+    a 4×512 counter matrix replaces the unbounded token-frequency
+    table; each token's estimate is the MIN of its 4 hashed cells —
+    never an undercount, overcount bounded by ~2N/w per row. THE
+    mergeable fixed-memory answer to "top tokens over 100 TB" when
+    even the vocabulary doesn't fit (8 KB of counters here vs the full
+    q_token_freq table); per-partition sketches ADD elementwise, so
+    the whole stream folds map-side exactly like q_hll_sketch's
+    registers.
+
+    Implementation: cell(j,b) = Σ counts of tokens hashing to b under
+    row j — algebraically identical whether folded from the raw stream
+    or from the per-token count table; the engine folds token counts
+    first (one map-combinable shuffle, the same aggregate q_token_freq
+    runs) so the 4-way hash explosion touches |vocab| rows, not
+    |stream|. Hashing is the portable md5-prefix idiom (identical hex
+    in both engines); probes are the exact top-20 tokens, so the
+    oracle checks estimate AND overcount bit-for-bit."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    js = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+
+    def bucket(tok_col, j_col):
+        h = F.md5(
+            F.concat(
+                F.lit("cms"), j_col.cast("string"), F.lit(":"), tok_col
+            ).cast("binary")
+        )
+        return (
+            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CMS_W
+        )
+
+    cell = (
+        c.crossJoin(F.broadcast(js))
+        .groupBy("j", bucket(F.col("w"), F.col("j")).alias("b"))
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+    )
+    top = c.orderBy(F.desc("n"), F.asc("w")).limit(_CMS_TOPK)
+    probe = top.crossJoin(F.broadcast(js)).select(
+        "w", "n", "j", bucket(F.col("w"), F.col("j")).alias("b")
+    )
+    return (
+        probe.join(cell, ["j", "b"])
+        .groupBy("w")
+        .agg(
+            F.max("n").alias("n_exact"),
+            F.min("cnt").cast("bigint").alias("n_est"),
+            (F.min("cnt") - F.max("n")).cast("bigint").alias("overcount"),
+        )
+        .select(F.col("w").alias("token"), "n_exact", "n_est", "overcount")
+    )

@@ -1,0 +1,193 @@
+"""Categorical association tests: chi-square / Cramér's V and mutual
+information over a contingency table.
+
+The reference monitors its model with scalar drift alerts
+(monitoring/prometheus/rules); a feature platform also needs
+ASSOCIATION screens between categorical dimensions — is event type
+independent of day-of-week? — both as a drift test (independence
+breaking = behavior mix shift) and as the classic filter-method
+feature-selection score (MI). Both are textbook single-scan
+aggregations over a bounded |types| × 7 contingency table.
+
+Determinism: every cell contribution is folded to fixed-point units
+(FLOOR(term·1e9 + 0.5), an exact per-cell operation) BEFORE the sum,
+so the statistic is an exact integer sum — no float-summation-order
+hazard on any layout (same discipline as functions.fixed_sum). The
+cell expectations/probabilities themselves are scalar IEEE ops on
+exact integer counts, identical on both engines.
+
+Scale: the event stream folds map-side into ≤ |types| × 7 cells; the
+margin windows run over that bounded table only. One shuffle total.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from fraud_detection_spark.functions import pround
+from fraud_detection_spark.registry import query, sql_round
+from fraud_detection_spark.sources import events_with_time
+
+_SEC_SQL = "(epoch_ns(ts) // 1000000000)"
+_DOW_SQL = f"(({_SEC_SQL} // 86400) % 7)"
+_FP = 10**9  # fixed-point resolution for per-cell contributions
+
+# shared contingency prefix: cells + margins from ONE aggregate
+_CONT_SQL = (
+    f"g AS (SELECT event_type, {_DOW_SQL} AS dow, COUNT(*) AS o "
+    "FROM events GROUP BY event_type, dow), "
+    "m AS (SELECT *, SUM(o) OVER (PARTITION BY event_type) AS r, "
+    "SUM(o) OVER (PARTITION BY dow) AS c, SUM(o) OVER () AS n FROM g)"
+)
+
+
+@query(
+    "q_chi2",
+    oracle=(
+        "WITH " + _CONT_SQL + ", "
+        "t AS (SELECT n, "
+        "CAST(FLOOR(POWER(o - r * c * 1.0 / n, 2) / (r * c * 1.0 / n) "
+        f"* {_FP} + 0.5) AS BIGINT) AS units, event_type, dow FROM m), "
+        "a AS (SELECT MAX(n) AS n, "
+        "CAST(SUM(units) AS DOUBLE) / " + str(_FP) + " AS chi2, "
+        "COUNT(DISTINCT event_type) AS nr, COUNT(DISTINCT dow) AS nc FROM t) "
+        "SELECT CAST(n AS BIGINT) AS n, "
+        "CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof, "
+        + sql_round("chi2", 6) + " AS chi2, "
+        + sql_round(
+            "SQRT(chi2 / (n * CASE WHEN nr - 1 < nc - 1 THEN nr - 1 "
+            "ELSE nc - 1 END))",
+            6,
+        )
+        + " AS cramers_v FROM a"
+    ),
+    tags=("stats", "monitoring", "agg"),
+)
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square independence test of event_type × day-of-week
+    with Cramér's V effect size — the categorical drift screen (a mix
+    shift between weekday and weekend behavior breaks independence
+    long before any single-dimension histogram moves) and the
+    categorical-feature association score.
+
+    Plan: one map-side-combinable aggregate to the ≤|types|×7 cell
+    table; margin windows over that bounded table only (the
+    unpartitioned SUM() OVER () runs on ≤35 rows by construction).
+    Per-cell (o−e)²/e folds to fixed-point units before summing, so
+    chi2 is an exact integer sum — layout-proof."""
+    ev = events_with_time(spark, sf_dir)
+    g = ev.groupBy(
+        "event_type", (F.expr("ts_sec div 86400") % 7).alias("dow")
+    ).agg(F.count("*").alias("o"))
+    # bounded table: ≤ |types| × 7 cells
+    m = g.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("r") * F.col("c") * 1.0 / F.col("n")
+    units = F.floor(F.pow(F.col("o") - e, 2) / e * _FP + F.lit(0.5)).cast("bigint")
+    t = m.select("n", "event_type", "dow", units.alias("units"))
+    a = t.agg(
+        F.max("n").alias("n"),
+        (F.sum("units").cast("double") / _FP).alias("chi2"),
+        F.countDistinct("event_type").alias("nr"),
+        F.countDistinct("dow").alias("nc"),
+    )
+    return a.select(
+        F.col("n").cast("bigint").alias("n"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        pround(F.col("chi2"), 6).alias("chi2"),
+        pround(
+            F.sqrt(
+                F.col("chi2")
+                / (F.col("n") * F.least(F.col("nr") - 1, F.col("nc") - 1))
+            ),
+            6,
+        ).alias("cramers_v"),
+    )
+
+
+@query(
+    "q_mutual_info",
+    oracle=(
+        "WITH " + _CONT_SQL + ", "
+        "t AS (SELECT n, "
+        "CAST(FLOOR((o * 1.0 / n) * LOG2(o * 1.0 * n / (r * c)) "
+        f"* {_FP} + 0.5) AS BIGINT) AS mi_u, event_type, dow, o, r, c FROM m), "
+        "hx AS (SELECT CAST(SUM(CAST(FLOOR(-(r * 1.0 / n) * LOG2(r * 1.0 / n) "
+        f"* {_FP} + 0.5) AS BIGINT)) AS DOUBLE) / {_FP} AS h FROM "
+        "(SELECT DISTINCT event_type, r, n FROM m)), "
+        "hy AS (SELECT CAST(SUM(CAST(FLOOR(-(c * 1.0 / n) * LOG2(c * 1.0 / n) "
+        f"* {_FP} + 0.5) AS BIGINT)) AS DOUBLE) / {_FP} AS h FROM "
+        "(SELECT DISTINCT dow, c, n FROM m)), "
+        f"a AS (SELECT CAST(SUM(mi_u) AS DOUBLE) / {_FP} AS mi FROM t) "
+        "SELECT " + sql_round("a.mi", 6) + " AS mi_bits, "
+        + sql_round("hx.h", 6) + " AS h_type, "
+        + sql_round("hy.h", 6) + " AS h_dow, "
+        + sql_round("a.mi / CASE WHEN hx.h < hy.h THEN hx.h ELSE hy.h END", 6)
+        + " AS nmi FROM a, hx, hy"
+    ),
+    tags=("stats", "monitoring", "agg"),
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(event_type; day-of-week) in bits, with the
+    marginal entropies and min-normalized MI — the filter-method
+    feature-selection score (how much does knowing the weekday tell
+    you about behavior mix) on the same contingency scan as q_chi2.
+
+    Plan: identical shape to q_chi2 — one bounded cell table, margin
+    windows over ≤35 rows, per-cell and per-margin terms folded to
+    fixed-point units before their integer sums. MI of observed cells
+    is non-negative up to the 1e-9 quantization."""
+    ev = events_with_time(spark, sf_dir)
+    g = ev.groupBy(
+        "event_type", (F.expr("ts_sec div 86400") % 7).alias("dow")
+    ).agg(F.count("*").alias("o"))
+    m = g.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("c"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    mi_u = F.floor(
+        (F.col("o") * 1.0 / F.col("n"))
+        * F.log2(F.col("o") * 1.0 * F.col("n") / (F.col("r") * F.col("c")))
+        * _FP
+        + F.lit(0.5)
+    ).cast("bigint")
+    a = m.select(mi_u.alias("u")).agg(
+        (F.sum("u").cast("double") / _FP).alias("mi")
+    )
+
+    def ent(col_key: str, col_margin: str) -> DataFrame:
+        d = m.select(col_key, col_margin, "n").distinct()
+        u = F.floor(
+            -(F.col(col_margin) * 1.0 / F.col("n"))
+            * F.log2(F.col(col_margin) * 1.0 / F.col("n"))
+            * _FP
+            + F.lit(0.5)
+        ).cast("bigint")
+        return d.select(u.alias("u")).agg(
+            (F.sum("u").cast("double") / _FP).alias("h")
+        )
+
+    hx = ent("event_type", "r")
+    hy = ent("dow", "c")
+    return (
+        a.crossJoin(F.broadcast(hx.select(F.col("h").alias("h_type"))))
+        .crossJoin(F.broadcast(hy.select(F.col("h").alias("h_dow"))))
+        .select(
+            pround(F.col("mi"), 6).alias("mi_bits"),
+            pround(F.col("h_type"), 6).alias("h_type"),
+            pround(F.col("h_dow"), 6).alias("h_dow"),
+            pround(F.col("mi") / F.least("h_type", "h_dow"), 6).alias("nmi"),
+        )
+    )

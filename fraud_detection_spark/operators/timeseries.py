@@ -505,3 +505,99 @@ def q_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(intercept + slope * (F.col("t_max") + F.col("h")), 4).alias("forecast"),
         pround(r2, 6).alias("r2"),
     )
+
+
+_ACF_MAX_LAG = 7
+
+
+@query(
+    "q_autocorrelation",
+    oracle=(
+        f"WITH d AS (SELECT {_SEC_SQL} // 86400 AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY day), "
+        "o AS (SELECT x, "
+        + ", ".join(
+            f"LEAD(x, {k}) OVER (ORDER BY day) AS y{k}"
+            for k in range(1, _ACF_MAX_LAG + 1)
+        )
+        + " FROM d), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(x * x) AS BIGINT) AS sxx, "
+        + ", ".join(
+            f"CAST(COUNT(y{k}) AS BIGINT) AS n{k}, "
+            f"CAST(SUM(x * y{k}) AS BIGINT) AS sxy{k}, "
+            f"CAST(SUM(CASE WHEN y{k} IS NOT NULL THEN x END) AS BIGINT) AS sa{k}, "
+            f"CAST(SUM(y{k}) AS BIGINT) AS sb{k}"
+            for k in range(1, _ACF_MAX_LAG + 1)
+        )
+        + " FROM o) "
+        + " UNION ALL ".join(
+            f"SELECT CAST({k} AS INT) AS lag, n{k} AS n_pairs, "
+            + sql_round(
+                f"(sxy{k} - (sx * 1.0 / n) * sa{k} - (sx * 1.0 / n) * sb{k} "
+                f"+ n{k} * (sx * 1.0 / n) * (sx * 1.0 / n)) "
+                f"/ (sxx - n * (sx * 1.0 / n) * (sx * 1.0 / n))",
+                6,
+            )
+            + " AS acf FROM a"
+            for k in range(1, _ACF_MAX_LAG + 1)
+        )
+    ),
+    tags=("timeseries", "agg"),
+)
+def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily event-count series at lags
+    1..7 — the diagnostic behind q_deseasonalize's weekly claim (a real
+    weekly cycle shows an ACF spike at lag 7) and the standard
+    pre-forecasting check (q_trend_forecast assumes near-zero residual
+    ACF). Statsmodels convention: numerator over the n−k aligned
+    pairs, denominator the full-series Σ(x−x̄)², both around the
+    full-series mean.
+
+    Determinism: every sum is an INTEGER sum over daily counts
+    (Σx, Σx², Σx·x₊ₖ and the per-lag margins), so the float ACF is a
+    scalar IEEE expression on exact integers — no summation-order
+    hazard. Plan: the stream folds to ≤|days| rows map-side; the LEAD
+    window and the single one-row aggregate run on that bounded table
+    (unpartitioned by construction, ≤31 rows); the 7 output rows
+    project from the one aggregate row."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(F.expr("ts div 1000000000 div 86400").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").alias("x"))
+    )
+    w = Window.orderBy("day")  # bounded: ≤|days| rows by construction
+    ks = list(range(1, _ACF_MAX_LAG + 1))
+    o = d.select("x", *[F.lead("x", k).over(w).alias(f"y{k}") for k in ks])
+    aggs = [
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    ]
+    for k in ks:
+        yk = F.col(f"y{k}")
+        aggs += [
+            F.count(yk).cast("bigint").alias(f"n{k}"),
+            F.sum(F.col("x") * yk).cast("bigint").alias(f"sxy{k}"),
+            F.sum(F.when(yk.isNotNull(), F.col("x"))).cast("bigint").alias(f"sa{k}"),
+            F.sum(yk).cast("bigint").alias(f"sb{k}"),
+        ]
+    a = o.agg(*aggs)
+    xbar = F.col("sx") * 1.0 / F.col("n")
+    denom = F.col("sxx") - F.col("n") * xbar * xbar
+    out = None
+    for k in ks:
+        num = (
+            F.col(f"sxy{k}")
+            - xbar * F.col(f"sa{k}")
+            - xbar * F.col(f"sb{k}")
+            + F.col(f"n{k}") * xbar * xbar
+        )
+        row = a.select(
+            F.lit(k).cast("int").alias("lag"),
+            F.col(f"n{k}").alias("n_pairs"),
+            pround(num / denom, 6).alias("acf"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -138,6 +138,7 @@ def load_all() -> dict[str, Query]:
         sampling,
         scale,
         similarity,
+        stats_tests,
         text,
         timeseries,
         udf_examples,

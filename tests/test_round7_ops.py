@@ -1,0 +1,103 @@
+"""Semantic property tests for the round-7 operator additions —
+DuckDB-oracle parity lives in tests/test_oracle_parity.py; these pin
+the claims the docstrings make."""
+
+from __future__ import annotations
+
+from fraud_detection_spark.registry import load_all
+
+
+def _run(name, spark, sf_dir):
+    return load_all()[name].fn(spark, sf_dir).collect()
+
+
+def test_bloom_prefilter_never_misses_contamination(spark, sf_dir):
+    """The Bloom guarantee: every exactly-contaminated doc must be a
+    bloom candidate (zero false negatives); false positives exist only
+    on top of the exact set."""
+    rows = _run("q_bloom_prefilter", spark, sf_dir)
+    assert rows
+    fn = [r for r in rows if r.contaminated == 1 and r.bloom_candidate == 0]
+    assert not fn, f"bloom false negatives: {fn[:5]}"
+    # the prefilter is not vacuous: it admits the contaminated docs and
+    # (on this corpus) stays a small superset
+    n_cand = sum(r.bloom_candidate for r in rows)
+    n_cont = sum(r.contaminated for r in rows)
+    assert n_cand >= n_cont > 0
+    assert n_cand <= len(rows)
+
+
+def test_countmin_never_undercounts(spark, sf_dir):
+    rows = _run("q_countmin", spark, sf_dir)
+    assert 0 < len(rows) <= 20
+    assert all(r.overcount >= 0 for r in rows)
+    assert all(r.n_est == r.n_exact + r.overcount for r in rows)
+
+
+def test_chi2_bounds(spark, sf_dir):
+    (r,) = _run("q_chi2", spark, sf_dir)
+    assert r.chi2 >= 0
+    assert 0 <= r.cramers_v <= 1
+    assert r.dof >= 1 and r.n > 0
+
+
+def test_mutual_info_bounds(spark, sf_dir):
+    (r,) = _run("q_mutual_info", spark, sf_dir)
+    # MI of an observed joint distribution is >= 0 up to the 1e-9
+    # fixed-point quantization, and <= min of the marginal entropies
+    assert r.mi_bits >= -1e-6
+    assert r.h_type > 0 and r.h_dow > 0
+    assert r.mi_bits <= min(r.h_type, r.h_dow) + 1e-6
+    assert -1e-6 <= r.nmi <= 1 + 1e-6
+
+
+def test_triangle_count_invariant(spark, sf_dir):
+    rows = _run("q_triangle_count", spark, sf_dir)
+    assert rows, "suspicion-filtered projection should close triangles at every SF"
+    # each triangle contributes exactly 3 vertex slots
+    assert sum(r.n_triangles for r in rows) % 3 == 0
+    assert all(r.n_triangles >= 1 for r in rows)
+
+
+def test_neighbor_jaccard_bounds(spark, sf_dir):
+    rows = _run("q_neighbor_jaccard", spark, sf_dir)
+    assert rows
+    assert all(0 < r.jaccard <= 1 for r in rows)
+    assert all(r.n_shared >= 1 for r in rows)
+
+
+def test_autocorrelation_shape(spark, sf_dir):
+    rows = sorted(_run("q_autocorrelation", spark, sf_dir), key=lambda r: r.lag)
+    assert [r.lag for r in rows] == list(range(1, 8))
+    assert all(abs(r.acf) <= 1 + 1e-9 for r in rows)
+    # n_pairs shrinks by one per lag over a gapless daily series
+    assert all(a.n_pairs >= b.n_pairs for a, b in zip(rows, rows[1:]))
+
+
+def test_window_suite_bounds(spark, sf_dir):
+    rows = _run("q_window_suite", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert 0 <= r.pct_rank <= 1
+        assert 0 < r.cume_dist <= 1
+        assert 1 <= r.quartile <= 4
+        assert r.min_n <= r.n
+    if len(rows) >= 3:
+        assert all(r.third_n is not None for r in rows)
+
+
+def test_session_stats_ordering(spark, sf_dir):
+    (r,) = _run("q_session_stats", spark, sf_dir)
+    assert r.n_sessions > 0
+    assert 0 <= r.bounce_rate <= 1
+    assert r.avg_events >= 1
+    assert 0 <= r.p50_dur_sec <= r.p90_dur_sec <= r.max_dur_sec
+
+
+def test_burstiness_bounds(spark, sf_dir):
+    rows = _run("q_burstiness", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r.n_gaps >= 2
+        assert r.cv is None or r.cv >= 0
+        assert r.burstiness is None or -1 <= r.burstiness <= 1
