@@ -126,6 +126,25 @@ HEADLINE = [
     "q_asof_interval",
     "q_record_linkage",
     "q_hll_sketch",
+    # round-7 operators (every new operator is timed the round it
+    # ships — BASELINE.md rule 2): session-path signatures + journey
+    # entropy + session stats (one user_id shuffle each), integer-exact
+    # burstiness, bounded-contingency chi2 / mutual information,
+    # projected-graph triangles + neighbor Jaccard (sparse by the
+    # suspicion cut), integer-sum ACF, rank-family window suite,
+    # count-min heavy hitters, bloom decontamination prefilter
+    "q_session_paths",
+    "q_path_entropy",
+    "q_session_stats",
+    "q_burstiness",
+    "q_chi2",
+    "q_mutual_info",
+    "q_triangle_count",
+    "q_neighbor_jaccard",
+    "q_autocorrelation",
+    "q_window_suite",
+    "q_countmin",
+    "q_bloom_prefilter",
 ]
 
 

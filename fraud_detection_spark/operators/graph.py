@@ -462,6 +462,11 @@ def _heavy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a < b < c)."""
     e = edges(spark, sf_dir)
     thr = e.agg(F.ceil(F.lit(2.5) * F.avg("n")).alias("k"))
+    # NOT cached: a cache boundary here hides the filtered table's
+    # runtime stats from AQE and the pair self-join degrades to
+    # sort-merge (measured 2.8 -> 6.0 s at sf0.1); the caller caches
+    # the far smaller pe projection instead, which bounds the
+    # recompute to two edge-aggregate passes
     heavy = (
         e.crossJoin(F.broadcast(thr))
         .filter(F.col("n") >= F.col("k"))
@@ -558,10 +563,14 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the relative cut — no quadratic stage touches the raw graph."""
     e = edges(spark, sf_dir)
     thr = e.agg(F.ceil(F.lit(2.5) * F.avg("n")).alias("k"))
+    # cache: three consumers (deg + both join sides) — uncached, each
+    # would recompute the full fact-fact edge aggregate (see
+    # _heavy_pairs); the filtered table itself is sparse
     heavy = (
         e.crossJoin(F.broadcast(thr))
         .filter(F.col("n") >= F.col("k"))
         .select("custkey", "suppkey")
+        .cache()
     )
     deg = heavy.groupBy("custkey").agg(F.countDistinct("suppkey").alias("d"))
     a = heavy.select(F.col("custkey").alias("ca"), "suppkey")

@@ -586,7 +586,10 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = o.agg(*aggs)
     xbar = F.col("sx") * 1.0 / F.col("n")
     denom = F.col("sxx") - F.col("n") * xbar * xbar
-    out = None
+    # one stack() over the single aggregate row — a unionAll of 7
+    # per-lag selects would re-execute the whole scan+aggregate DAG
+    # once per lag (measured 1.5 s vs ~0.6 s at sf0.1)
+    acf_cols = []
     for k in ks:
         num = (
             F.col(f"sxy{k}")
@@ -594,10 +597,13 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - xbar * F.col(f"sb{k}")
             + F.col(f"n{k}") * xbar * xbar
         )
-        row = a.select(
-            F.lit(k).cast("int").alias("lag"),
-            F.col(f"n{k}").alias("n_pairs"),
-            pround(num / denom, 6).alias("acf"),
+        acf_cols.append(pround(num / denom, 6).alias(f"acf{k}"))
+    wide = a.select(*[F.col(f"n{k}") for k in ks], *acf_cols)
+    stack_args = ", ".join(
+        f"cast({k} as int), n{k}, acf{k}" for k in ks
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(ks)}, {stack_args}) AS (lag, n_pairs, acf)"
         )
-        out = row if out is None else out.unionAll(row)
-    return out
+    )
