@@ -103,6 +103,11 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_window_suite",    # percent_rank/cume_dist/ntile/nth_value
     "q_countmin",        # count-min sketch heavy hitters
     "q_bloom_prefilter", # bloom decontamination prefilter
+    "q_pr_points",       # binned precision-recall curve
+    "q_avg_precision",   # average precision (AP)
+    "q_mcc",             # MCC / kappa / balanced accuracy
+    "q_logloss",         # binary cross-entropy (fixed-point exact)
+    "q_first_touch",     # first-touch attribution per journey
 })
 
 

@@ -145,6 +145,14 @@ HEADLINE = [
     "q_window_suite",
     "q_countmin",
     "q_bloom_prefilter",
+    # round-7 continuation: PR-view evaluation metrics (bounded bucket
+    # table + one confusion/fixed-point pass each) and journey
+    # first-touch attribution (one user_id shuffle)
+    "q_pr_points",
+    "q_avg_precision",
+    "q_mcc",
+    "q_logloss",
+    "q_first_touch",
 ]
 
 

@@ -1002,3 +1002,93 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "burstiness"
         ),
     )
+
+
+@query(
+    "q_first_touch",
+    oracle=(
+        "WITH e AS (SELECT event_id, user_id, event_type, "
+        "(epoch_ns(ts) // 1000000000) AS ts_sec FROM events), "
+        "c AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 "
+        "ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cycle FROM e), "
+        "f AS (SELECT user_id, cycle, "
+        "MIN(ts_sec * 10000000 + event_id % 10000000) AS k "
+        "FROM c WHERE event_type <> 'purchase' GROUP BY user_id, cycle), "
+        "ft AS (SELECT c.user_id, c.cycle, c.event_type AS touch_type, "
+        "c.ts_sec AS touch_sec FROM c JOIN f ON f.user_id = c.user_id "
+        "AND f.cycle = c.cycle "
+        "AND f.k = c.ts_sec * 10000000 + c.event_id % 10000000) "
+        "SELECT c.event_id, c.user_id, "
+        "COALESCE(ft.touch_type, 'none') AS touch, "
+        "CAST(COALESCE(c.ts_sec - ft.touch_sec, -1) AS BIGINT) AS touch_age_sec "
+        "FROM c LEFT JOIN ft ON ft.user_id = c.user_id AND ft.cycle = c.cycle "
+        "WHERE c.event_type = 'purchase'"
+    ),
+    tags=("behavior", "attribution", "window"),
+)
+def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch attribution per conversion journey: each purchase
+    is credited to the FIRST non-purchase event since the user's
+    previous purchase (their current journey's entry point), or 'none'
+    for a cold conversion — the acquisition-side complement of
+    q_attribution's last-touch credit (first touch answers "what
+    STARTED this journey", last touch "what closed it").
+
+    Journey = purchase cycle: a preceding-rows running count of
+    purchases partitions each user's timeline into cycles, the
+    journey's first touch is the cycle's MIN over an order-encoding
+    key (ts·10⁷ + event_id mod 10⁷ — a total order, so 'first' is
+    deterministic on any layout; COUNT-style windows and MIN are both
+    exact integer ops), and each purchase joins its own cycle's entry
+    touch on the co-partitioned (user_id, cycle) key. One user_id
+    shuffle carries the window and both aggregates."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("ts div 1000000000").alias("ts_sec"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    c = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "ts_sec",
+        F.coalesce(
+            F.sum((F.col("event_type") == "purchase").cast("int")).over(
+                w.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ).alias("cycle"),
+    )
+    key = F.col("ts_sec") * 10000000 + F.col("event_id") % 10000000
+    f = (
+        c.filter(F.col("event_type") != "purchase")
+        .groupBy("user_id", "cycle")
+        .agg(F.min(key).alias("k"))
+    )
+    ft = (
+        c.withColumn("ck", key)
+        .join(f, ["user_id", "cycle"])
+        .filter(F.col("ck") == F.col("k"))
+        .select(
+            "user_id",
+            "cycle",
+            F.col("event_type").alias("touch_type"),
+            F.col("ts_sec").alias("touch_sec"),
+        )
+    )
+    return (
+        c.filter(F.col("event_type") == "purchase")
+        .join(ft, ["user_id", "cycle"], "left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("touch_type", F.lit("none")).alias("touch"),
+            F.coalesce(F.col("ts_sec") - F.col("touch_sec"), F.lit(-1))
+            .cast("bigint")
+            .alias("touch_age_sec"),
+        )
+    )

@@ -437,3 +437,222 @@ def q_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("is_train", "label")
         .agg(F.count("*").alias("n"))
     )
+
+
+# --- PR curve / average precision / MCC-kappa / log-loss --------------
+#
+# Completes the evaluation surface next to q_confusion / q_prf /
+# q_auc / q_roc_points: the PR view (the one that matters at fraud's
+# class imbalance — ROC flatters a 0.2% positive rate), its scalar
+# summary (average precision), the chance-corrected agreement scalars
+# (MCC, Cohen's kappa, balanced accuracy), and the proper scoring rule
+# the reference's logloss eval_metric names (train_model.py:74) but
+# never reports.
+
+_PR_SQL = (
+    f"WITH s AS ({SCORED_SQL}), b AS ("
+    "SELECT CAST(FLOOR(score * 50) AS BIGINT) AS bucket, "
+    "SUM(label) AS pos, COUNT(*) - SUM(label) AS neg FROM s GROUP BY bucket), "
+    "c AS (SELECT bucket, "
+    "SUM(pos) OVER (ORDER BY bucket DESC) AS cum_pos, "
+    "SUM(neg) OVER (ORDER BY bucket DESC) AS cum_neg, "
+    "SUM(pos) OVER () AS tot_pos FROM b)"
+)
+
+
+@query(
+    "q_pr_points",
+    oracle=(
+        _PR_SQL + " SELECT bucket, "
+        + sql_round("cum_pos * 1.0 / (cum_pos + cum_neg)", 6) + " AS precision, "
+        + sql_round("cum_pos * 1.0 / tot_pos", 6) + " AS recall FROM c"
+    ),
+    tags=("ml", "metric"),
+)
+def q_pr_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binned precision-recall curve: precision and recall at each
+    descending score threshold — the curve fraud teams read instead of
+    ROC once positives are rare (q_roc_points' FPR axis hides a 100×
+    false-alarm blowup at 0.2% prevalence; precision shows it).
+
+    Scale shape: identical to q_roc_points — one histogram aggregate
+    (map-side combinable), cumulative windows over the ≤51-row bucket
+    table only."""
+    s = scored(spark, sf_dir)
+    b = s.groupBy(F.floor(F.col("score") * 50).cast("bigint").alias("bucket")).agg(
+        F.sum("label").alias("pos"),
+        (F.count("*") - F.sum("label")).alias("neg"),
+    )
+    # bounded: ≤51 buckets by construction
+    w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = b.select(
+        "bucket",
+        F.sum("pos").over(w_cum).alias("cum_pos"),
+        F.sum("neg").over(w_cum).alias("cum_neg"),
+        F.sum("pos").over(w_all).alias("tot_pos"),
+    )
+    return c.select(
+        "bucket",
+        pround(F.col("cum_pos") * 1.0 / (F.col("cum_pos") + F.col("cum_neg")), 6).alias(
+            "precision"
+        ),
+        pround(F.col("cum_pos") * 1.0 / F.col("tot_pos"), 6).alias("recall"),
+    )
+
+
+@query(
+    "q_avg_precision",
+    oracle=(
+        _PR_SQL + ", r AS (SELECT bucket, "
+        "cum_pos * 1.0 / (cum_pos + cum_neg) AS prec, "
+        "cum_pos * 1.0 / tot_pos AS rec, "
+        "COALESCE(LAG(cum_pos * 1.0 / tot_pos) OVER (ORDER BY bucket DESC), 0)"
+        " AS rec_prev FROM c) "
+        "SELECT " + sql_round("SUM((rec - rec_prev) * prec)", 6) + " AS ap FROM r"
+    ),
+    tags=("ml", "metric"),
+)
+def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision (AP): Σ (R_i − R_{i−1})·P_i over descending
+    thresholds — sklearn's average_precision_score on the binned
+    curve; the scalar PR summary that, unlike trapezoidal PR-AUC,
+    never optimistically interpolates. Same bounded bucket-table plan
+    as q_pr_points; the final sum runs over ≤51 rows in frame order
+    on both engines."""
+    s = scored(spark, sf_dir)
+    b = s.groupBy(F.floor(F.col("score") * 50).cast("bigint").alias("bucket")).agg(
+        F.sum("label").alias("pos"),
+        (F.count("*") - F.sum("label")).alias("neg"),
+    )
+    w_cum = Window.orderBy(F.desc("bucket")).rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    c = b.select(
+        "bucket",
+        F.sum("pos").over(w_cum).alias("cum_pos"),
+        F.sum("neg").over(w_cum).alias("cum_neg"),
+        F.sum("pos").over(w_all).alias("tot_pos"),
+    )
+    w_lag = Window.orderBy(F.desc("bucket"))
+    r = c.select(
+        (F.col("cum_pos") * 1.0 / (F.col("cum_pos") + F.col("cum_neg"))).alias("prec"),
+        (F.col("cum_pos") * 1.0 / F.col("tot_pos")).alias("rec"),
+        F.coalesce(
+            F.lag(F.col("cum_pos") * 1.0 / F.col("tot_pos")).over(w_lag), F.lit(0.0)
+        ).alias("rec_prev"),
+    )
+    return r.agg(
+        pround(F.sum((F.col("rec") - F.col("rec_prev")) * F.col("prec")), 6).alias("ap")
+    )
+
+
+@query(
+    "q_mcc",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), c AS ("
+        "SELECT CAST(SUM(CASE WHEN label = 1 AND score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+        "CAST(SUM(CASE WHEN label = 0 AND score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+        "CAST(SUM(CASE WHEN label = 1 AND score <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn, "
+        "CAST(SUM(CASE WHEN label = 0 AND score <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn FROM s) "
+        "SELECT " + sql_round("(tp + tn) * 1.0 / (tp + fp + fn + tn)", 6)
+        + " AS accuracy, "
+        + sql_round(
+            "(tp * 1.0 / NULLIF(tp + fn, 0) + tn * 1.0 / NULLIF(tn + fp, 0)) / 2",
+            6,
+        )
+        + " AS balanced_accuracy, "
+        + sql_round(
+            "(tp * tn - fp * fn) / NULLIF(SQRT(CAST(tp + fp AS DOUBLE)) "
+            "* SQRT(CAST(tp + fn AS DOUBLE)) * SQRT(CAST(tn + fp AS DOUBLE)) "
+            "* SQRT(CAST(tn + fn AS DOUBLE)), 0)",
+            6,
+        )
+        + " AS mcc, "
+        + sql_round(
+            "2.0 * (tp * tn - fp * fn) / NULLIF("
+            "CAST((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) AS DOUBLE), 0)",
+            6,
+        )
+        + " AS kappa FROM c"
+    ),
+    tags=("ml", "metric"),
+)
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chance-corrected agreement scalars from one confusion pass:
+    accuracy, balanced accuracy, Matthews correlation coefficient, and
+    Cohen's kappa — the metrics that stay honest at fraud's class
+    imbalance (accuracy at 0.2% prevalence is 99.8% for the
+    always-predict-0 model; MCC and kappa are ~0 for it). MCC's denominator multiplies
+    FOUR marginals (can overflow 64-bit at ~10⁹ rows), so each takes
+    its own SQRT as a double first — a fixed multiplication order both
+    engines share; kappa's products stay within BIGINT by pairing.
+    One aggregate over the scored scan — no shuffle beyond the
+    4-counter fold."""
+    s = scored(spark, sf_dir)
+    pred = F.col("score") > 0.5
+    lab = F.col("label") == 1
+    c = s.agg(
+        F.sum(F.when(lab & pred, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(~lab & pred, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(lab & ~pred, 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(~lab & ~pred, 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    mcc_den = (
+        F.sqrt((tp + fp).cast("double"))
+        * F.sqrt((tp + fn).cast("double"))
+        * F.sqrt((tn + fp).cast("double"))
+        * F.sqrt((tn + fn).cast("double"))
+    )
+    kap_den = ((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)).cast("double")
+    return c.select(
+        pround((tp + tn) * 1.0 / (tp + fp + fn + tn), 6).alias("accuracy"),
+        pround(
+            (
+                tp * 1.0 / F.nullif(tp + fn, F.lit(0))
+                + tn * 1.0 / F.nullif(tn + fp, F.lit(0))
+            )
+            / 2,
+            6,
+        ).alias("balanced_accuracy"),
+        pround((tp * tn - fp * fn) / F.nullif(mcc_den, F.lit(0.0)), 6).alias("mcc"),
+        pround(2.0 * (tp * tn - fp * fn) / F.nullif(kap_den, F.lit(0.0)), 6).alias(
+            "kappa"
+        ),
+    )
+
+
+@query(
+    "q_logloss",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), t AS ("
+        "SELECT CAST(FLOOR(-(CASE WHEN label = 1 THEN LN(score) "
+        "ELSE LN(1.0 - score) END) * 1000000000 + 0.5) AS BIGINT) AS u FROM s) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        + sql_round("CAST(SUM(u) AS DOUBLE) / 1000000000 / COUNT(*)", 6)
+        + " AS logloss FROM t"
+    ),
+    tags=("ml", "metric"),
+)
+def q_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary cross-entropy (log-loss) of the published scorer — the
+    eval_metric the reference trains against (train_model.py:74,
+    'logloss') but never reports, and the proper scoring rule that
+    q_brier complements. Scores here live in ~[0.12, 0.77] (bounded
+    logit), so no clamping epsilon is needed; each row's −ln term
+    folds to 1e-9 fixed-point units (exact per-row op) and the total
+    is an exact integer sum — layout-proof, the functions.fixed_sum
+    discipline. One map-side-combinable aggregate over the scored
+    scan."""
+    s = scored(spark, sf_dir)
+    term = -F.when(F.col("label") == 1, F.log("score")).otherwise(
+        F.log(F.lit(1.0) - F.col("score"))
+    )
+    u = F.floor(term * 1000000000 + F.lit(0.5)).cast("bigint")
+    t = s.select(u.alias("u"))
+    return t.agg(
+        F.count("*").cast("bigint").alias("n"),
+        pround(F.sum("u").cast("double") / 1000000000 / F.count("*"), 6).alias(
+            "logloss"
+        ),
+    )

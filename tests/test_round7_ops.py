@@ -101,3 +101,36 @@ def test_burstiness_bounds(spark, sf_dir):
         assert r.n_gaps >= 2
         assert r.cv is None or r.cv >= 0
         assert r.burstiness is None or -1 <= r.burstiness <= 1
+
+
+def test_pr_ap_mcc_logloss_consistency(spark, sf_dir):
+    """Cross-metric invariants for the round-7 evaluation additions."""
+    pr = _run("q_pr_points", spark, sf_dir)
+    assert pr and all(0 <= r.precision <= 1 and 0 <= r.recall <= 1 for r in pr)
+    # recall is monotone non-decreasing as the threshold drops
+    by_desc_bucket = sorted(pr, key=lambda r: -r.bucket)
+    recs = [r.recall for r in by_desc_bucket]
+    assert recs == sorted(recs)
+    (ap,) = _run("q_avg_precision", spark, sf_dir)
+    assert 0 <= ap.ap <= 1
+    # AP can never beat the best precision on the curve
+    assert ap.ap <= max(r.precision for r in pr) + 1e-9
+    (m,) = _run("q_mcc", spark, sf_dir)
+    assert 0 <= m.accuracy <= 1 and 0 <= m.balanced_accuracy <= 1
+    assert -1 <= m.mcc <= 1 and -1 <= m.kappa <= 1
+    (ll,) = _run("q_logloss", spark, sf_dir)
+    assert ll.logloss > 0 and ll.n > 0
+
+
+def test_first_touch_vs_last_touch(spark, sf_dir):
+    """Both attribution queries cover the identical purchase set.
+    (Their 'none' sets legitimately differ: last-touch looks back up
+    to a day ACROSS purchase boundaries, first-touch only within the
+    current journey — so no implication holds in either direction.)"""
+    first = {r.event_id: r for r in _run("q_first_touch", spark, sf_dir)}
+    last = {r.event_id: r for r in _run("q_attribution", spark, sf_dir)}
+    assert set(first) == set(last) and first
+    for f in first.values():
+        assert (f.touch == "none") == (f.touch_age_sec == -1)
+        assert f.touch != "purchase"
+        assert f.touch == "none" or f.touch_age_sec >= 0
