@@ -344,7 +344,7 @@ def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --- Bloom-filter decontamination prefilter ---------------------------
 
-_BLOOM_M = 8192  # bits
+_BLOOM_M = 1 << 21  # bits (sized ~10x the eval gram-bits: ~130k grams x 3 at sf0.1)
 _BLOOM_K = 3     # hash functions
 
 # shared gram CTEs (same construction q_decontaminate verifies)
@@ -392,7 +392,7 @@ _BLOOM_GRAM_SQL = (
 )
 def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter decontamination prefilter: the eval set's word
-    8-grams compress to an 8192-bit / 3-hash Bloom filter (1 KB — vs
+    8-grams compress to a 2^21-bit / 3-hash Bloom filter (256 KB — vs
     the full gram set q_decontaminate broadcasts), and every training
     gram is screened against it. A gram passes only if ALL 3 of its
     bit positions are set, so the screen can NEVER miss a real
@@ -441,8 +441,14 @@ def q_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cand = pg.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_pass"))
     eg = grams.filter(is_eval).select("g").distinct()
+    # the exact stage probes ONLY bloom-survivor docs — the whole point
+    # of the two-stage scrub (the no-false-negative guarantee makes the
+    # restriction lossless: a contaminated doc is always a candidate).
+    # The oracle computes the exact flag over all docs; results are
+    # identical, which the hash check re-proves every round.
     ex = (
-        tg.join(F.broadcast(eg), "g")
+        tg.join(cand.select("doc_id"), "doc_id", "left_semi")
+        .join(F.broadcast(eg), "g")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n"))
     )
