@@ -108,6 +108,9 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_mcc",             # MCC / kappa / balanced accuracy
     "q_logloss",         # binary cross-entropy (fixed-point exact)
     "q_first_touch",     # first-touch attribution per journey
+    "q_forecast_backtest",  # rolling-origin holdout eval of the trend fit
+    "q_new_edges",       # counterparty-novelty rate per day
+    "q_conversion_lag",  # time-to-convert distribution
 })
 
 

@@ -153,6 +153,12 @@ HEADLINE = [
     "q_mcc",
     "q_logloss",
     "q_first_touch",
+    # round-7 continuation: holdout forecast backtest (bounded day
+    # table), counterparty-novelty rate (edge first-day join), funnel
+    # time-to-convert distribution (chained per-user MINs)
+    "q_forecast_backtest",
+    "q_new_edges",
+    "q_conversion_lag",
 ]
 
 

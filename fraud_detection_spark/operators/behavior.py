@@ -1092,3 +1092,71 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("touch_age_sec"),
         )
     )
+
+
+@query(
+    "q_conversion_lag",
+    oracle=(
+        f"WITH e AS (SELECT user_id, event_type, {_SEC_SQL} AS sec FROM events), "
+        "v AS (SELECT user_id, MIN(sec) AS tv FROM e WHERE event_type = 'view' "
+        "GROUP BY user_id), "
+        "c AS (SELECT e.user_id, MIN(e.sec) AS tc FROM e "
+        "JOIN v ON e.user_id = v.user_id "
+        "WHERE e.event_type = 'click' AND e.sec >= v.tv GROUP BY e.user_id), "
+        "p AS (SELECT e.user_id, MIN(e.sec) AS tp FROM e "
+        "JOIN c ON e.user_id = c.user_id "
+        "WHERE e.event_type = 'purchase' AND e.sec >= c.tc GROUP BY e.user_id), "
+        "l AS (SELECT p.user_id, p.tp - v.tv AS lag_sec "
+        "FROM p JOIN v ON p.user_id = v.user_id) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_converted, "
+        + sql_round("SUM(lag_sec) * 1.0 / COUNT(*)", 4) + " AS avg_lag_sec, "
+        "CAST(quantile_disc(lag_sec, 0.5) AS BIGINT) AS p50_lag_sec, "
+        "CAST(quantile_disc(lag_sec, 0.9) AS BIGINT) AS p90_lag_sec, "
+        "CAST(MAX(lag_sec) AS BIGINT) AS max_lag_sec FROM l"
+    ),
+    tags=("behavior", "funnel", "agg"),
+)
+def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution through q_funnel_steps' ordered
+    funnel: for users who completed view → click-after → purchase-after,
+    the first-view-to-qualifying-purchase latency (mean / exact p50 /
+    p90 / max seconds) — the speed axis the funnel's conversion RATES
+    don't show, and a fraud tell in its left tail (carded accounts
+    convert in seconds; humans browse).
+
+    Plan: the same chained per-user MIN aggregates as q_funnel_steps
+    (co-partitioned user_id joins, one shuffle reused), then ONE
+    bounded aggregate over the converted-user lag table; integer
+    seconds everywhere, percentile_disc selects elements."""
+    ev = events_with_time(spark, sf_dir).select("user_id", "event_type", "ts_sec")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("tv"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_sec") >= F.col("tv"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("tc"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_sec") >= F.col("tc"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("tp"))
+    )
+    lag = p.join(v, "user_id").select((F.col("tp") - F.col("tv")).alias("lag_sec"))
+    return lag.agg(
+        F.count("*").cast("bigint").alias("n_converted"),
+        pround(F.sum("lag_sec") * 1.0 / F.count("*"), 4).alias("avg_lag_sec"),
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY lag_sec)")
+        .cast("bigint")
+        .alias("p50_lag_sec"),
+        F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY lag_sec)")
+        .cast("bigint")
+        .alias("p90_lag_sec"),
+        F.max("lag_sec").cast("bigint").alias("max_lag_sec"),
+    )

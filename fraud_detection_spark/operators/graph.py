@@ -595,3 +595,74 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@query(
+    "q_new_edges",
+    oracle=(
+        "WITH a AS (SELECT DISTINCT o_custkey AS custkey, "
+        "l_suppkey AS suppkey, "
+        "year(o_orderdate) * 10000 + month(o_orderdate) * 100 "
+        "+ day(o_orderdate) AS datekey "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+        "f AS (SELECT custkey, suppkey, MIN(datekey) AS first_day "
+        "FROM a GROUP BY custkey, suppkey) "
+        "SELECT a.datekey AS datekey, "
+        "CAST(COUNT(*) AS BIGINT) AS n_active_edges, "
+        "CAST(SUM(CASE WHEN a.datekey = f.first_day THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS n_new_edges, "
+        + sql_round(
+            "SUM(CASE WHEN a.datekey = f.first_day THEN 1 ELSE 0 END) "
+            "* 1.0 / COUNT(*)",
+            6,
+        )
+        + " AS new_rate "
+        "FROM a JOIN f ON a.custkey = f.custkey AND a.suppkey = f.suppkey "
+        "GROUP BY a.datekey"
+    ),
+    tags=("graph", "fraud", "agg"),
+)
+def q_new_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Counterparty-novelty rate per day: of the (customer, supplier)
+    relationships active each day, how many are transacting for the
+    FIRST time — the temporal-graph feature behind "sudden fan-out to
+    unknown counterparties" alerts (a takeover wires to fresh mules;
+    organic books re-use edges). A rising new-edge rate is the
+    earliest macro sign of a mule-network build-out.
+
+    Plan: distinct (edge, day) activity from the one fact-fact join,
+    per-edge first-day aggregate joined back on the co-partitioned
+    edge key, one day-level hash aggregate. All integer date math."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    datekey = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    )
+    a = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            datekey.alias("datekey"),
+        )
+        .distinct()
+    )
+    f = a.groupBy("custkey", "suppkey").agg(F.min("datekey").alias("first_day"))
+    return (
+        a.join(f, ["custkey", "suppkey"])
+        .groupBy("datekey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_active_edges"),
+            F.sum((F.col("datekey") == F.col("first_day")).cast("int"))
+            .cast("bigint")
+            .alias("n_new_edges"),
+            pround(
+                F.sum((F.col("datekey") == F.col("first_day")).cast("int"))
+                * 1.0
+                / F.count("*"),
+                6,
+            ).alias("new_rate"),
+        )
+    )

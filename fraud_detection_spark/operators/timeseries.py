@@ -607,3 +607,92 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({len(ks)}, {stack_args}) AS (lag, n_pairs, acf)"
         )
     )
+
+
+_BACKTEST_H = 7
+
+
+@query(
+    "q_forecast_backtest",
+    oracle=(
+        "WITH d AS (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day, "
+        "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 10000 / COUNT(*) AS y FROM events GROUP BY day), "
+        "x1 AS (SELECT day - MIN(day) OVER () AS t, y, day FROM d), "
+        f"x AS (SELECT *, MAX(t) OVER () - {_BACKTEST_H} AS cutoff_t FROM x1), "
+        "f AS (SELECT COUNT(*) AS n, SUM(t) AS sx, SUM(y) AS sy, "
+        "SUM(t * t) AS sxx, SUM(t * y) AS sxy FROM x WHERE t <= cutoff_t) "
+        "SELECT CAST(x.day AS BIGINT) AS day, "
+        "CAST(x.t - x.cutoff_t AS INT) AS horizon, "
+        + sql_round("x.y", 4) + " AS actual, "
+        + sql_round(
+            "((sy * sxx - sx * sxy) / (n * sxx - sx * sx)) "
+            "+ ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * x.t",
+            4,
+        )
+        + " AS forecast, "
+        + sql_round(
+            "ABS(x.y - (((sy * sxx - sx * sxy) / (n * sxx - sx * sx)) "
+            "+ ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * x.t))",
+            4,
+        )
+        + " AS abs_err "
+        "FROM x, f WHERE x.t > x.cutoff_t"
+    ),
+    tags=("timeseries", "forecast", "agg"),
+)
+def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holdout backtest of the linear-trend forecaster: refit the OLS
+    line on everything EXCEPT the last 7 days, forecast those days,
+    and report actual vs forecast vs absolute error per horizon — the
+    honesty check q_trend_forecast's in-sample R² cannot give
+    (rolling-origin evaluation, the standard forecast-accuracy
+    protocol). A model monitor alerts when abs_err drifts past the
+    historical band.
+
+    Scale shape: same as q_trend_forecast — fixed-point daily means on
+    a bounded ≤|days| table, sufficient statistics from ONE aggregate
+    over the training prefix, held-out rows scored by the closed-form
+    line via a one-row cross join."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.expr("ts div 1000000000 div 86400").alias("day"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / 10000
+                / F.count("*")
+            ).alias("y")
+        )
+    )
+    w_all = Window.partitionBy()
+    x = d.select(
+        (F.col("day") - F.min("day").over(w_all)).alias("t"),
+        "y",
+        "day",
+        (F.max(F.col("day") - F.min("day").over(w_all)).over(w_all) - _BACKTEST_H)
+        .alias("cutoff_t"),
+    )
+    f = x.filter(F.col("t") <= F.col("cutoff_t")).agg(
+        F.count("*").alias("n"),
+        F.sum("t").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).alias("sxx"),
+        F.sum(F.col("t") * F.col("y")).alias("sxy"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    intercept = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
+    fc = intercept + slope * F.col("t")
+    return (
+        x.filter(F.col("t") > F.col("cutoff_t"))
+        .crossJoin(F.broadcast(f))
+        .select(
+            F.col("day").cast("bigint").alias("day"),
+            (F.col("t") - F.col("cutoff_t")).cast("int").alias("horizon"),
+            pround(F.col("y"), 4).alias("actual"),
+            pround(fc, 4).alias("forecast"),
+            pround(F.abs(F.col("y") - fc), 4).alias("abs_err"),
+        )
+    )

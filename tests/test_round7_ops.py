@@ -134,3 +134,33 @@ def test_first_touch_vs_last_touch(spark, sf_dir):
         assert (f.touch == "none") == (f.touch_age_sec == -1)
         assert f.touch != "purchase"
         assert f.touch == "none" or f.touch_age_sec >= 0
+
+
+def test_forecast_backtest_shape(spark, sf_dir):
+    rows = sorted(_run("q_forecast_backtest", spark, sf_dir), key=lambda r: r.horizon)
+    assert [r.horizon for r in rows] == list(range(1, 8))
+    for r in rows:
+        assert r.abs_err >= 0
+        assert abs(r.actual - r.forecast) <= r.abs_err + 1e-3
+
+
+def test_new_edges_invariants(spark, sf_dir):
+    rows = sorted(_run("q_new_edges", spark, sf_dir), key=lambda r: r.datekey)
+    assert rows
+    # the first active day is all-new by definition
+    assert rows[0].new_rate == 1.0
+    for r in rows:
+        assert 0 <= r.n_new_edges <= r.n_active_edges
+        assert 0 <= r.new_rate <= 1
+    # every edge is new exactly once: sum of new == distinct edge count
+    from fraud_detection_spark.operators.graph import edges
+
+    assert sum(r.n_new_edges for r in rows) == edges(spark, sf_dir).count()
+
+
+def test_conversion_lag_consistency(spark, sf_dir):
+    (r,) = _run("q_conversion_lag", spark, sf_dir)
+    (f,) = _run("q_funnel_steps", spark, sf_dir)
+    assert r.n_converted == f.n_purchase
+    assert 0 <= r.p50_lag_sec <= r.p90_lag_sec <= r.max_lag_sec
+    assert r.avg_lag_sec >= 0
