@@ -180,6 +180,46 @@ _CMS_W = 512  # buckets per row (overestimate ~ 2N/w)
 _CMS_TOPK = 20
 
 
+
+def cms_bucket(tok_col, j_col):
+    """Portable CMS bucket: md5-prefix of 'cms{j}:{token}' mod _CMS_W —
+    identical hex/arithmetic in Spark and DuckDB (the sampling.py
+    idiom)."""
+    h = F.md5(
+        F.concat(F.lit("cms"), j_col.cast("string"), F.lit(":"), tok_col).cast(
+            "binary"
+        )
+    )
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CMS_W
+
+
+def _cms_rows(spark: SparkSession) -> DataFrame:
+    return spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """documents(text) -> (w, n) whitespace token counts (the
+    q_token_freq aggregate)."""
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+
+
+def cms_cells(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """(w, n) token counts -> (j, b, cnt) count-min cells. Additive in
+    the input: cells of a union of corpora = elementwise sum of their
+    cells — the mergeability streaming/sketches.py builds on."""
+    js = _cms_rows(spark)
+    return (
+        counts.crossJoin(F.broadcast(js))
+        .groupBy("j", cms_bucket(F.col("w"), F.col("j")).alias("b"))
+        .agg(F.sum("n").cast("bigint").alias("cnt"))
+    )
+
+
 @query(
     "q_countmin",
     oracle=(
@@ -224,32 +264,12 @@ def q_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
     in both engines); probes are the exact top-20 tokens, so the
     oracle checks estimate AND overcount bit-for-bit."""
     d = load_table(spark, sf_dir, "documents")
-    c = (
-        d.select(F.explode(F.split("text", " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("n"))
-    )
-    js = spark.range(_CMS_D).select(F.col("id").cast("int").alias("j"))
-
-    def bucket(tok_col, j_col):
-        h = F.md5(
-            F.concat(
-                F.lit("cms"), j_col.cast("string"), F.lit(":"), tok_col
-            ).cast("binary")
-        )
-        return (
-            F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % _CMS_W
-        )
-
-    cell = (
-        c.crossJoin(F.broadcast(js))
-        .groupBy("j", bucket(F.col("w"), F.col("j")).alias("b"))
-        .agg(F.sum("n").cast("bigint").alias("cnt"))
-    )
+    c = token_counts(d)
+    js = _cms_rows(spark)
+    cell = cms_cells(spark, c)
     top = c.orderBy(F.desc("n"), F.asc("w")).limit(_CMS_TOPK)
     probe = top.crossJoin(F.broadcast(js)).select(
-        "w", "n", "j", bucket(F.col("w"), F.col("j")).alias("b")
+        "w", "n", "j", cms_bucket(F.col("w"), F.col("j")).alias("b")
     )
     return (
         probe.join(cell, ["j", "b"])

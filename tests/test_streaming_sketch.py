@@ -1,0 +1,85 @@
+"""Streaming count-min sketch (streaming/sketches.py): the streamed,
+per-batch-merged sketch must be BIT-IDENTICAL to the batch-built one —
+CMS cells are integer counters, so the partial merge is exact
+addition, and stream/batch parity is equality, not approximation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from fraud_detection_spark.operators.scale import cms_cells, token_counts
+from fraud_detection_spark.sources import load_table
+from fraud_detection_spark.streaming.sketches import (
+    cms_batch,
+    cms_estimate,
+    compact_cms,
+    read_cms,
+    run_cms_stream,
+)
+
+
+def _cells_dict(df):
+    return {(r.j, r.b): r.cnt for r in df.collect()}
+
+
+def test_streamed_cms_equals_batch_cms(spark, sf_dir, tmp_path):
+    docs = load_table(spark, sf_dir, "documents")
+    docs_dir = str(tmp_path / "docs")
+    docs.repartition(4).write.json(docs_dir)
+    sketch = str(tmp_path / "sketch")
+    run_cms_stream(
+        spark, docs_dir, sketch, str(tmp_path / "ckpt"), max_files_per_trigger=1
+    )
+    streamed = _cells_dict(read_cms(spark, sketch))
+    batch = _cells_dict(cms_cells(spark, token_counts(docs)))
+    assert streamed == batch
+    # multiple real micro-batches actually happened
+    n_parts = (
+        spark.read.parquet(sketch).select("batch_id").distinct().count()
+    )
+    assert n_parts >= 2
+
+    # estimates over the streamed sketch match q_countmin's (same
+    # probe math, same cells)
+    from fraud_detection_spark.registry import load_all
+
+    want = {
+        r.token: r.n_est
+        for r in load_all()["q_countmin"].fn(spark, sf_dir).collect()
+    }
+    toks = spark.createDataFrame([(t,) for t in want], "w string")
+    got = {r.w: r.n_est for r in cms_estimate(spark, sketch, toks).collect()}
+    assert got == want
+
+    # an empty micro-batch adds nothing (dynamic overwrite touches no
+    # partition when the partial is empty)
+    assert spark.read.parquet(sketch).filter(F.col("batch_id") == 0).count() > 0
+    cms_batch(docs.limit(0), 999, sketch)
+    spark.catalog.refreshByPath(sketch)
+    assert _cells_dict(read_cms(spark, sketch)) == batch
+
+    # compaction folds partials without changing totals
+    compact_cms(spark, sketch)
+    assert _cells_dict(read_cms(spark, sketch)) == batch
+    assert (
+        spark.read.parquet(sketch).select("batch_id").distinct().count() == 1
+    )
+
+
+def test_cms_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Writing the same batch twice with the same batch_id leaves the
+    sketch unchanged — the foreachBatch replay contract."""
+    docs = load_table(spark, sf_dir, "documents")
+    sketch = str(tmp_path / "sketch2")
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    cms_batch(half, 0, sketch)
+    spark.catalog.refreshByPath(sketch)
+    before = _cells_dict(read_cms(spark, sketch))
+    cms_batch(half, 0, sketch)  # replay
+    spark.catalog.refreshByPath(sketch)
+    assert _cells_dict(read_cms(spark, sketch)) == before
+    # a genuinely new batch does change it
+    cms_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, sketch)
+    spark.catalog.refreshByPath(sketch)
+    after = _cells_dict(read_cms(spark, sketch))
+    assert after == _cells_dict(cms_cells(spark, token_counts(docs)))
