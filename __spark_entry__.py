@@ -111,6 +111,9 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_forecast_backtest",  # rolling-origin holdout eval of the trend fit
     "q_new_edges",       # counterparty-novelty rate per day
     "q_conversion_lag",  # time-to-convert distribution
+    "q_robust_trend",    # Theil-Sen median-slope trend
+    "q_moments",         # skewness/kurtosis from exact power sums
+    "q_zipf_fit",        # Zipf slope of the token distribution
 })
 
 

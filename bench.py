@@ -159,6 +159,12 @@ HEADLINE = [
     "q_forecast_backtest",
     "q_new_edges",
     "q_conversion_lag",
+    # round-7 continuation: Theil-Sen median slope (bounded pair
+    # table), exact-power-sum moments, Zipf log-log fit over top-100
+    # tokens
+    "q_robust_trend",
+    "q_moments",
+    "q_zipf_fit",
 ]
 
 

@@ -828,3 +828,105 @@ def q_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("delta") / F.sqrt(F.col("var")), 6).alias("zscore"),
         )
     )
+
+
+_ZIPF_K = 100  # fit over the top-K tokens
+_ZIPF_FP = 10**9
+
+
+@query(
+    "q_zipf_fit",
+    oracle=(
+        "WITH tok AS (SELECT unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n FROM tok "
+        "WHERE w <> '' GROUP BY w), "
+        "r AS (SELECT n, ROW_NUMBER() OVER (ORDER BY n DESC, w) AS rnk "
+        f"FROM c ORDER BY n DESC, w LIMIT {_ZIPF_K}), "
+        "u AS (SELECT "
+        f"CAST(FLOOR(LN(rnk) * {_ZIPF_FP} + 0.5) AS BIGINT) AS ux, "
+        f"CAST(FLOOR(LN(n) * {_ZIPF_FP} + 0.5) AS BIGINT) AS uy, "
+        f"CAST(FLOOR(LN(rnk) * LN(rnk) * {_ZIPF_FP} + 0.5) AS BIGINT) AS uxx, "
+        f"CAST(FLOOR(LN(rnk) * LN(n) * {_ZIPF_FP} + 0.5) AS BIGINT) AS uxy, "
+        f"CAST(FLOOR(LN(n) * LN(n) * {_ZIPF_FP} + 0.5) AS BIGINT) AS uyy "
+        "FROM r), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+        f"CAST(SUM(ux) AS DOUBLE) / {_ZIPF_FP} AS sx, "
+        f"CAST(SUM(uy) AS DOUBLE) / {_ZIPF_FP} AS sy, "
+        f"CAST(SUM(uxx) AS DOUBLE) / {_ZIPF_FP} AS sxx, "
+        f"CAST(SUM(uxy) AS DOUBLE) / {_ZIPF_FP} AS sxy, "
+        f"CAST(SUM(uyy) AS DOUBLE) / {_ZIPF_FP} AS syy FROM u) "
+        "SELECT k, "
+        + sql_round("(k * sxy - sx * sy) / (k * sxx - sx * sx)", 6)
+        + " AS slope, "
+        + sql_round("(sy * sxx - sx * sxy) / (k * sxx - sx * sx)", 6)
+        + " AS intercept, "
+        + sql_round(
+            "POWER(k * sxy - sx * sy, 2) "
+            "/ ((k * sxx - sx * sx) * (k * syy - sy * sy))",
+            6,
+        )
+        + " AS r2 FROM a"
+    ),
+    tags=("text", "corpus", "stats"),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit of the token frequency distribution: OLS of
+    ln(frequency) on ln(rank) over the top-100 tokens — natural
+    corpora fit slope ≈ −1 with high R²; a slope far from −1 or a poor
+    fit flags machine-generated / template-heavy text (a standard
+    corpus-quality diagnostic next to q_repetition and
+    q_quality_score).
+
+    Determinism: ranks come from a total order (count desc, token
+    asc); every per-row ln product folds to 1e-9 fixed-point units so
+    the OLS sufficient statistics are exact integer sums over the
+    bounded top-K table; the closed-form slope/intercept/R² are scalar
+    IEEE ops. The only fact-scale work is the same token-count
+    aggregate q_token_freq runs."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    topk = c.orderBy(F.desc("n"), F.asc("w")).limit(_ZIPF_K)
+    # bounded: exactly K rows from here on
+    w_rank = Window.orderBy(F.desc("n"), F.asc("w"))
+    r = topk.select("n", F.row_number().over(w_rank).alias("rnk"))
+    lx, ly = F.log(F.col("rnk").cast("double")), F.log(F.col("n").cast("double"))
+
+    def unit(expr):
+        return F.floor(expr * _ZIPF_FP + F.lit(0.5)).cast("bigint")
+
+    u = r.select(
+        unit(lx).alias("ux"),
+        unit(ly).alias("uy"),
+        unit(lx * lx).alias("uxx"),
+        unit(lx * ly).alias("uxy"),
+        unit(ly * ly).alias("uyy"),
+    )
+    a = u.agg(
+        F.count("*").cast("bigint").alias("k"),
+        (F.sum("ux").cast("double") / _ZIPF_FP).alias("sx"),
+        (F.sum("uy").cast("double") / _ZIPF_FP).alias("sy"),
+        (F.sum("uxx").cast("double") / _ZIPF_FP).alias("sxx"),
+        (F.sum("uxy").cast("double") / _ZIPF_FP).alias("sxy"),
+        (F.sum("uyy").cast("double") / _ZIPF_FP).alias("syy"),
+    )
+    k = F.col("k")
+    den = k * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = k * F.col("sxy") - F.col("sx") * F.col("sy")
+    return a.select(
+        "k",
+        pround(num / den, 6).alias("slope"),
+        pround(
+            (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den, 6
+        ).alias("intercept"),
+        pround(
+            F.pow(num, 2)
+            / (den * (k * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )

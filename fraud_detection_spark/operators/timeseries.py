@@ -696,3 +696,171 @@ def q_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.abs(F.col("y") - fc), 4).alias("abs_err"),
         )
     )
+
+
+# shared: fixed-point daily means (the q_cusum / q_trend_forecast base)
+_DAILY_SQL = (
+    "d AS (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day, "
+    "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS DOUBLE)"
+    " / 10000 / COUNT(*) AS y FROM events GROUP BY day)"
+)
+
+
+@query(
+    "q_robust_trend",
+    oracle=(
+        "WITH " + _DAILY_SQL + ", "
+        "x AS (SELECT day - MIN(day) OVER () AS t, y FROM d), "
+        "p AS (SELECT (b.y - a.y) / (b.t - a.t) AS slope "
+        "FROM x a JOIN x b ON a.t < b.t), "
+        "s AS (SELECT quantile_disc(slope, 0.5) AS slope, "
+        "CAST(COUNT(*) AS BIGINT) AS n_pairs FROM p), "
+        "i AS (SELECT quantile_disc(x.y - s.slope * x.t, 0.5) AS intercept, "
+        "CAST(COUNT(*) AS BIGINT) AS n_days FROM x, s) "
+        "SELECT i.n_days, s.n_pairs, "
+        + sql_round("s.slope", 6) + " AS slope, "
+        + sql_round("i.intercept", 4) + " AS intercept FROM s, i"
+    ),
+    tags=("timeseries", "robust", "agg"),
+)
+def q_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of the daily mean amount: the median of
+    all pairwise slopes (and the median-residual intercept) — immune
+    to the outlier days that drag q_trend_forecast's OLS line (29.3%
+    breakdown point vs 0%). The robust-statistics companion the same
+    way q_robust_scale backs q_standard_scale and q_mad_outlier backs
+    z-scores. quantile_disc SELECTS an element, so both engines pick
+    the identical slope (classic Theil–Sen midpoint-averages even
+    counts; the disc form trades that for engine-exactness,
+    documented).
+
+    Scale shape: the stream folds to ≤|days| fixed-point daily means;
+    the pairwise-slope table is ≤ |days|²/2 rows (≤ ~500 here, ≤ ~66k
+    for a year — still bounded model-side data, never fact-scale), and
+    both medians run over bounded tables."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.expr("ts div 1000000000 div 86400").alias("day"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / 10000
+                / F.count("*")
+            ).alias("y")
+        )
+    )
+    w_all = Window.partitionBy()
+    x = d.select((F.col("day") - F.min("day").over(w_all)).alias("t"), "y")
+    a = x.select(F.col("t").alias("t1"), F.col("y").alias("y1"))
+    b = x.select(F.col("t").alias("t2"), F.col("y").alias("y2"))
+    p = a.join(b, F.col("t1") < F.col("t2")).select(
+        ((F.col("y2") - F.col("y1")) / (F.col("t2") - F.col("t1"))).alias("slope")
+    )
+    s = p.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY slope)").alias("slope"),
+        F.count("*").cast("bigint").alias("n_pairs"),
+    )
+    i = x.crossJoin(F.broadcast(s)).agg(
+        F.expr(
+            "percentile_disc(0.5) WITHIN GROUP (ORDER BY y - slope * t)"
+        ).alias("intercept"),
+        F.count("*").cast("bigint").alias("n_days"),
+    )
+    return i.crossJoin(F.broadcast(s)).select(
+        "n_days",
+        "n_pairs",
+        pround(F.col("slope"), 6).alias("slope"),
+        pround(F.col("intercept"), 4).alias("intercept"),
+    )
+
+
+@query(
+    "q_moments",
+    oracle=(
+        "WITH " + _DAILY_SQL + ", "
+        "u AS (SELECT "
+        "CAST(FLOOR(y * 1000000 + 0.5) AS BIGINT) AS u1, "
+        "CAST(FLOOR(y * y * 1000000 + 0.5) AS BIGINT) AS u2, "
+        "CAST(FLOOR(y * y * y * 1000000 + 0.5) AS BIGINT) AS u3, "
+        "CAST(FLOOR(y * y * y * y * 1000000 + 0.5) AS BIGINT) AS u4 FROM d), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(u1) AS DOUBLE) / 1000000 AS s1, "
+        "CAST(SUM(u2) AS DOUBLE) / 1000000 AS s2, "
+        "CAST(SUM(u3) AS DOUBLE) / 1000000 AS s3, "
+        "CAST(SUM(u4) AS DOUBLE) / 1000000 AS s4 FROM u), "
+        "m AS (SELECT n, s1 / n AS mu, "
+        "s2 / n - (s1 / n) * (s1 / n) AS m2, "
+        "s3 / n - 3 * (s1 / n) * s2 / n + 2 * (s1 / n) * (s1 / n) * (s1 / n)"
+        " AS m3, "
+        "s4 / n - 4 * (s1 / n) * s3 / n "
+        "+ 6 * (s1 / n) * (s1 / n) * s2 / n "
+        "- 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4 FROM a) "
+        "SELECT n, " + sql_round("mu", 4) + " AS mean, "
+        + sql_round("SQRT(m2)", 4) + " AS std_pop, "
+        + sql_round("m3 / POWER(m2, 1.5)", 6) + " AS skewness, "
+        + sql_round("m4 / (m2 * m2) - 3", 6) + " AS excess_kurtosis FROM m"
+    ),
+    tags=("timeseries", "stats", "agg"),
+)
+def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher moments of the daily-mean series: population std,
+    skewness and excess kurtosis from raw power sums — the shape
+    diagnostics behind alarm thresholds (a skewed or heavy-tailed
+    daily series breaks ±kσ rules calibrated on normality). Built-in
+    F.skewness/kurtosis are avoided deliberately: Spark and DuckDB
+    disagree on bias correction, while raw power sums have ONE
+    definition.
+
+    Determinism: each per-day power term folds to 1e-6 fixed-point
+    units (exact per-row op on the deterministic fixed-point daily
+    mean), all four sums are exact integer sums over the bounded day
+    table, and the central-moment formulas are scalar IEEE ops —
+    layout-proof end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.expr("ts div 1000000000 div 86400").alias("day"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / 10000
+                / F.count("*")
+            ).alias("y")
+        )
+    )
+    y = F.col("y")
+
+    def unit(expr):
+        return F.floor(expr * 1000000 + F.lit(0.5)).cast("bigint")
+
+    u = d.select(
+        unit(y).alias("u1"),
+        unit(y * y).alias("u2"),
+        unit(y * y * y).alias("u3"),
+        unit(y * y * y * y).alias("u4"),
+    )
+    a = u.agg(
+        F.count("*").cast("bigint").alias("n"),
+        (F.sum("u1").cast("double") / 1000000).alias("s1"),
+        (F.sum("u2").cast("double") / 1000000).alias("s2"),
+        (F.sum("u3").cast("double") / 1000000).alias("s3"),
+        (F.sum("u4").cast("double") / 1000000).alias("s4"),
+    )
+    n = F.col("n")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = F.col("s3") / n - 3 * mu * F.col("s2") / n + 2 * mu * mu * mu
+    m4 = (
+        F.col("s4") / n
+        - 4 * mu * F.col("s3") / n
+        + 6 * mu * mu * F.col("s2") / n
+        - 3 * mu * mu * mu * mu
+    )
+    return a.select(
+        "n",
+        pround(mu, 4).alias("mean"),
+        pround(F.sqrt(m2), 4).alias("std_pop"),
+        pround(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        pround(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
+    )

@@ -164,3 +164,45 @@ def test_conversion_lag_consistency(spark, sf_dir):
     assert r.n_converted == f.n_purchase
     assert 0 <= r.p50_lag_sec <= r.p90_lag_sec <= r.max_lag_sec
     assert r.avg_lag_sec >= 0
+
+
+def test_robust_trend_vs_numpy(spark, sf_dir):
+    """Theil–Sen slope must match an independent numpy computation of
+    the disc-median pairwise slope over the same fixed-point daily
+    means."""
+    import numpy as np
+
+    rows = _run("q_robust_trend", spark, sf_dir)
+    (r,) = rows
+    # rebuild daily means independently from the raw parquet
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["ts", "value"]]
+    if ev.ts.dtype.kind == "M":
+        sec = ev.ts.astype("datetime64[ns]").astype("int64") // 10**9
+    else:
+        sec = ev.ts // 10**9
+    day = (sec // 86400).astype("int64")
+    units = np.floor(ev.value.to_numpy() * 10000 + 0.5).astype("int64")
+    g = pd.DataFrame({"day": day, "u": units}).groupby("day")
+    y = (g.u.sum().astype("float64") / 10000 / g.size()).to_numpy()
+    t = np.arange(len(y))
+    slopes = sorted(
+        (y[j] - y[i]) / (t[j] - t[i])
+        for i in range(len(y))
+        for j in range(i + 1, len(y))
+    )
+    disc_median = slopes[(len(slopes) - 1) // 2]
+    assert r.n_days == len(y)
+    assert r.n_pairs == len(slopes)
+    assert abs(r.slope - disc_median) < 1e-6
+
+
+def test_moments_and_zipf_sanity(spark, sf_dir):
+    (m,) = _run("q_moments", spark, sf_dir)
+    assert m.n > 0 and m.std_pop >= 0
+    assert m.excess_kurtosis >= -2 - 1e-9  # hard lower bound for any dist
+    (z,) = _run("q_zipf_fit", spark, sf_dir)
+    assert z.k > 10
+    assert z.slope < 0  # frequency falls with rank, always
+    assert 0 <= z.r2 <= 1
