@@ -114,6 +114,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_robust_trend",    # Theil-Sen median-slope trend
     "q_moments",         # skewness/kurtosis from exact power sums
     "q_zipf_fit",        # Zipf slope of the token distribution
+    "q_corr_matrix",     # Pearson matrix via DECIMAL(38) exact sums
+    "q_hbos",            # histogram-based outlier score
 })
 
 

@@ -165,6 +165,10 @@ HEADLINE = [
     "q_robust_trend",
     "q_moments",
     "q_zipf_fit",
+    # round-7 continuation: one-pass exact correlation matrix
+    # (DECIMAL(38,0) co-moment sums), shuffle-free HBOS anomaly score
+    "q_corr_matrix",
+    "q_hbos",
 ]
 
 

@@ -147,3 +147,220 @@ def q_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         expected.cast("bigint").alias("n_expected"),
         (expected - F.col("n_present")).cast("bigint").alias("n_missing"),
     )
+
+
+# --- correlation matrix ------------------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_CORR_FP = 10**4  # per-value fixed-point units
+
+
+def _corr_pairs() -> list[tuple[str, str]]:
+    return [
+        (a, b)
+        for i, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[i + 1 :]
+    ]
+
+
+@query(
+    "q_corr_matrix",
+    oracle=(
+        "WITH u AS (SELECT "
+        + ", ".join(
+            f"CAST(FLOOR({c} * {_CORR_FP} + 0.5) AS BIGINT) AS u_{c}"
+            for c in _CORR_COLS
+        )
+        + " FROM lineitem), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        # DuckDB SUM(BIGINT) is HUGEINT — exact; cast to DOUBLE only
+        # for the final ratio (mirrors Spark's DECIMAL(38,0) sums)
+        + ", ".join(
+            f"CAST(SUM(u_{c}) AS DOUBLE) AS s_{c}, "
+            f"CAST(SUM(u_{c} * u_{c}) AS DOUBLE) AS ss_{c}"
+            for c in _CORR_COLS
+        )
+        + ", "
+        + ", ".join(
+            f"CAST(SUM(u_{a} * u_{b}) AS DOUBLE) AS sp_{a}_{b}"
+            for a, b in _corr_pairs()
+        )
+        + " FROM u) "
+        + " UNION ALL ".join(
+            f"SELECT '{a}' AS col_a, '{b}' AS col_b, "
+            + sql_round(
+                f"(n * sp_{a}_{b} - s_{a} * s_{b}) / "
+                f"(SQRT(n * ss_{a} - s_{a} * s_{a}) * "
+                f"SQRT(n * ss_{b} - s_{b} * s_{b}))",
+                6,
+            )
+            + " AS corr FROM a"
+            for a, b in _corr_pairs()
+        )
+    ),
+    tags=("profile", "stats", "agg"),
+)
+def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation matrix of the numeric fact columns (long
+    format, upper triangle) — the first chart of every feature audit
+    and the multicollinearity screen before a linear scorer (the
+    reference standardizes features, preprocess.py:32, but never
+    checks whether any are near-duplicates).
+
+    Determinism: every value folds to 1e-4 fixed-point units ONCE;
+    per-row products fit BIGINT (≤ ~1.2e18) and the sums accumulate in
+    DECIMAL(38,0) — Spark's exact twin of DuckDB's HUGEINT SUM, good
+    to 38 digits, so no fact-scale overflow — making the matrix a
+    scalar IEEE expression on exact integer statistics, layout-proof.
+    ONE map-side combinable aggregate over the fact scan; the 6 output
+    rows project from the single aggregate row via stack."""
+    li = load_table(spark, sf_dir, "lineitem")
+    u = li.select(
+        *[
+            F.floor(F.col(c) * _CORR_FP + F.lit(0.5)).cast("bigint").alias(f"u_{c}")
+            for c in _CORR_COLS
+        ]
+    )
+    # per-row products fit BIGINT (units <= ~1.1e9, squares <= 1.2e18);
+    # the SUMS would overflow it at fact scale, so they accumulate in
+    # DECIMAL(38,0) — exact to 38 digits, the Spark twin of DuckDB's
+    # HUGEINT SUM — and cast to double only for the final ratio
+    dec = "decimal(38,0)"
+    aggs = [F.count("*").cast("bigint").alias("n")]
+    for c in _CORR_COLS:
+        aggs.append(
+            F.sum(F.col(f"u_{c}").cast(dec)).cast("double").alias(f"s_{c}")
+        )
+        aggs.append(
+            F.sum((F.col(f"u_{c}") * F.col(f"u_{c}")).cast(dec))
+            .cast("double")
+            .alias(f"ss_{c}")
+        )
+    for a, b in _corr_pairs():
+        aggs.append(
+            F.sum((F.col(f"u_{a}") * F.col(f"u_{b}")).cast(dec))
+            .cast("double")
+            .alias(f"sp_{a}_{b}")
+        )
+    agg = u.agg(*aggs)
+    corr_cols = []
+    for a, b in _corr_pairs():
+        n = F.col("n")
+        num = n * F.col(f"sp_{a}_{b}") - F.col(f"s_{a}") * F.col(f"s_{b}")
+        den = F.sqrt(
+            n * F.col(f"ss_{a}") - F.col(f"s_{a}") * F.col(f"s_{a}")
+        ) * F.sqrt(
+            n * F.col(f"ss_{b}") - F.col(f"s_{b}") * F.col(f"s_{b}")
+        )
+        corr_cols.append(pround(num / den, 6).alias(f"c_{a}_{b}"))
+    wide = agg.select(*corr_cols)
+    stack_args = ", ".join(
+        f"'{a}', '{b}', c_{a}_{b}" for a, b in _corr_pairs()
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(_corr_pairs())}, {stack_args}) AS (col_a, col_b, corr)"
+        )
+    )
+
+
+# --- HBOS anomaly score ------------------------------------------------
+
+_HBOS_COLS = ["l_quantity", "l_extendedprice", "l_discount"]
+_HBOS_BINS = 20
+
+
+def _hbos_bin_sql(c: str) -> str:
+    # LEAST guards x == max into the last bin; width spans [min, max]
+    return (
+        f"LEAST(CAST(FLOOR(({c} - min_{c}) * {_HBOS_BINS} "
+        f"/ (max_{c} - min_{c})) AS BIGINT), {_HBOS_BINS - 1})"
+    )
+
+
+@query(
+    "q_hbos",
+    oracle=(
+        "WITH st AS (SELECT "
+        + ", ".join(
+            f"MIN({c}) AS min_{c}, MAX({c}) AS max_{c}" for c in _HBOS_COLS
+        )
+        + ", CAST(COUNT(*) AS BIGINT) AS n FROM lineitem), "
+        "r AS (SELECT l_orderkey, l_linenumber, n, "
+        + ", ".join(
+            f"{_hbos_bin_sql(c)} AS b_{c}" for c in _HBOS_COLS
+        )
+        + " FROM lineitem, st), "
+        + ", ".join(
+            f"h_{c} AS (SELECT b_{c} AS b, CAST(COUNT(*) AS BIGINT) AS cnt "
+            f"FROM r GROUP BY b)"
+            for c in _HBOS_COLS
+        )
+        + " SELECT r.l_orderkey, r.l_linenumber, "
+        + sql_round(
+            " + ".join(f"-LOG10(h_{c}.cnt * 1.0 / r.n)" for c in _HBOS_COLS),
+            6,
+        )
+        + " AS hbos FROM r "
+        + " ".join(
+            f"JOIN h_{c} ON h_{c}.b = r.b_{c}" for c in _HBOS_COLS
+        )
+    ),
+    tags=("profile", "outlier", "agg"),
+)
+def q_hbos(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-Based Outlier Score (Goldstein & Dengel 2012) over
+    the numeric fact columns: per row, HBOS = Σ_f −log10 p(bin_f) —
+    the linear-time, fully-unsupervised anomaly score that needs no
+    model object, no distance matrix and no iteration, which is why
+    it is the standard first-pass screen at data scale (isolation
+    forests and kNN-based scores do not survive 100 TB; histograms
+    do). Assumes feature independence — exactly the naive-Bayes-style
+    trade that makes it shuffle-free.
+
+    Plan: one broadcast min/max stats row, per-row bin ids (codegen
+    floor math, LEAST-guarded at the max edge), three ≤20-row bin
+    histograms broadcast back, score = fixed per-row log arithmetic
+    on exact integer counts. The fact table never shuffles; every
+    p(bin) > 0 by construction (each row sits in its own bin)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    st = li.agg(
+        *[
+            s
+            for c in _HBOS_COLS
+            for s in (F.min(c).alias(f"min_{c}"), F.max(c).alias(f"max_{c}"))
+        ],
+        F.count("*").cast("bigint").alias("n"),
+    )
+
+    def bin_col(c: str):
+        return F.least(
+            F.floor(
+                (F.col(c) - F.col(f"min_{c}"))
+                * _HBOS_BINS
+                / (F.col(f"max_{c}") - F.col(f"min_{c}"))
+            ).cast("bigint"),
+            F.lit(_HBOS_BINS - 1),
+        )
+
+    r = li.crossJoin(F.broadcast(st)).select(
+        "l_orderkey",
+        "l_linenumber",
+        "n",
+        *[bin_col(c).alias(f"b_{c}") for c in _HBOS_COLS],
+    )
+    out = r
+    for c in _HBOS_COLS:
+        h = r.groupBy(F.col(f"b_{c}").alias("b")).agg(
+            F.count("*").cast("bigint").alias(f"cnt_{c}")
+        )
+        out = out.join(
+            F.broadcast(h), out[f"b_{c}"] == h["b"]
+        ).drop("b")
+    score = None
+    for c in _HBOS_COLS:
+        term = -F.log10(F.col(f"cnt_{c}") * 1.0 / F.col("n"))
+        score = term if score is None else score + term
+    return out.select(
+        "l_orderkey", "l_linenumber", pround(score, 6).alias("hbos")
+    )

@@ -206,3 +206,25 @@ def test_moments_and_zipf_sanity(spark, sf_dir):
     assert z.k > 10
     assert z.slope < 0  # frequency falls with rank, always
     assert 0 <= z.r2 <= 1
+
+
+def test_corr_matrix_properties(spark, sf_dir):
+    rows = _run("q_corr_matrix", spark, sf_dir)
+    assert len(rows) == 6  # upper triangle of 4 columns
+    for r in rows:
+        assert -1 - 1e-9 <= r.corr <= 1 + 1e-9
+    # the synthetic columns are independently generated, so every
+    # correlation should be near zero — and exactly reproducible
+    assert all(abs(r.corr) < 0.2 for r in rows)
+    again = _run("q_corr_matrix", spark, sf_dir)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_hbos_score_properties(spark, sf_dir):
+    rows = _run("q_hbos", spark, sf_dir)
+    from fraud_detection_spark.sources import load_table
+
+    assert len(rows) == load_table(spark, sf_dir, "lineitem").count()
+    scores = [r.hbos for r in rows]
+    assert all(s >= 0 for s in scores)  # p(bin) <= 1 always
+    assert len(set(round(s, 4) for s in scores)) > 10, "degenerate score"
