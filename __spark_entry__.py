@@ -66,6 +66,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # NEVER appeared in any CORRECTNESS_r*.json — round 6's 51 new queries
 # competed for 50 sample slots and displaced them. They lead the r7
 # sample unconditionally; new round-7 operators join BEHIND them.
+# Pins AUTO-RETIRE: _ordered() drops any pinned name that has driver
+# history, so once CORRECTNESS_r07 records them this list becomes a
+# no-op and the normal rotation resumes without an edit (and without
+# a stale-pin trap for round 8).
 _PINNED_HEAD = (
     "q_asof_interval",
     "q_auc_by_segment",
@@ -126,11 +130,13 @@ def _ordered():
     from fraud_detection_spark.rotation import compute_priority, load_history
 
     reg = load_all()
+    history = load_history(Path(__file__).parent)
+    ever = {n for rows in history.values() for n in rows}
+    # auto-retire satisfied pins: a pin exists to force FIRST driver
+    # evidence; once the evidence exists the rotation owns the slot
+    live_pins = tuple(n for n in _PINNED_HEAD if n not in ever)
     order = compute_priority(
-        list(reg),
-        load_history(Path(__file__).parent),
-        _TOUCHED_THIS_ROUND,
-        pinned=_PINNED_HEAD,
+        list(reg), history, _TOUCHED_THIS_ROUND, pinned=live_pins
     )
     return {n: reg[n] for n in order}
 

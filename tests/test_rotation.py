@@ -137,9 +137,12 @@ def test_pinned_head_leads_in_given_order():
     assert order == ["c", "a", "d", "b"]
 
 
-def test_real_schedule_round7_pins_the_15_never_sampled():
-    """The 15 operators with zero driver history (VERDICT r6 'What's
-    missing' #1) must occupy the head of the round-7 sample."""
+def test_real_schedule_pins_lead_until_satisfied():
+    """Pinned operators with zero driver history (VERDICT r6 'What's
+    missing' #1) must occupy the head of the sample; pins AUTO-RETIRE
+    once driver evidence exists (so this test stays meaningful across
+    rounds without edits — in round 8, once CORRECTNESS_r07 records
+    them, live_pins is empty and the normal rotation resumes)."""
     import sys
 
     sys.path.insert(0, str(REPO))
@@ -147,8 +150,13 @@ def test_real_schedule_round7_pins_the_15_never_sampled():
 
     history = load_history(REPO)
     ever = {n for rows in history.values() for n in rows}
+    live = [n for n in entry._PINNED_HEAD if n not in ever]
     names = list(entry.queries())
-    assert names[: len(entry._PINNED_HEAD)] == list(entry._PINNED_HEAD)
-    assert not (set(entry._PINNED_HEAD) & ever), (
-        "a pinned query already has driver history; unpin it"
-    )
+    assert names[: len(live)] == live
+    # regardless of pin retirement, anything never driver-sampled must
+    # still fit the 50-slot sample (or fill it entirely)
+    never = [n for n in names if n not in ever]
+    if len(never) < 50:
+        assert set(never) <= set(names[:50])
+    else:
+        assert set(names[:50]) <= set(never)
