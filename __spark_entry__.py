@@ -120,6 +120,11 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_zipf_fit",        # Zipf slope of the token distribution
     "q_corr_matrix",     # Pearson matrix via DECIMAL(38) exact sums
     "q_hbos",            # histogram-based outlier score
+    "q_gini",            # banded Gini scalar (q_lorenz area)
+    "q_mann_kendall",    # nonparametric trend test (integer S)
+    "q_runs_test",       # Wald-Wolfowitz randomness test
+    "q_collocations",    # PMI bigram collocations
+    "q_pivot_daily",     # explicit-list pivot (day x type matrix)
 })
 
 

@@ -169,6 +169,14 @@ HEADLINE = [
     # (DECIMAL(38,0) co-moment sums), shuffle-free HBOS anomaly score
     "q_corr_matrix",
     "q_hbos",
+    # round-7 close: banded Gini, Mann-Kendall + runs tests (bounded
+    # day/pair tables, integer statistics), PMI collocations
+    # (vocab-sized join), explicit-list pivot
+    "q_gini",
+    "q_mann_kendall",
+    "q_runs_test",
+    "q_collocations",
+    "q_pivot_daily",
 ]
 
 

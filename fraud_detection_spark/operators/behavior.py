@@ -1160,3 +1160,93 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("p90_lag_sec"),
         F.max("lag_sec").cast("bigint").alias("max_lag_sec"),
     )
+
+
+@query(
+    "q_gini",
+    oracle=(
+        "WITH u AS (SELECT user_id, "
+        "SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS units "
+        "FROM events GROUP BY user_id), "
+        "m AS (SELECT MAX(units) AS u_max FROM u), "
+        f"b AS (SELECT LEAST(CAST(FLOOR(units * {_LORENZ_BANDS}.0 / (u_max + 1)) "
+        f"AS BIGINT), {_LORENZ_BANDS - 1}) AS band, "
+        "CAST(COUNT(*) AS BIGINT) AS n_users, SUM(units) AS units "
+        "FROM u, m GROUP BY band), "
+        "c AS (SELECT band, n_users, "
+        "SUM(n_users) OVER (ORDER BY band) * 1.0 / SUM(n_users) OVER () AS cum_pop, "
+        "SUM(units) OVER (ORDER BY band) * 1.0 / SUM(units) OVER () AS cum_val "
+        "FROM b), "
+        "t AS (SELECT cum_pop, cum_val, "
+        "COALESCE(LAG(cum_pop) OVER (ORDER BY band), 0) AS pop0, "
+        "COALESCE(LAG(cum_val) OVER (ORDER BY band), 0) AS val0 FROM c) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_bands, "
+        + sql_round("1.0 - SUM((cum_val + val0) * (cum_pop - pop0))", 6)
+        + " AS gini FROM t"
+    ),
+    tags=("behavior", "agg", "concentration"),
+)
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of account-value concentration — the scalar
+    area summary of q_lorenz's curve (0 = perfectly even books,
+    →1 = all value through a handful of accounts; the number exposure
+    dashboards track round over round where the curve itself is the
+    drill-down). Trapezoid rule over the SAME 50-band Lorenz
+    construction: banded, so no global sort of per-account totals;
+    the Gini is exact for the banded curve (resolution 1/50,
+    documented — the same trade q_lorenz states).
+
+    Plan: one per-account hash aggregate, one ≤50-row band aggregate,
+    lag/cumulative windows on the bounded band table only."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint")).alias(
+            "units"
+        )
+    )
+    m = u.agg(F.max("units").alias("u_max"))
+    b = (
+        u.crossJoin(F.broadcast(m))
+        .groupBy(
+            F.least(
+                F.floor(
+                    F.col("units") * float(_LORENZ_BANDS) / (F.col("u_max") + 1)
+                ).cast("bigint"),
+                F.lit(_LORENZ_BANDS - 1),
+            ).alias("band")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_users"),
+            F.sum("units").alias("units"),
+        )
+    )
+    # bounded: ≤50 bands by construction
+    w_cum = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    w_lag = Window.orderBy("band")
+    c = b.select(
+        "band",
+        (F.sum("n_users").over(w_cum) * 1.0 / F.sum("n_users").over(w_all)).alias(
+            "cum_pop"
+        ),
+        (F.sum("units").over(w_cum) * 1.0 / F.sum("units").over(w_all)).alias(
+            "cum_val"
+        ),
+    )
+    t = c.select(
+        "cum_pop",
+        "cum_val",
+        F.coalesce(F.lag("cum_pop").over(w_lag), F.lit(0.0)).alias("pop0"),
+        F.coalesce(F.lag("cum_val").over(w_lag), F.lit(0.0)).alias("val0"),
+    )
+    return t.agg(
+        F.count("*").cast("bigint").alias("n_bands"),
+        pround(
+            F.lit(1.0)
+            - F.sum(
+                (F.col("cum_val") + F.col("val0"))
+                * (F.col("cum_pop") - F.col("pop0"))
+            ),
+            6,
+        ).alias("gini"),
+    )

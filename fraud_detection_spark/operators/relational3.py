@@ -147,3 +147,50 @@ def q_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("n").over(wf).cast("bigint").alias("min_n"),
         F.nth_value("n", 3).over(wf).cast("bigint").alias("third_n"),
     )
+
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "q_pivot_daily",
+    oracle=(
+        "SELECT CAST((epoch_ns(ts) // 1000000000) // 86400 AS BIGINT) AS day, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) "
+            f"AS BIGINT) AS {t}"
+            for t in _PIVOT_TYPES
+        )
+        + " FROM events GROUP BY day"
+    ),
+    tags=("relational", "pivot", "agg"),
+)
+def q_pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: the day × event-type count matrix via
+    DataFrame.pivot with an EXPLICIT value list — the explicit list is
+    the scale-correct form (unlisted pivot runs an extra distinct job
+    over the fact table to discover columns, and a high-cardinality
+    pivot column explodes the schema; with the list the whole pivot
+    compiles to the same one-pass conditional aggregation the oracle
+    spells out). Nulls for absent (day, type) cells fold to 0 so the
+    matrix is dense.
+
+    One map-side-combinable aggregate; output is the bounded
+    |days| × |types| matrix."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.select(
+            F.expr("ts div 1000000000 div 86400").cast("bigint").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+    )
+    return p.select(
+        "day",
+        *[
+            F.coalesce(F.col(t), F.lit(0)).cast("bigint").alias(t)
+            for t in _PIVOT_TYPES
+        ],
+    )

@@ -930,3 +930,91 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+_COLLOC_MIN_N = 5
+_COLLOC_TOPK = 30
+
+
+@query(
+    "q_collocations",
+    oracle=(
+        "WITH w AS (SELECT string_split(text, ' ') AS w FROM documents), "
+        "uni AS (SELECT unnest(w) AS t FROM w), "
+        "c1 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS n FROM uni "
+        "WHERE t <> '' GROUP BY t), "
+        "n1 AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c1), "
+        "bg AS (SELECT unnest(list_transform(range(1, len(w)), "
+        "i -> struct_pack(w1 := w[i], w2 := w[i+1]))) AS b FROM w), "
+        "c2 AS (SELECT b.w1 AS w1, b.w2 AS w2, "
+        "CAST(COUNT(*) AS BIGINT) AS n12 FROM bg "
+        "WHERE b.w1 <> '' AND b.w2 <> '' GROUP BY w1, w2), "
+        "n2 AS (SELECT CAST(SUM(n12) AS BIGINT) AS total2 FROM c2), "
+        "j AS (SELECT c2.w1, c2.w2, c2.n12, a.n AS na, b.n AS nb "
+        "FROM c2 JOIN c1 a ON a.t = c2.w1 JOIN c1 b ON b.t = c2.w2 "
+        f"WHERE c2.n12 >= {_COLLOC_MIN_N}) "
+        "SELECT w1, w2, n12, "
+        + sql_round(
+            "LOG2(n12 * 1.0 * total * total / (total2 * 1.0 * na * nb))", 6
+        )
+        + " AS pmi FROM j, n1, n2 "
+        f"ORDER BY pmi DESC, w1, w2 LIMIT {_COLLOC_TOPK}"
+    ),
+    tags=("text", "corpus", "stats"),
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-30 bigram collocations by pointwise mutual information:
+    PMI(w1,w2) = log2( p(w1w2) / (p(w1)·p(w2)) ) over adjacent word
+    pairs with ≥5 occurrences — the classic collocation extractor
+    (Church & Hanks 1990) that surfaces multiword expressions and, on
+    a curation desk, boilerplate phrases that repetition metrics
+    at document granularity miss.
+
+    Plan: unigram and bigram counts are two map-side-combinable
+    aggregates over the exploded token stream; the PMI join runs on
+    the COUNT tables (vocabulary-sized, not stream-sized) with the
+    two scalar totals broadcast; ordering is deterministic (PMI is
+    pre-rounded, ties broken by the bigram itself). At 100 TB the
+    ≥5-count support filter is what keeps the bigram table sparse —
+    the standard collocation-mining cut."""
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(F.split("text", " ").alias("w"))
+    uni = w.select(F.explode("w").alias("t")).filter(F.col("t") != "")
+    c1 = uni.groupBy("t").agg(F.count("*").cast("bigint").alias("n"))
+    n1 = c1.agg(F.sum("n").cast("bigint").alias("total"))
+    bg = w.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c2 = (
+        bg.filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count("*").cast("bigint").alias("n12"))
+        .filter(F.col("n12") >= _COLLOC_MIN_N)
+    )
+    n2 = bg.filter((F.col("w1") != "") & (F.col("w2") != "")).agg(
+        F.count("*").cast("bigint").alias("total2")
+    )
+    j = (
+        c2.join(c1.select(F.col("t").alias("w1"), F.col("n").alias("na")), "w1")
+        .join(c1.select(F.col("t").alias("w2"), F.col("n").alias("nb")), "w2")
+        .crossJoin(F.broadcast(n1))
+        .crossJoin(F.broadcast(n2))
+    )
+    pmi = F.log2(
+        F.col("n12")
+        * 1.0
+        * F.col("total")
+        * F.col("total")
+        / (F.col("total2") * 1.0 * F.col("na") * F.col("nb"))
+    )
+    return (
+        j.select("w1", "w2", "n12", pround(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(_COLLOC_TOPK)
+    )

@@ -864,3 +864,195 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
         pround(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
     )
+
+
+@query(
+    "q_mann_kendall",
+    oracle=(
+        "WITH " + _DAILY_SQL + ", "
+        "yy AS (SELECT day, CAST(FLOOR(y * 10000 + 0.5) AS BIGINT) AS yu "
+        "FROM d), "
+        "p AS (SELECT CASE WHEN b.yu > a.yu THEN 1 "
+        "WHEN b.yu < a.yu THEN -1 ELSE 0 END AS sgn "
+        "FROM yy a JOIN yy b ON a.day < b.day), "
+        "s AS (SELECT CAST(SUM(sgn) AS BIGINT) AS s_stat FROM p), "
+        "n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM yy), "
+        "tg AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) "
+        "AS BIGINT) AS tp FROM "
+        "(SELECT COUNT(*) AS t FROM yy GROUP BY yu HAVING COUNT(*) > 1)), "
+        "v AS (SELECT (n * (n - 1) * (2 * n + 5) - tp) / 18.0 AS var_s "
+        "FROM n, tg) "
+        "SELECT n.n AS n_days, s.s_stat AS s, "
+        + sql_round(
+            "CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1) / SQRT(v.var_s) "
+            "WHEN s.s_stat < 0 THEN (s.s_stat + 1) / SQRT(v.var_s) "
+            "ELSE 0.0 END",
+            6,
+        )
+        + " AS z, "
+        "CAST(CASE WHEN s.s_stat > 0 THEN 1 WHEN s.s_stat < 0 THEN -1 "
+        "ELSE 0 END AS INT) AS trend FROM s, n, v"
+    ),
+    tags=("timeseries", "robust", "agg"),
+)
+def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Kendall trend TEST on the daily mean series: S = Σ_{i<j}
+    sign(y_j − y_i) with the tie-corrected normal approximation — the
+    nonparametric "is there a monotone trend at all" companion to
+    q_robust_trend's Theil–Sen slope (the pair is the standard robust
+    trend kit: MK decides, Theil–Sen sizes). S is an exact INTEGER sum
+    over fixed-point daily means, the tie correction is exact integer
+    arithmetic, and only the final z touches floats — layout-proof.
+
+    Both engines enumerate pairs by day order (a.day < b.day) so each
+    unordered pair appears exactly once; S itself is order-invariant
+    (sign() depends only on the values).
+
+    Plan: bounded day table; the pair table is ≤|days|²/2 rows —
+    model-side data, never fact-scale (the q_robust_trend argument)."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.expr("ts div 1000000000 div 86400").alias("day"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / 10000
+                / F.count("*")
+            ).alias("y")
+        )
+    )
+    yy = d.select(
+        F.floor(F.col("y") * 10000 + F.lit(0.5)).cast("bigint").alias("yu"), "day"
+    )
+    a = yy.select(F.col("yu").alias("ya"), F.col("day").alias("da"))
+    b = yy.select(F.col("yu").alias("yb"), F.col("day").alias("db"))
+    p = a.join(b, F.col("da") < F.col("db")).select(
+        F.when(F.col("yb") > F.col("ya"), 1)
+        .when(F.col("yb") < F.col("ya"), -1)
+        .otherwise(0)
+        .alias("sgn")
+    )
+    s = p.agg(F.sum("sgn").cast("bigint").alias("s_stat"))
+    n = yy.agg(F.count("*").cast("bigint").alias("n"))
+    tg = (
+        yy.groupBy("yu")
+        .agg(F.count("*").alias("t"))
+        .filter(F.col("t") > 1)
+        .agg(
+            F.coalesce(
+                F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tp")
+        )
+    )
+    out = (
+        s.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(tg))
+        .select(
+            F.col("n").alias("n_days"),
+            F.col("s_stat").alias("s"),
+            (
+                (F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5) - F.col("tp"))
+                / 18.0
+            ).alias("var_s"),
+        )
+    )
+    z = (
+        F.when(F.col("s") > 0, (F.col("s") - 1) / F.sqrt(F.col("var_s")))
+        .when(F.col("s") < 0, (F.col("s") + 1) / F.sqrt(F.col("var_s")))
+        .otherwise(F.lit(0.0))
+    )
+    return out.select(
+        "n_days",
+        "s",
+        pround(z, 6).alias("z"),
+        F.when(F.col("s") > 0, 1).when(F.col("s") < 0, -1).otherwise(0)
+        .cast("int")
+        .alias("trend"),
+    )
+
+
+@query(
+    "q_runs_test",
+    oracle=(
+        "WITH " + _DAILY_SQL + ", "
+        "md AS (SELECT quantile_disc(y, 0.5) AS med FROM d), "
+        "b AS (SELECT day, CASE WHEN y > med THEN 1 ELSE 0 END AS hi "
+        "FROM d, md WHERE y <> med), "
+        "r AS (SELECT hi, CASE WHEN LAG(hi) OVER (ORDER BY day) IS NULL "
+        "OR hi <> LAG(hi) OVER (ORDER BY day) THEN 1 ELSE 0 END AS new_run "
+        "FROM b), "
+        "a AS (SELECT CAST(SUM(hi) AS BIGINT) AS n1, "
+        "CAST(COUNT(*) - SUM(hi) AS BIGINT) AS n0, "
+        "CAST(SUM(new_run) AS BIGINT) AS runs FROM r) "
+        "SELECT n1, n0, runs, "
+        + sql_round(
+            "(runs - (2.0 * n1 * n0 / (n1 + n0) + 1)) / "
+            "SQRT(2.0 * n1 * n0 * (2.0 * n1 * n0 - n1 - n0) "
+            "/ ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1)))",
+            6,
+        )
+        + " AS z FROM a"
+    ),
+    tags=("timeseries", "stats", "agg"),
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test on the daily-mean series: code each day
+    above/below the median (median days dropped, the standard
+    convention), count runs of identical codes, and compare against
+    the randomness expectation — too FEW runs means trending/sticky
+    regimes (the drift smell), too many means oscillation. The
+    model-free "is this series even random" gate before any forecast.
+
+    Determinism: the median is percentile_disc (an element), codes and
+    run counts are exact integers over the bounded day table (one LAG
+    window), and only the final z is float."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.groupBy(F.expr("ts div 1000000000 div 86400").alias("day"))
+        .agg(
+            (
+                F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+                .cast("double")
+                / 10000
+                / F.count("*")
+            ).alias("y")
+        )
+    )
+    md = d.agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY y)").alias("med")
+    )
+    b = (
+        d.crossJoin(F.broadcast(md))
+        .filter(F.col("y") != F.col("med"))
+        .select("day", (F.col("y") > F.col("med")).cast("int").alias("hi"))
+    )
+    w = Window.orderBy("day")  # bounded: ≤|days| rows
+    r = b.select(
+        "hi",
+        F.when(
+            F.lag("hi").over(w).isNull() | (F.col("hi") != F.lag("hi").over(w)), 1
+        )
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    a = r.agg(
+        F.sum("hi").cast("bigint").alias("n1"),
+        (F.count("*") - F.sum("hi")).cast("bigint").alias("n0"),
+        F.sum("new_run").cast("bigint").alias("runs"),
+    )
+    n1, n0, runs = F.col("n1"), F.col("n0"), F.col("runs")
+    e_r = 2.0 * n1 * n0 / (n1 + n0) + 1
+    var_r = (
+        2.0
+        * n1
+        * n0
+        * (2.0 * n1 * n0 - n1 - n0)
+        / ((n1 + n0) * (n1 + n0) * (n1 + n0 - 1))
+    )
+    return a.select(
+        "n1", "n0", "runs", pround((runs - e_r) / F.sqrt(var_r), 6).alias("z")
+    )

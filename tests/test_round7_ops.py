@@ -228,3 +228,44 @@ def test_hbos_score_properties(spark, sf_dir):
     scores = [r.hbos for r in rows]
     assert all(s >= 0 for s in scores)  # p(bin) <= 1 always
     assert len(set(round(s, 4) for s in scores)) > 10, "degenerate score"
+
+
+def test_gini_matches_lorenz_area(spark, sf_dir):
+    """The Gini scalar must equal the trapezoid area computed from
+    q_lorenz's own curve (same bands)."""
+    lor = sorted(_run("q_lorenz", spark, sf_dir), key=lambda r: r.band)
+    g = 1.0
+    p0 = v0 = 0.0
+    for r in lor:
+        g -= (r.cum_val + v0) * (r.cum_pop - p0)
+        p0, v0 = r.cum_pop, r.cum_val
+    (got,) = _run("q_gini", spark, sf_dir)
+    assert got.n_bands == len(lor)
+    assert abs(got.gini - g) < 1e-4
+    assert 0 <= got.gini <= 1
+
+
+def test_mann_kendall_and_runs_bounds(spark, sf_dir):
+    (mk,) = _run("q_mann_kendall", spark, sf_dir)
+    max_s = mk.n_days * (mk.n_days - 1) // 2
+    assert -max_s <= mk.s <= max_s
+    assert mk.trend == (1 if mk.s > 0 else (-1 if mk.s < 0 else 0))
+    (rt,) = _run("q_runs_test", spark, sf_dir)
+    assert rt.n1 + rt.n0 > 0
+    assert 1 <= rt.runs <= rt.n1 + rt.n0
+
+
+def test_collocations_and_pivot(spark, sf_dir):
+    rows = _run("q_collocations", spark, sf_dir)
+    assert 0 < len(rows) <= 30
+    assert all(r.n12 >= 5 for r in rows)
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    piv = _run("q_pivot_daily", spark, sf_dir)
+    assert piv
+    from fraud_detection_spark.sources import load_table
+
+    total = sum(
+        r.click + r.error + r.purchase + r.signup + r.view for r in piv
+    )
+    assert total == load_table(spark, sf_dir, "events").count()
