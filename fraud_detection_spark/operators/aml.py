@@ -37,7 +37,7 @@ from pyspark.sql.window import Window
 
 from fraud_detection_spark.functions import pround
 from fraud_detection_spark.operators.dedup import label_propagation
-from fraud_detection_spark.operators.graph import _EDGE_SQL, edges
+from fraud_detection_spark.operators.graph import _EDGE_SQL, RING_FACTOR, edges
 from fraud_detection_spark.registry import query, sql_round
 from fraud_detection_spark.sources import load_table
 
@@ -197,7 +197,7 @@ def q_round_amount(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RING_FACTOR = 2.5  # "suspicious" = edge weight >= 2.5x the typical one
+_RING_FACTOR = RING_FACTOR  # single definition lives in operators/graph.py
 
 
 @query(

@@ -750,8 +750,9 @@ def _session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns timestamp + event_id: a total order, deterministic on any
     layout), then a (user, sid) hash aggregate whose collect_list is
     made order-independent by array_sort over (ts, event_id, type)
-    structs before slicing/joining. No global sort, no Python; path
-    strings are bounded at 8 steps so nothing unbounded shuffles."""
+    structs before joining. No global sort, no Python; a per-session
+    row_number caps every aggregation buffer at 8 rows BEFORE the
+    groupBy, so nothing unbounded is ever buffered or shuffled."""
     ev = events_with_time(spark, sf_dir)
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     new_s = (
@@ -767,22 +768,26 @@ def _session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             w.rowsBetween(Window.unboundedPreceding, 0)
         ).alias("sid"),
     )
+    # bound the aggregation buffer BEFORE the groupBy: a gap-free bot
+    # session is unbounded, and collect_list would buffer all of it
+    # just to keep 8 (round-7 self-review). The row_number rides the
+    # same user_id shuffle/sort the session window already forced.
+    w_sess = Window.partitionBy("user_id", "sid").orderBy("ts_sec", "event_id")
+    s8 = s.withColumn("rn", F.row_number().over(w_sess)).filter(
+        F.col("rn") <= _PATH_MAX_STEPS
+    )
     # collect_list order is partition-dependent; array_sort over
     # (ts_sec, event_id) structs restores the total order engine-side
     path = F.array_join(
         F.transform(
-            F.slice(
-                F.array_sort(
-                    F.collect_list(F.struct("ts_sec", "event_id", "event_type"))
-                ),
-                1,
-                _PATH_MAX_STEPS,
+            F.array_sort(
+                F.collect_list(F.struct("ts_sec", "event_id", "event_type"))
             ),
             lambda x: x["event_type"],
         ),
         ">",
     )
-    return s.groupBy("user_id", "sid").agg(path.alias("path"))
+    return s8.groupBy("user_id", "sid").agg(path.alias("path"))
 
 
 @query(
@@ -835,7 +840,9 @@ def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(COUNT(*) AS BIGINT) AS n_paths FROM u GROUP BY user_id) "
         "SELECT u.user_id, CAST(t.tot AS BIGINT) AS n_sessions, t.n_paths, "
         + sql_round(
-            "-SUM((n * 1.0 / tot) * log2(n * 1.0 / tot)) + 0.0", 6
+            "CAST(SUM(CAST(FLOOR(-(n * 1.0 / tot) * log2(n * 1.0 / tot) "
+            "* 1000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000",
+            6,
         )
         + " AS entropy "
         "FROM u JOIN t ON u.user_id = t.user_id "
@@ -848,8 +855,11 @@ def q_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     session-path distribution, with session and distinct-path counts —
     THE bot-vs-human screen (a replay bot's sessions collapse to one
     path: entropy 0; organic use wanders: entropy grows with log2 of
-    the paths). `+ 0.0` in the oracle normalizes IEEE -0.0 (the
-    single-path case: -1·log2(1) = -0.0) to +0.0 on both engines.
+    the paths). Each −p·log2 p term folds to 1e-9 fixed-point units
+    BEFORE the sum (the q_chi2 discipline — a raw float sum's
+    partial-aggregation order could flip the 6-dp rounding on some
+    layouts; round-7 self-review), which also makes the single-path
+    case exactly +0.0 with no sign normalization.
 
     Plan: sessions and both aggregates are keyed by user_id — the one
     shuffle from _session_paths carries through; the entropy sum runs
@@ -860,10 +870,17 @@ def q_path_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").alias("tot"), F.count("*").cast("bigint").alias("n_paths")
     )
     frac = F.col("n") * 1.0 / F.col("tot")
+    ent_units = F.floor(
+        -frac * F.log2(frac) * 1000000000 + F.lit(0.5)
+    ).cast("bigint")
     return (
         u.join(t, "user_id")
         .groupBy("user_id", "tot", "n_paths")
-        .agg(pround(-F.sum(frac * F.log2(frac)) + F.lit(0.0), 6).alias("entropy"))
+        .agg(
+            pround(
+                F.sum(ent_units).cast("double") / 1000000000, 6
+            ).alias("entropy")
+        )
         .select(
             "user_id",
             F.col("tot").cast("bigint").alias("n_sessions"),
@@ -911,7 +928,7 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
     new_s = (
         F.lag("ts_sec").over(w).isNull()
-        | (F.col("ts_sec") - F.lag("ts_sec").over(w) >= 1800)
+        | (F.col("ts_sec") - F.lag("ts_sec").over(w) >= _SESSION_GAP_SEC)
     ).cast("int")
     s = ev.select(
         "user_id",
@@ -1012,13 +1029,11 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c AS (SELECT *, COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 "
         "ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts_sec, event_id "
         "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cycle FROM e), "
-        "f AS (SELECT user_id, cycle, "
-        "MIN(ts_sec * 10000000 + event_id % 10000000) AS k "
-        "FROM c WHERE event_type <> 'purchase' GROUP BY user_id, cycle), "
-        "ft AS (SELECT c.user_id, c.cycle, c.event_type AS touch_type, "
-        "c.ts_sec AS touch_sec FROM c JOIN f ON f.user_id = c.user_id "
-        "AND f.cycle = c.cycle "
-        "AND f.k = c.ts_sec * 10000000 + c.event_id % 10000000) "
+        "ft AS (SELECT user_id, cycle, event_type AS touch_type, "
+        "ts_sec AS touch_sec FROM ("
+        "SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, cycle "
+        "ORDER BY ts_sec, event_id) AS rn FROM c "
+        "WHERE event_type <> 'purchase') WHERE rn = 1) "
         "SELECT c.event_id, c.user_id, "
         "COALESCE(ft.touch_type, 'none') AS touch, "
         "CAST(COALESCE(c.ts_sec - ft.touch_sec, -1) AS BIGINT) AS touch_age_sec "
@@ -1037,12 +1052,14 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Journey = purchase cycle: a preceding-rows running count of
     purchases partitions each user's timeline into cycles, the
-    journey's first touch is the cycle's MIN over an order-encoding
-    key (ts·10⁷ + event_id mod 10⁷ — a total order, so 'first' is
-    deterministic on any layout; COUNT-style windows and MIN are both
-    exact integer ops), and each purchase joins its own cycle's entry
-    touch on the co-partitioned (user_id, cycle) key. One user_id
-    shuffle carries the window and both aggregates."""
+    journey's first touch is ROW_NUMBER() = 1 over the genuine
+    (ts_sec, event_id) total order within the (user, cycle) partition
+    — no encoded key (an earlier ts·10⁷ + id mod 10⁷ encoding was NOT
+    a total order once event ids pass 10⁷ and could collide,
+    duplicating purchases; caught in round-7 self-review) — and each
+    purchase joins its cycle's entry touch on the co-partitioned
+    (user_id, cycle) key. One user_id shuffle carries the window, the
+    row_number, and the join."""
     ev = load_table(spark, sf_dir, "events")
     e = ev.select(
         "event_id",
@@ -1063,16 +1080,11 @@ def q_first_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).alias("cycle"),
     )
-    key = F.col("ts_sec") * 10000000 + F.col("event_id") % 10000000
-    f = (
-        c.filter(F.col("event_type") != "purchase")
-        .groupBy("user_id", "cycle")
-        .agg(F.min(key).alias("k"))
-    )
+    w_cycle = Window.partitionBy("user_id", "cycle").orderBy("ts_sec", "event_id")
     ft = (
-        c.withColumn("ck", key)
-        .join(f, ["user_id", "cycle"])
-        .filter(F.col("ck") == F.col("k"))
+        c.filter(F.col("event_type") != "purchase")
+        .withColumn("rn", F.row_number().over(w_cycle))
+        .filter(F.col("rn") == 1)
         .select(
             "user_id",
             "cycle",
@@ -1181,7 +1193,11 @@ def q_conversion_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
         "COALESCE(LAG(cum_pop) OVER (ORDER BY band), 0) AS pop0, "
         "COALESCE(LAG(cum_val) OVER (ORDER BY band), 0) AS val0 FROM c) "
         "SELECT CAST(COUNT(*) AS BIGINT) AS n_bands, "
-        + sql_round("1.0 - SUM((cum_val + val0) * (cum_pop - pop0))", 6)
+        + sql_round(
+            "1.0 - CAST(SUM(CAST(FLOOR((cum_val + val0) * (cum_pop - pop0) "
+            "* 1000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000",
+            6,
+        )
         + " AS gini FROM t"
     ),
     tags=("behavior", "agg", "concentration"),
@@ -1239,14 +1255,17 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lag("cum_pop").over(w_lag), F.lit(0.0)).alias("pop0"),
         F.coalesce(F.lag("cum_val").over(w_lag), F.lit(0.0)).alias("val0"),
     )
+    # per-trapezoid fixed-point units before the sum (layout-proof —
+    # the q_chi2 discipline; round-7 self-review)
+    trap_units = F.floor(
+        (F.col("cum_val") + F.col("val0"))
+        * (F.col("cum_pop") - F.col("pop0"))
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
     return t.agg(
         F.count("*").cast("bigint").alias("n_bands"),
         pround(
-            F.lit(1.0)
-            - F.sum(
-                (F.col("cum_val") + F.col("val0"))
-                * (F.col("cum_pop") - F.col("pop0"))
-            ),
-            6,
+            F.lit(1.0) - F.sum(trap_units).cast("double") / 1000000000, 6
         ).alias("gini"),
     )

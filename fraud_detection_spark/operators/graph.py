@@ -40,6 +40,12 @@ _EDGE_SQL = (
     "GROUP BY custkey, suppkey"
 )
 
+# "suspicious" = edge weight >= RING_FACTOR x the typical relationship;
+# ONE definition shared by the AML ring screens (operators/aml.py
+# imports it) and the projected-graph structure below, so tuning the
+# cut can never de-synchronize them (round-7 self-review).
+RING_FACTOR = 2.5
+
 
 def edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer—supplier edge list with transaction counts."""
@@ -447,7 +453,7 @@ _HEAVY_PAIR_SQL = (
     "e AS (SELECT o_custkey AS custkey, l_suppkey AS suppkey, COUNT(*) AS n "
     "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
     "GROUP BY custkey, suppkey), "
-    "t AS (SELECT CEIL(2.5 * AVG(n)) AS k FROM e), "
+    f"t AS (SELECT CEIL({RING_FACTOR} * AVG(n)) AS k FROM e), "
     "heavy AS (SELECT custkey, suppkey FROM e, t WHERE n >= k), "
     "pe AS (SELECT DISTINCT a.custkey AS ca, b.custkey AS cb "
     "FROM heavy a JOIN heavy b "
@@ -461,7 +467,7 @@ def _heavy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     enumeration wants (each triangle materializes exactly once as
     a < b < c)."""
     e = edges(spark, sf_dir)
-    thr = e.agg(F.ceil(F.lit(2.5) * F.avg("n")).alias("k"))
+    thr = e.agg(F.ceil(F.lit(RING_FACTOR) * F.avg("n")).alias("k"))
     # NOT cached: a cache boundary here hides the filtered table's
     # runtime stats from AQE and the pair self-join degrades to
     # sort-merge (measured 2.8 -> 6.0 s at sf0.1); the caller caches
@@ -511,6 +517,11 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB add degree-ordered orientation (orient each edge from
     lower- to higher-degree endpoint) to bound the skew of hub
     vertices — the standard MapReduce-triangle refinement."""
+    # cache note: intra-query working set (sparse by the suspicion
+    # cut), never explicitly unpersisted — a declared query returns a
+    # DataFrame, so cleanup has no hook. Spark's MEMORY_AND_DISK LRU
+    # evicts it under pressure; the bench/fingerprint harnesses
+    # clearCache between captures (round-7 self-review trade-off).
     pe = _heavy_pairs(spark, sf_dir).cache()
     p1 = pe.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
     p2 = pe.select(F.col("ca").alias("b"), F.col("cb").alias("c"))
@@ -532,7 +543,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WITH e AS (SELECT o_custkey AS custkey, l_suppkey AS suppkey, "
         "COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
         "GROUP BY custkey, suppkey), "
-        "t AS (SELECT CEIL(2.5 * AVG(n)) AS k FROM e), "
+        f"t AS (SELECT CEIL({RING_FACTOR} * AVG(n)) AS k FROM e), "
         "heavy AS (SELECT custkey, suppkey FROM e, t WHERE n >= k), "
         "deg AS (SELECT custkey, COUNT(DISTINCT suppkey) AS d "
         "FROM heavy GROUP BY custkey), "
@@ -562,10 +573,11 @@ def q_neighbor_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins the per-vertex degree twice on the projected keys. Sparse by
     the relative cut — no quadratic stage touches the raw graph."""
     e = edges(spark, sf_dir)
-    thr = e.agg(F.ceil(F.lit(2.5) * F.avg("n")).alias("k"))
+    thr = e.agg(F.ceil(F.lit(RING_FACTOR) * F.avg("n")).alias("k"))
     # cache: three consumers (deg + both join sides) — uncached, each
     # would recompute the full fact-fact edge aggregate (see
-    # _heavy_pairs); the filtered table itself is sparse
+    # _heavy_pairs); the filtered table itself is sparse. Same
+    # no-unpersist LRU trade as q_triangle_count's pe cache.
     heavy = (
         e.crossJoin(F.broadcast(thr))
         .filter(F.col("n") >= F.col("k"))

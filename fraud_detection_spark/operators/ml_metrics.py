@@ -509,7 +509,11 @@ def q_pr_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cum_pos * 1.0 / tot_pos AS rec, "
         "COALESCE(LAG(cum_pos * 1.0 / tot_pos) OVER (ORDER BY bucket DESC), 0)"
         " AS rec_prev FROM c) "
-        "SELECT " + sql_round("SUM((rec - rec_prev) * prec)", 6) + " AS ap FROM r"
+        "SELECT " + sql_round(
+            "CAST(SUM(CAST(FLOOR((rec - rec_prev) * prec * 1000000000 + 0.5) "
+            "AS BIGINT)) AS DOUBLE) / 1000000000",
+            6,
+        ) + " AS ap FROM r"
     ),
     tags=("ml", "metric"),
 )
@@ -518,8 +522,8 @@ def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds — sklearn's average_precision_score on the binned
     curve; the scalar PR summary that, unlike trapezoidal PR-AUC,
     never optimistically interpolates. Same bounded bucket-table plan
-    as q_pr_points; the final sum runs over ≤51 rows in frame order
-    on both engines."""
+    as q_pr_points; each ΔR·P step folds to 1e-9 fixed-point units so
+    the final sum over the ≤51 rows is an exact integer sum."""
     s = scored(spark, sf_dir)
     b = s.groupBy(F.floor(F.col("score") * 50).cast("bigint").alias("bucket")).agg(
         F.sum("label").alias("pos"),
@@ -541,8 +545,14 @@ def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lag(F.col("cum_pos") * 1.0 / F.col("tot_pos")).over(w_lag), F.lit(0.0)
         ).alias("rec_prev"),
     )
+    # per-step fixed-point units before the sum (layout-proof; the
+    # q_chi2 discipline — round-7 self-review)
+    step_units = F.floor(
+        (F.col("rec") - F.col("rec_prev")) * F.col("prec") * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
     return r.agg(
-        pround(F.sum((F.col("rec") - F.col("rec_prev")) * F.col("prec")), 6).alias("ap")
+        pround(F.sum(step_units).cast("double") / 1000000000, 6).alias("ap")
     )
 
 
@@ -562,15 +572,17 @@ def q_avg_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + " AS balanced_accuracy, "
         + sql_round(
-            "(tp * tn - fp * fn) / NULLIF(SQRT(CAST(tp + fp AS DOUBLE)) "
+            "(CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) "
+            "/ NULLIF(SQRT(CAST(tp + fp AS DOUBLE)) "
             "* SQRT(CAST(tp + fn AS DOUBLE)) * SQRT(CAST(tn + fp AS DOUBLE)) "
             "* SQRT(CAST(tn + fn AS DOUBLE)), 0)",
             6,
         )
         + " AS mcc, "
         + sql_round(
-            "2.0 * (tp * tn - fp * fn) / NULLIF("
-            "CAST((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn) AS DOUBLE), 0)",
+            "2.0 * (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn) / NULLIF("
+            "CAST(tp + fp AS DOUBLE) * (fp + tn) "
+            "+ CAST(tp + fn AS DOUBLE) * (fn + tn), 0)",
             6,
         )
         + " AS kappa FROM c"
@@ -598,13 +610,16 @@ def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(~lab & ~pred, 1).otherwise(0)).cast("bigint").alias("tn"),
     )
     tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    num = tp.cast("double") * tn - fp.cast("double") * fn
     mcc_den = (
         F.sqrt((tp + fp).cast("double"))
         * F.sqrt((tp + fn).cast("double"))
         * F.sqrt((tn + fp).cast("double"))
         * F.sqrt((tn + fn).cast("double"))
     )
-    kap_den = ((tp + fp) * (fp + tn) + (tp + fn) * (fn + tn)).cast("double")
+    kap_den = (tp + fp).cast("double") * (fp + tn) + (tp + fn).cast("double") * (
+        fn + tn
+    )
     return c.select(
         pround((tp + tn) * 1.0 / (tp + fp + fn + tn), 6).alias("accuracy"),
         pround(
@@ -615,10 +630,8 @@ def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2,
             6,
         ).alias("balanced_accuracy"),
-        pround((tp * tn - fp * fn) / F.nullif(mcc_den, F.lit(0.0)), 6).alias("mcc"),
-        pround(2.0 * (tp * tn - fp * fn) / F.nullif(kap_den, F.lit(0.0)), 6).alias(
-            "kappa"
-        ),
+        pround(num / F.nullif(mcc_den, F.lit(0.0)), 6).alias("mcc"),
+        pround(2.0 * num / F.nullif(kap_den, F.lit(0.0)), 6).alias("kappa"),
     )
 
 

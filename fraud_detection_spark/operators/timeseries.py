@@ -780,10 +780,10 @@ def q_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=(
         "WITH " + _DAILY_SQL + ", "
         "u AS (SELECT "
-        "CAST(FLOOR(y * 1000000 + 0.5) AS BIGINT) AS u1, "
-        "CAST(FLOOR(y * y * 1000000 + 0.5) AS BIGINT) AS u2, "
-        "CAST(FLOOR(y * y * y * 1000000 + 0.5) AS BIGINT) AS u3, "
-        "CAST(FLOOR(y * y * y * y * 1000000 + 0.5) AS BIGINT) AS u4 FROM d), "
+        "CAST(FLOOR(y * 1000000 + 0.5) AS HUGEINT) AS u1, "
+        "CAST(FLOOR(y * y * 1000000 + 0.5) AS HUGEINT) AS u2, "
+        "CAST(FLOOR(y * y * y * 1000000 + 0.5) AS HUGEINT) AS u3, "
+        "CAST(FLOOR(y * y * y * y * 1000000 + 0.5) AS HUGEINT) AS u4 FROM d), "
         "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
         "CAST(SUM(u1) AS DOUBLE) / 1000000 AS s1, "
         "CAST(SUM(u2) AS DOUBLE) / 1000000 AS s2, "
@@ -832,7 +832,9 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.col("y")
 
     def unit(expr):
-        return F.floor(expr * 1000000 + F.lit(0.5)).cast("bigint")
+        # decimal, not bigint: floor(y^4 * 1e6) wraps int64 once the
+        # daily mean passes ~1742; DECIMAL(38,0) matches DuckDB HUGEINT
+        return F.floor(expr * 1000000 + F.lit(0.5)).cast("decimal(38,0)")
 
     u = d.select(
         unit(y).alias("u1"),

@@ -339,30 +339,44 @@ def run_serving_stream(
     batchDuration (ms) from recentProgress, plus total rows, total ms,
     and end-to-end rows/s — the numbers SCALE.md's serving-throughput
     section records (reference latency budget: 500 ms P95,
-    monitoring/prometheus/rules HighAPILatency)."""
+    monitoring/prometheus/rules HighAPILatency). recentProgress is
+    retained per spark.sql.streaming.numRecentProgressUpdates (default
+    100) — a backlog draining in more batches would silently
+    undercount (round-7 self-review), so the retention is raised to
+    cover availableNow's worst case (one batch per input file) before
+    the query starts, and restored after."""
     import json as _json
 
     checkpoint_dir = checkpoint_dir or tempfile.mkdtemp(prefix="fds-ckpt-")
+    _PROG_CONF = "spark.sql.streaming.numRecentProgressUpdates"
+    prev_retention = spark.conf.get(_PROG_CONF, "100")
     reader = spark.readStream.schema(REQUEST_SCHEMA)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.json(requests_dir).transform(score_requests)
-    q = (
-        stream.writeStream.foreachBatch(
-            lambda bdf, bid: upsert_batch(bdf, bid, results_dir)
+    try:
+        n_files = sum(
+            1 for f in os.listdir(requests_dir) if not f.startswith(("_", "."))
         )
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    batches = []
-    for p in q.recentProgress:
-        d = p if isinstance(p, dict) else _json.loads(p.json)
-        if d.get("numInputRows", 0):
-            batches.append(
-                {"rows": d["numInputRows"], "ms": d.get("batchDuration", 0)}
+        spark.conf.set(_PROG_CONF, str(max(100, n_files + 10)))
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda bdf, bid: upsert_batch(bdf, bid, results_dir)
             )
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        batches = []
+        for p in q.recentProgress:
+            d = p if isinstance(p, dict) else _json.loads(p.json)
+            if d.get("numInputRows", 0):
+                batches.append(
+                    {"rows": d["numInputRows"], "ms": d.get("batchDuration", 0)}
+                )
+    finally:
+        spark.conf.set(_PROG_CONF, prev_retention)
     total_rows = sum(b["rows"] for b in batches)
     total_ms = sum(b["ms"] for b in batches)
     return {
