@@ -125,6 +125,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_runs_test",       # Wald-Wolfowitz randomness test
     "q_collocations",    # PMI bigram collocations
     "q_pivot_daily",     # explicit-list pivot (day x type matrix)
+    "q_sprt",            # Wald sequential test (anytime-valid monitor)
 })
 
 

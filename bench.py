@@ -177,6 +177,9 @@ HEADLINE = [
     "q_runs_test",
     "q_collocations",
     "q_pivot_daily",
+    # round-7 close: anytime-valid sequential monitor (bounded day
+    # table, fixed-point LLR increments)
+    "q_sprt",
 ]
 
 

@@ -191,3 +191,113 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(F.col("mi") / F.least("h_type", "h_dow"), 6).alias("nmi"),
         )
     )
+
+
+# --- Sequential probability ratio test (SPRT) -------------------------
+
+_SPRT_LIFT = 1.5          # H1: positive rate = 1.5x the H0 rate
+_SPRT_ALPHA = 0.05        # type-I error target
+_SPRT_BETA = 0.10         # type-II error target
+# Wald decision boundaries: log((1-b)/a), log(b/(1-a))
+_SPRT_UPPER = "LN((1 - 0.10) / 0.05)"
+_SPRT_LOWER = "LN(0.10 / (1 - 0.05))"
+
+
+@query(
+    "q_sprt",
+    oracle=(
+        "WITH s AS (SELECT year(o_orderdate) * 10000 + month(o_orderdate) "
+        "* 100 + day(o_orderdate) AS datekey, "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+        "d AS (SELECT datekey, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(y) AS BIGINT) AS k FROM s GROUP BY datekey), "
+        "g AS (SELECT SUM(k) * 1.0 / SUM(n) AS p0 FROM d), "
+        f"p AS (SELECT p0, LEAST(p0 * {_SPRT_LIFT}, 0.999) AS p1 FROM g), "
+        "u AS (SELECT datekey, n, k, "
+        "CAST(FLOOR((k * LN(p1 / p0) + (n - k) * LN((1 - p1) / (1 - p0))) "
+        "* 1000000000 + 0.5) AS BIGINT) AS llr_u FROM d, p), "
+        "c AS (SELECT datekey, n, k, "
+        "CAST(SUM(llr_u) OVER (ORDER BY datekey) AS DOUBLE) / 1000000000 "
+        "AS llr FROM u) "
+        "SELECT CAST(datekey AS BIGINT) AS datekey, n, k, "
+        + sql_round("llr", 6) + " AS llr, "
+        f"CAST(CASE WHEN llr >= {_SPRT_UPPER} THEN 1 "
+        f"WHEN llr <= {_SPRT_LOWER} THEN -1 ELSE 0 END AS INT) AS decision "
+        "FROM c"
+    ),
+    tags=("stats", "monitoring", "sequential"),
+)
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald sequential probability ratio test over the daily positive
+    rate: cumulative log-likelihood ratio of H1 (rate = 1.5× baseline)
+    vs H0 (baseline), with the (α=0.05, β=0.10) decision boundaries —
+    the ONLINE hypothesis test that ends the peeking problem fixed-n
+    tests have (q_ab_test's z is only valid at its planned n; a
+    monitor that checks daily needs SPRT's anytime-valid boundaries).
+    decision: 1 = rate shift confirmed, −1 = baseline confirmed,
+    0 = keep monitoring.
+
+    Determinism: daily (n, k) are exact integer counts; each day's LLR
+    increment folds to 1e-9 fixed-point units (the one float op is two
+    logs of the broadcast scalar rates, identical per row), the
+    cumulative sum is an exact integer window over the bounded day
+    table, and the boundary comparison is scalar IEEE. Plan: one
+    fact-fact join folds map-side to ≤|days| rows; everything after is
+    bounded."""
+    from fraud_detection_spark.sources import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    datekey = (
+        F.year("o_orderdate") * 10000
+        + F.month("o_orderdate") * 100
+        + F.dayofmonth("o_orderdate")
+    )
+    s = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        datekey.alias("datekey"),
+        (F.col("l_returnflag") == "R").cast("int").alias("y"),
+    )
+    d = s.groupBy("datekey").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("k"),
+    )
+    g = d.agg((F.sum("k") * 1.0 / F.sum("n")).alias("p0"))
+    p = g.select("p0", F.least(F.col("p0") * _SPRT_LIFT, F.lit(0.999)).alias("p1"))
+    u = d.crossJoin(F.broadcast(p)).select(
+        "datekey",
+        "n",
+        "k",
+        F.floor(
+            (
+                F.col("k") * F.log(F.col("p1") / F.col("p0"))
+                + (F.col("n") - F.col("k"))
+                * F.log((1 - F.col("p1")) / (1 - F.col("p0")))
+            )
+            * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("llr_u"),
+    )
+    w = Window.orderBy("datekey").rowsBetween(Window.unboundedPreceding, 0)
+    # bounded: ≤|days| rows by construction
+    c = u.select(
+        "datekey",
+        "n",
+        "k",
+        (F.sum("llr_u").over(w).cast("double") / 1000000000).alias("llr"),
+    )
+    upper = F.expr(_SPRT_UPPER)
+    lower = F.expr(_SPRT_LOWER)
+    return c.select(
+        F.col("datekey").cast("bigint").alias("datekey"),
+        "n",
+        "k",
+        pround(F.col("llr"), 6).alias("llr"),
+        F.when(F.col("llr") >= upper, 1)
+        .when(F.col("llr") <= lower, -1)
+        .otherwise(0)
+        .cast("int")
+        .alias("decision"),
+    )

@@ -269,3 +269,26 @@ def test_collocations_and_pivot(spark, sf_dir):
         r.click + r.error + r.purchase + r.signup + r.view for r in piv
     )
     assert total == load_table(spark, sf_dir, "events").count()
+
+
+def test_sprt_properties(spark, sf_dir):
+    """LLR path is cumulative and decisions respect the Wald bounds;
+    under H0-generated data the test should rarely cross upward early."""
+    import math
+
+    rows = sorted(_run("q_sprt", spark, sf_dir), key=lambda r: r.datekey)
+    assert rows
+    upper = math.log((1 - 0.10) / 0.05)
+    lower = math.log(0.10 / (1 - 0.05))
+    for r in rows:
+        assert 0 <= r.k <= r.n
+        if r.decision == 1:
+            assert r.llr >= upper - 1e-9
+        elif r.decision == -1:
+            assert r.llr <= lower + 1e-9
+        else:
+            assert lower - 1e-9 < r.llr < upper + 1e-9
+    # the observed rate IS the H0 baseline (p0 is fit on this data), so
+    # the LLR must drift DOWN overall and finish at the H0 decision
+    assert rows[-1].llr < 0
+    assert rows[-1].decision == -1
