@@ -126,3 +126,44 @@ def test_training_pipeline_full_sf01(spark):
     )
     # held-out-user AUC: the leak-free claim, now tested out-of-sample
     assert auc >= 0.80, auc
+
+
+def test_corpus_pipeline_full_sf01(spark, tmp_path):
+    """Third end-to-end scale exercise: the full corpus-prep job at
+    sf0.1 (5,000 docs) with EVERY optional stage on — exact dedup ->
+    MinHash near-dup clustering -> quality filter -> decontamination ->
+    temperature mix -> fingerprint -> hive-partitioned write. Numbers
+    in SCALE.md next to the serving and training exercises."""
+    import json
+    import time
+
+    from fraud_detection_spark.pipelines.corpus_job import run_corpus_pipeline
+
+    t0 = time.perf_counter()
+    rep = run_corpus_pipeline(
+        spark,
+        SCALE_SF_DIR,
+        output_path=str(tmp_path / "corpus"),
+        near_dedup=True,
+        decontaminate=True,
+        mix_temperature=0.7,
+    )
+    wall = time.perf_counter() - t0
+    # the funnel only narrows
+    assert rep.n_input >= rep.n_after_dedup >= rep.n_after_quality
+    assert rep.n_after_quality >= rep.n_after_decontam >= (rep.n_after_mix or 0)
+    assert rep.total_ws_tokens > 0 and rep.by_lang
+    print(
+        "\nCORPUS_SCALE "
+        + json.dumps(
+            {
+                "n_input": rep.n_input,
+                "n_after_dedup": rep.n_after_dedup,
+                "n_after_quality": rep.n_after_quality,
+                "n_after_decontam": rep.n_after_decontam,
+                "n_after_mix": rep.n_after_mix,
+                "total_ws_tokens": rep.total_ws_tokens,
+                "wall_sec": round(wall, 1),
+            }
+        )
+    )
