@@ -126,6 +126,9 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_collocations",    # PMI bigram collocations
     "q_pivot_daily",     # explicit-list pivot (day x type matrix)
     "q_sprt",            # Wald sequential test (anytime-valid monitor)
+    "q_kl_mix",          # per-day KL of the type mix vs global
+    "q_seasonal_strength",  # variance share of the DOW component
+    "q_entropy_by_source",  # per-source unigram entropy
 })
 
 

@@ -178,8 +178,12 @@ HEADLINE = [
     "q_collocations",
     "q_pivot_daily",
     # round-7 close: anytime-valid sequential monitor (bounded day
-    # table, fixed-point LLR increments)
+    # table, fixed-point LLR increments), per-day categorical KL,
+    # DOW variance share, per-source token entropy
     "q_sprt",
+    "q_kl_mix",
+    "q_seasonal_strength",
+    "q_entropy_by_source",
 ]
 
 

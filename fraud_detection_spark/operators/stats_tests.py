@@ -301,3 +301,62 @@ def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("decision"),
     )
+
+
+@query(
+    "q_kl_mix",
+    oracle=(
+        f"WITH e AS (SELECT ({_SEC_SQL} // 86400) AS day, event_type FROM events), "
+        "c AS (SELECT day, event_type, CAST(COUNT(*) AS BIGINT) AS o "
+        "FROM e GROUP BY day, event_type), "
+        "m AS (SELECT *, SUM(o) OVER (PARTITION BY day) AS nd, "
+        "SUM(o) OVER (PARTITION BY event_type) AS nt, "
+        "SUM(o) OVER () AS n FROM c), "
+        "t AS (SELECT day, nd, "
+        "CAST(FLOOR((o * 1.0 / nd) * LOG2((o * 1.0 / nd) / (nt * 1.0 / n)) "
+        f"* {_FP} + 0.5) AS BIGINT) AS u FROM m) "
+        "SELECT CAST(day AS BIGINT) AS day, CAST(MAX(nd) AS BIGINT) AS n, "
+        + sql_round(f"CAST(SUM(u) AS DOUBLE) / {_FP}", 6)
+        + " AS kl_bits FROM t GROUP BY day"
+    ),
+    tags=("stats", "monitoring", "drift"),
+)
+def q_kl_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day KL divergence (bits) of the day's event-type mix from
+    the corpus-wide mix — the categorical drift DISTANCE per day, where
+    q_chi2 gives one global independence verdict (a bot campaign that
+    skews one day's click/view ratio spikes that day's KL while the
+    global test dilutes it). Absent types contribute 0 by the standard
+    0·log 0 convention — they simply have no cell row.
+
+    Plan: one map-side aggregate to the ≤|days|×|types| cell table,
+    margin windows over that bounded table, per-cell terms folded to
+    1e-9 fixed-point units so each day's KL is an exact integer sum
+    (the module's discipline)."""
+    ev = events_with_time(spark, sf_dir)
+    c = ev.groupBy(
+        F.expr("ts_sec div 86400").alias("day"), "event_type"
+    ).agg(F.count("*").alias("o"))
+    # bounded table: ≤ |days| × |types| cells
+    m = c.select(
+        "day",
+        "o",
+        F.sum("o").over(Window.partitionBy("day")).alias("nd"),
+        F.sum("o").over(Window.partitionBy("event_type")).alias("nt"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    u = F.floor(
+        (F.col("o") * 1.0 / F.col("nd"))
+        * F.log2((F.col("o") * 1.0 / F.col("nd")) / (F.col("nt") * 1.0 / F.col("n")))
+        * _FP
+        + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        m.select("day", "nd", u.alias("u"))
+        .groupBy("day")
+        .agg(
+            F.max("nd").cast("bigint").alias("n"),
+            pround(F.sum("u").cast("double") / _FP, 6).alias("kl_bits"),
+        )
+        .select(F.col("day").cast("bigint").alias("day"), "n", "kl_bits")
+    )

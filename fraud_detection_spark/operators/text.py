@@ -1018,3 +1018,64 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(_COLLOC_TOPK)
     )
+
+
+@query(
+    "q_entropy_by_source",
+    oracle=(
+        "WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS w "
+        "FROM documents), "
+        "c AS (SELECT source, w, CAST(COUNT(*) AS BIGINT) AS n FROM tok "
+        "WHERE w <> '' GROUP BY source, w), "
+        "t AS (SELECT source, SUM(n) AS tot, "
+        "CAST(COUNT(*) AS BIGINT) AS vocab FROM c GROUP BY source) "
+        "SELECT c.source, CAST(t.tot AS BIGINT) AS n_tokens, t.vocab, "
+        + sql_round(
+            "CAST(SUM(CAST(FLOOR(-(n * 1.0 / tot) * log2(n * 1.0 / tot) "
+            "* 1000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000",
+            6,
+        )
+        + " AS entropy_bits "
+        "FROM c JOIN t ON c.source = t.source "
+        "GROUP BY c.source, t.tot, t.vocab"
+    ),
+    tags=("text", "corpus", "stats"),
+)
+def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram Shannon entropy of each source's token distribution,
+    with token and vocabulary counts — the per-domain corpus-quality
+    screen (template farms and boilerplate-heavy domains read low
+    entropy relative to their vocabulary; q_zipf_fit says the corpus
+    is template-y, this says WHICH source). The per-source twin of
+    q_path_entropy's per-user journey measure.
+
+    Plan: one map-side-combinable (source, token) count aggregate —
+    the q_token_freq shuffle keyed wider — then per-source totals
+    joined back on the co-partitioned source key; each −p·log2 p term
+    folds to 1e-9 fixed-point units so entropies are exact integer
+    sums (layout-proof)."""
+    d = load_table(spark, sf_dir, "documents")
+    c = (
+        d.select("source", F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("source", "w")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    t = c.groupBy("source").agg(
+        F.sum("n").alias("tot"), F.count("*").cast("bigint").alias("vocab")
+    )
+    frac = F.col("n") * 1.0 / F.col("tot")
+    u = F.floor(-frac * F.log2(frac) * 1000000000 + F.lit(0.5)).cast("bigint")
+    return (
+        c.join(t, "source")
+        .groupBy("source", "tot", "vocab")
+        .agg(
+            pround(F.sum(u).cast("double") / 1000000000, 6).alias("entropy_bits")
+        )
+        .select(
+            "source",
+            F.col("tot").cast("bigint").alias("n_tokens"),
+            "vocab",
+            "entropy_bits",
+        )
+    )

@@ -1058,3 +1058,73 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.select(
         "n1", "n0", "runs", pround((runs - e_r) / F.sqrt(var_r), 6).alias("z")
     )
+
+
+@query(
+    "q_seasonal_strength",
+    oracle=(
+        f"WITH d AS (SELECT {_SEC_SQL} // 86400 AS day, "
+        "CAST(COUNT(*) AS BIGINT) AS x FROM events GROUP BY day), "
+        "w AS (SELECT *, day % 7 AS dow FROM d), "
+        "m AS (SELECT dow, SUM(x) * 1.0 / COUNT(*) AS mdow FROM w GROUP BY dow), "
+        "g AS (SELECT SUM(x) * 1.0 / COUNT(*) AS mu FROM w), "
+        "t AS (SELECT "
+        "CAST(FLOOR((w.x - m.mdow) * (w.x - m.mdow) * 1000000 + 0.5) "
+        "AS BIGINT) AS ur, "
+        "CAST(FLOOR((w.x - g.mu) * (w.x - g.mu) * 1000000 + 0.5) "
+        "AS BIGINT) AS ut "
+        "FROM w JOIN m ON m.dow = w.dow, g) "
+        "SELECT CAST(COUNT(*) AS BIGINT) AS n_days, "
+        + sql_round(
+            "1.0 - CAST(SUM(ur) AS DOUBLE) / NULLIF(CAST(SUM(ut) AS DOUBLE), 0)",
+            6,
+        )
+        + " AS seasonal_strength FROM t"
+    ),
+    tags=("timeseries", "stats", "agg"),
+)
+def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly seasonal strength of the daily volume series: the
+    variance share explained by day-of-week means,
+    1 − SS(x − m_dow)/SS(x − x̄) ∈ [0,1] (Hyndman & Athanasopoulos'
+    seasonal-strength measure on the detrended series; equivalently
+    the η² of the DOW-means model) — the SCALAR that says whether
+    q_deseasonalize's weekly decomposition is doing real work before
+    anyone trusts its residuals.
+
+    Determinism: daily counts are exact integers, the DOW means and
+    grand mean are exact-integer-ratio doubles, and each squared
+    deviation folds to 1e-6 fixed-point units before its integer sum
+    — layout-proof over the bounded day table."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(F.expr("ts div 1000000000 div 86400").alias("day"))
+        .groupBy("day")
+        .agg(F.count("*").cast("bigint").alias("x"))
+    )
+    w = d.select("day", "x", (F.col("day") % 7).alias("dow"))
+    m = w.groupBy("dow").agg((F.sum("x") * 1.0 / F.count("*")).alias("mdow"))
+    g = w.agg((F.sum("x") * 1.0 / F.count("*")).alias("mu"))
+
+    def unit(expr):
+        return F.floor(expr * 1000000 + F.lit(0.5)).cast("bigint")
+
+    t = (
+        w.join(F.broadcast(m), "dow")
+        .crossJoin(F.broadcast(g))
+        .select(
+            unit((F.col("x") - F.col("mdow")) * (F.col("x") - F.col("mdow"))).alias(
+                "ur"
+            ),
+            unit((F.col("x") - F.col("mu")) * (F.col("x") - F.col("mu"))).alias("ut"),
+        )
+    )
+    return t.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        pround(
+            F.lit(1.0)
+            - F.sum("ur").cast("double")
+            / F.nullif(F.sum("ut").cast("double"), F.lit(0.0)),
+            6,
+        ).alias("seasonal_strength"),
+    )

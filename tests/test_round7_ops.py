@@ -292,3 +292,24 @@ def test_sprt_properties(spark, sf_dir):
     # the LLR must drift DOWN overall and finish at the H0 decision
     assert rows[-1].llr < 0
     assert rows[-1].decision == -1
+
+
+def test_kl_mix_and_seasonal_strength_bounds(spark, sf_dir):
+    rows = _run("q_kl_mix", spark, sf_dir)
+    assert rows
+    # KL >= 0 up to the 1e-9 quantization
+    assert all(r.kl_bits >= -1e-6 for r in rows)
+    (s,) = _run("q_seasonal_strength", spark, sf_dir)
+    assert s.n_days > 0
+    # group-means R^2 is in [0,1] by construction (up to quantization)
+    assert -1e-6 <= s.seasonal_strength <= 1 + 1e-6
+
+
+def test_entropy_by_source_bounds(spark, sf_dir):
+    import math
+
+    rows = _run("q_entropy_by_source", spark, sf_dir)
+    assert rows
+    for r in rows:
+        assert r.n_tokens >= r.vocab >= 1
+        assert -1e-6 <= r.entropy_bits <= math.log2(r.vocab) + 1e-6
