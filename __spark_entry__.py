@@ -62,73 +62,17 @@ def entry(spark: SparkSession) -> DataFrame:
 # _TOUCHED_THIS_ROUND (queries whose implementation changed in the
 # current round; fresh driver evidence wanted soonest).
 #
-# Round 7 freeze (VERDICT r6 next-round #1): these 15 operators have
-# NEVER appeared in any CORRECTNESS_r*.json — round 6's 51 new queries
-# competed for 50 sample slots and displaced them. They lead the r7
-# sample unconditionally; new round-7 operators join BEHIND them.
-# Pins AUTO-RETIRE: _ordered() drops any pinned name that has driver
-# history, so once CORRECTNESS_r07 records them this list becomes a
-# no-op and the normal rotation resumes without an edit (and without
-# a stale-pin trap for round 8).
-_PINNED_HEAD = (
-    "q_asof_interval",
-    "q_auc_by_segment",
-    "q_cusum",
-    "q_data_profile",
-    "q_debounce",
-    "q_distinctive_terms",
-    "q_ewma",
-    "q_hard_negatives",
-    "q_hll_sketch",
-    "q_kaplan_meier",
-    "q_scd2",
-    "q_sequence_gaps",
-    "q_threshold_sweep",
-    "q_token_fertility",
-    "q_trend_forecast",
-)
+# Round 8: the pin backlog is EMPTY (VERDICT r7: all 247 declared
+# queries have driver evidence; the r7 pins auto-retired once
+# CORRECTNESS_r07 recorded them). No new pins needed — the rotation
+# owns the schedule; touched/new queries below lead it.
+_PINNED_HEAD = ()
 
 _TOUCHED_THIS_ROUND = frozenset({
-    # round 7 edits (VERDICT r6 next-round items + ADVICE r6):
-    "q_asof_interval",   # forced-broadcast hint dropped (V#2; also pinned)
-    "q_fraud_rings",     # exact integer division for vertex->custkey (ADVICE)
-    "q_active_users",    # exploded-offset equi-join replaces nested-loop (ADVICE)
-    "q_dormancy",        # docstring/frame alignment (ADVICE; behavior unchanged)
-    # new round-7 operators (join BEHIND the pinned 15, per the freeze):
-    "q_session_paths",   # session path signatures (V#6)
-    "q_path_entropy",    # per-user journey entropy (V#6)
-    "q_session_stats",   # session duration/bounce distribution
-    "q_burstiness",      # Goh-Barabási inter-event burstiness
-    "q_chi2",            # chi-square independence + Cramér's V
-    "q_mutual_info",     # MI / normalized MI of type × weekday
-    "q_triangle_count",  # projected-graph triangle participation
-    "q_neighbor_jaccard",  # neighbor-set similarity per pair
-    "q_autocorrelation",   # daily-series ACF lags 1..7
-    "q_window_suite",    # percent_rank/cume_dist/ntile/nth_value
-    "q_countmin",        # count-min sketch heavy hitters
-    "q_bloom_prefilter", # bloom decontamination prefilter
-    "q_pr_points",       # binned precision-recall curve
-    "q_avg_precision",   # average precision (AP)
-    "q_mcc",             # MCC / kappa / balanced accuracy
-    "q_logloss",         # binary cross-entropy (fixed-point exact)
-    "q_first_touch",     # first-touch attribution per journey
-    "q_forecast_backtest",  # rolling-origin holdout eval of the trend fit
-    "q_new_edges",       # counterparty-novelty rate per day
-    "q_conversion_lag",  # time-to-convert distribution
-    "q_robust_trend",    # Theil-Sen median-slope trend
-    "q_moments",         # skewness/kurtosis from exact power sums
-    "q_zipf_fit",        # Zipf slope of the token distribution
-    "q_corr_matrix",     # Pearson matrix via DECIMAL(38) exact sums
-    "q_hbos",            # histogram-based outlier score
-    "q_gini",            # banded Gini scalar (q_lorenz area)
-    "q_mann_kendall",    # nonparametric trend test (integer S)
-    "q_runs_test",       # Wald-Wolfowitz randomness test
-    "q_collocations",    # PMI bigram collocations
-    "q_pivot_daily",     # explicit-list pivot (day x type matrix)
-    "q_sprt",            # Wald sequential test (anytime-valid monitor)
-    "q_kl_mix",          # per-day KL of the type mix vs global
-    "q_seasonal_strength",  # variance share of the DOW component
-    "q_entropy_by_source",  # per-source unigram entropy
+    # round 8 edits (VERDICT r7 next-round items + ADVICE r7):
+    "q_moments",         # decimal-before-floor overflow guard (ADVICE r7)
+    "q_pagerank",        # gains a DuckDB unrolled-iteration oracle (V#7)
+    "q_triangle_count",  # degree-ordered orientation for hub skew (V#4)
 })
 
 

@@ -832,9 +832,14 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = F.col("y")
 
     def unit(expr):
-        # decimal, not bigint: floor(y^4 * 1e6) wraps int64 once the
-        # daily mean passes ~1742; DECIMAL(38,0) matches DuckDB HUGEINT
-        return F.floor(expr * 1000000 + F.lit(0.5)).cast("decimal(38,0)")
+        # cast to decimal BEFORE flooring: Spark's floor() on a DOUBLE
+        # returns LONG, which saturates at Long.MaxValue once the daily
+        # mean passes ~1742 (y^4 * 1e6 > 2^63) — a decimal cast AFTER
+        # that floor can't undo the saturation. Flooring the
+        # DECIMAL(38,6) keeps the whole path in decimal (floor(decimal)
+        # returns decimal), matching DuckDB's CAST(FLOOR(...) AS
+        # HUGEINT) which never saturates (round-7 ADVICE).
+        return F.floor((expr * 1000000 + F.lit(0.5)).cast("decimal(38,6)"))
 
     u = d.select(
         unit(y).alias("u1"),

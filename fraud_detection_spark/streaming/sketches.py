@@ -13,7 +13,10 @@ identical rows instead of double-counting (the same idempotence
 pattern as streaming/incremental.py's hits sink). The live sketch is
 an aggregate over the partial partitions — ≤ batches × d×w rows, KBs;
 ``compact_cms`` folds history into one partition when the partial
-count grows.
+count grows, records the highest folded batch_id in a watermark
+sidecar, and ``cms_batch`` skips replays at or below it — closing the
+compact-between-sink-write-and-checkpoint-commit double-count race
+(round-7 ADVICE).
 
 Reference parity: the reference's worker counts events into Prometheus
 counters (xai_tasks.py:48-50) — additive, restart-merged metrics; this
@@ -27,6 +30,7 @@ without ever materializing a vocabulary table.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,9 +46,32 @@ from fraud_detection_spark.operators.scale import (
 DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bigint"
 
 
+def _watermark_path(sketch_path: str) -> str:
+    # underscore-prefixed sidecar: Spark's parquet reader ignores it
+    # (same convention as _SUCCESS). Driver-side metadata, a few bytes.
+    return os.path.join(sketch_path, "_compact_watermark")
+
+
+def compacted_watermark(sketch_path: str) -> int:
+    """Highest batch_id already folded into the compacted partition
+    (-1 if never compacted)."""
+    try:
+        with open(_watermark_path(sketch_path)) as fh:
+            return int(fh.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
 def cms_batch(batch_df: DataFrame, batch_id: int, sketch_path: str) -> None:
     """Fold one micro-batch into its own partial-sketch partition.
-    Dynamic partition overwrite => replay-idempotent."""
+    Dynamic partition overwrite => replay-idempotent; batches at or
+    below the compaction watermark are SKIPPED outright — their counts
+    already live inside the compacted batch_id=-1 partition, so
+    re-writing them as fresh partitions would double-count (the
+    sink-written-but-checkpoint-uncommitted replay race, round-7
+    ADVICE)."""
+    if int(batch_id) <= compacted_watermark(sketch_path):
+        return
     spark = batch_df.sparkSession
     cells = cms_cells(spark, token_counts(batch_df)).withColumn(
         "batch_id", F.lit(int(batch_id))
@@ -69,12 +96,31 @@ def read_cms(spark: SparkSession, sketch_path: str) -> DataFrame:
 def compact_cms(spark: SparkSession, sketch_path: str) -> None:
     """Fold all partial partitions into a single batch_id=-1 partition
     (read -> localCheckpoint to sever lineage -> full overwrite).
-    Merged totals are unchanged — addition is associative."""
-    merged = read_cms(spark, sketch_path).withColumn(
-        "batch_id", F.lit(-1)
-    ).localCheckpoint()
+    Merged totals are unchanged — addition is associative.
+
+    Replay safety (round-7 ADVICE): compaction also records the highest
+    batch_id it folded in the ``_compact_watermark`` sidecar, and
+    ``cms_batch`` skips any batch at or below it — so a batch whose
+    sink write landed but whose checkpoint commit didn't (the one
+    window where Structured Streaming replays) cannot be re-added on
+    restart after its counts were folded into -1. The watermark is
+    written only AFTER the overwrite commits: a crash between the two
+    leaves the pre-ADVICE behavior for that one compaction (run
+    compact_cms only while the stream is stopped, as before), never a
+    lost count."""
+    partials = spark.read.parquet(sketch_path)
+    hi = partials.agg(F.max("batch_id").alias("hi")).collect()[0].hi
+    merged = (
+        partials.groupBy("j", "b")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+        .withColumn("batch_id", F.lit(-1))
+        .localCheckpoint()
+    )
     merged.write.mode("overwrite").partitionBy("batch_id").parquet(sketch_path)
     spark.catalog.refreshByPath(sketch_path)
+    if hi is not None and int(hi) > compacted_watermark(sketch_path):
+        with open(_watermark_path(sketch_path), "w") as fh:
+            fh.write(str(int(hi)))
 
 
 def cms_estimate(

@@ -83,3 +83,37 @@ def test_cms_batch_replay_is_idempotent(spark, sf_dir, tmp_path):
     spark.catalog.refreshByPath(sketch)
     after = _cells_dict(read_cms(spark, sketch))
     assert after == _cells_dict(cms_cells(spark, token_counts(docs)))
+
+
+def test_compact_then_replay_does_not_double_count(spark, sf_dir, tmp_path):
+    """Round-7 ADVICE race: batch N's sink write lands, compaction
+    folds it into batch_id=-1, the checkpoint never committed, so the
+    restarted stream REPLAYS batch N. Without the compaction watermark
+    the replay lands in a fresh batch_id=N partition whose counts are
+    already inside -1 — double count. With it, the replay is skipped."""
+    from fraud_detection_spark.streaming.sketches import compacted_watermark
+
+    docs = load_table(spark, sf_dir, "documents")
+    sketch = str(tmp_path / "sketch3")
+    even = docs.filter(F.col("doc_id") % 2 == 0)
+    odd = docs.filter(F.col("doc_id") % 2 == 1)
+    cms_batch(even, 0, sketch)
+    cms_batch(odd, 1, sketch)  # written to sink, checkpoint NOT committed
+    spark.catalog.refreshByPath(sketch)
+    truth = _cells_dict(cms_cells(spark, token_counts(docs)))
+    assert _cells_dict(read_cms(spark, sketch)) == truth
+
+    compact_cms(spark, sketch)
+    assert compacted_watermark(sketch) == 1
+    cms_batch(odd, 1, sketch)  # restart replays batch 1 -> must skip
+    spark.catalog.refreshByPath(sketch)
+    assert _cells_dict(read_cms(spark, sketch)) == truth
+
+    # post-compaction batches still fold in normally
+    cms_batch(even, 2, sketch)
+    spark.catalog.refreshByPath(sketch)
+    merged = _cells_dict(read_cms(spark, sketch))
+    even_cells = _cells_dict(cms_cells(spark, token_counts(even)))
+    assert merged == {
+        k: truth[k] + even_cells.get(k, 0) for k in truth
+    }
