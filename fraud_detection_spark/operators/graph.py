@@ -537,6 +537,18 @@ def _heavy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n") >= F.col("k"))
         .select("custkey", "suppkey")
     )
+    return project_pairs(heavy)
+
+
+def project_pairs(heavy: DataFrame) -> DataFrame:
+    """Distinct projected pairs (ca < cb) of a bipartite edge list
+    (columns custkey, suppkey): customers sharing a counterparty,
+    self-joined on the counterparty key. The kernel behind
+    _heavy_pairs, factored out so the 10x scale smoke
+    (tests/test_graph_scale.py) can drive it with a replicated edge
+    list — per-counterparty fan-out is quadratic in that
+    counterparty's degree, which is exactly what the suspicion cut
+    (and, at 100 TB, a per-counterparty degree cap) keeps bounded."""
     a = heavy.select(F.col("custkey").alias("ca"), "suppkey")
     b = heavy.select(F.col("custkey").alias("cb"), "suppkey")
     return (

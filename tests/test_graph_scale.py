@@ -1,0 +1,100 @@
+"""10x scale smoke for the graph family (VERDICT r7 #6).
+
+The heaviest graph queries are self-join-shaped — the class where
+sf0.1 numbers hide quadratic blow-ups (round 6 caught three such bugs
+only by widening). This replicates the REAL sf0.1 projected edge
+structure ~10x with salted keys (each replica r maps vertex v to
+v*16+r: ten disjoint isomorphic copies, so every vertex keeps its
+exact degree and the per-replica work is identical) and asserts
+
+- result cardinality scales exactly 10x (isomorphic copies), and
+- wall time grows ~linearly, not quadratically: t(10x) <= 10 * 2.5 *
+  t(1x) + scheduling slack. A quadratic kernel would show ~100x.
+
+Covered kernels: ``triangle_counts`` (wedge self-join + close join)
+and ``project_pairs`` (bipartite counterparty self-join — the shared
+front end of q_triangle_count / q_neighbor_jaccard /
+q_shared_counterparties).
+
+Gated behind SPARK_GRAFT_SCALE_TESTS=1 (~1-2 min at sf0.1): scale-
+exercise budget, not unit-suite budget. Measured numbers live in
+SCALE.md ("Graph family, 10x smoke") — re-measure here when the
+kernels change.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+SCALE_SF_DIR = os.environ.get("SPARK_GRAFT_SCALE_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 10
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1",
+    reason="scale exercise; run with SPARK_GRAFT_SCALE_TESTS=1",
+)
+
+
+def _replicate(df, cols, k=REPLICAS):
+    """k disjoint isomorphic copies: vertex v -> v*16+r per replica r
+    (16 > k keeps replicas collision-free), preserving every degree."""
+    r = df.crossJoin(F.broadcast(
+        df.sparkSession.range(k).select(F.col("id").alias("_rep"))
+    ))
+    return r.select(
+        *[(F.col(c) * 16 + F.col("_rep")).alias(c) for c in cols]
+    )
+
+
+def _timed_count(df):
+    t0 = time.time()
+    n = df.count()
+    return n, time.time() - t0
+
+
+def test_triangle_counts_scales_linearly(spark):
+    from fraud_detection_spark.operators.graph import (
+        _heavy_pairs,
+        triangle_counts,
+    )
+
+    pe1 = _heavy_pairs(spark, SCALE_SF_DIR).localCheckpoint()
+    pe10 = _replicate(pe1, ["ca", "cb"]).localCheckpoint()
+    # warm the JVM/codegen paths once so t1 is not charged for startup
+    triangle_counts(pe1).count()
+
+    tri1, t1 = _timed_count(triangle_counts(pe1))
+    tri10, t10 = _timed_count(triangle_counts(pe10))
+    assert tri10 == REPLICAS * tri1, (tri1, tri10)
+    # linear bound with generous local-mode slack; quadratic would be ~100x
+    assert t10 <= 2.5 * REPLICAS * t1 + 5.0, (t1, t10)
+    print(f"SCALE triangle_counts: 1x={t1:.2f}s 10x={t10:.2f}s ratio={t10 / t1:.1f}")
+
+
+def test_project_pairs_scales_linearly(spark):
+    from fraud_detection_spark.operators.graph import (
+        RING_FACTOR,
+        edges,
+        project_pairs,
+    )
+
+    e = edges(spark, SCALE_SF_DIR)
+    thr = e.agg(F.ceil(F.lit(RING_FACTOR) * F.avg("n")).alias("k"))
+    heavy1 = (
+        e.crossJoin(F.broadcast(thr))
+        .filter(F.col("n") >= F.col("k"))
+        .select("custkey", "suppkey")
+        .localCheckpoint()
+    )
+    heavy10 = _replicate(heavy1, ["custkey", "suppkey"]).localCheckpoint()
+    project_pairs(heavy1).count()  # warm
+
+    p1, t1 = _timed_count(project_pairs(heavy1))
+    p10, t10 = _timed_count(project_pairs(heavy10))
+    assert p10 == REPLICAS * p1, (p1, p10)
+    assert t10 <= 2.5 * REPLICAS * t1 + 5.0, (t1, t10)
+    print(f"SCALE project_pairs: 1x={t1:.2f}s 10x={t10:.2f}s ratio={t10 / t1:.1f}")
