@@ -167,3 +167,39 @@ def test_corpus_pipeline_full_sf01(spark, tmp_path):
             }
         )
     )
+
+
+def test_session_path_stream_full_sf01(spark, tmp_path):
+    """Streaming session-path twin at full sf0.1 volume (VERDICT r7
+    #5): the whole events table as a 3-slice in-order backlog through
+    the stateful sessionizer, exact batch parity on every closed
+    session. Rows/s recorded in SCALE.md ("Session-path stream")."""
+    from tests.test_streaming_sessions import (
+        _batch_sessions,
+        run_session_stream,
+    )
+
+    got, wall, n_in = run_session_stream(
+        spark, SCALE_SF_DIR, tmp_path, query_name="sessions_sf01"
+    )
+    batch = _batch_sessions(spark, SCALE_SF_DIR).toPandas()
+    last_sid = batch.groupby("user_id")["sid"].transform("max")
+    want = batch[batch["sid"] < last_sid]
+
+    key = ["user_id", "sid"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s), (len(got_s), len(want_s))
+    for c in ["user_id", "sid", "path", "n_events", "t0_sec", "t1_sec"]:
+        assert (got_s[c].values == want_s[c].values).all(), c
+    print(
+        json.dumps(
+            {
+                "exercise": "session_path_stream_sf01",
+                "input_rows": n_in,
+                "closed_sessions": int(len(got_s)),
+                "wall_seconds": round(wall, 2),
+                "rows_per_sec": round(n_in / wall, 1),
+            }
+        )
+    )

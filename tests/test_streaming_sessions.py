@@ -1,0 +1,159 @@
+"""Streaming session-path twin vs the batch family (VERDICT r7 #5).
+
+Feeds the SAME events the batch q_session_paths family reads, sliced
+into time-ordered files processed one per micro-batch (state must
+carry open sessions across batches), and asserts the emitted closed
+sessions are EXACTLY the batch sessionization minus each user's final
+(still-open) session — (user_id, sid, path) set equality plus
+n_events/t0/t1 value equality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _batch_sessions(spark, sf_dir):
+    """Batch ground truth: one row per (user_id, sid) with path
+    (first-8 signature), n_events, t0/t1 — the _session_paths
+    construction widened with the session aggregate."""
+    from pyspark.sql import Window
+    from fraud_detection_spark.operators.behavior import (
+        _PATH_MAX_STEPS,
+        _SESSION_GAP_SEC,
+    )
+    from fraud_detection_spark.sources import events_with_time
+
+    ev = events_with_time(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    new_s = (
+        F.lag("ts_sec").over(w).isNull()
+        | (F.col("ts_sec") - F.lag("ts_sec").over(w) >= _SESSION_GAP_SEC)
+    ).cast("int")
+    s = ev.select(
+        "user_id",
+        "ts_sec",
+        "event_id",
+        "event_type",
+        F.sum(new_s).over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("sid"),
+    )
+    path = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("rn") <= _PATH_MAX_STEPS,
+                        F.struct("ts_sec", "event_id", "event_type"),
+                    )
+                )
+            ),
+            lambda x: x["event_type"],
+        ),
+        ">",
+    )
+    w_sess = Window.partitionBy("user_id", "sid").orderBy("ts_sec", "event_id")
+    return (
+        s.withColumn("rn", F.row_number().over(w_sess))
+        .groupBy("user_id", "sid")
+        .agg(
+            path.alias("path"),
+            F.count("*").cast("bigint").alias("n_events"),
+            F.min("ts_sec").alias("t0_sec"),
+            F.max("ts_sec").alias("t1_sec"),
+        )
+    )
+
+
+def run_session_stream(spark, sf_dir, tmp_path, n_slices=3, query_name="sessions"):
+    """Write events as n time-ordered slices and run ONE availableNow
+    query per slice against the SAME checkpoint: micro-batch k sees
+    exactly slice k, open sessions carry across batches through the
+    state store — a deterministic in-order multi-batch feed that does
+    not depend on file-listing order. Returns (emitted_pdf,
+    wall_seconds, n_input_rows)."""
+    import shutil
+    import time
+
+    from fraud_detection_spark.sources import events_with_time
+    from fraud_detection_spark.streaming.sessions import session_path_stream
+
+    ev = (
+        events_with_time(spark, sf_dir)
+        .select("user_id", "ts_sec", "event_id", "event_type")
+        .orderBy("ts_sec", "event_id")
+    )
+    pdf = ev.toPandas()
+    n = len(pdf)
+    rows_per = (n + n_slices - 1) // n_slices
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    for i in range(n_slices):
+        chunk = pdf.iloc[i * rows_per : (i + 1) * rows_per]
+        if len(chunk):
+            spark.createDataFrame(chunk).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"slice_{i:03d}"))
+    paths = sorted(str(p) for p in src.glob("slice_*"))
+
+    schema = ev.schema
+    ckpt = str(tmp_path / "sess_ckpt")
+    out = str(tmp_path / "sess_out")
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    total_wall = 0.0
+    for i, p in enumerate(paths):
+        shutil.copytree(p, str(staged / f"s{i}"))
+        stream_in = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(staged))
+        t = time.time()
+        # parquet sink, not memory: the memory sink cannot recover
+        # from a checkpoint, and the per-slice restarts ARE recoveries
+        q = (
+            session_path_stream(stream_in, idle_timeout_ms=None)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        total_wall += time.time() - t
+    got = spark.read.parquet(out).toPandas()
+    return got, total_wall, n
+
+
+def test_session_path_stream_matches_batch(spark, sf_dir, tmp_path):
+    got, _, _ = run_session_stream(spark, sf_dir, tmp_path)
+
+    batch = _batch_sessions(spark, sf_dir).toPandas()
+    last_sid = batch.groupby("user_id")["sid"].transform("max")
+    want = batch[batch["sid"] < last_sid]  # open sessions not yet emitted
+
+    key = ["user_id", "sid"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s), (len(got_s), len(want_s))
+    assert len(got_s) > 0
+    for c in ["user_id", "sid", "path", "n_events", "t0_sec", "t1_sec"]:
+        assert (got_s[c].values == want_s[c].values).all(), c
+
+
+def test_path_frequencies_feed(spark, sf_dir, tmp_path):
+    """The downstream frequency aggregate over emitted sessions equals
+    q_session_paths' frequency table restricted to closed sessions."""
+    from fraud_detection_spark.streaming.sessions import path_frequencies
+
+    got, _, _ = run_session_stream(
+        spark, sf_dir, tmp_path, query_name="sessions_freq"
+    )
+    sessions = spark.createDataFrame(got)
+    freq = {
+        r.path: r.n_sessions for r in path_frequencies(sessions).collect()
+    }
+    batch = _batch_sessions(spark, sf_dir).toPandas()
+    last_sid = batch.groupby("user_id")["sid"].transform("max")
+    closed = batch[batch["sid"] < last_sid]
+    want = closed.groupby("path").size().to_dict()
+    assert freq == want
