@@ -73,6 +73,17 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_moments",         # decimal-before-floor overflow guard (ADVICE r7)
     "q_pagerank",        # gains a DuckDB unrolled-iteration oracle (V#7)
     "q_triangle_count",  # degree-ordered orientation for hub skew (V#4)
+    "q_bm25",            # scoring core factored out for q_rrf (same plan)
+    # round-8 additions (new queries — no history, evidence wanted now):
+    "q_clustering_coeff",
+    "q_assortativity",
+    "q_label_prop",
+    "q_changepoint",
+    "q_winsorized_stats",
+    "q_peer_group_outlier",
+    "q_parity_gap",
+    "q_ndcg",
+    "q_rrf",
 })
 
 

@@ -193,6 +193,23 @@ HEADLINE = [
     "q_kl_mix",
     "q_seasonal_strength",
     "q_entropy_by_source",
+    # round-8 operators (timed the round they ship — BASELINE.md
+    # rule 2): projected-graph structure completion (clustering
+    # coefficient + degree assortativity off one checkpointed edge
+    # projection; 4-iteration min-label communities), offline
+    # changepoint (bounded day table), winsorized class moments
+    # (percentile broadcast + one exact-integer moment pass),
+    # nation-peer z outliers, per-segment fairness gaps, NDCG@10 and
+    # lexical+semantic RRF fusion over the corpus rankings
+    "q_clustering_coeff",
+    "q_assortativity",
+    "q_label_prop",
+    "q_changepoint",
+    "q_winsorized_stats",
+    "q_peer_group_outlier",
+    "q_parity_gap",
+    "q_ndcg",
+    "q_rrf",
 ]
 
 

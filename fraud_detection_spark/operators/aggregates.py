@@ -172,3 +172,97 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.get_json_object("props", "$.k").isNotNull(), 1).otherwise(0)
         ).cast("bigint").alias("n_with_props"),
     )
+
+
+@query(
+    "q_winsorized_stats",
+    oracle=(
+        "WITH b AS (SELECT l_returnflag, "
+        "quantile_disc(l_extendedprice, 0.05) AS p05, "
+        "quantile_disc(l_extendedprice, 0.95) AS p95 "
+        "FROM lineitem GROUP BY l_returnflag), "
+        "w AS (SELECT l.l_returnflag, b.p05, b.p95, "
+        "CAST(FLOOR(LEAST(GREATEST(l.l_extendedprice, b.p05), b.p95) "
+        "* 100 + 0.5) AS BIGINT) AS cents "
+        "FROM lineitem l JOIN b ON l.l_returnflag = b.l_returnflag), "
+        "s AS (SELECT l_returnflag, p05, p95, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "SUM(CAST(cents AS HUGEINT)) AS sc, "
+        "SUM(CAST(cents AS HUGEINT) * cents) AS sc2 "
+        "FROM w GROUP BY l_returnflag, p05, p95) "
+        "SELECT l_returnflag, n, "
+        + sql_round("p05", 2) + " AS p05, "
+        + sql_round("p95", 2) + " AS p95, "
+        + sql_round("CAST(sc AS DOUBLE) / 100 / n", 6) + " AS w_mean, "
+        + sql_round(
+            "SQRT((CAST(sc2 AS DOUBLE) - CAST(sc AS DOUBLE) * sc / n) "
+            "/ (n - 1)) / 100",
+            6,
+        )
+        + " AS w_std FROM s"
+    ),
+    tags=("agg", "robust", "stats"),
+)
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean/std of the line price per return-flag class:
+    values clamped to the class's exact [p05, p95] before the moments
+    — the robust location/scale estimate that keeps sample size
+    (unlike trimming) while bounding the influence of the tails that
+    drive fraud amounts. The feature-engineering companion to
+    q_robust_scale's median/IQR: winsorized moments feed models that
+    want (approximately) Gaussian inputs but can't afford outlier
+    leverage.
+
+    Exactness: PERCENTILE_DISC selects an ELEMENT (engine-exact, the
+    q_percentiles discipline); clamping is pure comparison, no
+    arithmetic; the clamped values fold to integer cents so both
+    moments are exact integer sums — DECIMAL(38,0) on Spark, HUGEINT
+    on DuckDB, the q_corr_matrix overflow discipline (BIGINT sums of
+    cents-squared overflow at fact scale) — and the only float ops
+    are the final divisions/sqrt on exact inputs.
+
+    Scale: one grouped percentile pass (the exact-median cost,
+    ≤|classes| rows out, broadcast back) + one map-side-combinable
+    moment aggregate over the clamped scan."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    b = li.groupBy("l_returnflag").agg(
+        F.expr(
+            "percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p05"),
+        F.expr(
+            "percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)"
+        ).alias("p95"),
+    )
+    cents = F.floor(
+        F.least(F.greatest(F.col("l_extendedprice"), F.col("p05")), F.col("p95"))
+        * 100
+        + F.lit(0.5)
+    ).cast("bigint")
+    dec = cents.cast("decimal(38,0)")
+    s = (
+        li.join(F.broadcast(b), "l_returnflag")
+        .groupBy("l_returnflag", "p05", "p95")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(dec).alias("sc"),
+            F.sum(dec * cents).alias("sc2"),
+        )
+    )
+    scd = F.col("sc").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        pround(F.col("p05"), 2).alias("p05"),
+        pround(F.col("p95"), 2).alias("p95"),
+        pround(scd / 100 / F.col("n"), 6).alias("w_mean"),
+        pround(
+            F.sqrt(
+                (F.col("sc2").cast("double") - scd * scd / F.col("n"))
+                / (F.col("n") - 1)
+            )
+            / 100,
+            6,
+        ).alias("w_std"),
+    )

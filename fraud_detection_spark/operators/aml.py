@@ -379,3 +379,86 @@ def q_duplicate_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("sec_a") - F.col("sec_b")).cast("bigint").alias("dt_sec"),
         )
     )
+
+
+@query(
+    "q_peer_group_outlier",
+    oracle=(
+        "WITH sp AS (SELECT c.c_custkey, c.c_nationkey, "
+        "CAST(COUNT(*) AS BIGINT) AS n_orders, "
+        "SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS HUGEINT)) AS cents "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY c.c_custkey, c.c_nationkey), "
+        "pg AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_peers, "
+        "SUM(cents) AS s1, SUM(cents * cents) AS s2 "
+        "FROM sp GROUP BY c_nationkey), "
+        "z AS (SELECT sp.c_custkey, sp.c_nationkey, sp.n_orders, "
+        "sp.cents, pg.n_peers, "
+        "CAST(pg.s1 AS DOUBLE) / pg.n_peers AS mu, "
+        "SQRT((CAST(pg.s2 AS DOUBLE) - CAST(pg.s1 AS DOUBLE) * pg.s1 "
+        "/ pg.n_peers) / (pg.n_peers - 1)) AS sd "
+        "FROM sp JOIN pg ON sp.c_nationkey = pg.c_nationkey "
+        "WHERE pg.n_peers >= 3) "
+        "SELECT c_custkey, c_nationkey, n_orders, "
+        + sql_round("CAST(cents AS DOUBLE) / 100", 2) + " AS total_spend, "
+        + sql_round("(CAST(cents AS DOUBLE) - mu) / sd", 6) + " AS z "
+        "FROM z WHERE sd > 0 AND ABS((CAST(cents AS DOUBLE) - mu) / sd) >= 2"
+    ),
+    tags=("aml", "fraud", "stats"),
+)
+def q_peer_group_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peer-group spend outliers: each customer's total order value
+    z-scored against their NATION peer group, flagging |z| ≥ 2 — the
+    classic AML peer-deviation screen (an account is suspicious
+    relative to accounts LIKE it, not relative to the whole book:
+    a z that mixes retail and institutional peers flags nothing but
+    size). Complements q_mad_outlier's within-account screen with the
+    across-account one; peer sets with < 3 members are excluded (a
+    z-score against one peer is noise).
+
+    Exactness: spends fold to integer cents; both peer moments are
+    exact integer sums (DECIMAL(38,0) / HUGEINT — cents² overflows
+    BIGINT at fact scale, the q_corr_matrix discipline); mean, std,
+    and z are a handful of IEEE ops on exact integers, identical on
+    both engines, so even the |z| ≥ 2 BOUNDARY decides identically.
+
+    Scale: per-customer totals are one co-partitioned orders⋈customer
+    join + hash aggregate; peer moments are a second tiny aggregate
+    (|nations| rows) broadcast back onto the |customers|-row table.
+    Nothing re-touches facts after the first fold."""
+    o = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    sp = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            F.sum(cents.cast("decimal(38,0)")).alias("cents"),
+        )
+    )
+    pg = sp.groupBy("c_nationkey").agg(
+        F.count("*").cast("bigint").alias("n_peers"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    cd = F.col("cents").cast("double")
+    s1d = F.col("s1").cast("double")
+    mu = s1d / F.col("n_peers")
+    sd = F.sqrt(
+        (F.col("s2").cast("double") - s1d * F.col("s1").cast("double") / F.col("n_peers"))
+        / (F.col("n_peers") - 1)
+    )
+    z = (cd - mu) / sd
+    return (
+        sp.join(F.broadcast(pg.filter(F.col("n_peers") >= 3)), "c_nationkey")
+        .filter(sd > 0)
+        .filter(F.abs(z) >= 2)
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            "n_orders",
+            pround(cd / 100, 2).alias("total_spend"),
+            pround(z, 6).alias("z"),
+        )
+    )

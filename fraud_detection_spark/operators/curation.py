@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from fraud_detection_spark.functions import fixed_sum, pround
 from fraud_detection_spark.registry import query, sql_fixed_sum, sql_round
@@ -189,32 +190,37 @@ _B = 0.75
 _BM25_TOPK = 15
 
 
+# Shared oracle pieces: corpus stats CTE chain + the (unrounded) Okapi
+# score expression — used by q_bm25's top-k and q_rrf's full ranking.
+_BM25_STATS_SQL = (
+    "w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+    "tf AS (SELECT doc_id, len(w) AS dl, "
+    + ", ".join(
+        f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(_BM25_TERMS)
+    )
+    + " FROM w), "
+    "s AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, "
+    + ", ".join(
+        f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
+        for i in range(len(_BM25_TERMS))
+    )
+    + " FROM tf)"
+)
+_BM25_EXPR = " + ".join(
+    f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * "
+    f"(tf{i} * {_K1 + 1.0}) / "
+    f"(tf{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
 @query(
     "q_bm25",
     oracle=(
-        "WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
-        "tf AS (SELECT doc_id, len(w) AS dl, "
-        + ", ".join(
-            f"len(list_filter(w, x -> x = '{t}')) AS tf{i}"
-            for i, t in enumerate(_BM25_TERMS)
-        )
-        + " FROM w), "
-        "s AS (SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, "
-        + ", ".join(
-            f"SUM(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS df{i}"
-            for i in range(len(_BM25_TERMS))
-        )
-        + " FROM tf) "
+        "WITH " + _BM25_STATS_SQL + " "
         "SELECT doc_id, CAST(dl AS BIGINT) AS doc_len, "
-        + sql_round(
-            " + ".join(
-                f"ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1.0) * "
-                f"(tf{i} * {_K1 + 1.0}) / "
-                f"(tf{i} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl))"
-                for i in range(len(_BM25_TERMS))
-            ),
-            6,
-        )
+        + sql_round(_BM25_EXPR, 6)
         + " AS bm25 "
         "FROM tf CROSS JOIN s "
         f"ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}"
@@ -235,6 +241,17 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     the score is codegen'd arithmetic with a fixed term order (t0 +
     t1 + t2 — summation order pinned on both engines, so rounding
     cannot drift); top-k plans as TakeOrderedAndProject."""
+    return (
+        bm25_scores(spark, sf_dir)
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(_BM25_TOPK)
+    )
+
+
+def bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-corpus (doc_id, doc_len, bm25) table for the fixed query —
+    q_bm25's scoring core, factored so q_rrf can fuse the complete
+    lexical ranking (not just the top-15) with the semantic one."""
     d = load_table(spark, sf_dir, "documents").select(
         "doc_id", F.split("text", " ").alias("w")
     )
@@ -266,15 +283,10 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         norm = tf_i + _K1 * (1.0 - _B + _B * F.col("dl") / F.col("avgdl"))
         term = idf * (tf_i * (_K1 + 1.0)) / norm
         score = term if score is None else score + term
-    return (
-        tf.crossJoin(F.broadcast(stats))
-        .select(
-            "doc_id",
-            F.col("dl").cast("bigint").alias("doc_len"),
-            pround(score, 6).alias("bm25"),
-        )
-        .orderBy(F.desc("bm25"), F.asc("doc_id"))
-        .limit(_BM25_TOPK)
+    return tf.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        F.col("dl").cast("bigint").alias("doc_len"),
+        pround(score, 6).alias("bm25"),
     )
 
 
@@ -729,4 +741,101 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.withColumn(
         "low_entropy", (F.col("ratio") < _COMP_MAX_RATIO).cast("int")
+    )
+
+
+# --- q_rrf ------------------------------------------------------------
+
+_RRF_K = 60       # the canonical reciprocal-rank-fusion constant
+_RRF_TOPK = 20
+_RRF_QUERY_DOC = 0  # doc_id <-> vec_id pairing; 0 is the query doc
+
+
+@query(
+    "q_rrf",
+    oracle=(
+        "WITH " + _BM25_STATS_SQL + ", "
+        "lex AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY "
+        + sql_round(_BM25_EXPR, 6)
+        + f" DESC, doc_id) AS r_lex FROM tf CROSS JOIN s "
+        f"WHERE doc_id <> {_RRF_QUERY_DOC}), "
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe FROM embeddings "
+        f"WHERE vec_id = {_RRF_QUERY_DOC}), "
+        "sem AS (SELECT vec_id AS doc_id, ROW_NUMBER() OVER (ORDER BY "
+        + sql_round(
+            "list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe)", 6
+        )
+        + " DESC, vec_id) AS r_sem "
+        f"FROM embeddings CROSS JOIN q WHERE vec_id <> {_RRF_QUERY_DOC}) "
+        "SELECT lex.doc_id, CAST(r_lex AS BIGINT) AS lex_rank, "
+        "CAST(r_sem AS BIGINT) AS sem_rank, "
+        + sql_round(
+            f"1.0 / ({_RRF_K} + r_lex) + 1.0 / ({_RRF_K} + r_sem)", 6
+        )
+        + " AS rrf FROM lex JOIN sem ON lex.doc_id = sem.doc_id "
+        f"ORDER BY rrf DESC, lex.doc_id LIMIT {_RRF_TOPK}"
+    ),
+    tags=("curation", "retrieval", "similarity"),
+)
+def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal rank fusion: the corpus ranked
+    lexically (BM25 for the fixed query, q_bm25's scoring core) and
+    semantically (cosine to the query embedding, q_knn_cosine's
+    form), fused as Σ 1/(60 + rank) — the standard score-free way to
+    combine heterogeneous rankings (BM25 magnitudes and cosines are
+    incomparable; ranks always are), and the default first stage of
+    a modern lexical+vector search stack. Top-20 with both
+    constituent ranks exposed for debugging.
+
+    Exactness: both rankings ROW_NUMBER over a 6-dp-rounded score
+    with id tie-break — proven-identical scores (q_bm25 /
+    q_knn_cosine) make the ranks identical integers; the fused score
+    is a fixed-order two-term sum of exact-integer reciprocals,
+    identical IEEE on both engines.
+
+    Scale: each ranking is its own bounded pipeline (corpus stats
+    broadcast, codegen'd scores); the rank windows are the only
+    single-partition steps — at 100 TB swap them for a two-stage
+    top-M-then-rank (RRF only needs ranks up to the fusion window,
+    since 1/(60+r) decays past usefulness by r ≈ a few hundred); the
+    final join is |corpus|-keyed and AQE-planned."""
+    from fraud_detection_spark.operators.similarity import (
+        _as_double,
+        cosine_to_query,
+    )
+
+    lex_scores = bm25_scores(spark, sf_dir).filter(
+        F.col("doc_id") != _RRF_QUERY_DOC
+    )
+    w_lex = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lex = lex_scores.select(
+        "doc_id", F.row_number().over(w_lex).alias("r_lex")
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == _RRF_QUERY_DOC).select(
+        _as_double("embedding").alias("qe")
+    )
+    sem_scores = (
+        e.filter(F.col("vec_id") != _RRF_QUERY_DOC)
+        .select(F.col("vec_id").alias("doc_id"), _as_double("embedding").alias("e"))
+        .crossJoin(F.broadcast(qv))
+        .select("doc_id", pround(cosine_to_query("e", "qe"), 6).alias("cosine"))
+    )
+    w_sem = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    sem = sem_scores.select(
+        "doc_id", F.row_number().over(w_sem).alias("r_sem")
+    )
+
+    rrf = 1.0 / (_RRF_K + F.col("r_lex")) + 1.0 / (_RRF_K + F.col("r_sem"))
+    return (
+        lex.join(sem, "doc_id")
+        .select(
+            "doc_id",
+            F.col("r_lex").cast("bigint").alias("lex_rank"),
+            F.col("r_sem").cast("bigint").alias("sem_rank"),
+            pround(rrf, 6).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), F.asc("doc_id"))
+        .limit(_RRF_TOPK)
     )

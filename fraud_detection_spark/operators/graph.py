@@ -841,3 +841,236 @@ def q_new_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("new_rate"),
         )
     )
+
+
+# --- round 8: projected-graph structure completion --------------------
+
+
+@query(
+    "q_clustering_coeff",
+    oracle=(
+        "WITH " + _HEAVY_PAIR_SQL + ", "
+        "tri AS (SELECT p1.ca AS a, p1.cb AS b, p2.cb AS c "
+        "FROM pe p1 JOIN pe p2 ON p2.ca = p1.cb "
+        "JOIN pe p3 ON p3.ca = p1.ca AND p3.cb = p2.cb), "
+        "v AS (SELECT a AS custkey FROM tri UNION ALL "
+        "SELECT b FROM tri UNION ALL SELECT c FROM tri), "
+        "tc AS (SELECT custkey, COUNT(*) AS n_tri FROM v GROUP BY custkey), "
+        "deg AS (SELECT custkey, COUNT(*) AS d FROM "
+        "(SELECT ca AS custkey FROM pe UNION ALL SELECT cb FROM pe) "
+        "GROUP BY custkey) "
+        "SELECT deg.custkey, CAST(deg.d AS BIGINT) AS degree, "
+        "CAST(COALESCE(tc.n_tri, 0) AS BIGINT) AS n_triangles, "
+        + sql_round(
+            "2.0 * COALESCE(tc.n_tri, 0) / (deg.d * (deg.d - 1))", 6
+        )
+        + " AS clustering_coeff "
+        "FROM deg LEFT JOIN tc ON deg.custkey = tc.custkey "
+        "WHERE deg.d >= 2"
+    ),
+    tags=("graph", "fraud"),
+)
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per projected-graph customer:
+    2·triangles(v) / (deg(v)·(deg(v)−1)) — what fraction of a
+    customer's co-conspirator candidates are themselves pairwise
+    linked. The normalized form of q_triangle_count (a hub in 3
+    triangles out of 3 possible is a closed cell; one in 3 of 4,950
+    is a popular counterparty), i.e. the standard second-order graph
+    feature after degree and triangle count.
+
+    Plan: triangle counts and degrees both come off the ONE
+    localCheckpoint'd projected edge list (triangle_counts reuses the
+    degree-ordered enumeration — same skew bound as
+    q_triangle_count); the final join is |V|-sized both sides.
+    Only deg ≥ 2 vertices emit (the coefficient is undefined below),
+    which also keeps the output the analyst-relevant core."""
+    pe = _heavy_pairs(spark, sf_dir).localCheckpoint()
+    tc = triangle_counts(pe)
+    deg = (
+        pe.select(F.explode(F.array("ca", "cb")).alias("custkey"))
+        .groupBy("custkey")
+        .agg(F.count("*").alias("d"))
+    )
+    return (
+        deg.filter(F.col("d") >= 2)
+        .join(tc, "custkey", "left")
+        .select(
+            "custkey",
+            F.col("d").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            pround(
+                2.0
+                * F.coalesce(F.col("n_triangles"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+@query(
+    "q_assortativity",
+    oracle=(
+        "WITH " + _HEAVY_PAIR_SQL + ", "
+        "deg AS (SELECT custkey, COUNT(*) AS d FROM "
+        "(SELECT ca AS custkey FROM pe UNION ALL SELECT cb FROM pe) "
+        "GROUP BY custkey), "
+        "de AS (SELECT da.d AS x, db.d AS y FROM pe "
+        "JOIN deg da ON pe.ca = da.custkey "
+        "JOIN deg db ON pe.cb = db.custkey), "
+        "sym AS (SELECT x, y FROM de UNION ALL SELECT y, x FROM de), "
+        "s AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n, "
+        "SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy, "
+        "SUM(CAST(x AS HUGEINT) * y) AS sxy, "
+        "SUM(CAST(x AS HUGEINT) * x) AS sxx FROM sym) "
+        "SELECT CAST(n // 2 AS BIGINT) AS n_edges, "
+        + sql_round(
+            "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) / "
+            "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)",
+            6,
+        )
+        + " AS assortativity FROM s"
+    ),
+    tags=("graph", "stats"),
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the projected collusion graph: the
+    Pearson correlation of endpoint degrees over all edges (each edge
+    taken in both directions, the standard Newman convention — which
+    also makes the x/y marginals identical, so one Sxx serves as both
+    variances). Negative assortativity (hubs attaching to leaves) is
+    the mule-star signature; positive (hubs linking hubs) is the
+    dense-ring signature — one scalar that characterizes which regime
+    the suspicious subgraph is in.
+
+    Exactness: degrees are integers, so every accumulated moment
+    (Σx, Σxy, Σx²) is an exact integer sum — DECIMAL(38,0) on Spark,
+    HUGEINT on DuckDB (the q_corr_matrix discipline); the only float
+    ops are the final two divisions, identical IEEE on both engines,
+    then the 6-dp fixed-point round."""
+    pe = _heavy_pairs(spark, sf_dir).localCheckpoint()
+    deg = (
+        pe.select(F.explode(F.array("ca", "cb")).alias("custkey"))
+        .groupBy("custkey")
+        .agg(F.count("*").alias("d"))
+    )
+    de = (
+        pe.join(
+            F.broadcast(deg.withColumnRenamed("custkey", "ca").withColumnRenamed("d", "x")),
+            "ca",
+        )
+        .join(
+            F.broadcast(deg.withColumnRenamed("custkey", "cb").withColumnRenamed("d", "y")),
+            "cb",
+        )
+        .select("x", "y")
+    )
+    sym = de.unionAll(de.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    dec = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    s = sym.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum(dec("x")).alias("sx"),
+        F.sum(dec("y")).alias("sy"),
+        F.sum(dec("x") * F.col("y")).alias("sxy"),
+        F.sum(dec("x") * F.col("x")).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    return s.select(
+        F.floor(F.col("n") / 2).cast("bigint").alias("n_edges"),
+        pround(
+            (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double"))
+            / (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+_LP_ITERS = 4
+
+
+def _label_prop_oracle() -> str:
+    """DuckDB twin of the fixed-4-iteration min-label propagation:
+    the same unrolled-CTE construction as _pagerank_oracle (fixed
+    iteration count → plain CTE chain; every multi-referenced CTE
+    MATERIALIZED against exponential inlining). Pure integer MIN
+    semantics — no float reconciliation needed at all."""
+    sql = [
+        "WITH " + _HEAVY_PAIR_SQL + ", "
+        "sym AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM pe "
+        "UNION ALL SELECT cb, ca FROM pe), "
+        "l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label "
+        "FROM sym), "
+    ]
+    for i in range(1, _LP_ITERS + 1):
+        sql.append(
+            f"c{i} AS MATERIALIZED (SELECT e.dst AS node, MIN(p.label) AS nl "
+            f"FROM sym e JOIN l{i - 1} p ON e.src = p.node GROUP BY e.dst), "
+            f"l{i} AS MATERIALIZED (SELECT l.node, "
+            "LEAST(l.label, COALESCE(c.nl, l.label)) AS label "
+            f"FROM l{i - 1} l LEFT JOIN c{i} c ON l.node = c.node), "
+        )
+    sql[-1] = sql[-1].rstrip(", ") + " "
+    sql.append(
+        "SELECT CAST(label AS BIGINT) AS community, "
+        "CAST(COUNT(*) AS BIGINT) AS n_members "
+        f"FROM l{_LP_ITERS} GROUP BY label"
+    )
+    return "".join(sql)
+
+
+@query(
+    "q_label_prop",
+    oracle=_label_prop_oracle(),
+    tags=("graph", "iterative", "fraud"),
+)
+def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection on the projected collusion graph by
+    synchronous min-label propagation, fixed 4 iterations: every
+    vertex starts labeled with its own id and repeatedly takes the
+    minimum label among itself and its neighbors — after k rounds,
+    labels have flooded k hops, so each emitted community is (a
+    4-hop-radius approximation of) a connected component of the
+    suspicious subgraph, the ring-candidate grouping a fraud desk
+    triages by size. Deterministic by construction (MIN is
+    order-free), hence hash-exact against the unrolled DuckDB CTE
+    chain — the q_pagerank treatment applied to a pure-integer
+    iteration.
+
+    Plan: per iteration ONE join of the |V|-row label vector against
+    the sparse symmetric edge list + one MIN aggregate, then a left
+    join back — the same DataFrame-iterative shape as PageRank, with
+    localCheckpoint every other round cutting the exponential lineage.
+    At 100 TB the edge list is hash-partitioned on src once and every
+    iteration reuses that layout; label convergence (usually < 10
+    rounds on social-scale graphs) bounds the chain."""
+    pe = _heavy_pairs(spark, sf_dir).localCheckpoint()
+    sym = pe.select(F.col("ca").alias("src"), F.col("cb").alias("dst")).unionAll(
+        pe.select(F.col("cb").alias("src"), F.col("ca").alias("dst"))
+    )
+    labels = sym.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for i in range(_LP_ITERS):
+        nl = (
+            sym.join(labels, sym.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+            .groupBy("node")
+            .agg(F.min("label").alias("nl"))
+        )
+        labels = (
+            labels.join(nl, "node", "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nl"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        if i % 2 == 1:
+            labels = labels.localCheckpoint()
+    return labels.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n_members")
+    ).select(F.col("label").cast("bigint").alias("community"), "n_members")

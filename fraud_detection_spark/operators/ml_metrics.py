@@ -669,3 +669,93 @@ def q_logloss(spark: SparkSession, sf_dir: str) -> DataFrame:
             "logloss"
         ),
     )
+
+
+@query(
+    "q_parity_gap",
+    oracle=(
+        "WITH s AS (" + SCORED_SQL + "), "
+        "seg AS (SELECT c.c_mktsegment AS segment, "
+        "CASE WHEN s.score > 0.5 THEN 1 ELSE 0 END AS pred, s.label "
+        "FROM s JOIN orders o ON s.l_orderkey = o.o_orderkey "
+        "JOIN customer c ON o.o_custkey = c.c_custkey), "
+        "g AS (SELECT segment, CAST(COUNT(*) AS BIGINT) AS n, "
+        "SUM(pred) AS np, SUM(label) AS nl, "
+        "SUM(CASE WHEN pred = 1 AND label = 1 THEN 1 ELSE 0 END) AS tp, "
+        "SUM(CASE WHEN pred = 1 AND label = 0 THEN 1 ELSE 0 END) AS fp "
+        "FROM seg GROUP BY segment), "
+        "t AS (SELECT SUM(n) AS n, SUM(np) AS np, SUM(nl) AS nl, "
+        "SUM(tp) AS tp, SUM(fp) AS fp FROM g) "
+        "SELECT g.segment, g.n, "
+        + sql_round("g.np * 1.0 / g.n", 6) + " AS flag_rate, "
+        + sql_round("g.tp * 1.0 / g.nl", 6) + " AS tpr, "
+        + sql_round("g.fp * 1.0 / (g.n - g.nl)", 6) + " AS fpr, "
+        + sql_round("g.np * 1.0 / g.n - t.np * 1.0 / t.n", 6)
+        + " AS flag_rate_gap, "
+        + sql_round("g.tp * 1.0 / g.nl - t.tp * 1.0 / t.nl", 6) + " AS tpr_gap "
+        "FROM g CROSS JOIN t"
+    ),
+    tags=("ml", "fairness", "monitor"),
+)
+def q_parity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-segment fairness audit of the published fraud model:
+    flag rate (demographic parity), TPR (equal opportunity) and FPR
+    per customer market segment, each with its gap against the
+    overall book — the screen a model-risk review runs before a
+    fraud model ships, because a flag-rate or missed-fraud rate that
+    differs by segment is both a compliance finding and a fraud-ops
+    blind spot. Extends q_auc_by_segment's discrimination view with
+    the threshold-level rates regulators actually quote.
+
+    Exactness: every rate is an integer/integer ratio from exact
+    counts (the q_confusion discipline), gaps are one subtraction of
+    two such ratios — identical IEEE on both engines, then 6-dp
+    fixed-point.
+
+    Scale: score the fact scan once (codegen'd sigmoid), one
+    co-partitioned join chain to the customer dimension, one
+    map-side-combinable count aggregate per segment (|segments| ≤ 5
+    rows out), overall totals broadcast back."""
+    s = scored(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    seg = (
+        s.join(o, s.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("segment"),
+            (F.col("score") > 0.5).cast("int").alias("pred"),
+            "label",
+        )
+    )
+    g = seg.groupBy("segment").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("pred").alias("np"),
+        F.sum("label").alias("nl"),
+        F.sum(((F.col("pred") == 1) & (F.col("label") == 1)).cast("int")).alias("tp"),
+        F.sum(((F.col("pred") == 1) & (F.col("label") == 0)).cast("int")).alias("fp"),
+    )
+    t = g.agg(
+        F.sum("n").alias("tn_"),
+        F.sum("np").alias("tnp"),
+        F.sum("nl").alias("tnl"),
+        F.sum("tp").alias("ttp"),
+    )
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "segment",
+            "n",
+            pround(F.col("np") * 1.0 / F.col("n"), 6).alias("flag_rate"),
+            pround(F.col("tp") * 1.0 / F.col("nl"), 6).alias("tpr"),
+            pround(F.col("fp") * 1.0 / (F.col("n") - F.col("nl")), 6).alias("fpr"),
+            pround(
+                F.col("np") * 1.0 / F.col("n") - F.col("tnp") * 1.0 / F.col("tn_"),
+                6,
+            ).alias("flag_rate_gap"),
+            pround(
+                F.col("tp") * 1.0 / F.col("nl") - F.col("ttp") * 1.0 / F.col("tnl"),
+                6,
+            ).alias("tpr_gap"),
+        )
+    )

@@ -1028,3 +1028,107 @@ def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+_NDCG_K = 10
+
+
+@query(
+    "q_ndcg",
+    oracle=(
+        "WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qe, label AS ql "
+        f"FROM embeddings WHERE vec_id = {QUERY_VEC_ID}), "
+        "r AS (SELECT vec_id, "
+        "CASE WHEN label = ql THEN 1 ELSE 0 END AS rel, "
+        + sql_round(
+            "list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe)", 6
+        )
+        + " AS cosine "
+        f"FROM embeddings CROSS JOIN q WHERE vec_id <> {QUERY_VEC_ID}), "
+        "rk AS (SELECT rel, ROW_NUMBER() OVER "
+        "(ORDER BY cosine DESC, vec_id) AS rnk FROM r), "
+        "nrel AS (SELECT CAST(SUM(rel) AS BIGINT) AS n_rel FROM rk), "
+        "dcg AS (SELECT CAST(SUM(CAST(FLOOR(rel * 1000000000 / log2(rnk + 1) "
+        "+ 0.5) AS BIGINT)) AS DOUBLE) / 1000000000 AS dcg "
+        f"FROM rk WHERE rnk <= {_NDCG_K}), "
+        "ideal AS (SELECT CAST(SUM(CAST(FLOOR(1000000000 / log2(i + 1) + 0.5) "
+        "AS BIGINT)) AS DOUBLE) / 1000000000 AS idcg "
+        f"FROM range(1, {_NDCG_K} + 1) t(i), nrel "
+        f"WHERE i <= LEAST({_NDCG_K}, n_rel)) "
+        "SELECT nrel.n_rel, "
+        + sql_round("dcg.dcg", 6) + " AS dcg, "
+        + sql_round("ideal.idcg", 6) + " AS idcg, "
+        + sql_round("dcg.dcg / ideal.idcg", 6) + " AS ndcg "
+        "FROM nrel, dcg, ideal"
+    ),
+    tags=("similarity", "retrieval", "metric"),
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@10 of the brute-force cosine retrieval, with same-label
+    membership as binary relevance: rank the corpus by similarity to
+    the query vector (vec_id=0), score the top-10 by
+    Σ rel_i / log2(rank_i + 1), normalize by the ideal ordering —
+    the standard offline metric for an embedding-retrieval stack
+    (complements test-side recall@k with a rank-position-weighted,
+    hash-checkable number; label-match relevance is the same oracle
+    convention the ANN recall tests use).
+
+    Exactness: the ranking reuses q_knn_cosine's proven-identical
+    6-dp cosine + vec_id tie-break, so ranks are identical integers;
+    each 1/log2(rank+1) term folds to 1e-9 fixed-point BEFORE the
+    sum (the q_chi2 discipline — a float Σ's partial order could
+    flip the 6-dp round), and the ideal DCG folds the same way over
+    1..min(k, n_rel).
+
+    Scale: one broadcast of the 1-row query vector, one codegen'd
+    zip_with/aggregate cosine pass, a top-k-bounded window on the
+    6-dp-rounded score. The corpus never shuffles beyond the rank's
+    single-partition tail (bounded: only rows needed for rank ≤ k
+    matter at scale — swap the window for TakeOrdered at 100 TB)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        _as_double("embedding").alias("qe"), F.col("label").alias("ql")
+    )
+    r = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", "label", _as_double("embedding").alias("e"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id",
+            (F.col("label") == F.col("ql")).cast("int").alias("rel"),
+            pround(cosine_to_query("e", "qe"), 6).alias("cosine"),
+        )
+    )
+    w = Window.orderBy(F.desc("cosine"), F.asc("vec_id"))
+    rk = r.select("rel", F.row_number().over(w).alias("rnk"))
+    agg = rk.agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        (
+            F.sum(
+                F.when(
+                    F.col("rnk") <= _NDCG_K,
+                    F.floor(
+                        F.col("rel") * 1000000000 / F.log2(F.col("rnk") + 1)
+                        + F.lit(0.5)
+                    ).cast("bigint"),
+                ).otherwise(F.lit(0).cast("bigint"))
+            ).cast("double")
+            / 1000000000
+        ).alias("dcg"),
+    )
+    k = F.least(F.lit(_NDCG_K), F.col("n_rel")).cast("int")
+    idcg = (
+        F.aggregate(
+            F.sequence(F.lit(1), k),
+            F.lit(0).cast("bigint"),
+            lambda acc, i: acc
+            + F.floor(1000000000 / F.log2(i + 1) + F.lit(0.5)).cast("bigint"),
+        ).cast("double")
+        / 1000000000
+    )
+    return agg.select(
+        "n_rel",
+        pround(F.col("dcg"), 6).alias("dcg"),
+        pround(idcg, 6).alias("idcg"),
+        pround(F.col("dcg") / idcg, 6).alias("ndcg"),
+    )

@@ -1133,3 +1133,94 @@ def q_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("seasonal_strength"),
     )
+
+
+# round 8: binary-segmentation changepoint over the daily series
+_CP_V_SQL = (
+    "v AS (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day, "
+    "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v FROM events), "
+    "d AS (SELECT day, SUM(v) AS t, CAST(COUNT(*) AS BIGINT) AS c "
+    "FROM v GROUP BY day), "
+    "tot AS (SELECT SUM(t) AS tt, SUM(c) AS nn, COUNT(*) AS nd FROM d), "
+    "cum AS (SELECT day, SUM(t) OVER (ORDER BY day) AS t1, "
+    "SUM(c) OVER (ORDER BY day) AS n1, "
+    "ROW_NUMBER() OVER (ORDER BY day) AS rn FROM d)"
+)
+
+
+@query(
+    "q_changepoint",
+    oracle=(
+        "WITH " + _CP_V_SQL + ", "
+        "crit AS (SELECT day, n1, rn, "
+        "CAST(t1 AS DOUBLE) * t1 / n1 "
+        "+ CAST(tt - t1 AS DOUBLE) * (tt - t1) / (nn - n1) AS g, "
+        "t1, tt, nn FROM cum, tot WHERE rn < nd) "
+        "SELECT CAST(day AS BIGINT) AS split_day, "
+        "n1 AS n_before, nn - n1 AS n_after, "
+        + sql_round("CAST(t1 AS DOUBLE) / 10000 / n1", 6) + " AS mean_before, "
+        + sql_round("CAST(tt - t1 AS DOUBLE) / 10000 / (nn - n1)", 6)
+        + " AS mean_after "
+        "FROM crit ORDER BY g DESC, day ASC LIMIT 1"
+    ),
+    tags=("timeseries", "changepoint", "window"),
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single best changepoint of the transaction-amount stream by
+    binary segmentation: the day boundary that maximizes the
+    between-segment sum-of-squares G(k) = T₁²/N₁ + T₂²/N₂ over
+    event-weighted daily buckets — equivalently, minimizes total SSE
+    of a two-mean fit. The offline answer to the question q_cusum's
+    running curve asks online ("WHEN did the mean amount shift?"),
+    and the first split of the classic binary-segmentation recursion.
+
+    Exactness: per-event values fold to 1e-4 fixed-point BIGINTs, so
+    every cumulative (T₁, N₁) pair is an exact integer (< 2⁵³, hence
+    exactly representable as the double the criterion is computed
+    from); G and both segment means are a handful of IEEE ops on
+    those exact integers — identical on both engines with no rounding
+    reconciliation, and the argmax ordering is therefore identical
+    too (day ascending breaks exact ties).
+
+    Scale: one map-side-combinable daily aggregate folds the fact
+    stream to |days| rows; the cumulative window and argmax run on
+    that bounded series (≤ a few thousand rows for years of data) in
+    a single partition — model-side work, never fact-scale."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.select(
+            F.expr("ts div 1000000000 div 86400").alias("day"),
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("v"),
+        )
+        .groupBy("day")
+        .agg(F.sum("v").alias("t"), F.count("*").cast("bigint").alias("c"))
+    )
+    w_all = Window.partitionBy()
+    w_cum = Window.partitionBy().orderBy("day")
+    cum = d.select(
+        "day",
+        F.sum("t").over(w_cum).alias("t1"),
+        F.sum("c").over(w_cum).alias("n1"),
+        F.row_number().over(w_cum).alias("rn"),
+        F.sum("t").over(w_all).alias("tt"),
+        F.sum("c").over(w_all).alias("nn"),
+        F.count("*").over(w_all).alias("nd"),
+    ).filter(F.col("rn") < F.col("nd"))
+    t1d = F.col("t1").cast("double")
+    t2d = (F.col("tt") - F.col("t1")).cast("double")
+    g = t1d * t1d / F.col("n1") + t2d * t2d / (F.col("nn") - F.col("n1"))
+    return (
+        cum.select(
+            F.col("day").cast("bigint").alias("split_day"),
+            F.col("n1").alias("n_before"),
+            (F.col("nn") - F.col("n1")).alias("n_after"),
+            pround(t1d / 10000 / F.col("n1"), 6).alias("mean_before"),
+            pround(t2d / 10000 / (F.col("nn") - F.col("n1")), 6).alias(
+                "mean_after"
+            ),
+            g.alias("_g"),
+        )
+        .orderBy(F.desc("_g"), F.asc("split_day"))
+        .limit(1)
+        .drop("_g")
+    )

@@ -94,14 +94,19 @@ def compute_priority(
             return (-1, pin_rank[name], 0)
         in_prev = name in prev_sample
         is_touched = name in touched
-        if not in_prev and is_touched:
+        # touched ALWAYS leads (round 8, VERDICT r7 #3): an operator
+        # whose implementation changed this round has stale evidence
+        # no matter how recent — fresh-evidence-for-changed-code
+        # outranks the consecutive-round disjointness that governs the
+        # untouched buckets (previously touched-and-in-prev-sample sat
+        # behind every never-in-prev query and fell out of the 50-slot
+        # sample entirely, so a round-N fix went a full round unproven)
+        if is_touched:
             bucket = 0
         elif not in_prev:
             bucket = 1
-        elif is_touched:
-            bucket = 2
         else:
-            bucket = 3
+            bucket = 2
         return (bucket, last_green.get(name, 0), idx[name])
 
     return sorted(registry_names, key=key)

@@ -35,11 +35,14 @@ def test_touched_and_unsampled_leads():
     assert order == ["a", "c", "b"]
 
 
-def test_touched_in_prev_sample_precedes_untouched_prev_sample():
+def test_touched_in_prev_sample_leads_everything():
+    """Round 8 (VERDICT r7 #3): a touched query's evidence is stale by
+    definition, so it outranks even never-in-prev-sample queries —
+    previously it sat behind all of them and fell out of the sample."""
     names = ["a", "b", "c"]
     history = {1: {"c": GREEN}, 2: {"a": GREEN, "b": GREEN}}
     order = compute_priority(names, history, touched={"b"})
-    assert order == ["c", "b", "a"]
+    assert order == ["b", "c", "a"]
 
 
 def test_rows_only_counts_as_green_failure_does_not():
@@ -77,16 +80,18 @@ def test_real_schedule_first_50_disjoint_from_latest_round():
     names = list(entry.queries())
     new_this_round = [n for n in names if not any(n in h for h in history.values())]
     first50 = set(names[:50])
+    # untouched prev-round queries stay out of the sample entirely
     assert not (first50 & prev_sample - entry._TOUCHED_THIS_ROUND)
-    # enough never/old-green queries exist that even touched prev-round
-    # queries stay out of the sample entirely
-    assert not (first50 & prev_sample)
-    # the sample budget goes to queries with no driver history: when
+    # touched queries ALWAYS make the sample (VERDICT r7 #3: the
+    # CORRECTNESS_rN sample must contain every operator added or
+    # touched in round N), even the ones sampled last round
+    assert entry._TOUCHED_THIS_ROUND <= first50
+    # the remaining budget goes to queries with no driver history: when
     # more than 50 such queries exist (round 6 added 51+), the prefix
-    # must consist ENTIRELY of them (pigeonhole: they cannot all fit);
-    # otherwise they must all be inside the prefix
-    if len(new_this_round) >= 50:
-        assert first50 <= set(new_this_round)
+    # must be exhausted by touched + new (pigeonhole); otherwise every
+    # new query must be inside the prefix
+    if len(new_this_round) + len(entry._TOUCHED_THIS_ROUND) >= 50:
+        assert first50 <= set(new_this_round) | entry._TOUCHED_THIS_ROUND
     else:
         assert set(new_this_round) <= first50
 
