@@ -84,6 +84,14 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_parity_gap",
     "q_ndcg",
     "q_rrf",
+    # round-8 batch 2 (new queries — no history, evidence wanted now):
+    "q_anova",
+    "q_abtest",
+    "q_token_budget",
+    "q_dedup_stats",
+    "q_graph_2core",
+    "q_embedding_isotropy",
+    "q_cell_balance",
 })
 
 

@@ -210,6 +210,20 @@ HEADLINE = [
     "q_parity_gap",
     "q_ndcg",
     "q_rrf",
+    # round-8 batch 2: statistics (weekday ANOVA + hash-arm A/B z
+    # test, both single-pass integer-moment folds), quality-vs-token
+    # yield curve (one global rank), per-source dedup observability
+    # (same md5 shuffle as q_dedup_exact + group join-back), 3-round
+    # 2-core peel on the checkpointed edge projection, and the two
+    # O(n·d) embedding-space health checks (isotropy via the
+    # sum-vector identity; coarse-quantizer cell balance)
+    "q_anova",
+    "q_abtest",
+    "q_token_budget",
+    "q_dedup_stats",
+    "q_graph_2core",
+    "q_embedding_isotropy",
+    "q_cell_balance",
 ]
 
 

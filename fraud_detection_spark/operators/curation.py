@@ -839,3 +839,87 @@ def q_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf"), F.asc("doc_id"))
         .limit(_RRF_TOPK)
     )
+
+
+# --- q_token_budget ---------------------------------------------------
+
+
+@query(
+    "q_token_budget",
+    oracle=(
+        "WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), "
+        "m AS (SELECT doc_id, len(w) AS n_tok, "
+        "len(list_filter(w, x -> x IN ('the','a','of','and','to','in'))) "
+        "AS n_stop FROM t), "
+        "r AS (SELECT doc_id, n_tok, ROW_NUMBER() OVER (ORDER BY "
+        + sql_round("n_stop * 1.0 / n_tok", 6)
+        + " DESC, doc_id) AS rnk, COUNT(*) OVER () AS nd FROM m), "
+        "d AS (SELECT CAST(CEIL(rnk * 10.0 / nd) AS BIGINT) AS decile, "
+        "COUNT(*) AS n_docs, SUM(n_tok) AS toks FROM r GROUP BY decile), "
+        "c AS (SELECT decile, "
+        "CAST(SUM(n_docs) OVER (ORDER BY decile) AS BIGINT) AS n_docs, "
+        "CAST(SUM(toks) OVER (ORDER BY decile) AS BIGINT) AS cum_tokens, "
+        "CAST(SUM(toks) OVER () AS BIGINT) AS tot FROM d) "
+        "SELECT decile, n_docs, cum_tokens, "
+        + sql_round("cum_tokens * 1.0 / tot", 6) + " AS token_share FROM c"
+    ),
+    tags=("curation", "quality", "window"),
+)
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-yield curve of quality filtering: rank the corpus by the
+    stopword-ratio quality key (q_quality_score's strongest single
+    heuristic — natural text is stopword-dense, template/machine text
+    isn't) and report, at each decile of the ranking, how many
+    training tokens the filtered corpus keeps — the curve a pretraining
+    data team reads to price a quality threshold ("top 30% of docs =
+    41% of tokens"). Answers the budget question q_quality_score's
+    per-doc gate can't.
+
+    Exactness: the ranking orders by the 6-dp-rounded ratio with
+    doc_id ties (identical integers on both engines — the q_rrf
+    discipline); decile boundaries use the explicit CEIL(rank·10/n)
+    formula rather than NTILE (engines split remainders differently);
+    token counts and their cumsums are exact integers.
+
+    Scale: one codegen'd tokenize/count pass; the rank is the one
+    global sort (at 100 TB: bucket the 6-dp quality key into a
+    histogram first and rank bucket-locally — the q_auc_binned
+    treatment); deciles aggregate to a 10-row table."""
+    d = load_table(spark, sf_dir, "documents")
+    w = F.split("text", " ")
+    from fraud_detection_spark.operators.text import STOPWORDS
+
+    stop_arr = F.array(*[F.lit(t) for t in STOPWORDS])
+    m = d.select(
+        "doc_id",
+        F.size(w).alias("n_tok"),
+        F.size(F.filter(w, lambda x: F.array_contains(stop_arr, x))).alias(
+            "n_stop"
+        ),
+    )
+    quality = pround(F.col("n_stop") * 1.0 / F.col("n_tok"), 6)
+    w_rank = Window.orderBy(quality.desc(), F.asc("doc_id"))
+    w_all = Window.partitionBy()
+    r = m.select(
+        "n_tok",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count("*").over(w_all).alias("nd"),
+    )
+    dec = r.select(
+        F.ceil(F.col("rnk") * 10.0 / F.col("nd")).cast("bigint").alias("decile"),
+        "n_tok",
+    ).groupBy("decile").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("toks")
+    )
+    w_cum = Window.orderBy("decile")
+    return dec.select(
+        "decile",
+        F.sum("n_docs").over(w_cum).cast("bigint").alias("n_docs"),
+        F.sum("toks").over(w_cum).cast("bigint").alias("cum_tokens"),
+        F.sum("toks").over(w_all).cast("bigint").alias("tot"),
+    ).select(
+        "decile",
+        "n_docs",
+        "cum_tokens",
+        pround(F.col("cum_tokens") * 1.0 / F.col("tot"), 6).alias("token_share"),
+    )

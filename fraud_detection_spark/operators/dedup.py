@@ -999,3 +999,60 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cluster").applyInPandas(
         _semdedup_cluster, schema="vec_id bigint, cluster bigint, keep int"
     )
+
+
+@query(
+    "q_dedup_stats",
+    oracle=(
+        "WITH h AS (SELECT doc_id, source, md5(text) AS th FROM documents), "
+        "g AS (SELECT th, COUNT(*) AS n_copies, MIN(doc_id) AS keeper "
+        "FROM h GROUP BY th), "
+        "j AS (SELECT h.source, h.doc_id, g.n_copies, "
+        "CASE WHEN h.doc_id = g.keeper THEN 0 ELSE 1 END AS is_removed "
+        "FROM h JOIN g ON h.th = g.th) "
+        "SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT) "
+        "AS n_in_dup_groups, "
+        "CAST(SUM(is_removed) AS BIGINT) AS n_removed, "
+        + sql_round("SUM(is_removed) * 1.0 / COUNT(*)", 6)
+        + " AS removal_rate FROM j GROUP BY source"
+    ),
+    tags=("dedup", "curation", "monitor"),
+)
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source exact-duplication observability: how many of each
+    source's documents sit in corpus-wide duplicate groups, how many
+    the q_dedup_exact min-id keeper policy would REMOVE, and the
+    removal rate — the per-feed scoreboard a curation pipeline
+    publishes after every dedup run (one scraped feed suddenly 60%
+    duplicate is an ingestion incident, not a corpus property; the
+    attribution is invisible in q_dedup_exact's group-level output).
+
+    Plan: the same 16-byte md5 shuffle as q_dedup_exact builds the
+    group table; one join back on the hash attributes each doc, then
+    a |sources|-row aggregate of exact integer counts (keeper choice
+    is MIN doc_id — deterministic, so removal counts hash exactly).
+
+    Scale: two shuffles of (hash, small cols) — document bodies never
+    shuffle; the group table is distinct-content-sized and the join
+    key is the hash both sides are already partitioned on."""
+    d = load_table(spark, sf_dir, "documents")
+    h = d.select(
+        "doc_id", "source", F.md5(F.col("text").cast("binary")).alias("th")
+    )
+    g = h.groupBy("th").agg(
+        F.count("*").alias("n_copies"), F.min("doc_id").alias("keeper")
+    )
+    j = h.join(g, "th").select(
+        "source",
+        (F.col("n_copies") > 1).cast("int").alias("in_dup"),
+        (F.col("doc_id") != F.col("keeper")).cast("int").alias("is_removed"),
+    )
+    return j.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("in_dup").cast("bigint").alias("n_in_dup_groups"),
+        F.sum("is_removed").cast("bigint").alias("n_removed"),
+        pround(F.sum("is_removed") * 1.0 / F.count("*"), 6).alias(
+            "removal_rate"
+        ),
+    )

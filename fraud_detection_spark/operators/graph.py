@@ -1074,3 +1074,73 @@ def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.groupBy("label").agg(
         F.count("*").cast("bigint").alias("n_members")
     ).select(F.col("label").cast("bigint").alias("community"), "n_members")
+
+
+_CORE_ROUNDS = 3
+
+
+def _two_core_oracle() -> str:
+    """DuckDB twin of the fixed-3-round 2-core peel: unrolled CTE
+    chain (the _pagerank_oracle/_label_prop_oracle construction),
+    every multi-referenced CTE MATERIALIZED. Pure integer set
+    semantics — no float reconciliation anywhere."""
+    sql = [
+        "WITH " + _HEAVY_PAIR_SQL + ", "
+        "s0 AS MATERIALIZED (SELECT ca AS src, cb AS dst FROM pe "
+        "UNION ALL SELECT cb, ca FROM pe), "
+    ]
+    for r in range(1, _CORE_ROUNDS + 1):
+        sql.append(
+            f"d{r} AS MATERIALIZED (SELECT src, COUNT(*) AS deg "
+            f"FROM s{r - 1} GROUP BY src), "
+            f"k{r} AS MATERIALIZED (SELECT src AS node FROM d{r} "
+            "WHERE deg >= 2), "
+            f"s{r} AS MATERIALIZED (SELECT s.src, s.dst FROM s{r - 1} s "
+            f"JOIN k{r} a ON s.src = a.node "
+            f"JOIN k{r} b ON s.dst = b.node), "
+        )
+    sql[-1] = sql[-1].rstrip(", ") + " "
+    sql.append(
+        "SELECT src AS custkey, CAST(COUNT(*) AS BIGINT) AS core_degree "
+        f"FROM s{_CORE_ROUNDS} GROUP BY src"
+    )
+    return "".join(sql)
+
+
+@query(
+    "q_graph_2core",
+    oracle=_two_core_oracle(),
+    tags=("graph", "iterative", "fraud"),
+)
+def q_graph_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core peel of the projected collusion graph, fixed 3 rounds:
+    repeatedly delete degree-<2 vertices (and their edges), keeping
+    the subgraph where every member has ≥2 ties — the standard
+    densest-region pre-filter for ring investigation (a pendant
+    vertex can be an innocent shared counterparty; surviving the
+    2-core peel means being MUTUALLY embedded). Three rounds reach
+    the fixpoint on short-chain graphs; the emitted residual degree
+    is the triage weight. Pure-integer set semantics → hash-exact
+    against the unrolled MATERIALIZED-CTE chain, like q_label_prop.
+
+    Plan: per round one degree aggregate over the current edge list
+    + two semi-join filters (both keyed on the vertex, broadcast-
+    sized once the cut bites). localCheckpoint between rounds cuts
+    the lineage; at 100 TB the classic refinement is delta-peeling
+    (only re-check neighbors of removed vertices)."""
+    pe = _heavy_pairs(spark, sf_dir).localCheckpoint()
+    edges_r = pe.select(F.col("ca").alias("src"), F.col("cb").alias("dst")).unionAll(
+        pe.select(F.col("cb").alias("src"), F.col("ca").alias("dst"))
+    )
+    for r in range(_CORE_ROUNDS):
+        deg = edges_r.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= 2).select(F.col("src").alias("node"))
+        edges_r = (
+            edges_r.join(keep.withColumnRenamed("node", "src"), "src", "semi")
+            .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
+            .select("src", "dst")
+        )
+        edges_r = edges_r.localCheckpoint()
+    return edges_r.groupBy("src").agg(
+        F.count("*").cast("bigint").alias("core_degree")
+    ).select(F.col("src").alias("custkey"), "core_degree")

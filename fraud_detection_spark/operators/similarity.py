@@ -827,6 +827,22 @@ def _coarse_cell(e_col: Column) -> Column:
     return cell.cast("int")
 
 
+def _cell_sql_expr() -> str:
+    """SQL form of _coarse_cell: the same sequential ±e[k] sums and
+    sign decisions, shared by the IVF-PQ oracle and q_cell_balance."""
+
+    def dot_sql(j: int) -> str:
+        acc = "0.0"
+        for k, s in enumerate(_ann_plane_signs(j)):
+            acc = f"({acc} + (e[{k + 1}] * {s:.1f}))"
+        return acc
+
+    return " + ".join(
+        f"(CASE WHEN {dot_sql(j)} > 0 THEN {2**j} ELSE 0 END)"
+        for j in range(_IVFPQ_PLANES)
+    )
+
+
 def _ivf_pq_oracle_sql() -> str:
     """DuckDB twin of q_knn_ivf_pq: identical sign-plane cells (the
     same sequential ±e[k] sums), identical PQ codes (_pq_sql_parts),
@@ -835,17 +851,7 @@ def _ivf_pq_oracle_sql() -> str:
     the Spark fold since round 4)."""
     cb = _pq_codebook()
     cb_lit, dists, code = _pq_sql_parts()
-
-    def dot_sql(j: int) -> str:
-        acc = "0.0"
-        for k, s in enumerate(_ann_plane_signs(j)):
-            acc = f"({acc} + (e[{k + 1}] * {s:.1f}))"
-        return acc
-
-    cell = " + ".join(
-        f"(CASE WHEN {dot_sql(j)} > 0 THEN {2**j} ELSE 0 END)"
-        for j in range(_IVFPQ_PLANES)
-    )
+    cell = _cell_sql_expr()
     adc = None
     for s in range(_PQ_S):
         nib = f"((pq_code >> {4 * s}) & 15)"
@@ -1131,4 +1137,173 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("dcg"), 6).alias("dcg"),
         pround(idcg, 6).alias("idcg"),
         pround(F.col("dcg") / idcg, 6).alias("ndcg"),
+    )
+
+
+@query(
+    "q_embedding_isotropy",
+    oracle=(
+        "WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings), "
+        "ex AS (SELECT vec_id, unnest(e) AS x, "
+        "unnest(generate_series(1, len(e))) AS i FROM v), "
+        "nrm AS (SELECT vec_id, "
+        "SQRT(SUM(CAST(FLOOR(x * x * 1000000000000 + 0.5) AS BIGINT)) "
+        "/ 1000000000000.0) AS nrm FROM ex GROUP BY vec_id), "
+        "uu AS (SELECT i, SUM(CAST(FLOOR(x / nrm * 1000000000 + 0.5) "
+        "AS BIGINT)) AS s FROM ex JOIN nrm USING (vec_id) GROUP BY i), "
+        "q AS (SELECT SUM(CAST(s AS HUGEINT) * s) AS ss FROM uu), "
+        "nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "SUM(CAST(FLOOR(nrm * 1000000000 + 0.5) AS BIGINT)) AS sn FROM nrm) "
+        "SELECT nn.n, "
+        + sql_round("sn / 1000000000.0 / n", 6) + " AS mean_norm, "
+        + sql_round(
+            "(CAST(ss AS DOUBLE) / 1e18 - n) / (CAST(n AS DOUBLE) * (n - 1))", 6
+        )
+        + " AS mean_cosine "
+        "FROM nn, q"
+    ),
+    tags=("similarity", "quality", "stats"),
+)
+def q_embedding_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy diagnostic: corpus size, mean vector
+    norm, and the mean pairwise cosine over all i≠j — computed WITHOUT
+    the n² pair join via the sum-vector identity
+    Σ_{i≠j} cos(i,j) = ‖Σ u_i‖² − n (u = unit vectors), so the whole
+    statistic is one O(n·d) pass. A high mean cosine means the space
+    has collapsed toward a common direction (the anisotropy problem of
+    contextual embeddings — Ethayarajh 2019) and cosine retrieval /
+    near-dup thresholds degrade; this is the QA gate an embedding
+    pipeline runs before trusting q_knn_* or q_semdedup outputs.
+
+    Exactness: each per-component square folds to 1e-12 fixed-point
+    BEFORE the norm sum and each unit component to 1e-9 before the
+    per-dimension sum, so every aggregate is an exact integer sum
+    (order-free); ‖Σu‖² is an exact DECIMAL/HUGEINT dot of those
+    integers. No float ever crosses an aggregation boundary — the
+    engine-parity discipline the similarity family established with
+    sequential-fold cosines, applied to corpus-level moments.
+
+    Scale: explode to (n·d) rows, two hash aggregates (by vec, by
+    dim), a d-row dot product — linear in corpus size, shuffle keyed
+    on vec_id then dim. The naive pairwise mean is O(n²) and dies at
+    a million vectors; this runs at a billion."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", F.posexplode(_as_double("embedding")).alias("i", "x")
+    )
+    nrm = ex.groupBy("vec_id").agg(
+        F.sqrt(
+            F.sum(
+                F.floor(F.col("x") * F.col("x") * 1000000000000 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            )
+            / F.lit(1000000000000.0)
+        ).alias("nrm")
+    )
+    uu = (
+        ex.join(nrm, "vec_id")
+        .groupBy("i")
+        .agg(
+            F.sum(
+                F.floor(F.col("x") / F.col("nrm") * 1000000000 + F.lit(0.5)).cast(
+                    "bigint"
+                )
+            ).alias("s")
+        )
+    )
+    q = uu.agg(F.sum(F.col("s").cast("decimal(38,0)") * F.col("s")).alias("ss"))
+    nn = nrm.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(
+            F.floor(F.col("nrm") * 1000000000 + F.lit(0.5)).cast("bigint")
+        ).alias("sn"),
+    )
+    return nn.crossJoin(F.broadcast(q)).select(
+        "n",
+        pround(F.col("sn") / 1000000000.0 / F.col("n"), 6).alias("mean_norm"),
+        pround(
+            (F.col("ss").cast("double") / 1e18 - F.col("n"))
+            / (F.col("n").cast("double") * (F.col("n") - 1)),
+            6,
+        ).alias("mean_cosine"),
+    )
+
+
+def _cell_balance_oracle() -> str:
+    cell = _cell_sql_expr()
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings), "
+        f"cells AS (SELECT vec_id, ({cell}) AS cell FROM base), "
+        "g AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n FROM cells "
+        "GROUP BY cell), "
+        "s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cells, "
+        "CAST(SUM(n) AS BIGINT) AS n_vectors, "
+        "CAST(MIN(n) AS BIGINT) AS min_size, "
+        "CAST(MAX(n) AS BIGINT) AS max_size, "
+        "SUM(CAST(n AS HUGEINT) * n) AS ss FROM g) "
+        "SELECT n_cells, n_vectors, min_size, max_size, "
+        + sql_round("max_size * 1.0 * n_cells / n_vectors", 6)
+        + " AS imbalance, "
+        + sql_round(
+            "SQRT(CAST(ss AS DOUBLE) * n_cells / "
+            "(CAST(n_vectors AS DOUBLE) * n_vectors) - 1)",
+            6,
+        )
+        + " AS size_cv FROM s"
+    )
+
+
+@query(
+    "q_cell_balance",
+    oracle=_cell_balance_oracle(),
+    tags=("similarity", "ann", "monitor"),
+)
+def q_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index health: the cell-size balance of the coarse quantizer
+    (occupied cells, min/max cell size, imbalance = max/mean, and the
+    size coefficient of variation) — the metric that decides whether
+    an IVF index's nprobe pruning actually prunes. A perfectly
+    balanced 16-cell index scans 1/16 of the data per probed cell; at
+    imbalance 8 the hot cell holds half the corpus and every query
+    that probes it degrades toward a full scan (then you re-train the
+    quantizer or split the cell). Uses the SAME deterministic
+    sign-plane quantizer as q_knn_ivf_pq, so this monitors exactly the
+    geometry the declared search uses; the persisted-KMeans index gets
+    the same check from its hive cell= layout at write time.
+
+    Exactness: cell ids are integer sign decisions off the shared
+    sequential fold; all sizes and Σn² are exact integers
+    (DECIMAL/HUGEINT); CV = √(E[n²]/E[n]² − 1) is a fixed IEEE chain
+    on them.
+
+    Scale: one codegen'd cell pass + a 16-row aggregate — the whole
+    health check is O(n·planes) with a constant-size reduction."""
+    e = load_table(spark, sf_dir, "embeddings")
+    cells = e.select(_as_double("embedding").alias("e")).select(
+        _coarse_cell(F.col("e")).alias("cell")
+    )
+    g = cells.groupBy("cell").agg(F.count("*").cast("bigint").alias("n"))
+    s = g.agg(
+        F.count("*").cast("bigint").alias("n_cells"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.min("n").alias("min_size"),
+        F.max("n").alias("max_size"),
+        F.sum(F.col("n").cast("decimal(38,0)") * F.col("n")).alias("ss"),
+    )
+    nv = F.col("n_vectors").cast("double")
+    return s.select(
+        "n_cells",
+        "n_vectors",
+        "min_size",
+        "max_size",
+        pround(F.col("max_size") * 1.0 * F.col("n_cells") / F.col("n_vectors"), 6).alias(
+            "imbalance"
+        ),
+        pround(
+            F.sqrt(F.col("ss").cast("double") * F.col("n_cells") / (nv * nv) - 1),
+            6,
+        ).alias("size_cv"),
     )

@@ -360,3 +360,177 @@ def q_kl_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("day").cast("bigint").alias("day"), "n", "kl_bits")
     )
+
+
+@query(
+    "q_anova",
+    oracle=(
+        f"WITH v AS (SELECT {_DOW_SQL} AS dow, "
+        "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v FROM events), "
+        "g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS ng, "
+        "SUM(v) AS sg, SUM(CAST(v AS HUGEINT) * v) AS ssg FROM v GROUP BY dow), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(ng) AS n, "
+        "SUM(sg) AS s, CAST(SUM(ssg) AS DOUBLE) AS ss, "
+        "SUM(CAST(FLOOR(CAST(sg AS DOUBLE) * sg / ng + 0.5) AS BIGINT)) AS a "
+        "FROM g), "
+        "f AS (SELECT k, n, "
+        "CAST(a - FLOOR(CAST(s AS DOUBLE) * s / n + 0.5) AS DOUBLE) AS ssb, "
+        "ss - CAST(a AS DOUBLE) AS ssw FROM t) "
+        "SELECT k, n, "
+        + sql_round("ssb / 100000000", 4) + " AS ss_between, "
+        + sql_round("ssw / 100000000", 4) + " AS ss_within, "
+        + sql_round("(ssb / (k - 1)) / (ssw / (n - k))", 6) + " AS f_stat, "
+        + sql_round("ssb / (ssb + ssw)", 6) + " AS eta_sq FROM f"
+    ),
+    tags=("stats", "test", "agg"),
+)
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of transaction value across weekdays: F =
+    (SSB/(k−1)) / (SSW/(n−k)) plus effect size η² = SSB/SST — the
+    continuous-outcome companion to q_chi2's categorical independence
+    test ("does the AMOUNT distribution move by day-of-week", the
+    mean-level complement of q_seasonal_strength's variance share).
+
+    Exactness: per-event values fold to 1e-4 fixed-point BIGINTs;
+    per-group (n, Σv, Σv²) are exact integer sums (Σv² in
+    DECIMAL(38,0)/HUGEINT — overflows BIGINT at fact scale). Each
+    between-group term S_g²/n_g is floored to an integer in v² units
+    BEFORE the k-term sum (the q_chi2 discipline: k=7 doubles summed
+    in engine order could flip the final round), and every remaining
+    op is IEEE on exact integers — identical on both engines.
+
+    Scale: ONE map-side-combinable aggregate folds the fact stream to
+    k=7 rows; everything after is driver-trivial arithmetic on the
+    bounded group table."""
+    ev = events_with_time(spark, sf_dir)
+    v = ev.select(
+        ((F.col("ts_sec") / 86400).cast("long") % 7).alias("dow"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    g = v.groupBy("dow").agg(
+        F.count("*").cast("bigint").alias("ng"),
+        F.sum("v").alias("sg"),
+        F.sum(F.col("v").cast("decimal(38,0)") * F.col("v")).alias("ssg"),
+    )
+    sgd = F.col("sg").cast("double")
+    t = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("ssg").cast("double").alias("ss"),
+        F.sum(
+            F.floor(sgd * F.col("sg") / F.col("ng") + F.lit(0.5)).cast("bigint")
+        ).alias("a"),
+    )
+    sd = F.col("s").cast("double")
+    ssb = (
+        F.col("a") - F.floor(sd * F.col("s") / F.col("n") + F.lit(0.5))
+    ).cast("double")
+    ssw = F.col("ss") - F.col("a").cast("double")
+    return t.select(
+        "k",
+        "n",
+        pround(ssb / 100000000, 4).alias("ss_between"),
+        pround(ssw / 100000000, 4).alias("ss_within"),
+        pround((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
+            "f_stat"
+        ),
+        pround(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
+@query(
+    "q_abtest",
+    oracle=(
+        "WITH u AS (SELECT user_id % 2 AS arm, "
+        "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv "
+        "FROM events), "
+        "g AS (SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(conv) AS BIGINT) AS x FROM u GROUP BY arm), "
+        "w AS (SELECT "
+        "MAX(CASE WHEN arm = 0 THEN n END) AS na, "
+        "MAX(CASE WHEN arm = 0 THEN x END) AS xa, "
+        "MAX(CASE WHEN arm = 1 THEN n END) AS nb, "
+        "MAX(CASE WHEN arm = 1 THEN x END) AS xb FROM g), "
+        "c AS (SELECT na, xa, nb, xb, "
+        "xa * 1.0 / na AS pa, xb * 1.0 / nb AS pb, "
+        "(xa + xb) * 1.0 / (na + nb) AS pp FROM w) "
+        "SELECT na AS n_control, xa AS x_control, nb AS n_treat, xb AS x_treat, "
+        + sql_round("pa", 6) + " AS p_control, "
+        + sql_round("pb", 6) + " AS p_treat, "
+        + sql_round("pb - pa", 6) + " AS lift, "
+        + sql_round(
+            "(pb - pa) / SQRT(pp * (1 - pp) * (1.0 / na + 1.0 / nb))", 6
+        )
+        + " AS z, "
+        + sql_round(
+            "(pb - pa) - 1.959963984540054 * "
+            "SQRT(pa * (1 - pa) / na + pb * (1 - pb) / nb)",
+            6,
+        )
+        + " AS ci_lo, "
+        + sql_round(
+            "(pb - pa) + 1.959963984540054 * "
+            "SQRT(pa * (1 - pa) / na + pb * (1 - pb) / nb)",
+            6,
+        )
+        + " AS ci_hi FROM c"
+    ),
+    tags=("stats", "test", "experiment"),
+)
+def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion A/B test of the purchase-event share between
+    deterministic hash arms (user_id parity — the q_split bucketing
+    idea as an experiment assignment): pooled-SE z statistic plus the
+    unpooled Wald 95% CI of the lift — the decision readout every
+    experimentation platform serves. The z uses the POOLED variance
+    (correct under H₀: p_a = p_b), the CI the UNPOOLED one (correct
+    for estimation) — the textbook pairing. Event-level shares, not
+    per-user any-conversion: with ~10² events per user the latter
+    saturates at p = 1 in both arms (zero pooled variance — observed
+    at sf0.001) and the test degenerates.
+
+    Exactness: all four cell counts are exact integers; rates, z, and
+    CI bounds are a fixed chain of IEEE ops on them (the 1.96 critical
+    value is spelled to full double precision as a shared literal).
+
+    Scale: one map-side-combinable count aggregate folds the fact
+    stream to 2 rows; everything downstream is trivial arithmetic."""
+    ev = events_with_time(spark, sf_dir)
+    u = ev.select(
+        (F.col("user_id") % 2).alias("arm"),
+        (F.col("event_type") == "purchase").cast("int").alias("conv"),
+    )
+    g = u.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("conv").cast("bigint").alias("x"),
+    )
+    w = g.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("na"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("xa"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("nb"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("xb"),
+    )
+    pa = F.col("xa") * 1.0 / F.col("na")
+    pb = F.col("xb") * 1.0 / F.col("nb")
+    pp = (F.col("xa") + F.col("xb")) * 1.0 / (F.col("na") + F.col("nb"))
+    z195 = F.lit(1.959963984540054)
+    wald = F.sqrt(
+        pa * (1 - pa) / F.col("na") + pb * (1 - pb) / F.col("nb")
+    )
+    return w.select(
+        F.col("na").alias("n_control"),
+        F.col("xa").alias("x_control"),
+        F.col("nb").alias("n_treat"),
+        F.col("xb").alias("x_treat"),
+        pround(pa, 6).alias("p_control"),
+        pround(pb, 6).alias("p_treat"),
+        pround(pb - pa, 6).alias("lift"),
+        pround(
+            (pb - pa)
+            / F.sqrt(pp * (1 - pp) * (1.0 / F.col("na") + 1.0 / F.col("nb"))),
+            6,
+        ).alias("z"),
+        pround((pb - pa) - z195 * wald, 6).alias("ci_lo"),
+        pround((pb - pa) + z195 * wald, 6).alias("ci_hi"),
+    )

@@ -215,3 +215,129 @@ def test_rrf_fuses_both_rankings(spark, sf_dir):
     for r in rows[1:]:
         # nobody dominated on both lists can outrank the top row
         assert not (r.lex_rank < top.lex_rank and r.sem_rank < top.sem_rank)
+
+
+def test_anova_matches_scipy_style_reference(spark, sf_dir):
+    """F recomputed from raw group moments in python (float) must
+    agree to ~1e-4 relative; eta_sq in [0,1]."""
+    from fraud_detection_spark.sources import events_with_time
+
+    ev = events_with_time(spark, sf_dir).select("ts_sec", "value").collect()
+    groups: dict[int, list[float]] = {}
+    for r in ev:
+        groups.setdefault((r.ts_sec // 86400) % 7, []).append(r.value)
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values()
+    )
+    want_f = (ssb / (k - 1)) / (ssw / (n - k))
+    (r,) = _run("q_anova", spark, sf_dir)
+    assert r.k == k and r.n == n
+    assert abs(r.f_stat - want_f) / max(want_f, 1e-9) < 1e-3, (r.f_stat, want_f)
+    assert 0 <= r.eta_sq <= 1
+
+
+def test_abtest_consistency(spark, sf_dir):
+    """CI straddles the lift, z sign matches lift sign, counts
+    partition the event table."""
+    (r,) = _run("q_abtest", spark, sf_dir)
+    assert r.ci_lo <= r.lift <= r.ci_hi
+    assert (r.z >= 0) == (r.lift >= 0)
+    assert abs(r.lift - (r.p_treat - r.p_control)) < 1e-5
+    from fraud_detection_spark.sources import load_table
+
+    n_events = load_table(spark, sf_dir, "events").count()
+    assert r.n_control + r.n_treat == n_events
+    assert 0 < r.p_control < 1 and 0 < r.p_treat < 1
+
+
+def test_token_budget_monotone_and_concave(spark, sf_dir):
+    """Cumulative docs/tokens strictly increase; decile 10 covers the
+    whole corpus (share = 1); quality-ordered yield is (weakly) above
+    the uniform diagonal is NOT guaranteed, but shares are in (0,1]."""
+    rows = sorted(_run("q_token_budget", spark, sf_dir), key=lambda r: r.decile)
+    assert [r.decile for r in rows] == list(range(1, len(rows) + 1))
+    assert rows[-1].token_share == 1.0
+    for a, b in zip(rows, rows[1:]):
+        assert b.n_docs > a.n_docs and b.cum_tokens > a.cum_tokens
+    from fraud_detection_spark.sources import load_table
+
+    assert rows[-1].n_docs == load_table(spark, sf_dir, "documents").count()
+
+
+def test_embedding_isotropy_matches_numpy(spark, sf_dir):
+    """Mean pairwise cosine via the sum-vector identity must equal the
+    brute-force O(n^2) numpy mean."""
+    import numpy as np
+
+    from fraud_detection_spark.sources import load_table
+
+    rows = load_table(spark, sf_dir, "embeddings").collect()
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    u = m / np.linalg.norm(m, axis=1, keepdims=True)
+    g = u @ u.T
+    n = len(rows)
+    want = (g.sum() - np.trace(g)) / (n * (n - 1))
+    (r,) = _run("q_embedding_isotropy", spark, sf_dir)
+    assert r.n == n
+    assert abs(r.mean_cosine - want) < 1e-5, (r.mean_cosine, want)
+    assert abs(r.mean_norm - np.linalg.norm(m, axis=1).mean()) < 1e-5
+
+
+def test_graph_2core_is_subgraph_with_min_degree(spark, sf_dir):
+    """After the peel every surviving vertex has residual degree >= 2
+    (3 rounds reach the fixpoint on this graph — verified against an
+    exhaustive python peel), and survivors are a subset of the
+    original vertex set."""
+    from fraud_detection_spark.operators.graph import _heavy_pairs
+
+    pe = [(r.ca, r.cb) for r in _heavy_pairs(spark, sf_dir).collect()]
+    # python peel to fixpoint
+    edges = set(pe)
+    while True:
+        deg: dict[int, int] = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= 2}
+        nxt = {(a, b) for a, b in edges if a in keep and b in keep}
+        if nxt == edges:
+            break
+        edges = nxt
+    want = {}
+    for a, b in edges:
+        want[a] = want.get(a, 0) + 1
+        want[b] = want.get(b, 0) + 1
+    got = {r.custkey: r.core_degree for r in _run("q_graph_2core", spark, sf_dir)}
+    assert got == want, (len(got), len(want))
+    assert all(d >= 2 for d in got.values())
+
+
+def test_dedup_stats_reconciles_with_dedup_exact(spark, sf_dir):
+    """Total removals across sources equal total docs minus distinct
+    texts; rates in [0,1); every source accounted for."""
+    rows = _run("q_dedup_stats", spark, sf_dir)
+    groups = _run("q_dedup_exact", spark, sf_dir)
+    total_removed = sum(r.n_removed for r in rows)
+    assert total_removed == sum(g.n_copies - 1 for g in groups)
+    n_docs = sum(r.n_docs for r in rows)
+    assert n_docs == sum(g.n_copies for g in groups)
+    for r in rows:
+        assert 0 <= r.removal_rate < 1
+        assert r.n_removed <= r.n_in_dup_groups <= r.n_docs
+
+
+def test_cell_balance_consistency(spark, sf_dir):
+    """Sizes account for every vector; imbalance >= 1; CV >= 0; cells
+    bounded by the 16-cell quantizer."""
+    from fraud_detection_spark.sources import load_table
+
+    (r,) = _run("q_cell_balance", spark, sf_dir)
+    assert r.n_vectors == load_table(spark, sf_dir, "embeddings").count()
+    assert 1 <= r.n_cells <= 16
+    assert r.min_size <= r.max_size
+    assert r.imbalance >= 1.0 - 1e-9
+    assert r.size_cv >= 0
