@@ -69,29 +69,10 @@ def entry(spark: SparkSession) -> DataFrame:
 _PINNED_HEAD = ()
 
 _TOUCHED_THIS_ROUND = frozenset({
-    # round 8 edits (VERDICT r7 next-round items + ADVICE r7):
-    "q_moments",         # decimal-before-floor overflow guard (ADVICE r7)
-    "q_pagerank",        # gains a DuckDB unrolled-iteration oracle (V#7)
-    "q_triangle_count",  # degree-ordered orientation for hub skew (V#4)
-    "q_bm25",            # scoring core factored out for q_rrf (same plan)
-    # round-8 additions (new queries — no history, evidence wanted now):
-    "q_clustering_coeff",
-    "q_assortativity",
-    "q_label_prop",
-    "q_changepoint",
-    "q_winsorized_stats",
-    "q_peer_group_outlier",
-    "q_parity_gap",
-    "q_ndcg",
-    "q_rrf",
-    # round-8 batch 2 (new queries — no history, evidence wanted now):
-    "q_anova",
-    "q_abtest",
-    "q_token_budget",
-    "q_dedup_stats",
-    "q_graph_2core",
-    "q_embedding_isotropy",
-    "q_cell_balance",
+    # round 9 edits (VERDICT r8 next-round items + ADVICE r8):
+    "q_anova",        # oracle HUGEINT->BIGINT cast (V#1) + decimal-floor (ADVICE)
+    "q_changepoint",  # oracle HUGEINT->BIGINT casts (V#1)
+    "q_new_edges",    # datekey int32->bigint (found by the new dtype-parity sweep)
 })
 
 

@@ -810,11 +810,13 @@ def q_new_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge key, one day-level hash aggregate. All integer date math."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    # bigint to match the oracle's int64 (year()*10000 is int32 in
+    # Spark but BIGINT in DuckDB — the driver hash is type-sensitive)
     datekey = (
         F.year("o_orderdate") * 10000
         + F.month("o_orderdate") * 100
         + F.dayofmonth("o_orderdate")
-    )
+    ).cast("bigint")
     a = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(

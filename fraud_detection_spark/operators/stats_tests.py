@@ -369,9 +369,10 @@ def q_kl_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v FROM events), "
         "g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS ng, "
         "SUM(v) AS sg, SUM(CAST(v AS HUGEINT) * v) AS ssg FROM v GROUP BY dow), "
-        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, SUM(ng) AS n, "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+        "CAST(SUM(ng) AS BIGINT) AS n, "
         "SUM(sg) AS s, CAST(SUM(ssg) AS DOUBLE) AS ss, "
-        "SUM(CAST(FLOOR(CAST(sg AS DOUBLE) * sg / ng + 0.5) AS BIGINT)) AS a "
+        "SUM(CAST(FLOOR(CAST(sg AS DOUBLE) * sg / ng + 0.5) AS HUGEINT)) AS a "
         "FROM g), "
         "f AS (SELECT k, n, "
         "CAST(a - FLOOR(CAST(s AS DOUBLE) * s / n + 0.5) AS DOUBLE) AS ssb, "
@@ -404,7 +405,7 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded group table."""
     ev = events_with_time(spark, sf_dir)
     v = ev.select(
-        ((F.col("ts_sec") / 86400).cast("long") % 7).alias("dow"),
+        (F.expr("ts_sec div 86400") % 7).alias("dow"),
         F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("v"),
     )
     g = v.groupBy("dow").agg(
@@ -418,13 +419,20 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("ng").alias("n"),
         F.sum("sg").alias("s"),
         F.sum("ssg").cast("double").alias("ss"),
+        # decimal BEFORE floor (the q_moments round-8 treatment): Spark's
+        # floor(DOUBLE) returns LONG and silently saturates at
+        # Long.MaxValue once S_g^2/n_g passes ~9.2e18 (reachable around
+        # sf10 in 1e-4 fixed-point units); flooring the DECIMAL(38,6)
+        # keeps the whole path in decimal, matching the oracle's
+        # CAST(FLOOR(...) AS HUGEINT) which never saturates.
         F.sum(
-            F.floor(sgd * F.col("sg") / F.col("ng") + F.lit(0.5)).cast("bigint")
+            F.floor((sgd * F.col("sg") / F.col("ng") + F.lit(0.5)).cast("decimal(38,6)"))
         ).alias("a"),
     )
     sd = F.col("s").cast("double")
     ssb = (
-        F.col("a") - F.floor(sd * F.col("s") / F.col("n") + F.lit(0.5))
+        F.col("a")
+        - F.floor((sd * F.col("s") / F.col("n") + F.lit(0.5)).cast("decimal(38,6)"))
     ).cast("double")
     ssw = F.col("ss") - F.col("a").cast("double")
     return t.select(

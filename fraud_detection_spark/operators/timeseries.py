@@ -1157,7 +1157,8 @@ _CP_V_SQL = (
         "+ CAST(tt - t1 AS DOUBLE) * (tt - t1) / (nn - n1) AS g, "
         "t1, tt, nn FROM cum, tot WHERE rn < nd) "
         "SELECT CAST(day AS BIGINT) AS split_day, "
-        "n1 AS n_before, nn - n1 AS n_after, "
+        "CAST(n1 AS BIGINT) AS n_before, "
+        "CAST(nn - n1 AS BIGINT) AS n_after, "
         + sql_round("CAST(t1 AS DOUBLE) / 10000 / n1", 6) + " AS mean_before, "
         + sql_round("CAST(tt - t1 AS DOUBLE) / 10000 / (nn - n1)", 6)
         + " AS mean_after "
