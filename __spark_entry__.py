@@ -73,6 +73,9 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_anova",        # oracle HUGEINT->BIGINT cast (V#1) + decimal-floor (ADVICE)
     "q_changepoint",  # oracle HUGEINT->BIGINT casts (V#1)
     "q_new_edges",    # datekey int32->bigint (found by the new dtype-parity sweep)
+    "q_ndcg",         # n_rel=0 NULL guard on ideal DCG (ADVICE r8)
+    "q_triangle_count",   # (deg, key) struct rank replaces bit-packing (ADVICE r8)
+    "q_clustering_coeff",  # shares oriented_edges with q_triangle_count
 })
 
 

@@ -599,15 +599,18 @@ def oriented_edges(pe: DataFrame) -> DataFrame:
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("ca") < F.col("cb"))
     )
-    # rank packed into one orderable long (deg < 2^32 by |E| bound,
-    # keys are customer ids < 2^31): deg-major, key-minor — the same
-    # total order as the (deg, key) tuple, one comparison downstream
+    # rank as an orderable (deg, key) STRUCT — Spark compares structs
+    # lexicographically field-by-field, so this is the exact (deg, key)
+    # total order with no width assumption. (A shiftleft(deg, 31) + key
+    # packing is only a valid order while keys < 2^31 and deg < 2^32;
+    # a custkey at or above 2^31 — plausible at the 100 TB design
+    # point — would silently corrupt the orientation. ADVICE r8.)
     return e.select(
         F.when(a_first, F.col("ca")).otherwise(F.col("cb")).alias("src"),
         F.when(a_first, F.col("cb")).otherwise(F.col("ca")).alias("dst"),
-        (
-            F.shiftleft(F.when(a_first, F.col("db")).otherwise(F.col("da")), 31)
-            + F.when(a_first, F.col("cb")).otherwise(F.col("ca"))
+        F.struct(
+            F.when(a_first, F.col("db")).otherwise(F.col("da")).alias("deg"),
+            F.when(a_first, F.col("cb")).otherwise(F.col("ca")).alias("key"),
         ).alias("rank_dst"),
     )
 

@@ -1123,14 +1123,20 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dcg"),
     )
     k = F.least(F.lit(_NDCG_K), F.col("n_rel")).cast("int")
-    idcg = (
+    # guard n_rel = 0 (ADVICE r8): Spark's sequence(1, 0) auto-steps to
+    # [1, 0] and the i = 0 term divides by log2(1) = 0 (Infinity ->
+    # saturated bigint) where the oracle's range filter yields an empty
+    # SUM = NULL — match the oracle's NULL on a corpus with no
+    # same-label docs.
+    idcg = F.when(
+        F.col("n_rel") > 0,
         F.aggregate(
             F.sequence(F.lit(1), k),
             F.lit(0).cast("bigint"),
             lambda acc, i: acc
             + F.floor(1000000000 / F.log2(i + 1) + F.lit(0.5)).cast("bigint"),
         ).cast("double")
-        / 1000000000
+        / 1000000000,
     )
     return agg.select(
         "n_rel",

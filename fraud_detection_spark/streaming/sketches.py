@@ -47,19 +47,33 @@ DOC_SCHEMA = "doc_id bigint, text string, lang string, source string, n_chars bi
 
 
 def _watermark_path(sketch_path: str) -> str:
-    # underscore-prefixed sidecar: Spark's parquet reader ignores it
-    # (same convention as _SUCCESS). Driver-side metadata, a few bytes.
+    # sibling of the sketch directory, NOT inside it: compact_cms's
+    # full overwrite deletes sketch_path wholesale, so an in-directory
+    # sidecar vanishes with it — a crash between the overwrite commit
+    # and the sidecar rewrite would silently drop ALL prior watermarks,
+    # reopening the replay double-count for previously folded batches
+    # (round-8 ADVICE). Driver-side metadata, a few bytes.
+    return sketch_path.rstrip("/") + ".compact_watermark"
+
+
+def _legacy_watermark_path(sketch_path: str) -> str:
+    # pre-round-9 in-directory location (read-only back-compat)
     return os.path.join(sketch_path, "_compact_watermark")
 
 
 def compacted_watermark(sketch_path: str) -> int:
     """Highest batch_id already folded into the compacted partition
-    (-1 if never compacted)."""
-    try:
-        with open(_watermark_path(sketch_path)) as fh:
-            return int(fh.read().strip())
-    except (OSError, ValueError):
-        return -1
+    (-1 if never compacted). Reads the sibling sidecar and the legacy
+    in-directory one, taking the max (a sketch compacted before the
+    relocation keeps its guarantee)."""
+    wm = -1
+    for path in (_watermark_path(sketch_path), _legacy_watermark_path(sketch_path)):
+        try:
+            with open(path) as fh:
+                wm = max(wm, int(fh.read().strip()))
+        except (OSError, ValueError):
+            pass
+    return wm
 
 
 def cms_batch(batch_df: DataFrame, batch_id: int, sketch_path: str) -> None:
@@ -103,11 +117,16 @@ def compact_cms(spark: SparkSession, sketch_path: str) -> None:
     ``cms_batch`` skips any batch at or below it — so a batch whose
     sink write landed but whose checkpoint commit didn't (the one
     window where Structured Streaming replays) cannot be re-added on
-    restart after its counts were folded into -1. The watermark is
-    written only AFTER the overwrite commits: a crash between the two
-    leaves the pre-ADVICE behavior for that one compaction (run
-    compact_cms only while the stream is stopped, as before), never a
-    lost count."""
+    restart after its counts were folded into -1. The sidecar lives
+    BESIDE the sketch directory (round-8 ADVICE: an in-directory
+    sidecar is deleted by this very overwrite, so a crash between the
+    overwrite commit and the rewrite dropped every prior watermark);
+    the prior watermark is captured up front and max(prior, hi) is
+    rewritten in a finally block, so even a failed overwrite never
+    regresses the guarantee — worst case for THIS compaction is the
+    pre-ADVICE behavior (run compact_cms only while the stream is
+    stopped, as before), never a lost count."""
+    prior = compacted_watermark(sketch_path)
     partials = spark.read.parquet(sketch_path)
     hi = partials.agg(F.max("batch_id").alias("hi")).collect()[0].hi
     merged = (
@@ -116,11 +135,19 @@ def compact_cms(spark: SparkSession, sketch_path: str) -> None:
         .withColumn("batch_id", F.lit(-1))
         .localCheckpoint()
     )
-    merged.write.mode("overwrite").partitionBy("batch_id").parquet(sketch_path)
-    spark.catalog.refreshByPath(sketch_path)
-    if hi is not None and int(hi) > compacted_watermark(sketch_path):
-        with open(_watermark_path(sketch_path), "w") as fh:
-            fh.write(str(int(hi)))
+    ok = False
+    try:
+        merged.write.mode("overwrite").partitionBy("batch_id").parquet(sketch_path)
+        spark.catalog.refreshByPath(sketch_path)
+        ok = True
+    finally:
+        # success: advance to max(prior, hi). Failure: re-assert PRIOR
+        # only — hi would wrongly skip replays of batches the failed
+        # overwrite may have destroyed.
+        wm = max(prior, int(hi)) if (ok and hi is not None) else prior
+        if wm > -1:
+            with open(_watermark_path(sketch_path), "w") as fh:
+                fh.write(str(wm))
 
 
 def cms_estimate(

@@ -341,3 +341,44 @@ def test_cell_balance_consistency(spark, sf_dir):
     assert r.min_size <= r.max_size
     assert r.imbalance >= 1.0 - 1e-9
     assert r.size_cv >= 0
+
+
+def test_ndcg_no_relevant_docs_matches_oracle_null(spark, tmp_path):
+    """n_rel = 0 degenerate corpus (ADVICE r8): Spark's sequence(1, 0)
+    auto-steps to [1, 0] whose i = 0 term divides by log2(1) = 0 —
+    unguarded, idcg saturates where the oracle's empty SUM is NULL.
+    Both engines must return NULL idcg/ndcg on a corpus where the
+    query label matches nothing."""
+    import duckdb
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": pd.array([0, 1, 2, 3], dtype="int64"),
+            "embedding": [
+                [1.0, 0.0, 0.0],
+                [0.9, 0.1, 0.0],
+                [0.0, 1.0, 0.0],
+                [0.0, 0.0, 1.0],
+            ],
+        }
+    )
+    pdf["embedding"] = pdf["embedding"].map(
+        lambda v: __import__("numpy").asarray(v, dtype="float32")
+    )
+    pdf["label"] = pd.array([7, 1, 2, 3], dtype="int32")  # query label 7 unmatched
+    pdf.to_parquet(tmp_path / "embeddings.parquet", index=False)
+
+    q = load_all()["q_ndcg"]
+    (r,) = q.fn(spark, str(tmp_path)).collect()
+    assert r.n_rel == 0 and r.dcg == 0.0
+    assert r.idcg is None and r.ndcg is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    (orow,) = con.execute(q.oracle).fetchall()
+    con.close()
+    assert (r.n_rel, r.dcg, r.idcg, r.ndcg) == orow

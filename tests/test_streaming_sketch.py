@@ -117,3 +117,53 @@ def test_compact_then_replay_does_not_double_count(spark, sf_dir, tmp_path):
     assert merged == {
         k: truth[k] + even_cells.get(k, 0) for k in truth
     }
+
+
+def test_watermark_survives_next_compaction_overwrite(spark, sf_dir, tmp_path):
+    """Round-8 ADVICE: the watermark sidecar used to live INSIDE the
+    sketch directory, which compact_cms fully overwrites — a crash
+    between the overwrite commit and the sidecar rewrite dropped ALL
+    prior watermarks. Now the sidecar is a sibling of the directory:
+    simulate the crash by deleting everything the overwrite deletes
+    (the directory contents) right after a compaction and assert the
+    watermark is still visible. Also: a legacy in-directory sidecar is
+    still honored, and max(prior, hi) never regresses."""
+    import shutil
+
+    from fraud_detection_spark.streaming.sketches import (
+        _legacy_watermark_path,
+        _watermark_path,
+        compacted_watermark,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sketch = str(tmp_path / "sketch4")
+    cms_batch(docs.filter(F.col("doc_id") % 2 == 0), 0, sketch)
+    cms_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, sketch)
+    spark.catalog.refreshByPath(sketch)
+    compact_cms(spark, sketch)
+    assert compacted_watermark(sketch) == 1
+
+    # the crash window: the overwrite has deleted the directory, the
+    # sidecar rewrite has not happened yet — prior watermarks must
+    # survive because they live OUTSIDE the deleted tree
+    shutil.rmtree(sketch)
+    assert compacted_watermark(sketch) == 1
+
+    # replayed batch <= watermark is still skipped after the "crash"
+    cms_batch(docs.filter(F.col("doc_id") % 2 == 1), 1, sketch)
+    import os
+
+    assert not os.path.exists(sketch)  # skip happened before any write
+
+    # legacy in-directory sidecar still honored (max of both wins)
+    cms_batch(docs.filter(F.col("doc_id") % 2 == 0), 5, sketch)
+    os.makedirs(sketch, exist_ok=True)
+    with open(_legacy_watermark_path(sketch), "w") as fh:
+        fh.write("7")
+    assert compacted_watermark(sketch) == 7
+    # a new compaction advances the sibling sidecar to max(prior, hi)
+    compact_cms(spark, sketch)
+    assert compacted_watermark(sketch) == 7
+    with open(_watermark_path(sketch)) as fh:
+        assert int(fh.read()) == 7
