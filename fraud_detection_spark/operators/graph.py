@@ -1128,24 +1128,68 @@ def q_graph_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the triage weight. Pure-integer set semantics → hash-exact
     against the unrolled MATERIALIZED-CTE chain, like q_label_prop.
 
-    Plan: per round one degree aggregate over the current edge list
-    + two semi-join filters (both keyed on the vertex, broadcast-
-    sized once the cut bites). localCheckpoint between rounds cuts
-    the lineage; at 100 TB the classic refinement is delta-peeling
-    (only re-check neighbors of removed vertices)."""
+    Plan (delta-peeling, VERDICT r8 #6): ONE full degree aggregate
+    over the edge list, then per round only the neighbors of the
+    just-removed frontier are re-checked — the frontier (vertices
+    that fell below 2 this round, a shrinking set) broadcasts
+    against the STATIC edge list to count each alive vertex's lost
+    edges, and the |V|-row degree table is patched by subtraction.
+    The edge list is never rewritten; per-round cost is proportional
+    to edges INCIDENT TO REMOVED VERTICES, not to |E| — the classic
+    100 TB refinement over recompute-everything peeling. Correctness
+    invariant: after applying round r's losses, ``alive_deg`` equals
+    each survivor's degree in the subgraph induced by the alive set,
+    so frontier selection matches the oracle's full recompute round
+    for round, and the final emit (degree >= 1) is the oracle's
+    end-state degree table. localCheckpoint pins the small degree
+    table between rounds (lineage cut + exact sizeInBytes for the
+    broadcast)."""
     pe = _heavy_pairs(spark, sf_dir).localCheckpoint()
     edges_r = pe.select(F.col("ca").alias("src"), F.col("cb").alias("dst")).unionAll(
         pe.select(F.col("cb").alias("src"), F.col("ca").alias("dst"))
     )
-    for r in range(_CORE_ROUNDS):
-        deg = edges_r.groupBy("src").agg(F.count("*").alias("deg"))
-        keep = deg.filter(F.col("deg") >= 2).select(F.col("src").alias("node"))
-        edges_r = (
-            edges_r.join(keep.withColumnRenamed("node", "src"), "src", "semi")
-            .join(keep.withColumnRenamed("node", "dst"), "dst", "semi")
-            .select("src", "dst")
+    return two_core_delta_peel(edges_r, _CORE_ROUNDS).select(
+        F.col("src").alias("custkey"), F.col("deg").alias("core_degree")
+    )
+
+
+def two_core_delta_peel(edges_r: DataFrame, rounds: int) -> DataFrame:
+    """Delta-peeling 2-core kernel on a symmetric directed edge list
+    (both (u,v) and (v,u) present): ``rounds`` removal rounds of
+    degree-<2 vertices, returning the survivors' end-state degree
+    table (src, deg) — vertices with deg >= 1 in the induced
+    subgraph, identical to recomputing degrees on the fully filtered
+    edge list (the oracle's unrolled-CTE semantics; see
+    ``q_graph_2core``). Edge list is read ``rounds`` times but never
+    rewritten; each round touches only edges incident to that
+    round's frontier."""
+    edges_r = edges_r.localCheckpoint()
+
+    def patch(alive: DataFrame, frontier: DataFrame) -> DataFrame:
+        # subtract each alive vertex's edges into the just-removed
+        # frontier; only frontier-adjacent vertices change, everyone
+        # else passes through the left join untouched
+        lost = (
+            edges_r.join(F.broadcast(frontier), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("lost"))
         )
-        edges_r = edges_r.localCheckpoint()
-    return edges_r.groupBy("src").agg(
-        F.count("*").cast("bigint").alias("core_degree")
-    ).select(F.col("src").alias("custkey"), "core_degree")
+        return alive.join(lost, "src", "left").select(
+            "src",
+            (F.col("deg") - F.coalesce(F.col("lost"), F.lit(0))).alias("deg"),
+        ).localCheckpoint()
+
+    deg = edges_r.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    frontier = deg.filter(F.col("deg") < 2).select(F.col("src").alias("dst"))
+    alive = deg.filter(F.col("deg") >= 2)
+    for _ in range(1, rounds):
+        patched = patch(alive, frontier)
+        frontier = patched.filter(F.col("deg") < 2).select(F.col("src").alias("dst"))
+        alive = patched.filter(F.col("deg") >= 2)
+    # the oracle's final round also FILTERS the last frontier's edges
+    # before its end-state degree emit — apply that round's losses,
+    # then emit survivors that still touch >= 1 edge
+    final = patch(alive, frontier)
+    return final.filter(F.col("deg") >= 1).select(
+        "src", F.col("deg").cast("bigint").alias("deg")
+    )

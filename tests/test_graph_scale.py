@@ -98,3 +98,38 @@ def test_project_pairs_scales_linearly(spark):
     assert p10 == REPLICAS * p1, (p1, p10)
     assert t10 <= 2.5 * REPLICAS * t1 + 5.0, (t1, t10)
     print(f"SCALE project_pairs: 1x={t1:.2f}s 10x={t10:.2f}s ratio={t10 / t1:.1f}")
+
+
+def test_two_core_delta_peel_scales_linearly(spark):
+    """VERDICT r8 #6: the delta-peel kernel's per-round work is
+    proportional to edges incident to the frontier, so ten disjoint
+    isomorphic copies must peel in ~10x the time with exactly 10x
+    the survivors (each replica peels identically)."""
+    from fraud_detection_spark.operators.graph import (
+        _CORE_ROUNDS,
+        _heavy_pairs,
+        two_core_delta_peel,
+    )
+
+    pe1 = _heavy_pairs(spark, SCALE_SF_DIR).localCheckpoint()
+
+    def sym(pe):
+        return pe.select(
+            F.col("ca").alias("src"), F.col("cb").alias("dst")
+        ).unionAll(pe.select(F.col("cb").alias("src"), F.col("ca").alias("dst")))
+
+    pe10 = _replicate(pe1, ["ca", "cb"]).localCheckpoint()
+    two_core_delta_peel(sym(pe1), _CORE_ROUNDS).count()  # warm
+
+    def timed(pe):
+        # the kernel's localCheckpoints are EAGER — time construction
+        # AND count, not just the final count
+        t0 = time.time()
+        n = two_core_delta_peel(sym(pe), _CORE_ROUNDS).count()
+        return n, time.time() - t0
+
+    n1, t1 = timed(pe1)
+    n10, t10 = timed(pe10)
+    assert n10 == REPLICAS * n1, (n1, n10)
+    assert t10 <= 2.5 * REPLICAS * t1 + 5.0, (t1, t10)
+    print(f"SCALE two_core_delta_peel: 1x={t1:.2f}s 10x={t10:.2f}s ratio={t10 / t1:.1f}")
