@@ -76,6 +76,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_ndcg",         # n_rel=0 NULL guard on ideal DCG (ADVICE r8)
     "q_triangle_count",   # (deg, key) struct rank replaces bit-packing (ADVICE r8)
     "q_clustering_coeff",  # shares oriented_edges with q_triangle_count
+    "q_graph_2core",  # delta-peeling kernel replaces full recompute (V#6)
 })
 
 
