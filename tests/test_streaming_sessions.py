@@ -157,3 +157,157 @@ def test_path_frequencies_feed(spark, sf_dir, tmp_path):
     closed = batch[batch["sid"] < last_sid]
     want = closed.groupby("path").size().to_dict()
     assert freq == want
+
+
+def _run_sliced(spark, tmp_path, slices, stream_factory, subdir="re"):
+    """Feed pandas slices one availableNow run per slice against one
+    checkpoint (same harness as run_session_stream, parameterized by
+    the stream constructor and an explicit slice list)."""
+    import pandas as pd
+
+    base = tmp_path / subdir
+    base.mkdir()
+    staged = base / "staged"
+    staged.mkdir()
+    ckpt, out = str(base / "ckpt"), str(base / "out")
+    schema = "user_id bigint, ts_sec bigint, event_id bigint, event_type string"
+    for i, chunk in enumerate(slices):
+        if not len(chunk):
+            continue
+        spark.createDataFrame(pd.DataFrame(chunk)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(staged / f"s{i}"))
+        stream_in = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(staged))
+        q = (
+            stream_factory(stream_in)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.read.parquet(out).toPandas()
+
+
+def test_reordered_stream_resequences_scrambled_feed_exactly(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r8 #7: with the reorder buffer and a lateness bound
+    covering the scramble, a feed whose events are RANDOMLY shuffled
+    across micro-batches must still emit exactly the batch ground
+    truth — the r8 in-order twin documented this as impossible
+    (cross-batch late events could not be re-sequenced)."""
+    import numpy as np
+
+    from fraud_detection_spark.sources import events_with_time
+    from fraud_detection_spark.streaming.sessions import (
+        session_path_stream_reordered,
+    )
+
+    pdf = (
+        events_with_time(spark, sf_dir)
+        .select("user_id", "ts_sec", "event_id", "event_type")
+        .toPandas()
+    )
+    rng = np.random.default_rng(7)
+    pdf = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    span = int(pdf["ts_sec"].max() - pdf["ts_sec"].min())
+    late = span + 1
+
+    n_slices = 4
+    slices = list(np.array_split(np.arange(len(pdf)), n_slices))
+    parts = [pdf.iloc[ix] for ix in slices]
+    # sentinel: one far-future event per user pushes every user's
+    # frontier past all real events AND closes their last session
+    sent_ts = int(pdf["ts_sec"].max()) + late + 30 * 60 + 1
+    users = pdf["user_id"].unique()
+    import pandas as pd
+
+    def flush_wave(ts, tag):
+        return pd.DataFrame(
+            {
+                "user_id": users,
+                "ts_sec": ts,
+                "event_id": 10**12 + tag * 10**6 + np.arange(len(users)),
+                "event_type": "flush",
+            }
+        )
+
+    # two waves: wave 1 raises the frontier past every real event but
+    # is itself held; wave 2 raises it past wave 1 so wave 1 is WALKED
+    # and closes each user's final real session (wave 1's own session
+    # stays open and unemitted, wave 2 stays held)
+    parts.append(flush_wave(sent_ts, 1))
+    parts.append(flush_wave(sent_ts + late + 1, 2))
+
+    got = _run_sliced(
+        spark,
+        tmp_path,
+        parts,
+        lambda s: session_path_stream_reordered(
+            s, late_sec=late, idle_timeout_ms=None
+        ),
+    )
+    want = _batch_sessions(spark, sf_dir).toPandas()  # ALL sessions
+
+    key = ["user_id", "sid"]
+    got_s = got.sort_values(key).reset_index(drop=True)
+    want_s = want.sort_values(key).reset_index(drop=True)
+    assert len(got_s) == len(want_s), (len(got_s), len(want_s))
+    assert len(got_s) > 0
+    for c in ["user_id", "sid", "path", "n_events", "t0_sec", "t1_sec"]:
+        assert (got_s[c].values == want_s[c].values).all(), c
+
+
+def test_reordered_stream_boundary_of_lateness_bound(spark, tmp_path):
+    """Divergence appears ONLY beyond the lateness bound: the same
+    4-slice feed with an event 9950 s late diverges (best-effort
+    append to the open session) under late_sec=100 but re-sequences
+    exactly under late_sec=20000."""
+    from fraud_detection_spark.streaming.sessions import (
+        session_path_stream_reordered,
+    )
+
+    # user 1: A(t=0) B(t=50) one batch session; X(t=5000); Z(t=10000)
+    A = dict(user_id=1, ts_sec=0, event_id=1, event_type="A")
+    B = dict(user_id=1, ts_sec=50, event_id=3, event_type="B")
+    X = dict(user_id=1, ts_sec=5000, event_id=2, event_type="X")
+    Z = dict(user_id=1, ts_sec=10000, event_id=4, event_type="Z")
+    S = dict(user_id=1, ts_sec=100000, event_id=9, event_type="flush")
+    feed = [[A, X], [Z], [B], [S]]  # B arrives 9950 s late
+
+    got = _run_sliced(
+        spark,
+        tmp_path,
+        feed,
+        lambda s: session_path_stream_reordered(
+            s, late_sec=100, idle_timeout_ms=None
+        ),
+        subdir="tight",
+    )
+    got = got.sort_values("sid").reset_index(drop=True)
+    # beyond the bound: B was finalized after the walker reached X, so
+    # it best-effort-extends the open [X] session — documented trade
+    assert list(got["path"]) == ["A", "X>B"], got
+    assert list(got["n_events"]) == [1, 2]
+
+    got2 = _run_sliced(
+        spark,
+        tmp_path,
+        feed,
+        lambda s: session_path_stream_reordered(
+            s, late_sec=20000, idle_timeout_ms=None
+        ),
+        subdir="wide",
+    )
+    got2 = got2.sort_values("sid").reset_index(drop=True)
+    # inside the bound: B re-sequences into [A, B]; [Z] stays open
+    # (the sentinel is itself still above the frontier)
+    assert list(got2["path"]) == ["A>B", "X"], got2
+    assert list(got2["n_events"]) == [2, 1]
+    assert list(got2["t0_sec"]) == [0, 5000]
+    assert list(got2["t1_sec"]) == [50, 5000]
