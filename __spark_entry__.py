@@ -77,6 +77,15 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_triangle_count",   # (deg, key) struct rank replaces bit-packing (ADVICE r8)
     "q_clustering_coeff",  # shares oriented_edges with q_triangle_count
     "q_graph_2core",  # delta-peeling kernel replaces full recompute (V#6)
+    # round-9 additions (new queries — no history, evidence wanted now):
+    "q_kruskal_wallis",
+    "q_mann_whitney",
+    "q_levene",
+    "q_cohen_kappa",
+    "q_fan_in_out",
+    "q_embedding_outlier",
+    "q_mmr",
+    "q_pmi_cooccurrence",
 })
 
 

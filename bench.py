@@ -224,6 +224,23 @@ HEADLINE = [
     "q_graph_2core",
     "q_embedding_isotropy",
     "q_cell_balance",
+    # round-9 operators (timed the round they ship — BASELINE.md
+    # rule 2): rank-based tests sharing one doubled-rank construction
+    # (distinct-value window + contingency fold), Brown–Forsythe
+    # variance homogeneity (grouped exact-median broadcast + one
+    # moment pass), chance-corrected kappa on the q_prf confusion
+    # pass, fan-in concentration screen (two shrinking-key folds),
+    # within-label centroid outliers (O(n·d), no pair join), greedy
+    # MMR re-rank over a checkpointed top-20 pool, and doc-level PMI
+    # under a broadcast 50-term vocabulary cut
+    "q_kruskal_wallis",
+    "q_mann_whitney",
+    "q_levene",
+    "q_cohen_kappa",
+    "q_fan_in_out",
+    "q_embedding_outlier",
+    "q_mmr",
+    "q_pmi_cooccurrence",
 ]
 
 

@@ -462,3 +462,87 @@ def q_peer_group_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(z, 6).alias("z"),
         )
     )
+
+
+@query(
+    "q_fan_in_out",
+    oracle=(
+        "WITH e AS (SELECT l_suppkey AS suppkey, o_custkey AS custkey "
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey), "
+        "pc AS (SELECT suppkey, custkey, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM e GROUP BY suppkey, custkey), "
+        "s AS (SELECT suppkey, CAST(COUNT(*) AS BIGINT) AS fan_in, "
+        "CAST(SUM(n) AS BIGINT) AS n_tx, CAST(MAX(n) AS BIGINT) AS top_n "
+        "FROM pc GROUP BY suppkey), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS m, "
+        "CAST(SUM(fan_in) AS BIGINT) AS sf, "
+        "SUM(CAST(fan_in AS HUGEINT) * fan_in) AS sff FROM s), "
+        "z AS (SELECT s.suppkey, s.fan_in, s.n_tx, s.top_n, "
+        "(s.fan_in - CAST(t.sf AS DOUBLE) / t.m) / "
+        "sqrt(CAST(t.sff AS DOUBLE) / t.m "
+        "- (CAST(t.sf AS DOUBLE) / t.m) * (CAST(t.sf AS DOUBLE) / t.m)) AS fz "
+        "FROM s, t) "
+        "SELECT suppkey, fan_in, n_tx, "
+        + sql_round("CAST(top_n AS DOUBLE) / n_tx", 6) + " AS top_share, "
+        + sql_round("fz", 6) + " AS fan_z "
+        "FROM z WHERE fz >= 2"
+    ),
+    tags=("aml", "graph", "agg"),
+)
+def q_fan_in_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fan-in concentration screen: entities (suppliers) collecting
+    from an anomalously WIDE set of counterparties — the
+    funnel-account typology (many senders, one collector; the
+    structural sibling of q_structuring's many-small-amounts and
+    q_fraud_rings' shared-counterparty patterns). Emits every entity
+    whose distinct-counterparty fan-in sits ≥ 2 population σ above
+    the mean, with its transaction volume and top-counterparty share
+    (a LOW top share plus high fan-in = genuinely dispersed inflow,
+    the riskier shape).
+
+    Exactness: fan-in/volume/top are exact integers from one grouped
+    pass; the population z uses Σf and Σf² exact-integer sums (NOT
+    the engines' streaming STDDEV implementations, which differ) so
+    mean/σ/z are identical IEEE scalars; the ≥2σ cut compares the
+    unrounded z on both engines.
+
+    Scale: one (supplier × customer) fold (map-side combinable), one
+    supplier-level aggregate over it, a 1-row global broadcast back —
+    two shuffles, both on shrinking keys; no window over fact rows."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pc = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("suppkey"),
+            F.col("o_custkey").alias("custkey"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    s = pc.groupBy("suppkey").agg(
+        F.count("*").cast("bigint").alias("fan_in"),
+        F.sum("n").cast("bigint").alias("n_tx"),
+        F.max("n").cast("bigint").alias("top_n"),
+    )
+    t = s.agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("fan_in").cast("bigint").alias("sf"),
+        F.sum(F.col("fan_in").cast("decimal(38,0)") * F.col("fan_in")).alias("sff"),
+    )
+    mu = F.col("sf").cast("double") / F.col("m")
+    fz = (F.col("fan_in") - mu) / F.sqrt(
+        F.col("sff").cast("double") / F.col("m") - mu * mu
+    )
+    return (
+        s.crossJoin(F.broadcast(t))
+        .filter(fz >= 2)
+        .select(
+            "suppkey",
+            "fan_in",
+            "n_tx",
+            pround(F.col("top_n").cast("double") / F.col("n_tx"), 6).alias(
+                "top_share"
+            ),
+            pround(fz, 6).alias("fan_z"),
+        )
+    )

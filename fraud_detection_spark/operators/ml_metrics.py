@@ -759,3 +759,61 @@ def q_parity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tpr_gap"),
         )
     )
+
+
+@query(
+    "q_cohen_kappa",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), c AS ("
+        "SELECT CAST(SUM(CASE WHEN label = 1 AND score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tp, "
+        "CAST(SUM(CASE WHEN label = 0 AND score > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fp, "
+        "CAST(SUM(CASE WHEN label = 1 AND score <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS fn, "
+        "CAST(SUM(CASE WHEN label = 0 AND score <= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS tn FROM s), "
+        "k AS (SELECT tp + fp + fn + tn AS n, "
+        "CAST(tp + tn AS DOUBLE) / (tp + fp + fn + tn) AS po, "
+        "(CAST(tp + fp AS DOUBLE) * (tp + fn) + CAST(fn + tn AS DOUBLE) * (fp + tn)) "
+        "/ (CAST(tp + fp + fn + tn AS DOUBLE) * (tp + fp + fn + tn)) AS pe FROM c) "
+        "SELECT CAST(n AS BIGINT) AS n, "
+        + sql_round("po", 6) + " AS accuracy, "
+        + sql_round("pe", 6) + " AS expected_accuracy, "
+        + sql_round("(po - pe) / (1 - pe)", 6) + " AS kappa FROM k"
+    ),
+    tags=("ml", "metric"),
+)
+def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa of the 0.5-threshold classifier: chance-corrected
+    agreement κ = (p_o − p_e)/(1 − p_e) between predictions and
+    labels, with the observed and chance-expected accuracies — the
+    imbalance-honest companion to raw accuracy (a 99%-negative fraud
+    table gives a constant-0 model p_o ≈ 0.99 but κ ≈ 0) next to
+    q_mcc's correlation view of the same confusion matrix.
+
+    Exactness: one conditional-sum confusion pass (exact integers);
+    κ/p_o/p_e are scalar IEEE formulas on those integers — identical
+    on both engines. The pairwise products sit far inside double's
+    exact-integer range until n ~ 9e7 per cell pair, and p_e's ratio
+    form keeps the scalars in [0, 1] at any n.
+
+    Scale: identical single map-side-combinable aggregate as q_prf —
+    no extra shuffle, no new scan."""
+    s = scored(spark, sf_dir)
+    pred = F.col("score") > 0.5
+    lab = F.col("label") == 1
+    agg = s.agg(
+        F.sum(F.when(lab & pred, 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when(~lab & pred, 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when(lab & ~pred, 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when(~lab & ~pred, 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    tp, fp, fn, tn = F.col("tp"), F.col("fp"), F.col("fn"), F.col("tn")
+    n = tp + fp + fn + tn
+    po = (tp + tn).cast("double") / n
+    pe = (
+        (tp + fp).cast("double") * (tp + fn) + (fn + tn).cast("double") * (fp + tn)
+    ) / (n.cast("double") * n)
+    return agg.select(
+        n.cast("bigint").alias("n"),
+        pround(po, 6).alias("accuracy"),
+        pround(pe, 6).alias("expected_accuracy"),
+        pround((po - pe) / (1 - pe), 6).alias("kappa"),
+    )

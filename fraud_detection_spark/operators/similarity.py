@@ -1313,3 +1313,244 @@ def q_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("size_cv"),
     )
+
+
+@query(
+    "q_embedding_outlier",
+    oracle=(
+        "WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings), "
+        "ex AS (SELECT vec_id, label, unnest(e) AS x, "
+        "unnest(generate_series(1, len(e))) AS i FROM v), "
+        "fx AS (SELECT vec_id, label, i, x, "
+        "CAST(FLOOR(x * 1000000000 + 0.5) AS BIGINT) AS xi FROM ex), "
+        "c AS (SELECT label, i, CAST(SUM(xi) AS BIGINT) AS s, "
+        "CAST(COUNT(*) AS BIGINT) AS m FROM fx GROUP BY label, i), "
+        "d AS (SELECT f.vec_id, f.label, "
+        "SQRT(SUM(CAST(FLOOR(POWER(f.x - CAST(c.s AS DOUBLE) / 1000000000 / c.m, 2) "
+        "* 1000000000000 + 0.5) AS BIGINT)) / 1000000000000.0) AS dist "
+        "FROM fx f JOIN c ON f.label = c.label AND f.i = c.i "
+        "GROUP BY f.vec_id, f.label) "
+        "SELECT vec_id, label, " + sql_round("dist", 6) + " AS dist "
+        "FROM d ORDER BY dist DESC, vec_id LIMIT 10"
+    ),
+    tags=("similarity", "quality", "outlier"),
+)
+def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-label embedding outliers: the 10 vectors farthest (L2)
+    from their own label's centroid — mislabeled or corrupted
+    training vectors surface here first, making this the row-level
+    QA companion to q_embedding_isotropy's corpus-level diagnostic
+    (and the cheap precursor to q_semdedup's centroid geometry:
+    same centroids, opposite tail).
+
+    Exactness: per-component values fold to 1e-9 fixed-point BEFORE
+    the centroid sums (exact integer sums, order-free), so each
+    centroid is an exact rational; each squared deviation folds to
+    1e-12 fixed-point before the per-vector sum — no float ever
+    crosses an aggregation boundary (the q_embedding_isotropy
+    discipline), and the top-10 cut compares identical IEEE doubles
+    with a vec_id tie-break.
+
+    Scale: explode to n·d rows, one (label, dim) centroid aggregate
+    (bounded by |labels|·d, broadcast back), one per-vector fold,
+    TakeOrderedAndProject for the top-10 — linear in corpus size, no
+    pair join anywhere."""
+    e = load_table(spark, sf_dir, "embeddings")
+    ex = e.select(
+        "vec_id", "label", F.posexplode(_as_double("embedding")).alias("i", "x")
+    )
+    fx = ex.withColumn(
+        "xi", F.floor(F.col("x") * 1000000000 + F.lit(0.5)).cast("bigint")
+    )
+    c = fx.groupBy("label", "i").agg(
+        F.sum("xi").cast("bigint").alias("s"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    dev = F.col("x") - F.col("s").cast("double") / 1000000000 / F.col("m")
+    d = (
+        fx.join(F.broadcast(c), ["label", "i"])
+        .groupBy("vec_id", "label")
+        .agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(F.pow(dev, 2) * 1000000000000 + F.lit(0.5)).cast(
+                        "bigint"
+                    )
+                )
+                / F.lit(1000000000000.0)
+            ).alias("dist")
+        )
+    )
+    return (
+        d.select("vec_id", "label", pround(F.col("dist"), 6).alias("dist"))
+        .orderBy(F.desc("dist"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+_MMR_POOL = 20
+_MMR_K = 5
+_MMR_LAMBDA = 0.5
+
+
+def _mmr_oracle() -> str:
+    """Unrolled-CTE DuckDB twin of the fixed-5-round MMR selection
+    (the _pagerank_oracle treatment applied to a greedy re-ranker):
+    candidate pool and pairwise sims MATERIALIZED once, then one
+    (penalty, argmax) CTE pair per round over the 20-row pool."""
+    rel = sql_round(
+        "list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)", 6
+    )
+    sim = sql_round(
+        "list_cosine_similarity(a.ea, b.eb)", 6
+    )
+    lam, om = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    parts = [
+        "WITH q AS MATERIALIZED (SELECT CAST(embedding AS DOUBLE[]) AS qe "
+        f"FROM embeddings WHERE vec_id = {QUERY_VEC_ID}), "
+        f"cand AS MATERIALIZED (SELECT vec_id, {rel} AS rel "
+        f"FROM embeddings e CROSS JOIN q WHERE vec_id <> {QUERY_VEC_ID} "
+        f"ORDER BY rel DESC, vec_id LIMIT {_MMR_POOL}), "
+        "ca AS MATERIALIZED (SELECT c.vec_id AS va, "
+        "CAST(e.embedding AS DOUBLE[]) AS ea FROM cand c "
+        "JOIN embeddings e USING (vec_id)), "
+        "cb AS MATERIALIZED (SELECT va AS vb, ea AS eb FROM ca), "
+        f"pair AS MATERIALIZED (SELECT va, vb, {sim} AS sim "
+        "FROM ca a JOIN cb b ON va <> vb), "
+        "sel1 AS MATERIALIZED (SELECT vec_id, rel, CAST(0 AS DOUBLE) AS pen, "
+        f"{lam} * rel AS sc FROM cand ORDER BY rel DESC, vec_id LIMIT 1), "
+        "acc1 AS MATERIALIZED (SELECT vec_id, rel FROM sel1), ",
+    ]
+    for t in range(2, _MMR_K + 1):
+        parts.append(
+            f"p{t} AS MATERIALIZED (SELECT c.vec_id, c.rel, "
+            "MAX(p.sim) AS pen FROM cand c "
+            "JOIN pair p ON p.va = c.vec_id "
+            f"JOIN acc{t - 1} s ON p.vb = s.vec_id "
+            f"WHERE c.vec_id NOT IN (SELECT vec_id FROM acc{t - 1}) "
+            "GROUP BY c.vec_id, c.rel), "
+            f"sel{t} AS MATERIALIZED (SELECT vec_id, rel, pen, "
+            f"{lam} * rel - {om} * pen AS sc FROM p{t} "
+            "ORDER BY sc DESC, vec_id LIMIT 1), "
+            f"acc{t} AS MATERIALIZED (SELECT vec_id, rel FROM acc{t - 1} "
+            f"UNION ALL SELECT vec_id, rel FROM sel{t}), ",
+        )
+    parts[-1] = parts[-1].rstrip(", ") + " "
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({t} AS BIGINT) AS mmr_rank, vec_id, rel, pen, sc "
+        f"FROM sel{t}"
+        for t in range(1, _MMR_K + 1)
+    )
+    parts.append(
+        "SELECT mmr_rank, vec_id, "
+        + sql_round("rel", 6) + " AS relevance, "
+        + sql_round("pen", 6) + " AS penalty, "
+        + sql_round("sc", 6) + " AS mmr_score FROM (" + sel + ")"
+    )
+    return "".join(parts)
+
+
+@query(
+    "q_mmr",
+    oracle=_mmr_oracle(),
+    tags=("similarity", "retrieval", "iterative"),
+)
+def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick 5 of the top-20 cosine candidates, each round
+    maximizing λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s) with
+    λ = 0.5 — the diversity-aware retrieval head that complements
+    q_knn_cosine's pure-relevance top-k and q_rrf's rank fusion
+    (three re-rankers over the same embedding stack).
+
+    Exactness: relevance and pairwise sims are 6-dp-rounded
+    sequential-fold cosines (the proven-identical q_knn_cosine
+    machinery), so every score is the same IEEE double on both
+    engines and every argmax (vec_id tie-break) picks the same
+    vector; the oracle unrolls the 5 greedy rounds as MATERIALIZED
+    CTEs.
+
+    Scale: ONE distributed top-20 pass over the corpus
+    (TakeOrderedAndProject, the q_knn_cosine plan) bounds everything
+    downstream — the 20-row pool and its ≤380-row pairwise table are
+    localCheckpointed once (exposing exact sizes, cutting the
+    unrolled lineage), and each greedy round is an aggregate + top-1
+    on those bounded tables. The corpus is never touched again after
+    the candidate pass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        _as_double("embedding").alias("qe")
+    )
+    cand = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", _as_double("embedding").alias("e"))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "vec_id", pround(cosine_to_query("e", "qe"), 6).alias("rel")
+        )
+        .orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(_MMR_POOL)
+        .localCheckpoint()
+    )
+    emb = e.select("vec_id", _as_double("embedding").alias("ea"))
+    ca = cand.join(emb, "vec_id").select(
+        F.col("vec_id").alias("va"), "ea"
+    )
+    cb = ca.select(F.col("va").alias("vb"), F.col("ea").alias("eb"))
+    pair = (
+        ca.join(cb, F.col("va") != F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            pround(cosine_to_query("ea", "eb"), 6).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    lam, om = F.lit(_MMR_LAMBDA), F.lit(1.0 - _MMR_LAMBDA)
+    sel = (
+        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
+        .limit(1)
+        .select(
+            F.lit(1).cast("bigint").alias("mmr_rank"),
+            "vec_id",
+            "rel",
+            F.lit(0.0).alias("pen"),
+            (lam * F.col("rel")).alias("sc"),
+        )
+    )
+    picks = [sel]
+    acc = sel.select("vec_id").localCheckpoint()
+    for t in range(2, _MMR_K + 1):
+        pen = (
+            pair.join(acc.select(F.col("vec_id").alias("vb")), "vb")
+            .groupBy("va")
+            .agg(F.max("sim").alias("pen"))
+            .withColumnRenamed("va", "vec_id")
+        )
+        nxt = (
+            cand.join(acc, "vec_id", "anti")
+            .join(pen, "vec_id")
+            .select(
+                F.lit(t).cast("bigint").alias("mmr_rank"),
+                "vec_id",
+                "rel",
+                "pen",
+                (lam * F.col("rel") - om * F.col("pen")).alias("sc"),
+            )
+            .orderBy(F.desc("sc"), F.asc("vec_id"))
+            .limit(1)
+            .localCheckpoint()
+        )
+        picks.append(nxt)
+        acc = acc.unionAll(nxt.select("vec_id")).localCheckpoint()
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionAll(p)
+    return out.select(
+        "mmr_rank",
+        "vec_id",
+        pround(F.col("rel"), 6).alias("relevance"),
+        pround(F.col("pen"), 6).alias("penalty"),
+        pround(F.col("sc"), 6).alias("mmr_score"),
+    )

@@ -542,3 +542,312 @@ def q_abtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround((pb - pa) - z195 * wald, 6).alias("ci_lo"),
         pround((pb - pa) + z195 * wald, 6).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rank-based tests (round 9): Kruskal–Wallis and Mann–Whitney share one
+# exact-integer rank construction.
+#
+# Average ranks with ties are half-integers, so both tests work in
+# DOUBLED ranks: for a distinct value v with c_less values strictly
+# below it and c_eq copies, every copy's doubled average rank is
+# R2(v) = 2*c_less + c_eq + 1 — an integer. Per-group doubled rank
+# sums are then exact integer sums; squared terms accumulate in
+# DECIMAL(38,0)/HUGEINT with integer `div` so the cross-group folds
+# never touch float order (the q_chi2 / q_anova discipline). The only
+# float ops are final scalar formulas on exact integers — identical
+# IEEE on both engines.
+#
+# Scale: the fact stream folds map-side into a (group x distinct
+# value) contingency table; the doubled-rank window runs over DISTINCT
+# VALUES ONLY (bounded by value cardinality, not row count — 1e-4
+# fixed-point amounts on a bounded domain), then broadcasts back.
+# One shuffle total, same shape as q_chi2.
+# ---------------------------------------------------------------------------
+
+_RANK2_SQL = (
+    # gv: (group, value) counts; vc: per-value counts + doubled avg rank
+    f"b AS (SELECT {_DOW_SQL} AS dow, "
+    "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v FROM events), "
+    "gv AS (SELECT dow, v, CAST(COUNT(*) AS BIGINT) AS c FROM b "
+    "GROUP BY dow, v), "
+    "vc AS (SELECT v, CAST(SUM(c) AS BIGINT) AS t, "
+    "CAST(2 * (SUM(SUM(c)) OVER (ORDER BY v) - SUM(c)) + SUM(c) + 1 "
+    "AS BIGINT) AS r2 FROM gv GROUP BY v), "
+    "n AS (SELECT CAST(SUM(t) AS BIGINT) AS n, "
+    "CAST(SUM(t * t * t - t) AS HUGEINT) AS ties FROM vc)"
+)
+
+
+def _rank2_tables(spark: SparkSession, sf_dir: str):
+    """(gv, vc) per the _RANK2_SQL construction: gv = (dow, v, c)
+    contingency rows, vc = (v, t, r2) with r2 the doubled average
+    rank of value v and t its total multiplicity."""
+    ev = events_with_time(spark, sf_dir)
+    gv = (
+        ev.select(
+            (F.expr("ts_sec div 86400") % 7).alias("dow"),
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("v"),
+        )
+        .groupBy("dow", "v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    w = Window.orderBy("v")
+    vc = (
+        gv.groupBy("v")
+        .agg(F.sum("c").cast("bigint").alias("t"))
+        .select(
+            "v",
+            "t",
+            (
+                2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1
+            ).cast("bigint").alias("r2"),
+        )
+    )
+    return gv, vc
+
+
+@query(
+    "q_kruskal_wallis",
+    oracle=(
+        "WITH " + _RANK2_SQL + ", "
+        "g AS (SELECT gv.dow, CAST(SUM(gv.c) AS BIGINT) AS ng, "
+        "CAST(SUM(gv.c * CAST(vc.r2 AS HUGEINT)) AS HUGEINT) AS r2g "
+        "FROM gv JOIN vc USING (v) GROUP BY gv.dow), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+        "CAST(SUM(r2g * r2g // ng) AS HUGEINT) AS q4 FROM g), "
+        "f AS (SELECT k, n.n AS n, n.ties AS ties, "
+        "3.0 * CAST(q4 AS DOUBLE) / (CAST(n.n AS DOUBLE) * (n.n + 1)) "
+        "- 3.0 * (n.n + 1) AS h FROM a, n) "
+        "SELECT k, n, " + sql_round("h", 6) + " AS h, "
+        + sql_round(
+            "h / (1 - CAST(ties AS DOUBLE) / "
+            "(CAST(n AS DOUBLE) * n * n - n))",
+            6,
+        )
+        + " AS h_adj, "
+        + sql_round("(h - k + 1) / (n - k)", 6) + " AS eps_sq FROM f"
+    ),
+    tags=("stats", "test", "rank"),
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis rank test of transaction value across weekdays:
+    H = 12/(N(N+1)) ΣR_g²/n_g − 3(N+1), tie-corrected H_adj = H/C with
+    C = 1 − Σ(t³−t)/(N³−N), plus the ε² effect size — the
+    distribution-free companion to q_anova (no normality assumption;
+    detects any stochastic-dominance shift in the AMOUNT distribution
+    by day-of-week, not just a mean shift).
+
+    Exactness: doubled ranks keep tie-averaging integral (see the
+    rank-machinery note above); per-group Σc·r2 folds in HUGEINT /
+    DECIMAL(38,0); ΣR_g²/n_g uses integer `div` per group (floor
+    division, identical on both engines) summed exactly, and the final
+    H/C/ε² are scalar IEEE on those integers. The doubled-rank square
+    `r2g²` bounds at (2N·n_g)² — inside DECIMAL(38,0) through ~1e9
+    rows per group; beyond that, rescale ranks to coarser units (the
+    q_anova overflow note).
+
+    Scale: one map-side-combinable (dow × value) fold, a window over
+    DISTINCT values only, one broadcast-sized join back — the q_chi2
+    shape with a value-rank twist."""
+    gv, vc = _rank2_tables(spark, sf_dir)
+    g = (
+        gv.join(vc.select("v", "r2"), "v")
+        .groupBy("dow")
+        .agg(
+            F.sum("c").cast("bigint").alias("ng"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("r2")).alias("r2g"),
+        )
+    )
+    a = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.expr("r2g * r2g div ng")).alias("q4"),
+    )
+    n = vc.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    # q4 = Σ (2R_g)² div n_g is in QUADRUPLED rank-square units, so
+    # H = 12/(N(N+1))·(q4/4) − 3(N+1) = 3·q4/(N(N+1)) − 3(N+1)
+    nd = F.col("n").cast("double")
+    h = 3.0 * F.col("q4").cast("double") / (nd * (F.col("n") + 1)) - 3.0 * (
+        F.col("n") + 1
+    )
+    return a.crossJoin(n).select(
+        "k",
+        "n",
+        pround(h, 6).alias("h"),
+        pround(
+            h / (1 - F.col("ties").cast("double") / (nd * F.col("n") * F.col("n") - F.col("n"))),
+            6,
+        ).alias("h_adj"),
+        pround((h - F.col("k") + 1) / (F.col("n") - F.col("k")), 6).alias("eps_sq"),
+    )
+
+
+@query(
+    "q_mann_whitney",
+    oracle=(
+        "WITH " + _RANK2_SQL + ", "
+        "g AS (SELECT CASE WHEN gv.dow IN (5, 6) THEN 1 ELSE 0 END AS grp, "
+        "CAST(SUM(gv.c) AS BIGINT) AS ng, "
+        "CAST(SUM(gv.c * CAST(vc.r2 AS HUGEINT)) AS HUGEINT) AS r2g "
+        "FROM gv JOIN vc USING (v) GROUP BY 1), "
+        "w AS (SELECT "
+        "MAX(CASE WHEN grp = 1 THEN ng END) AS n1, "
+        "MAX(CASE WHEN grp = 0 THEN ng END) AS n2, "
+        "MAX(CASE WHEN grp = 1 THEN r2g END) AS r21 FROM g), "
+        "u AS (SELECT n1, n2, "
+        "CAST(r21 AS DOUBLE) / 2 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2 AS u1, "
+        "CAST(n1 AS DOUBLE) * n2 AS n12, n.n AS n, n.ties AS ties FROM w, n) "
+        "SELECT n1, n2, " + sql_round("u1", 1) + " AS u, "
+        + sql_round(
+            "(u1 - n12 / 2) / sqrt(n12 / 12 * ((n + 1) - "
+            "CAST(ties AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))))",
+            6,
+        )
+        + " AS z, "
+        + sql_round("2 * u1 / n12 - 1", 6) + " AS rank_biserial FROM u"
+    ),
+    tags=("stats", "test", "rank"),
+)
+def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann–Whitney U (Wilcoxon rank-sum) test: does the transaction
+    AMOUNT distribution on the two high days (dow 5–6) stochastically
+    dominate the rest of the week? U₁ = R₁ − n₁(n₁+1)/2, tie-corrected
+    normal z, and the rank-biserial correlation 2U₁/(n₁n₂) − 1 as the
+    effect size — the two-sample special case of q_kruskal_wallis's
+    machinery, sharing its doubled-rank construction verbatim.
+
+    Exactness: R₁ is an exact HUGEINT/DECIMAL doubled-rank sum; U₁,
+    z, and the effect size are scalar IEEE formulas on exact
+    integers. Same bounded-window scale shape as q_kruskal_wallis."""
+    gv, vc = _rank2_tables(spark, sf_dir)
+    g = (
+        gv.join(vc.select("v", "r2"), "v")
+        .groupBy(F.col("dow").isin(5, 6).cast("int").alias("grp"))
+        .agg(
+            F.sum("c").cast("bigint").alias("ng"),
+            F.sum(F.col("c").cast("decimal(38,0)") * F.col("r2")).alias("r2g"),
+        )
+    )
+    w = g.agg(
+        F.max(F.when(F.col("grp") == 1, F.col("ng"))).alias("n1"),
+        F.max(F.when(F.col("grp") == 0, F.col("ng"))).alias("n2"),
+        F.max(F.when(F.col("grp") == 1, F.col("r2g"))).alias("r21"),
+    )
+    n = vc.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    u1 = F.col("r21").cast("double") / 2 - F.col("n1").cast("double") * (
+        F.col("n1") + 1
+    ) / 2
+    n12 = F.col("n1").cast("double") * F.col("n2")
+    nd = F.col("n").cast("double")
+    return w.crossJoin(n).select(
+        "n1",
+        "n2",
+        pround(u1, 1).alias("u"),
+        pround(
+            (u1 - n12 / 2)
+            / F.sqrt(
+                n12 / 12 * ((F.col("n") + 1) - F.col("ties").cast("double") / (nd * (F.col("n") - 1)))
+            ),
+            6,
+        ).alias("z"),
+        pround(2 * u1 / n12 - 1, 6).alias("rank_biserial"),
+    )
+
+
+@query(
+    "q_levene",
+    oracle=(
+        f"WITH b AS (SELECT {_DOW_SQL} AS dow, "
+        "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v FROM events), "
+        "m AS (SELECT dow, CAST(quantile_disc(v, 0.5) AS BIGINT) AS med "
+        "FROM b GROUP BY dow), "
+        "d AS (SELECT b.dow, ABS(b.v - m.med) AS z FROM b JOIN m USING (dow)), "
+        "g AS (SELECT dow, CAST(COUNT(*) AS BIGINT) AS ng, "
+        "CAST(SUM(z) AS HUGEINT) AS sg, "
+        "SUM(CAST(z AS HUGEINT) * z) AS ssg FROM d GROUP BY dow), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+        "CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s, "
+        "CAST(SUM(ssg) AS DOUBLE) AS ss, "
+        "SUM(CAST(FLOOR(CAST(sg AS DOUBLE) * sg / ng + 0.5) AS HUGEINT)) AS a "
+        "FROM g), "
+        "f AS (SELECT k, n, "
+        "CAST(a - FLOOR(CAST(s AS DOUBLE) * s / n + 0.5) AS DOUBLE) AS ssb, "
+        "ss - CAST(a AS DOUBLE) AS ssw FROM t) "
+        "SELECT k, n, "
+        + sql_round("(ssb / (k - 1)) / (ssw / (n - k))", 6) + " AS w_stat, "
+        + sql_round("ssb / (ssb + ssw)", 6) + " AS eta_sq FROM f"
+    ),
+    tags=("stats", "test", "agg"),
+)
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown–Forsythe (median-centered Levene) test of variance
+    homogeneity across weekdays: one-way ANOVA on z = |v − median_g|
+    — "does the SPREAD of transaction amounts move by day-of-week",
+    the dispersion companion to q_anova's mean test (and the
+    assumption check q_anova itself leans on). Median centering is
+    the robust Brown–Forsythe variant.
+
+    Exactness: per-group medians are PERCENTILE_DISC elements
+    (engine-exact, the q_winsorized_stats discipline), so z is an
+    exact integer; group (n, Σz, Σz²) are exact integer sums (Σz² in
+    HUGEINT/DECIMAL(38,0)); the between-group fold reuses q_anova's
+    decimal-before-floor treatment verbatim. The only float ops are
+    final scalars on exact integers.
+
+    Scale: one grouped exact-percentile pass (≤7 rows out, broadcast
+    back) + one map-side-combinable moment aggregate — the
+    q_winsorized_stats shape."""
+    ev = events_with_time(spark, sf_dir)
+    b = ev.select(
+        (F.expr("ts_sec div 86400") % 7).alias("dow"),
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    m = b.groupBy("dow").agg(
+        F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY v)")
+        .cast("bigint")
+        .alias("med")
+    )
+    z = F.abs(F.col("v") - F.col("med"))
+    g = (
+        b.join(F.broadcast(m), "dow")
+        .groupBy("dow")
+        .agg(
+            F.count("*").cast("bigint").alias("ng"),
+            F.sum(z).cast("decimal(38,0)").alias("sg"),
+            F.sum(z.cast("decimal(38,0)") * z).alias("ssg"),
+        )
+    )
+    sgd = F.col("sg").cast("double")
+    t = g.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("ssg").cast("double").alias("ss"),
+        F.sum(
+            F.floor((sgd * F.col("sg") / F.col("ng") + F.lit(0.5)).cast("decimal(38,6)"))
+        ).alias("a"),
+    )
+    sd = F.col("s").cast("double")
+    ssb = (
+        F.col("a")
+        - F.floor((sd * F.col("s") / F.col("n") + F.lit(0.5)).cast("decimal(38,6)"))
+    ).cast("double")
+    ssw = F.col("ss") - F.col("a").cast("double")
+    return t.select(
+        "k",
+        "n",
+        pround((ssb / (F.col("k") - 1)) / (ssw / (F.col("n") - F.col("k"))), 6).alias(
+            "w_stat"
+        ),
+        pround(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )

@@ -1079,3 +1079,90 @@ def q_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "entropy_bits",
         )
     )
+
+
+_PMI_VOCAB = 50
+_PMI_MIN_CO = 5
+
+
+@query(
+    "q_pmi_cooccurrence",
+    oracle=(
+        "WITH tok AS (SELECT DISTINCT doc_id, w AS token FROM "
+        "(SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) "
+        "WHERE w <> ''), "
+        "dfq AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tok "
+        "GROUP BY token), "
+        f"voc AS (SELECT token, df FROM dfq ORDER BY df DESC, token "
+        f"LIMIT {_PMI_VOCAB}), "
+        "pv AS (SELECT t.doc_id, t.token, v.df FROM tok t "
+        "JOIN voc v USING (token)), "
+        "nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents), "
+        "pr AS (SELECT a.token AS token_a, b.token AS token_b, "
+        "a.df AS df_a, b.df AS df_b, CAST(COUNT(*) AS BIGINT) AS n_ab "
+        "FROM pv a JOIN pv b ON a.doc_id = b.doc_id AND a.token < b.token "
+        "GROUP BY 1, 2, 3, 4) "
+        "SELECT token_a, token_b, n_ab, "
+        + sql_round(
+            "LOG2(CAST(n_ab AS DOUBLE) * n / (CAST(df_a AS DOUBLE) * df_b))", 6
+        )
+        + " AS pmi FROM pr, nd "
+        f"WHERE n_ab >= {_PMI_MIN_CO} "
+        "ORDER BY pmi DESC, token_a, token_b LIMIT 20"
+    ),
+    tags=("text", "stats"),
+)
+def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-level pointwise mutual information between frequent
+    terms: PMI(a,b) = log₂(P(a,b)/(P(a)P(b))) over DOC co-occurrence
+    of the top-50 document-frequency vocabulary, min co-doc support
+    5, top-20 pairs — the topical-association screen next to
+    q_collocations' ADJACENT-bigram PMI (collocations find phrases;
+    doc-level PMI finds topics that travel together anywhere in a
+    document, the feature a corpus curator uses to spot template /
+    boilerplate families).
+
+    Exactness: every input to the PMI formula (n_ab, df, N) is an
+    exact integer count; LOG2 on the exact ratio is the same IEEE
+    double on both engines, 6-dp rounded, ties broken
+    lexicographically.
+
+    Scale: the vocabulary cut is the whole trick — presence rows are
+    filtered by a broadcast 50-term table BEFORE the self-join, so
+    per-document pair fan-out is ≤ C(50,2) regardless of document
+    length, and the global pair space is ≤ 1225 keys (map-side
+    combinable). Without the cut the self-join is quadratic in
+    per-doc vocabulary — the classic co-occurrence blow-up."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    dfq = tok.groupBy("token").agg(F.count("*").cast("bigint").alias("df"))
+    voc = (
+        dfq.orderBy(F.desc("df"), F.asc("token"))
+        .limit(_PMI_VOCAB)
+        .localCheckpoint()
+    )
+    pv = tok.join(F.broadcast(voc), "token")
+    pa = pv.select("doc_id", F.col("token").alias("token_a"), F.col("df").alias("df_a"))
+    pb = pv.select("doc_id", F.col("token").alias("token_b"), F.col("df").alias("df_b"))
+    pr = (
+        pa.join(pb, "doc_id")
+        .filter(F.col("token_a") < F.col("token_b"))
+        .groupBy("token_a", "token_b", "df_a", "df_b")
+        .agg(F.count("*").cast("bigint").alias("n_ab"))
+        .filter(F.col("n_ab") >= _PMI_MIN_CO)
+    )
+    nd = d.agg(F.count("*").cast("bigint").alias("n"))
+    pmi = F.log2(
+        F.col("n_ab").cast("double") * F.col("n")
+        / (F.col("df_a").cast("double") * F.col("df_b"))
+    )
+    return (
+        pr.crossJoin(F.broadcast(nd))
+        .select("token_a", "token_b", "n_ab", pround(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("token_a"), F.asc("token_b"))
+        .limit(20)
+    )
