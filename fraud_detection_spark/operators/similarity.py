@@ -1473,16 +1473,20 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: ONE distributed top-20 pass over the corpus
     (TakeOrderedAndProject, the q_knn_cosine plan) bounds everything
-    downstream — the 20-row pool and its ≤380-row pairwise table are
-    localCheckpointed once (exposing exact sizes, cutting the
-    unrolled lineage), and each greedy round is an aggregate + top-1
-    on those bounded tables. The corpus is never touched again after
-    the candidate pass."""
+    downstream; the greedy selection itself runs driver-side on the
+    collected pool — ≤20 (vec_id, rel) rows plus the 20 pool vectors,
+    provably bounded metadata (the band-table / centroid precedent) —
+    with the SAME sequential-fold double arithmetic and 6-dp
+    rounding, so the picks are bit-identical to a fully declarative
+    formulation while costing 2 Spark jobs instead of ~10. The corpus
+    is never touched again after the candidate pass."""
+    import math as _math
+
     e = load_table(spark, sf_dir, "embeddings")
     qv = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
         _as_double("embedding").alias("qe")
     )
-    cand = (
+    cand_rows = (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .select("vec_id", _as_double("embedding").alias("e"))
         .crossJoin(F.broadcast(qv))
@@ -1491,66 +1495,56 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("rel"), F.asc("vec_id"))
         .limit(_MMR_POOL)
-        .localCheckpoint()
+        .collect()
     )
-    emb = e.select("vec_id", _as_double("embedding").alias("ea"))
-    ca = cand.join(emb, "vec_id").select(
-        F.col("vec_id").alias("va"), "ea"
-    )
-    cb = ca.select(F.col("va").alias("vb"), F.col("ea").alias("eb"))
-    pair = (
-        ca.join(cb, F.col("va") != F.col("vb"))
-        .select(
-            "va",
-            "vb",
-            pround(cosine_to_query("ea", "eb"), 6).alias("sim"),
-        )
-        .localCheckpoint()
-    )
-    lam, om = F.lit(_MMR_LAMBDA), F.lit(1.0 - _MMR_LAMBDA)
-    sel = (
-        cand.orderBy(F.desc("rel"), F.asc("vec_id"))
-        .limit(1)
-        .select(
-            F.lit(1).cast("bigint").alias("mmr_rank"),
-            "vec_id",
-            "rel",
-            F.lit(0.0).alias("pen"),
-            (lam * F.col("rel")).alias("sc"),
-        )
-    )
-    picks = [sel]
-    acc = sel.select("vec_id").localCheckpoint()
-    for t in range(2, _MMR_K + 1):
-        pen = (
-            pair.join(acc.select(F.col("vec_id").alias("vb")), "vb")
-            .groupBy("va")
-            .agg(F.max("sim").alias("pen"))
-            .withColumnRenamed("va", "vec_id")
-        )
-        nxt = (
-            cand.join(acc, "vec_id", "anti")
-            .join(pen, "vec_id")
-            .select(
-                F.lit(t).cast("bigint").alias("mmr_rank"),
-                "vec_id",
-                "rel",
-                "pen",
-                (lam * F.col("rel") - om * F.col("pen")).alias("sc"),
-            )
-            .orderBy(F.desc("sc"), F.asc("vec_id"))
-            .limit(1)
-            .localCheckpoint()
-        )
-        picks.append(nxt)
-        acc = acc.unionAll(nxt.select("vec_id")).localCheckpoint()
-    out = picks[0]
-    for p in picks[1:]:
-        out = out.unionAll(p)
-    return out.select(
-        "mmr_rank",
-        "vec_id",
-        pround(F.col("rel"), 6).alias("relevance"),
-        pround(F.col("pen"), 6).alias("penalty"),
-        pround(F.col("sc"), 6).alias("mmr_score"),
+    pool_ids = [r.vec_id for r in cand_rows]
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in e.filter(F.col("vec_id").isin(pool_ids))
+        .select("vec_id", "embedding")
+        .collect()
+    }
+
+    def _round6(x: float) -> float:
+        return _math.floor(x * 1e6 + 0.5) / 1e6  # functions.pround, exactly
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        # same sequential fold as cosine_to_query — identical IEEE
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+        na = 0.0
+        for x in a:
+            na += x * x
+        nb = 0.0
+        for y in b:
+            nb += y * y
+        return dot / (_math.sqrt(na) * _math.sqrt(nb))
+
+    sim = {
+        (a, b): _round6(_cos(vecs[a], vecs[b]))
+        for a in pool_ids
+        for b in pool_ids
+        if a != b
+    }
+    rel = {r.vec_id: r.rel for r in cand_rows}
+    lam, om = _MMR_LAMBDA, 1.0 - _MMR_LAMBDA
+    picked: list[tuple] = []
+    remaining = list(pool_ids)
+    for t in range(1, _MMR_K + 1):
+        scored = []
+        for v in remaining:
+            pen = max(sim[(v, s)] for _, s, *_ in picked) if picked else 0.0
+            scored.append((-(lam * rel[v] - om * pen), v, pen))
+        scored.sort()
+        neg_sc, v, pen = scored[0]
+        picked.append((t, v, rel[v], pen, -neg_sc))
+        remaining.remove(v)
+    return spark.createDataFrame(
+        [
+            (t, v, _round6(r), _round6(p), _round6(s))
+            for t, v, r, p, s in picked
+        ],
+        "mmr_rank bigint, vec_id bigint, relevance double, penalty double, "
+        "mmr_score double",
     )
