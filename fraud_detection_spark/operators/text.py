@@ -1138,7 +1138,15 @@ def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     (localCheckpoint here; persist/staged write on a cluster) rather
     than re-deriving the explode+distinct shuffle per branch —
     measured 1.6 → 1.3 s warm at sf0.1."""
-    d = load_table(spark, sf_dir, "documents")
+    return pmi_cooccurrence(load_table(spark, sf_dir, "documents"))
+
+
+def pmi_cooccurrence(d: DataFrame) -> DataFrame:
+    """The q_pmi_cooccurrence kernel over a documents DataFrame
+    (doc_id, text), factored so the env-gated 10x scale smoke
+    (tests/test_text_scale.py) can drive it with a replicated corpus
+    — per-document pair fan-out must stay bounded by the vocabulary
+    cut regardless of corpus size."""
     tok = (
         d.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
         .filter(F.col("token") != "")
