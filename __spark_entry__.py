@@ -86,6 +86,11 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_embedding_outlier",
     "q_mmr",
     "q_pmi_cooccurrence",
+    # round-9 batch 3 (new queries — no history, evidence wanted now):
+    "q_spearman",
+    "q_reciprocal_flows",
+    "q_containment",
+    "q_hits",
 })
 
 

@@ -241,6 +241,15 @@ HEADLINE = [
     "q_embedding_outlier",
     "q_mmr",
     "q_pmi_cooccurrence",
+    # round-9 batch 3: Spearman on the doubled-rank contingency
+    # machinery, the nation-pair reciprocal-flow fold (exact integer
+    # cents), asymmetric containment on the MinHash-prefix blocks,
+    # and integer fixed-point HITS (8 vector joins on the
+    # checkpointed edge list)
+    "q_spearman",
+    "q_reciprocal_flows",
+    "q_containment",
+    "q_hits",
 ]
 
 

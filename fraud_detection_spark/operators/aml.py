@@ -546,3 +546,121 @@ def q_fan_in_out(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(fz, 6).alias("fan_z"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Reciprocal cross-border flows (round 9 batch 3): trade-based
+# laundering / carousel screen on the nation-level flow matrix.
+# ---------------------------------------------------------------------------
+
+_RECIP_MIN_RATIO = 0.5
+
+_RECIP_SQL = (
+    # directed nation->nation revenue flows (buyer nation pays seller
+    # nation), integer cents so the per-direction sums are exact
+    "d AS (SELECT c_nationkey AS na, s_nationkey AS nb, "
+    "CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) "
+    "AS BIGINT)) AS HUGEINT) AS units "
+    "FROM lineitem JOIN orders ON l_orderkey = o_orderkey "
+    "JOIN customer ON o_custkey = c_custkey "
+    "JOIN supplier ON l_suppkey = s_suppkey "
+    "WHERE c_nationkey <> s_nationkey "
+    "GROUP BY c_nationkey, s_nationkey), "
+    "p AS (SELECT LEAST(na, nb) AS ka, GREATEST(na, nb) AS kb, "
+    "CAST(SUM(CASE WHEN na < nb THEN units ELSE 0 END) AS HUGEINT) AS u_ab, "
+    "CAST(SUM(CASE WHEN na > nb THEN units ELSE 0 END) AS HUGEINT) AS u_ba "
+    "FROM d GROUP BY 1, 2)"
+)
+
+
+@query(
+    "q_reciprocal_flows",
+    oracle=(
+        "WITH " + _RECIP_SQL + " "
+        "SELECT x.n_name AS nation_a, y.n_name AS nation_b, "
+        "CAST(u_ab AS DOUBLE) / 100 AS flow_ab, "
+        "CAST(u_ba AS DOUBLE) / 100 AS flow_ba, "
+        "CAST(u_ab + u_ba AS DOUBLE) / 100 AS gross, "
+        + sql_round(
+            "CAST(LEAST(u_ab, u_ba) AS DOUBLE) / GREATEST(u_ab, u_ba)", 6
+        )
+        + " AS reciprocity "
+        "FROM p JOIN nation x ON x.n_nationkey = p.ka "
+        "JOIN nation y ON y.n_nationkey = p.kb "
+        "WHERE u_ab > 0 AND u_ba > 0 "
+        "AND CAST(LEAST(u_ab, u_ba) AS DOUBLE) / GREATEST(u_ab, u_ba) "
+        f">= {_RECIP_MIN_RATIO} "
+        "ORDER BY gross DESC, nation_a, nation_b LIMIT 15"
+    ),
+    tags=("aml", "graph", "flows"),
+)
+def q_reciprocal_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal cross-border flow screen — the trade-based-
+    laundering / carousel typology: jurisdiction pairs whose money
+    flows BOTH ways at comparable volume (reciprocity = min/max of
+    the two directed flows ≥ 0.5), ranked by gross value. Round-trip
+    value movement between two jurisdictions is the aggregate tell
+    for circular trading that no single-account screen sees.
+    Ref: complements predict-time screens (predict_single.py) with
+    the FATF trade-based-laundering aggregate view.
+
+    Exactness: flows fold as integer CENTS (fixed_sum discipline) so
+    each directed sum is an exact DECIMAL(38,0)/HUGEINT; reciprocity
+    and the display /100 are scalar IEEE on those integers.
+
+    Scale: ONE fact-level fold — lineitem ⋈ orders (the fact-fact
+    shuffle join AQE plans) with customer/supplier dims broadcast —
+    map-side combinable down to ≤ |nations|² ≈ 625 directed cells;
+    the pair fold, nation-name joins, and the top-15 all run on that
+    bounded table. No new shuffle shape at 100 TB: the flow matrix is
+    the same (dim × dim) contingency q_chi2 folds to."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    d = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("na"), F.col("s_nationkey").alias("nb")
+        )
+        .agg(F.sum(cents.cast("decimal(38,0)")).alias("units"))
+    )
+    p = (
+        d.groupBy(
+            F.least("na", "nb").alias("ka"), F.greatest("na", "nb").alias("kb")
+        )
+        .agg(
+            F.sum(F.when(F.col("na") < F.col("nb"), F.col("units")).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("u_ab"),
+            F.sum(F.when(F.col("na") > F.col("nb"), F.col("units")).otherwise(F.lit(0).cast("decimal(38,0)"))).alias("u_ba"),
+        )
+    )
+    recip = F.least("u_ab", "u_ba").cast("double") / F.greatest("u_ab", "u_ba").cast(
+        "double"
+    )
+    x = n.select(F.col("n_nationkey").alias("ka"), F.col("n_name").alias("nation_a"))
+    y = n.select(F.col("n_nationkey").alias("kb"), F.col("n_name").alias("nation_b"))
+    return (
+        p.filter((F.col("u_ab") > 0) & (F.col("u_ba") > 0))
+        .filter(recip >= _RECIP_MIN_RATIO)
+        .join(F.broadcast(x), "ka")
+        .join(F.broadcast(y), "kb")
+        .select(
+            "nation_a",
+            "nation_b",
+            (F.col("u_ab").cast("double") / 100).alias("flow_ab"),
+            (F.col("u_ba").cast("double") / 100).alias("flow_ba"),
+            ((F.col("u_ab") + F.col("u_ba")).cast("double") / 100).alias("gross"),
+            pround(recip, 6).alias("reciprocity"),
+        )
+        .orderBy(F.desc("gross"), F.asc("nation_a"), F.asc("nation_b"))
+        .limit(15)
+    )

@@ -1056,3 +1056,76 @@ def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "removal_rate"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Asymmetric shingle containment (round 9 batch 3): the sub-document
+# duplication screen that symmetric Jaccard under-reports.
+# ---------------------------------------------------------------------------
+
+_CONTAIN_THRESHOLD = 0.6
+
+
+@query(
+    "q_containment",
+    oracle=(
+        "WITH " + _JACCARD_CTES + ", "
+        "co AS (SELECT doc_a, doc_b, "
+        "CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(x.sh) AS ca, "
+        "CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE) / len(y.sh) AS cb "
+        "FROM cand JOIN s x ON x.doc_id = cand.doc_a "
+        "JOIN s y ON y.doc_id = cand.doc_b) "
+        "SELECT doc_a, doc_b, "
+        + sql_round("ca", 6) + " AS c_ab, "
+        + sql_round("cb", 6) + " AS c_ba "
+        "FROM co WHERE GREATEST("
+        + sql_round("ca", 6) + ", " + sql_round("cb", 6)
+        + f") >= {_CONTAIN_THRESHOLD}"
+    ),
+    tags=("dedup", "containment"),
+)
+def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle-containment pairs: C(A→B) = |A∩B| / |A| and
+    the reverse, over the MinHash-prefix candidate set. Containment is
+    the SUB-DOCUMENT duplication measure — a quote, boilerplate block,
+    or wholesale excerpt scores C ≈ 1 from the smaller side while
+    symmetric Jaccard reads only |A|/|B| — so this is the screen that
+    separates "B embeds A" from "A and B half-overlap", which LLM
+    corpus curation treats differently (drop the contained doc vs keep
+    both). Emits both directions per candidate pair at ≥ 0.6.
+
+    Recall boundary (documented, not hidden): candidates come from
+    q_dedup_jaccard's K=5 MinHash-prefix blocking, whose collision
+    probability tracks JACCARD — a tiny A inside a huge B has
+    J = |A|/|B| ≈ 0 and can evade the blocks even at C(A→B) = 1.
+    Within-block this stage is exact; the dedicated small-in-big
+    path is q_substring_dedup's 8-gram fingerprint index
+    (operators/text.py), which this screen complements at the
+    document-pair grain.
+
+    Scale: identical shape to q_dedup_jaccard — the K-row explode
+    shuffles 8-byte fingerprints, exact set ops touch candidate pairs
+    only, text never enters a shuffle. The containment arithmetic
+    reuses the same cached sketch feeding the candidate join-back."""
+    d = load_table(spark, sf_dir, "documents").repartition("doc_id")
+    s = jaccard_sketch_docs(d, k=_JACCARD_BLOCK_K).cache()
+    keys = s.select("doc_id", F.explode("mk").alias("mk"))
+    a = keys.select(F.col("doc_id").alias("doc_a"), F.col("mk"))
+    b = keys.select(F.col("doc_id").alias("doc_b"), F.col("mk"))
+    cand = (
+        a.join(b, "mk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = s.select(F.col("doc_id").alias("doc_a"), F.col("sh64").alias("sha"))
+    y = s.select(F.col("doc_id").alias("doc_b"), F.col("sh64").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb")).cast("double")
+    ca = pround(inter / F.size("sha"), 6)
+    cb = pround(inter / F.size("shb"), 6)
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", ca.alias("c_ab"), cb.alias("c_ba"))
+        .filter(F.greatest("c_ab", "c_ba") >= _CONTAIN_THRESHOLD)
+    )

@@ -1193,3 +1193,164 @@ def two_core_delta_peel(edges_r: DataFrame, rounds: int) -> DataFrame:
     return final.filter(F.col("deg") >= 1).select(
         "src", F.col("deg").cast("bigint").alias("deg")
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (round 9 batch 3): power iteration on the
+# weighted bipartite graph in EXACT fixed-point — every vector fold is
+# an integer sum, so no float-summation-order hazard anywhere (a
+# strictly stronger determinism posture than q_pagerank's
+# round-after-float-sum snap).
+# ---------------------------------------------------------------------------
+
+_HITS_ITERS = 4
+_HITS_TOPK = 15
+_HITS_FP = 1_000_000_000_000  # 1e-12 fixed-point units for scores
+
+
+def _hits_oracle() -> str:
+    """DuckDB twin of the fixed-4-iteration fixed-point HITS. Each
+    half-step: exact HUGEINT fold of (units x weight) along the edges,
+    then the per-row renormalization u' = FLOOR(r/t * 1e12 + 0.5) —
+    the only float op, a scalar IEEE expression on exact integers,
+    identical on both engines. Multi-referenced CTEs are MATERIALIZED
+    (the DuckDB inline-explosion rule, see _pagerank_oracle)."""
+    fp = float(_HITS_FP)
+    sql = [
+        f"WITH e AS MATERIALIZED ({_EDGE_SQL}), "
+        "cu AS MATERIALIZED (SELECT DISTINCT custkey FROM e), "
+        "h0 AS MATERIALIZED (SELECT custkey AS k, "
+        f"CAST(FLOOR({fp!r} / (SELECT COUNT(*) FROM cu) + 0.5) AS BIGINT) "
+        "AS u FROM cu), "
+    ]
+    renorm = (
+        "CAST(FLOOR(CAST(r AS DOUBLE) / CAST(t AS DOUBLE) "
+        f"* {fp!r} + 0.5) AS BIGINT)"
+    )
+    for i in range(1, _HITS_ITERS + 1):
+        sql.append(
+            f"a{i}r AS MATERIALIZED (SELECT e.suppkey AS k, "
+            f"CAST(SUM(CAST(h.u AS HUGEINT) * e.n) AS HUGEINT) AS r "
+            f"FROM e JOIN h{i - 1} h ON e.custkey = h.k GROUP BY e.suppkey), "
+            f"a{i} AS MATERIALIZED (SELECT k, {renorm} AS u FROM a{i}r "
+            f"CROSS JOIN (SELECT SUM(r) AS t FROM a{i}r) tt), "
+            f"h{i}r AS MATERIALIZED (SELECT e.custkey AS k, "
+            f"CAST(SUM(CAST(a.u AS HUGEINT) * e.n) AS HUGEINT) AS r "
+            f"FROM e JOIN a{i} a ON e.suppkey = a.k GROUP BY e.custkey), "
+            f"h{i} AS MATERIALIZED (SELECT k, {renorm} AS u FROM h{i}r "
+            f"CROSS JOIN (SELECT SUM(r) AS t FROM h{i}r) tt), "
+        )
+    sql[-1] = sql[-1].rstrip(", ") + " "
+    sql.append(
+        "SELECT side, key, score FROM ("
+        "(SELECT 'authority' AS side, k AS key, "
+        f"CAST(u AS DOUBLE) / {fp!r} AS score FROM a{_HITS_ITERS} "
+        f"ORDER BY u DESC, k ASC LIMIT {_HITS_TOPK}) "
+        "UNION ALL "
+        "(SELECT 'hub' AS side, k AS key, "
+        f"CAST(u AS DOUBLE) / {fp!r} AS score FROM h{_HITS_ITERS} "
+        f"ORDER BY u DESC, k ASC LIMIT {_HITS_TOPK})) uu "
+        "ORDER BY side, score DESC, key"
+    )
+    return "".join(sql)
+
+
+@query(
+    "q_hits",
+    oracle=_hits_oracle(),
+    tags=("graph", "iterative"),
+)
+def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities on the weighted customer—supplier
+    bipartite graph: authority(s) = Σ hub(c)·w(c,s) and hub(c) =
+    Σ auth(s)·w(c,s), L1-renormalized each half-step — the
+    two-sided centrality that separates "account that sprays money
+    widely" (hub) from "account that concentrates it" (authority),
+    the money-mule pair q_pagerank's single lazy-walk score blends
+    together. Fixed 4 iterations (power iteration on A·Aᵀ — the
+    leading eigengap makes more rounds cosmetic for a ranking
+    feature); emits the top-15 per side.
+
+    Exact fixed-point determinism: scores live as 1e-12-unit BIGINTs.
+    Each half-step folds units × weight in DECIMAL(38,0)/HUGEINT — an
+    EXACT integer sum, immune to partition/summation order — and the
+    renormalization FLOOR(r/t·1e12 + 0.5) is per-row scalar IEEE on
+    exact integers, identical on both engines. (No float ever enters
+    a SUM; q_pagerank instead rounds after float sums.) floor() here
+    cannot saturate: r/t ≤ 1 by construction, so the argument is
+    ≤ 1e12 + 0.5.
+
+    Scale: per half-step, ONE broadcast join of the |V|-row score
+    vector with the edge list + one rollup aggregate that emits the
+    per-key fold AND the L1 total in the same job (grouping() tells
+    them apart), checkpointed once — so the edge list is scanned
+    exactly 2·iters times and no fold is ever recomputed (a naive
+    crossJoin-with-total plan would double every half-step).
+    localCheckpoint() per half-step cuts the lineage; the total is a
+    1-row driver-side scalar (bounded metadata). The iteration
+    working set is coalesced to ~100k-row partitions (narrow, no
+    shuffle): 2·iters sequential re-scans otherwise pay fixed task
+    overhead × partitions × iters on a small-per-partition table,
+    while the row-derived count grows back to cluster width at
+    100 TB. The vector broadcast degrades gracefully to AQE's
+    shuffle hash join once |V| exceeds the broadcast threshold.
+    Weights n are transaction counts, so hub/authority skew follows
+    real counterparty concentration.
+    Ref: network-feature companion to the reference's per-transaction
+    model (train_model.py) — same motivation as q_pagerank."""
+    e0 = edges(spark, sf_dir).localCheckpoint()
+    parts = max(2, min(
+        spark.sparkContext.defaultParallelism, -(-e0.count() // 100_000)
+    ))
+    e = e0.coalesce(parts)
+    ids = e.select("custkey").distinct().localCheckpoint()
+    n_cust = ids.count()
+    h = ids.select(
+        F.col("custkey").alias("k"),
+        F.lit(int(float(_HITS_FP) / n_cust + 0.5)).cast("bigint").alias("u"),
+    )
+
+    def half(vec: DataFrame, src: str, dst: str) -> DataFrame:
+        r = (
+            e.join(F.broadcast(vec), F.col(src) == F.col("k"))
+            .rollup(dst)
+            .agg(
+                F.sum(F.col("u").cast("decimal(38,0)") * F.col("n")).alias("r"),
+                F.grouping(dst).alias("g"),
+            )
+            .localCheckpoint()
+        )
+        # 1-row L1 total off the same checkpointed fold (bounded
+        # metadata); float(int-Decimal) is the same nearest-double
+        # CAST(.. AS DOUBLE) performs, so the renorm stays
+        # engine-identical.
+        t = float(int(r.filter(F.col("g") == 1).collect()[0]["r"]))
+        return r.filter(F.col("g") == 0).select(
+            F.col(dst).alias("k"),
+            F.floor(
+                F.col("r").cast("double") / F.lit(t)
+                * F.lit(float(_HITS_FP)) + F.lit(0.5)
+            ).cast("bigint").alias("u"),
+        )
+
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = half(h, "custkey", "suppkey")
+        h = half(a, "suppkey", "custkey")
+
+    def top(vec: DataFrame, side: str) -> DataFrame:
+        return (
+            vec.orderBy(F.desc("u"), F.asc("k"))
+            .limit(_HITS_TOPK)
+            .select(
+                F.lit(side).alias("side"),
+                F.col("k").alias("key"),
+                (F.col("u").cast("double") / F.lit(float(_HITS_FP))).alias("score"),
+            )
+        )
+
+    return (
+        top(a, "authority")
+        .unionAll(top(h, "hub"))
+        .orderBy(F.asc("side"), F.desc("score"), F.asc("key"))
+    )

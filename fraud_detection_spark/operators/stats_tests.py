@@ -851,3 +851,117 @@ def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         pround(ssb / (ssb + ssw), 6).alias("eta_sq"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (round 9 batch 3): monotone association
+# between transaction amount and hour-of-day, exact under ties via the
+# same doubled-rank machinery as q_kruskal_wallis / q_mann_whitney.
+# ---------------------------------------------------------------------------
+
+_SPEAR_SQL = (
+    # joint contingency of (1e-4 fixed-point value, hour) pairs, then
+    # per-marginal doubled average ranks over DISTINCT values only
+    f"b AS (SELECT CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vx, "
+    f"CAST(({_SEC_SQL} // 3600) % 24 AS BIGINT) AS vy FROM events), "
+    "gv AS (SELECT vx, vy, CAST(COUNT(*) AS BIGINT) AS c FROM b "
+    "GROUP BY vx, vy), "
+    "mx AS (SELECT vx, CAST(SUM(c) AS BIGINT) AS t, "
+    "CAST(2 * (SUM(SUM(c)) OVER (ORDER BY vx) - SUM(c)) + SUM(c) + 1 "
+    "AS BIGINT) AS r2x FROM gv GROUP BY vx), "
+    "my AS (SELECT vy, CAST(SUM(c) AS BIGINT) AS t, "
+    "CAST(2 * (SUM(SUM(c)) OVER (ORDER BY vy) - SUM(c)) + SUM(c) + 1 "
+    "AS BIGINT) AS r2y FROM gv GROUP BY vy), "
+    "s AS (SELECT CAST(SUM(c) AS BIGINT) AS n, "
+    "CAST(SUM(c * CAST(r2x AS HUGEINT)) AS HUGEINT) AS sx, "
+    "CAST(SUM(c * CAST(r2y AS HUGEINT)) AS HUGEINT) AS sy, "
+    "CAST(SUM(c * CAST(r2x AS HUGEINT) * r2x) AS HUGEINT) AS sxx, "
+    "CAST(SUM(c * CAST(r2y AS HUGEINT) * r2y) AS HUGEINT) AS syy, "
+    "CAST(SUM(c * CAST(r2x AS HUGEINT) * r2y) AS HUGEINT) AS sxy "
+    "FROM gv JOIN mx USING (vx) JOIN my USING (vy))"
+)
+
+
+@query(
+    "q_spearman",
+    oracle=(
+        "WITH " + _SPEAR_SQL + ", "
+        "f AS (SELECT n, "
+        "(CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / "
+        "SQRT((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) * "
+        "(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) "
+        "- CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) AS rho FROM s) "
+        "SELECT n, " + sql_round("rho", 6) + " AS rho, "
+        + sql_round("rho * SQRT((n - 2) / (1 - rho * rho))", 6)
+        + " AS t_stat FROM f"
+    ),
+    tags=("stats", "test", "rank"),
+)
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between transaction AMOUNT and
+    HOUR-OF-DAY: the distribution-free monotone-association screen
+    (does spend drift across the day?) that Pearson q_corr misses
+    whenever the trend is monotone but non-linear. ρ = Pearson on
+    average ranks; with doubled ranks R2 = 2·c_less + c_eq + 1 every
+    term is an integer and the doubling cancels in the ratio:
+
+      ρ = (N·Sxy − Sx·Sy) / √((N·Sxx − Sx²)(N·Syy − Sy²))
+
+    over per-cell sums S.. = Σ c·R2x·R2y etc. of the (vx, vy) joint
+    contingency. All six sums fold exactly in DECIMAL(38,0)/HUGEINT
+    (bounds: c·R2x·R2y ≤ 4N²·c, inside 38 digits through ~1e11 rows);
+    the final ρ and its t-statistic are scalar IEEE on the exact
+    integers — identical on both engines, like q_kruskal_wallis's H.
+
+    Scale: one map-side-combinable (vx × vy) fold bounded by the
+    1e-4-quantized amount domain × 24 hours (NOT row count), marginal
+    rank windows over distinct values only, two broadcast-sized joins
+    back — the q_chi2 contingency shape with two rank twists.
+    Ref: the reference's EDA correlation heatmap (notebooks/eda):
+    scale-safe rank correlation replaces pandas .corr(method=
+    'spearman')."""
+    ev = events_with_time(spark, sf_dir)
+    gv = (
+        ev.select(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("vx"),
+            (F.expr("ts_sec div 3600") % 24).cast("bigint").alias("vy"),
+        )
+        .groupBy("vx", "vy")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+    def marginal(col: str, rcol: str) -> DataFrame:
+        w = Window.orderBy(col)
+        return (
+            gv.groupBy(col)
+            .agg(F.sum("c").cast("bigint").alias("t"))
+            .select(
+                col,
+                (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1)
+                .cast("bigint")
+                .alias(rcol),
+            )
+        )
+
+    j = gv.join(marginal("vx", "r2x"), "vx").join(marginal("vy", "r2y"), "vy")
+    cd = F.col("c").cast("decimal(38,0)")
+    s = j.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.sum(cd * F.col("r2x")).alias("sx"),
+        F.sum(cd * F.col("r2y")).alias("sy"),
+        F.sum(cd * F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(cd * F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(cd * F.col("r2x") * F.col("r2y")).alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    rho = (nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")) / F.sqrt(
+        (nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        * (nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double"))
+    )
+    return s.select(
+        "n",
+        pround(rho, 6).alias("rho"),
+        pround(rho * F.sqrt((F.col("n") - 2) / (1 - rho * rho)), 6).alias("t_stat"),
+    )
