@@ -1255,6 +1255,56 @@ def _hits_oracle() -> str:
     return "".join(sql)
 
 
+def hits_vectors(e0: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The HITS power-iteration kernel on a (custkey, suppkey, n)
+    edge DataFrame: returns the final (authority, hub) score vectors
+    as (k, u) DataFrames in 1e-12 fixed-point units. Factored out of
+    q_hits so the env-gated 10x scale smoke (tests/test_graph_scale
+    .py) can drive it on a replicated edge list; see q_hits for the
+    exactness and scale discipline."""
+    e0 = e0.localCheckpoint()
+    spark = e0.sparkSession
+    parts = max(2, min(
+        spark.sparkContext.defaultParallelism, -(-e0.count() // 100_000)
+    ))
+    e = e0.coalesce(parts)
+    ids = e.select("custkey").distinct().localCheckpoint()
+    n_cust = ids.count()
+    h = ids.select(
+        F.col("custkey").alias("k"),
+        F.lit(int(float(_HITS_FP) / n_cust + 0.5)).cast("bigint").alias("u"),
+    )
+
+    def half(vec: DataFrame, src: str, dst: str) -> DataFrame:
+        r = (
+            e.join(F.broadcast(vec), F.col(src) == F.col("k"))
+            .rollup(dst)
+            .agg(
+                F.sum(F.col("u").cast("decimal(38,0)") * F.col("n")).alias("r"),
+                F.grouping(dst).alias("g"),
+            )
+            .localCheckpoint()
+        )
+        # 1-row L1 total off the same checkpointed fold (bounded
+        # metadata); float(int-Decimal) is the same nearest-double
+        # CAST(.. AS DOUBLE) performs, so the renorm stays
+        # engine-identical.
+        t = float(int(r.filter(F.col("g") == 1).collect()[0]["r"]))
+        return r.filter(F.col("g") == 0).select(
+            F.col(dst).alias("k"),
+            F.floor(
+                F.col("r").cast("double") / F.lit(t)
+                * F.lit(float(_HITS_FP)) + F.lit(0.5)
+            ).cast("bigint").alias("u"),
+        )
+
+    a = None
+    for _ in range(_HITS_ITERS):
+        a = half(h, "custkey", "suppkey")
+        h = half(a, "suppkey", "custkey")
+    return a, h
+
+
 @query(
     "q_hits",
     oracle=_hits_oracle(),
@@ -1298,45 +1348,7 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     real counterparty concentration.
     Ref: network-feature companion to the reference's per-transaction
     model (train_model.py) — same motivation as q_pagerank."""
-    e0 = edges(spark, sf_dir).localCheckpoint()
-    parts = max(2, min(
-        spark.sparkContext.defaultParallelism, -(-e0.count() // 100_000)
-    ))
-    e = e0.coalesce(parts)
-    ids = e.select("custkey").distinct().localCheckpoint()
-    n_cust = ids.count()
-    h = ids.select(
-        F.col("custkey").alias("k"),
-        F.lit(int(float(_HITS_FP) / n_cust + 0.5)).cast("bigint").alias("u"),
-    )
-
-    def half(vec: DataFrame, src: str, dst: str) -> DataFrame:
-        r = (
-            e.join(F.broadcast(vec), F.col(src) == F.col("k"))
-            .rollup(dst)
-            .agg(
-                F.sum(F.col("u").cast("decimal(38,0)") * F.col("n")).alias("r"),
-                F.grouping(dst).alias("g"),
-            )
-            .localCheckpoint()
-        )
-        # 1-row L1 total off the same checkpointed fold (bounded
-        # metadata); float(int-Decimal) is the same nearest-double
-        # CAST(.. AS DOUBLE) performs, so the renorm stays
-        # engine-identical.
-        t = float(int(r.filter(F.col("g") == 1).collect()[0]["r"]))
-        return r.filter(F.col("g") == 0).select(
-            F.col(dst).alias("k"),
-            F.floor(
-                F.col("r").cast("double") / F.lit(t)
-                * F.lit(float(_HITS_FP)) + F.lit(0.5)
-            ).cast("bigint").alias("u"),
-        )
-
-    a = None
-    for _ in range(_HITS_ITERS):
-        a = half(h, "custkey", "suppkey")
-        h = half(a, "suppkey", "custkey")
+    a, h = hits_vectors(edges(spark, sf_dir))
 
     def top(vec: DataFrame, side: str) -> DataFrame:
         return (

@@ -100,6 +100,61 @@ def test_project_pairs_scales_linearly(spark):
     print(f"SCALE project_pairs: 1x={t1:.2f}s 10x={t10:.2f}s ratio={t10 / t1:.1f}")
 
 
+def test_hits_vectors_scales_linearly(spark):
+    """Round 9: the HITS kernel is 2*iters sequential broadcast-join
+    folds over the edge list — linear in |E| by construction; this
+    pins it. Ten disjoint isomorphic copies share the global L1
+    renormalization, and by symmetry each replica holds exactly 1/10
+    of every half-step total, so a base vertex's final score is
+    IDENTICAL across all ten replicas — asserted exactly, which also
+    re-derives the kernel's partition-order-free integer-fold claim
+    on a 10x input."""
+    from fraud_detection_spark.operators.graph import edges, hits_vectors
+
+    e1 = edges(spark, SCALE_SF_DIR).localCheckpoint()
+    e10 = (
+        e1.crossJoin(F.broadcast(
+            spark.range(REPLICAS).select(F.col("id").alias("_rep"))
+        ))
+        .select(
+            (F.col("custkey") * 16 + F.col("_rep")).alias("custkey"),
+            (F.col("suppkey") * 16 + F.col("_rep")).alias("suppkey"),
+            "n",
+        )
+        .localCheckpoint()
+    )
+    hits_vectors(e1)  # warm (kernel checkpoints are eager)
+
+    def timed(e):
+        t0 = time.time()
+        a, h = hits_vectors(e)
+        n = a.count() + h.count()
+        return a, h, n, time.time() - t0
+
+    a1, h1, n1, t1 = timed(e1)
+    a10, h10, n10, t10 = timed(e10)
+    assert n10 == REPLICAS * n1, (n1, n10)
+    assert t10 <= 2.5 * REPLICAS * t1 + 5.0, (t1, t10)
+    for v1, v10 in ((a1, a10), (h1, h10)):
+        per_base = (
+            v10.groupBy((F.col("k") % 16).alias("rep"))
+            .agg(F.sum("u").alias("s"), F.count("*").alias("c"))
+            .select("s", "c")
+            .distinct()
+            .count()
+        )
+        assert per_base == 1, "replicas diverged: renorm not symmetric"
+        base0 = {
+            r.k: r.u
+            for r in v10.filter(F.col("k") % 16 == 0)
+            .select((F.col("k") / 16).cast("bigint").alias("k"), "u")
+            .collect()
+        }
+        orig = {r.k: r.u for r in v1.collect()}
+        assert set(base0) == set(orig)
+    print(f"SCALE hits_vectors: 1x={t1:.2f}s 10x={t10:.2f}s ratio={t10 / t1:.1f}")
+
+
 def test_two_core_delta_peel_scales_linearly(spark):
     """VERDICT r8 #6: the delta-peel kernel's per-round work is
     proportional to edges incident to the frontier, so ten disjoint
