@@ -91,6 +91,9 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_reciprocal_flows",
     "q_containment",
     "q_hits",
+    # round-9 batch 4 (new queries — no history, evidence wanted now):
+    "q_kendall_tau",
+    "q_wilcoxon_signed_rank",
 })
 
 

@@ -250,6 +250,12 @@ HEADLINE = [
     "q_reciprocal_flows",
     "q_containment",
     "q_hits",
+    # round-9 batch 4: Kendall tau-b pair counting on the dense
+    # contingency grid (two suffix-sum window passes over cells, never
+    # rows) and the paired Wilcoxon signed-rank on per-user early/late
+    # integer spend deltas
+    "q_kendall_tau",
+    "q_wilcoxon_signed_rank",
 ]
 
 

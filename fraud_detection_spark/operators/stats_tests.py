@@ -965,3 +965,287 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(rho, 6).alias("rho"),
         pround(rho * F.sqrt((F.col("n") - 2) / (1 - rho * rho)), 6).alias("t_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b (round 9 batch 4): ordinal association between amount
+# and hour-of-day by EXACT pair counting on the dense contingency grid
+# — concordant/discordant pairs via two directional suffix-sum windows
+# over grid CELLS (|values| x 24), never over fact rows.
+# ---------------------------------------------------------------------------
+
+_KENDALL_SQL = (
+    f"b AS (SELECT CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS vx, "
+    f"CAST(({_SEC_SQL} // 3600) % 24 AS BIGINT) AS vy FROM events), "
+    "gv AS (SELECT vx, vy, CAST(COUNT(*) AS BIGINT) AS c FROM b "
+    "GROUP BY vx, vy), "
+    # dense grid: every (distinct vx) x (distinct vy) cell, zero-filled
+    "dense AS (SELECT dx.vx, dy.vy, COALESCE(gv.c, 0) AS c "
+    "FROM (SELECT DISTINCT vx FROM gv) dx "
+    "CROSS JOIN (SELECT DISTINCT vy FROM gv) dy "
+    "LEFT JOIN gv USING (vx, vy)), "
+    # gt(vx,vy) = #observations with vx' strictly greater, same vy row
+    "g1 AS (SELECT vx, vy, c, CAST(COALESCE(SUM(c) OVER ("
+    "PARTITION BY vy ORDER BY vx "
+    "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS HUGEINT) "
+    "AS gt FROM dense), "
+    "g2 AS (SELECT vx, vy, c, "
+    "COALESCE(SUM(gt) OVER (PARTITION BY vx ORDER BY vy "
+    "ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING), 0) AS sc, "
+    "COALESCE(SUM(gt) OVER (PARTITION BY vx ORDER BY vy "
+    "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS sd "
+    "FROM g1), "
+    "p AS (SELECT CAST(SUM(c * sc) AS BIGINT) AS nc, "
+    "CAST(SUM(c * sd) AS BIGINT) AS nd FROM g2), "
+    # doubled tie-pair counts: n1_2 = Σ t(t-1) over the x-marginal etc.
+    "tx AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) "
+    "AS n1_2 FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM gv GROUP BY vx)), "
+    "ty AS (SELECT CAST(SUM(CAST(t AS HUGEINT) * (t - 1)) AS HUGEINT) "
+    "AS n2_2 FROM (SELECT CAST(SUM(c) AS BIGINT) AS t FROM gv GROUP BY vy)), "
+    "nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM gv)"
+)
+
+
+@query(
+    "q_kendall_tau",
+    oracle=(
+        "WITH " + _KENDALL_SQL + ", "
+        "f AS (SELECT n, nc, nd, "
+        "CAST(n AS DOUBLE) * (n - 1) AS n0_2, "
+        "CAST(n1_2 AS DOUBLE) AS t1, CAST(n2_2 AS DOUBLE) AS t2 "
+        "FROM p, tx, ty, nn) "
+        "SELECT n, nc, nd, "
+        + sql_round(
+            "2.0 * (nc - nd) / SQRT((n0_2 - t1) * (n0_2 - t2))", 6
+        )
+        + " AS tau_b, "
+        + sql_round("(nc - nd) * 1.0 / (nc + nd)", 6) + " AS gamma, "
+        + sql_round(
+            "3.0 * (nc - nd) / SQRT(CAST(n AS DOUBLE) * (n - 1) * (2.0 * n + 5) / 2)",
+            6,
+        )
+        + " AS z FROM f"
+    ),
+    tags=("stats", "test", "rank"),
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b between transaction AMOUNT and HOUR-OF-DAY: the
+    pair-concordance companion to q_spearman (τ weights every pair
+    equally where ρ weights by rank distance, so τ is the more robust
+    ordinal-association screen under heavy ties — and hour-of-day has
+    only 24 levels, so ties dominate).
+
+    Exact pair counting WITHOUT the O(n²) pair join: concordant pairs
+    fold on the dense (vx × vy) contingency grid as nc = Σ c_ij ·
+    S_ij where S_ij = Σ_{{vx'>vx, vy'>vy}} c — two directional
+    suffix-sum windows (per-row over vx, then per-column over vy)
+    count every pair exactly once at its lower-left cell; discordant
+    pairs mirror with the preceding-vy frame. Tie pairs come from the
+    marginals in doubled units (n1_2 = Σ t(t−1), exact HUGEINT /
+    DECIMAL(38,0)), and τ-b = 2(nc−nd)/√((n(n−1)−n1_2)(n(n−1)−n2_2))
+    cancels the doubling. nc/nd emit as BIGINT — exact through ~4e9
+    rows (nc ≤ n(n−1)/2); beyond that re-emit as DECIMAL(38,0) (the
+    q_spearman bound note). γ (Goodman–Kruskal, ignores ties) and the
+    normal z (untied approximation) are scalar IEEE on exact integers.
+
+    Scale: one map-side-combinable fact fold to the contingency grid
+    bounded by the 1e-4-quantized amount domain × 24 hours (NOT row
+    count); the dense grid is |vx|·24 cells and both window passes run
+    there (the vy-partitioned pass has 24 partitions of |vx| rows, the
+    vx-partitioned pass |vx| partitions of 24 rows). Ref: completes
+    the reference's EDA correlation family (notebooks/eda) — Pearson
+    q_corr, Spearman q_spearman, Kendall here — each scale-safe."""
+    ev = events_with_time(spark, sf_dir)
+    gv = (
+        ev.select(
+            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("vx"),
+            (F.expr("ts_sec div 3600") % 24).cast("bigint").alias("vy"),
+        )
+        .groupBy("vx", "vy")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    dense = (
+        gv.select("vx")
+        .distinct()
+        .crossJoin(F.broadcast(gv.select("vy").distinct()))
+        .join(gv, ["vx", "vy"], "left")
+        .na.fill({"c": 0})
+    )
+    w_gt = Window.partitionBy("vy").orderBy("vx").rowsBetween(1, Window.unboundedFollowing)
+    g1 = dense.select(
+        "vx",
+        "vy",
+        "c",
+        F.coalesce(F.sum("c").over(w_gt), F.lit(0))
+        .cast("decimal(38,0)")
+        .alias("gt"),
+    )
+    w_sc = Window.partitionBy("vx").orderBy("vy").rowsBetween(1, Window.unboundedFollowing)
+    w_sd = Window.partitionBy("vx").orderBy("vy").rowsBetween(Window.unboundedPreceding, -1)
+    zero = F.lit(0).cast("decimal(38,0)")
+    g2 = g1.select(
+        "c",
+        F.coalesce(F.sum("gt").over(w_sc), zero).alias("sc"),
+        F.coalesce(F.sum("gt").over(w_sd), zero).alias("sd"),
+    )
+    p = g2.agg(
+        F.sum(F.col("c") * F.col("sc")).cast("bigint").alias("nc"),
+        F.sum(F.col("c") * F.col("sd")).cast("bigint").alias("nd"),
+    )
+
+    def tie2(col: str, out: str) -> DataFrame:
+        return (
+            gv.groupBy(col)
+            .agg(F.sum("c").cast("bigint").alias("t"))
+            .agg(
+                F.sum(F.col("t").cast("decimal(38,0)") * (F.col("t") - 1)).alias(out)
+            )
+        )
+
+    nn = gv.agg(F.sum("c").cast("bigint").alias("n"))
+    f = p.crossJoin(tie2("vx", "n1_2")).crossJoin(tie2("vy", "n2_2")).crossJoin(nn)
+    nd_ = F.col("n").cast("double")
+    n0_2 = nd_ * (F.col("n") - 1)
+    diff = (F.col("nc") - F.col("nd")).cast("double")
+    return f.select(
+        "n",
+        "nc",
+        "nd",
+        pround(
+            2.0 * diff
+            / F.sqrt(
+                (n0_2 - F.col("n1_2").cast("double"))
+                * (n0_2 - F.col("n2_2").cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+        pround(diff / (F.col("nc") + F.col("nd")).cast("double"), 6).alias("gamma"),
+        pround(
+            3.0 * diff / F.sqrt(nd_ * (F.col("n") - 1) * (2.0 * F.col("n") + 5) / 2),
+            6,
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilcoxon signed-rank (round 9 batch 4): the PAIRED companion to
+# q_mann_whitney — did per-user spend shift between the early and late
+# half of the observation window?
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_wilcoxon_signed_rank",
+    oracle=(
+        f"WITH e AS (SELECT user_id, {_SEC_SQL} AS sec, "
+        "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v FROM events), "
+        "m AS (SELECT (MIN(sec) + MAX(sec)) // 2 AS mid FROM e), "
+        "d0 AS (SELECT user_id, CAST(SUM(CASE WHEN sec > mid THEN v "
+        "ELSE -v END) AS BIGINT) AS d FROM e, m GROUP BY user_id), "
+        "d AS (SELECT d FROM d0 WHERE d <> 0), "
+        "g AS (SELECT ABS(d) AS a, CAST(COUNT(*) AS BIGINT) AS t, "
+        "CAST(SUM(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS tp "
+        "FROM d GROUP BY 1), "
+        "r AS (SELECT a, t, tp, "
+        "CAST(2 * (SUM(t) OVER (ORDER BY a) - t) + t + 1 AS BIGINT) AS r2 "
+        "FROM g), "
+        "s AS (SELECT CAST(SUM(t) AS BIGINT) AS n, "
+        "CAST(SUM(tp * CAST(r2 AS HUGEINT)) AS HUGEINT) AS w2p, "
+        "CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT) AS ties "
+        "FROM r), "
+        "f AS (SELECT n, CAST(w2p AS DOUBLE) / 2 AS wp, "
+        "CAST(n AS DOUBLE) * (n + 1) / 2 - CAST(w2p AS DOUBLE) / 2 AS wm, "
+        "CAST(ties AS DOUBLE) AS td FROM s) "
+        "SELECT n, " + sql_round("wp", 1) + " AS w_plus, "
+        + sql_round("wm", 1) + " AS w_minus, "
+        + sql_round(
+            "(wp - CAST(n AS DOUBLE) * (n + 1) / 4) / "
+            "SQRT(CAST(n AS DOUBLE) * (n + 1) * (2.0 * n + 1) / 24 - td / 48)",
+            6,
+        )
+        + " AS z, "
+        + sql_round("(wp - wm) / (wp + wm)", 6) + " AS r_rb FROM f"
+    ),
+    tags=("stats", "test", "rank"),
+)
+def q_wilcoxon_signed_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilcoxon signed-rank test on PAIRED per-user spend: for every
+    user, d = (total 1e-4 fixed-point spend in the late half of the
+    observed time range) − (early half); zero differences drop
+    (standard); |d| gets doubled average ranks; W⁺ = Σ_{d>0} rank.
+    The paired companion to q_mann_whitney's independent-samples U —
+    "did the SAME population shift?", the within-subjects drift screen
+    (cohort spend migration) none of the existing tests cover.
+
+    Exactness: the half-split midpoint (min+max) div 2 and every d are
+    exact integers; the rank machinery is the q_kruskal_wallis doubled
+    construction over DISTINCT |d| (so tie-averaging stays integral);
+    W²⁺ = Σ t⁺·r2 folds in HUGEINT/DECIMAL(38,0); W⁻ derives exactly
+    as n(n+1)/2 − W⁺. Final z (tie-corrected: σ² = n(n+1)(2n+1)/24 −
+    Σ(t³−t)/48) and the matched-pairs rank-biserial r = (W⁺−W⁻)/(W⁺+W⁻)
+    are scalar IEEE on exact integers.
+
+    Scale: one map-side-combinable per-user fold (|users| rows out),
+    one window over DISTINCT |d| values (≤ |users|), one scalar
+    aggregate — bounded by entity cardinality, never fact rows. The
+    global (min, max) pair is a 1-row broadcast."""
+    ev = events_with_time(spark, sf_dir).select(
+        "user_id",
+        "ts_sec",
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("v"),
+    )
+    mid = ev.agg(F.expr("(min(ts_sec) + max(ts_sec)) div 2").alias("mid"))
+    d = (
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.sum(
+                F.when(F.col("ts_sec") > F.col("mid"), F.col("v")).otherwise(
+                    -F.col("v")
+                )
+            )
+            .cast("bigint")
+            .alias("d")
+        )
+        .filter(F.col("d") != 0)
+    )
+    g = (
+        d.select(F.abs(F.col("d")).alias("a"), (F.col("d") > 0).cast("int").alias("pos"))
+        .groupBy("a")
+        .agg(
+            F.count("*").cast("bigint").alias("t"),
+            F.sum("pos").cast("bigint").alias("tp"),
+        )
+    )
+    w = Window.orderBy("a")
+    r = g.select(
+        "t",
+        "tp",
+        (2 * (F.sum("t").over(w) - F.col("t")) + F.col("t") + 1)
+        .cast("bigint")
+        .alias("r2"),
+    )
+    s = r.agg(
+        F.sum("t").cast("bigint").alias("n"),
+        F.sum(F.col("tp").cast("decimal(38,0)") * F.col("r2")).alias("w2p"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("ties"),
+    )
+    nd_ = F.col("n").cast("double")
+    wp = F.col("w2p").cast("double") / 2
+    wm = nd_ * (F.col("n") + 1) / 2 - wp
+    return s.select(
+        "n",
+        pround(wp, 1).alias("w_plus"),
+        pround(wm, 1).alias("w_minus"),
+        pround(
+            (wp - nd_ * (F.col("n") + 1) / 4)
+            / F.sqrt(
+                nd_ * (F.col("n") + 1) * (2.0 * F.col("n") + 1) / 24
+                - F.col("ties").cast("double") / 48
+            ),
+            6,
+        ).alias("z"),
+        pround((wp - wm) / (wp + wm), 6).alias("r_rb"),
+    )
