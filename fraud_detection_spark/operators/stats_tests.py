@@ -1071,22 +1071,34 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(gv, ["vx", "vy"], "left")
         .na.fill({"c": 0})
     )
-    w_gt = Window.partitionBy("vy").orderBy("vx").rowsBetween(1, Window.unboundedFollowing)
+    # Suffix sums as (full-partition total − running prefix), NEVER as
+    # a (1 FOLLOWING, UNBOUNDED FOLLOWING) frame: Spark's WindowExec
+    # recomputes shrinking frames (moving lower bound + unbounded
+    # following) from scratch per row — O(rows²) per partition, 54 s at
+    # sf0.1 vs sub-second for the two O(n)-incremental frames below
+    # (the full frame folds once per partition, the running frame
+    # grows). Same integers, linear plan.
+    w_tot_y = Window.partitionBy("vy")
+    w_run_y = (
+        Window.partitionBy("vy").orderBy("vx").rowsBetween(Window.unboundedPreceding, 0)
+    )
     g1 = dense.select(
         "vx",
         "vy",
         "c",
-        F.coalesce(F.sum("c").over(w_gt), F.lit(0))
+        (F.sum("c").over(w_tot_y) - F.sum("c").over(w_run_y))
         .cast("decimal(38,0)")
         .alias("gt"),
     )
-    w_sc = Window.partitionBy("vx").orderBy("vy").rowsBetween(1, Window.unboundedFollowing)
-    w_sd = Window.partitionBy("vx").orderBy("vy").rowsBetween(Window.unboundedPreceding, -1)
-    zero = F.lit(0).cast("decimal(38,0)")
+    w_tot_x = Window.partitionBy("vx")
+    w_run_x = (
+        Window.partitionBy("vx").orderBy("vy").rowsBetween(Window.unboundedPreceding, 0)
+    )
+    run_x = F.sum("gt").over(w_run_x)
     g2 = g1.select(
         "c",
-        F.coalesce(F.sum("gt").over(w_sc), zero).alias("sc"),
-        F.coalesce(F.sum("gt").over(w_sd), zero).alias("sd"),
+        (F.sum("gt").over(w_tot_x) - run_x).alias("sc"),
+        (run_x - F.col("gt")).alias("sd"),
     )
     p = g2.agg(
         F.sum(F.col("c") * F.col("sc")).cast("bigint").alias("nc"),
