@@ -1056,12 +1056,22 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reference's EDA correlation family (notebooks/eda) — Pearson
     q_corr, Spearman q_spearman, Kendall here — each scale-safe."""
     ev = events_with_time(spark, sf_dir)
+    pairs = ev.select(
+        F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("vx"),
+        (F.expr("ts_sec div 3600") % 24).cast("bigint").alias("vy"),
+    )
+    return kendall_tau(pairs)
+
+
+def kendall_tau(pairs: DataFrame) -> DataFrame:
+    """The q_kendall_tau kernel on a (vx, vy) BIGINT-pair DataFrame —
+    module-level so the env-gated 10x scale smoke
+    (tests/test_stats_scale.py) can drive it on a value-domain-scaled
+    replica set. Returns the 1-row (n, nc, nd, tau_b, gamma, z)
+    statistic table; see q_kendall_tau's docstring for the math and
+    the linear-frame discipline."""
     gv = (
-        ev.select(
-            F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint").alias("vx"),
-            (F.expr("ts_sec div 3600") % 24).cast("bigint").alias("vy"),
-        )
-        .groupBy("vx", "vy")
+        pairs.groupBy("vx", "vy")
         .agg(F.count("*").cast("bigint").alias("c"))
     )
     dense = (
