@@ -94,6 +94,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     # round-9 batch 4 (new queries — no history, evidence wanted now):
     "q_kendall_tau",
     "q_wilcoxon_signed_rank",
+    "q_stump",
 })
 
 

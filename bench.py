@@ -252,10 +252,12 @@ HEADLINE = [
     "q_hits",
     # round-9 batch 4: Kendall tau-b pair counting on the dense
     # contingency grid (two suffix-sum window passes over cells, never
-    # rows) and the paired Wilcoxon signed-rank on per-user early/late
-    # integer spend deltas
+    # rows), the paired Wilcoxon signed-rank on per-user early/late
+    # integer spend deltas, and the oracle-exact decision-stump split
+    # search on the q_auc bucket-offset prefix-sum machinery
     "q_kendall_tau",
     "q_wilcoxon_signed_rank",
+    "q_stump",
 ]
 
 

@@ -817,3 +817,153 @@ def q_cohen_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(pe, 6).alias("expected_accuracy"),
         pround((po - pe) / (1 - pe), 6).alias("kappa"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Decision-stump training (round 9 batch 4): EXACT optimal Gini split
+# on the published model score — the one training operator with a full
+# DuckDB oracle (every other training op is rows-only by nature; a
+# stump's split search is a deterministic aggregate, so it hashes).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stump",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), "
+        "g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM s GROUP BY score), "
+        "t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, "
+        "CAST(SUM(pos) AS BIGINT) AS p FROM g), "
+        "c AS (SELECT score, "
+        "CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT) AS cum_n, "
+        "CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS cum_p FROM g), "
+        "e AS (SELECT score, cum_n, cum_p, n, p, "
+        "CAST(cum_n AS DOUBLE) AS nl, CAST(cum_p AS DOUBLE) AS pl, "
+        "CAST(n - cum_n AS DOUBLE) AS nr, CAST(p - cum_p AS DOUBLE) AS pr "
+        "FROM c, t WHERE cum_n < n), "
+        "k AS (SELECT score, cum_n, cum_p, n, p, "
+        "(nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) "
+        "+ (nr - (pr * pr + (nr - pr) * (nr - pr)) / nr) AS key FROM e), "
+        "b AS (SELECT * FROM k ORDER BY key, score LIMIT 1) "
+        "SELECT score AS threshold, cum_n AS n_left, cum_p AS pos_left, "
+        "CAST(n - cum_n AS BIGINT) AS n_right, "
+        "CAST(p - cum_p AS BIGINT) AS pos_right, "
+        + sql_round("key / n", 6) + " AS gini_split, "
+        + sql_round(
+            "1.0 - (CAST(p AS DOUBLE) / n) * (CAST(p AS DOUBLE) / n) "
+            "- (CAST(n - p AS DOUBLE) / n) * (CAST(n - p AS DOUBLE) / n)",
+            6,
+        )
+        + " AS gini_base, "
+        + sql_round(
+            "(1.0 - (CAST(p AS DOUBLE) / n) * (CAST(p AS DOUBLE) / n) "
+            "- (CAST(n - p AS DOUBLE) / n) * (CAST(n - p AS DOUBLE) / n)) "
+            "- key / n",
+            6,
+        )
+        + " AS gain FROM b"
+    ),
+    tags=("ml", "train", "split"),
+)
+def q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-1 decision tree (stump) on the published model
+    score by EXACT Gini split search: for every candidate threshold t
+    (left leaf: score ≤ t), the weighted Gini impurity of the induced
+    partition, minimized with a (impurity, threshold) deterministic
+    tiebreak. The one TRAINING operator with a full DuckDB oracle —
+    split search is a deterministic aggregate over exact counts, so it
+    hash-verifies where fit()-style ops (q_train_auc, q_smote) are
+    rows-only by nature. Doubles as exact operating-point selection:
+    the threshold that best separates the classes in Gini terms.
+    Ref: the reference tunes its RandomForest stumps upward from this
+    primitive (train_model.py:57-66); sklearn's best-split scan is
+    this exact computation per feature.
+
+    Exactness: scores are pre-rounded to 6 dp (the scored() contract),
+    so candidate thresholds are the ≤1e6-row distinct-score table;
+    per-threshold (n≤, pos≤) are exact integer prefix sums, and the
+    split key N·G(t) = Σ_side [n_s − (p_s² + (n_s−p_s)²)/n_s] is the
+    same IEEE-double expression on both engines over those exact
+    integers (identical bits, so the ORDER BY key, score argmin is
+    engine-identical; dividing by the constant N is order-preserving
+    and deferred to display). p_s² exceeds double's exact-integer
+    range only past n ≈ 9.4e7 positives — beyond that both engines
+    still compute identical doubles (same inputs, same ops), so the
+    argmin stays parity-safe; document-scale drift of the DISPLAYED
+    6-dp gini would need n ≈ 1e9+.
+
+    Scale: the q_auc machinery verbatim — one map-side-combinable
+    (score → cnt, pos) fold bounded by the 6-dp score domain (NOT row
+    count), coarse-bucket offsets via a ≤1001-row broadcast self-join,
+    within-bucket running sums under a PARTITIONED window (no global
+    single-partition sort anywhere), and a top-1 ordered take. One
+    shuffle agg + bounded-table ops."""
+    s = scored(spark, sf_dir)
+    per = (
+        s.groupBy("score")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+        .withColumn("bucket", F.floor(F.col("score") * 1000).cast("bigint"))
+    )
+    btot = per.groupBy("bucket").agg(
+        F.sum("cnt").alias("bcnt"), F.sum("pos").alias("bpos")
+    )
+    lower = btot.select(
+        F.col("bucket").alias("lb"),
+        F.col("bcnt").alias("lcnt"),
+        F.col("bpos").alias("lpos"),
+    )
+    offs = (
+        btot.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("lcnt"), F.lit(0)).alias("off_n"),
+            F.coalesce(F.sum("lpos"), F.lit(0)).alias("off_p"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.agg(
+        F.sum("cnt").cast("bigint").alias("n"), F.sum("pos").cast("bigint").alias("p")
+    )
+    c = (
+        per.join(F.broadcast(offs), "bucket")
+        .select(
+            "score",
+            (F.col("off_n") + F.sum("cnt").over(w_in)).cast("bigint").alias("cum_n"),
+            (F.col("off_p") + F.sum("pos").over(w_in)).cast("bigint").alias("cum_p"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_n") < F.col("n"))
+    )
+    nl = F.col("cum_n").cast("double")
+    pl = F.col("cum_p").cast("double")
+    nr = (F.col("n") - F.col("cum_n")).cast("double")
+    pr = (F.col("p") - F.col("cum_p")).cast("double")
+    key = (nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) + (
+        nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+    )
+    best = (
+        c.withColumn("key", key)
+        .orderBy("key", "score")
+        .limit(1)
+    )
+    nd = F.col("n").cast("double")
+    pd_ = F.col("p").cast("double")
+    base = 1.0 - (pd_ / nd) * (pd_ / nd) - ((nd - pd_) / nd) * ((nd - pd_) / nd)
+    return best.select(
+        F.col("score").alias("threshold"),
+        F.col("cum_n").alias("n_left"),
+        F.col("cum_p").alias("pos_left"),
+        (F.col("n") - F.col("cum_n")).cast("bigint").alias("n_right"),
+        (F.col("p") - F.col("cum_p")).cast("bigint").alias("pos_right"),
+        pround(F.col("key") / nd, 6).alias("gini_split"),
+        pround(base, 6).alias("gini_base"),
+        pround(base - F.col("key") / nd, 6).alias("gain"),
+    )

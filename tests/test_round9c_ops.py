@@ -103,3 +103,46 @@ def test_wilcoxon_signed_rank_matches_python_reference(spark, sf_dir):
     assert abs(r.w_plus + r.w_minus - n * (n + 1) / 2) < 1e-9
     assert abs(r.z - z_ref) < 1e-6, (r.z, z_ref)
     assert abs(r.r_rb - (wp_ref - wm_ref) / (wp_ref + wm_ref)) < 1e-6
+
+
+def test_stump_matches_bruteforce_split_search(spark, sf_dir):
+    """The emitted split matches a literal python scan over every
+    candidate threshold (same double key, (key, score) tiebreak);
+    leaf counts are exact; gain >= 0 is NOT asserted (a stump's best
+    split can be arbitrarily weak) but gini_base >= gini_split is."""
+    from collections import defaultdict
+
+    from fraud_detection_spark.operators.ml_metrics import scored
+
+    rows = scored(spark, sf_dir).select("score", "label").collect()
+    agg = defaultdict(lambda: [0, 0])
+    for r in rows:
+        agg[r.score][0] += 1
+        agg[r.score][1] += r.label
+    n_tot = sum(v[0] for v in agg.values())
+    p_tot = sum(v[1] for v in agg.values())
+    cum_n = cum_p = 0
+    best = None
+    for s in sorted(agg):
+        cum_n += agg[s][0]
+        cum_p += agg[s][1]
+        if cum_n >= n_tot:
+            break
+        nl, pl = float(cum_n), float(cum_p)
+        nr, pr = float(n_tot - cum_n), float(p_tot - cum_p)
+        key = (nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) + (
+            nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+        )
+        if best is None or (key, s) < best[:2]:
+            best = (key, s, cum_n, cum_p)
+    key, s, cn, cp = best
+    base = 1 - (p_tot / n_tot) ** 2 - ((n_tot - p_tot) / n_tot) ** 2
+
+    (r,) = _run("q_stump", spark, sf_dir)
+    assert r.threshold == s, (r.threshold, s)
+    assert (r.n_left, r.pos_left) == (cn, cp)
+    assert (r.n_right, r.pos_right) == (n_tot - cn, p_tot - cp)
+    assert abs(r.gini_split - key / n_tot) < 1e-6
+    assert abs(r.gini_base - base) < 1e-6
+    assert r.gini_base >= r.gini_split - 1e-9
+    assert abs(r.gain - (base - key / n_tot)) < 1e-6
