@@ -69,32 +69,15 @@ def entry(spark: SparkSession) -> DataFrame:
 _PINNED_HEAD = ()
 
 _TOUCHED_THIS_ROUND = frozenset({
-    # round 9 edits (VERDICT r8 next-round items + ADVICE r8):
-    "q_anova",        # oracle HUGEINT->BIGINT cast (V#1) + decimal-floor (ADVICE)
-    "q_changepoint",  # oracle HUGEINT->BIGINT casts (V#1)
-    "q_new_edges",    # datekey int32->bigint (found by the new dtype-parity sweep)
-    "q_ndcg",         # n_rel=0 NULL guard on ideal DCG (ADVICE r8)
-    "q_triangle_count",   # (deg, key) struct rank replaces bit-packing (ADVICE r8)
-    "q_clustering_coeff",  # shares oriented_edges with q_triangle_count
-    "q_graph_2core",  # delta-peeling kernel replaces full recompute (V#6)
-    # round-9 additions (new queries — no history, evidence wanted now):
-    "q_kruskal_wallis",
-    "q_mann_whitney",
-    "q_levene",
-    "q_cohen_kappa",
-    "q_fan_in_out",
-    "q_embedding_outlier",
-    "q_mmr",
-    "q_pmi_cooccurrence",
-    # round-9 batch 3 (new queries — no history, evidence wanted now):
-    "q_spearman",
-    "q_reciprocal_flows",
-    "q_containment",
-    "q_hits",
-    # round-9 batch 4 (new queries — no history, evidence wanted now):
-    "q_kendall_tau",
-    "q_wilcoxon_signed_rank",
-    "q_stump",
+    # round 10 edits (VERDICT r9 next-round items + ADVICE r9).
+    # Deliberately NOT listed: the 17 queries that only gained the
+    # registry's new eager=True metadata flag (ADVICE r9 #3) — zero
+    # semantic change, zero plan change, and listing them would
+    # displace the 39 stale-evidence queries VERDICT r9 #1 wants this
+    # round's 50-slot sample to drain.
+    "q_anova",   # oracle now floors in DECIMAL(38,6) like Spark (ADVICE r9 #1)
+    "q_levene",  # same, plus sg now sums the widened operand (ADVICE r9 #2)
+    "q_isotonic",  # upgraded rows-only -> DuckDB PAV oracle (VERDICT r9 #4)
 })
 
 

@@ -220,6 +220,7 @@ _RING_FACTOR = RING_FACTOR  # single definition lives in operators/graph.py
         "FROM reach WHERE v % 2 = 0 GROUP BY v"
     ),
     tags=("aml", "fraud", "graph", "iterative"),
+    eager=True,
 )
 def q_fraud_rings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ring detection: connected components over the customer—supplier

@@ -828,6 +828,7 @@ def label_propagation(
         "FROM reach GROUP BY v"
     ),
     tags=("dedup", "cluster", "iterative"),
+    eager=True,
 )
 def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over the embedding near-duplicate graph —
@@ -858,6 +859,7 @@ def q_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM reach GROUP BY v"
     ),
     tags=("dedup", "cluster", "iterative", "documents"),
+    eager=True,
 )
 def q_dedup_doc_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full corpus-dedup deliverable over ``documents``: exact
@@ -955,6 +957,7 @@ def _semdedup_cluster(pdf):
         "FROM a LEFT JOIN dr ON a.vec_id = dr.vec_id"
     ),
     tags=("dedup", "embedding", "clustering", "similarity"),
+    eager=True,
 )
 def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup: cluster-then-compare semantic dedup over embeddings —

@@ -218,6 +218,7 @@ def _pagerank_oracle() -> str:
     "q_pagerank",
     oracle=_pagerank_oracle(),
     tags=("graph", "iterative"),
+    eager=True,
 )
 def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted lazy-walk PageRank over the bipartite customer—
@@ -671,6 +672,7 @@ def triangle_counts(pe: DataFrame) -> DataFrame:
         "FROM v GROUP BY custkey"
     ),
     tags=("graph", "fraud", "join"),
+    eager=True,
 )
 def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-customer triangle participation in the projected collusion
@@ -874,6 +876,7 @@ def q_new_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "WHERE deg.d >= 2"
     ),
     tags=("graph", "fraud"),
+    eager=True,
 )
 def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per projected-graph customer:
@@ -940,6 +943,7 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
         + " AS assortativity FROM s"
     ),
     tags=("graph", "stats"),
+    eager=True,
 )
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree assortativity of the projected collusion graph: the
@@ -1030,6 +1034,7 @@ def _label_prop_oracle() -> str:
     "q_label_prop",
     oracle=_label_prop_oracle(),
     tags=("graph", "iterative", "fraud"),
+    eager=True,
 )
 def q_label_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Community detection on the projected collusion graph by
@@ -1116,6 +1121,7 @@ def _two_core_oracle() -> str:
     "q_graph_2core",
     oracle=_two_core_oracle(),
     tags=("graph", "iterative", "fraud"),
+    eager=True,
 )
 def q_graph_2core(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-core peel of the projected collusion graph, fixed 3 rounds:
@@ -1309,6 +1315,7 @@ def hits_vectors(e0: DataFrame) -> tuple[DataFrame, DataFrame]:
     "q_hits",
     oracle=_hits_oracle(),
     tags=("graph", "iterative"),
+    eager=True,
 )
 def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HITS hubs & authorities on the weighted customer—supplier

@@ -596,7 +596,7 @@ def _pav(rates: list[float], weights: list[float]) -> list[float]:
     return res
 
 
-@query("q_isotonic", oracle=None, tags=("ml", "monitor", "calibration"))
+@query("q_isotonic", oracle=None, tags=("ml", "monitor", "calibration"), eager=True)
 def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic score calibration (pool-adjacent-violators): fit a
     monotone map from raw score to observed fraud rate — the standard

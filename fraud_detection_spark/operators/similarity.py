@@ -186,6 +186,7 @@ _BATCH_TOPK = 10
     "q_knn_batch",
     oracle=None,  # ANN: per-query recall-vs-exact verified in pytest
     tags=("similarity", "ann", "batch"),
+    eager=True,
 )
 def q_knn_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batched multi-query ANN — the shape a corpus pipeline actually
@@ -448,6 +449,7 @@ def ivf_probe_persisted(
     "q_knn_ivf_coarse",
     oracle=None,  # k-means cells are model state — invariants tested instead
     tags=("similarity", "ann", "ivf"),
+    eager=True,
 )
 def q_knn_ivf_coarse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with a coarse k-means quantizer (16 cells, probe 2):
@@ -884,6 +886,7 @@ def _ivf_pq_oracle_sql() -> str:
     "q_knn_ivf_pq",
     oracle=_ivf_pq_oracle_sql(),
     tags=("similarity", "ann", "ivf", "pq"),
+    eager=True,
 )
 def q_knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ADC search, declared end-to-end: coarse-cell pruning →
@@ -1455,6 +1458,7 @@ def _mmr_oracle() -> str:
     "q_mmr",
     oracle=_mmr_oracle(),
     tags=("similarity", "retrieval", "iterative"),
+    eager=True,
 )
 def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein

@@ -372,10 +372,12 @@ def q_kl_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
         "CAST(SUM(ng) AS BIGINT) AS n, "
         "SUM(sg) AS s, CAST(SUM(ssg) AS DOUBLE) AS ss, "
-        "SUM(CAST(FLOOR(CAST(sg AS DOUBLE) * sg / ng + 0.5) AS HUGEINT)) AS a "
+        "SUM(CAST(FLOOR(CAST(CAST(sg AS DOUBLE) * sg / ng + 0.5 "
+        "AS DECIMAL(38,6))) AS HUGEINT)) AS a "
         "FROM g), "
         "f AS (SELECT k, n, "
-        "CAST(a - FLOOR(CAST(s AS DOUBLE) * s / n + 0.5) AS DOUBLE) AS ssb, "
+        "CAST(a - CAST(FLOOR(CAST(CAST(s AS DOUBLE) * s / n + 0.5 "
+        "AS DECIMAL(38,6))) AS HUGEINT) AS DOUBLE) AS ssb, "
         "ss - CAST(a AS DOUBLE) AS ssw FROM t) "
         "SELECT k, n, "
         + sql_round("ssb / 100000000", 4) + " AS ss_between, "
@@ -778,10 +780,12 @@ def q_mann_whitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
         "CAST(SUM(ng) AS BIGINT) AS n, SUM(sg) AS s, "
         "CAST(SUM(ssg) AS DOUBLE) AS ss, "
-        "SUM(CAST(FLOOR(CAST(sg AS DOUBLE) * sg / ng + 0.5) AS HUGEINT)) AS a "
+        "SUM(CAST(FLOOR(CAST(CAST(sg AS DOUBLE) * sg / ng + 0.5 "
+        "AS DECIMAL(38,6))) AS HUGEINT)) AS a "
         "FROM g), "
         "f AS (SELECT k, n, "
-        "CAST(a - FLOOR(CAST(s AS DOUBLE) * s / n + 0.5) AS DOUBLE) AS ssb, "
+        "CAST(a - CAST(FLOOR(CAST(CAST(s AS DOUBLE) * s / n + 0.5 "
+        "AS DECIMAL(38,6))) AS HUGEINT) AS DOUBLE) AS ssb, "
         "ss - CAST(a AS DOUBLE) AS ssw FROM t) "
         "SELECT k, n, "
         + sql_round("(ssb / (k - 1)) / (ssw / (n - k))", 6) + " AS w_stat, "
@@ -823,7 +827,10 @@ def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("dow")
         .agg(
             F.count("*").cast("bigint").alias("ng"),
-            F.sum(z).cast("decimal(38,0)").alias("sg"),
+            # Widen BEFORE the sum (the q_moments treatment): summing the
+            # raw BIGINT z in 64-bit and casting afterwards would silently
+            # wrap at fact scale, while the oracle sums in HUGEINT.
+            F.sum(z.cast("decimal(38,0)")).alias("sg"),
             F.sum(z.cast("decimal(38,0)") * z).alias("ssg"),
         )
     )

@@ -1111,6 +1111,7 @@ _PMI_MIN_CO = 5
         "ORDER BY pmi DESC, token_a, token_b LIMIT 20"
     ),
     tags=("text", "stats"),
+    eager=True,
 )
 def q_pmi_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document-level pointwise mutual information between frequent

@@ -90,24 +90,43 @@ class Query:
     oracle: str | None = None
     tags: tuple[str, ...] = field(default_factory=tuple)
     doc: str = ""
+    #: True when ``fn(spark, sf_dir)`` executes distributed work at
+    #: DataFrame-CONSTRUCTION time (collect of a bounded pool,
+    #: localCheckpoint inside an iterative loop, index build) rather
+    #: than returning a fully lazy plan. Consequences, encoded in the
+    #: test suite: (a) the static plan fingerprint covers only the
+    #: final bounded plan — the real distributed passes run before the
+    #: plan exists (tests/test_plan_fingerprints.py); (b) schema-only
+    #: tooling (tests/test_oracle_dtypes.py) pays the construction
+    #: cost; (c) timing must wrap construction + materialization, as
+    #: bench.py does.
+    eager: bool = False
 
 
 REGISTRY: dict[str, Query] = {}
 
 
-def query(name: str, oracle: str | None = None, tags: tuple[str, ...] = ()):
+def query(
+    name: str,
+    oracle: str | None = None,
+    tags: tuple[str, ...] = (),
+    eager: bool = False,
+):
     """Decorator registering a declared query.
 
     ``oracle`` is ANSI SQL runnable by DuckDB against pre-registered
     views (region nation customer supplier part orders lineitem events
     documents embeddings). ``None`` => rows-only check (non-SQL-
-    expressible op: RNG, LSH, ML training, ...).
+    expressible op: RNG, LSH, ML training, ...). ``eager`` declares
+    that construction itself runs Spark jobs (see Query.eager).
     """
 
     def deco(fn: QueryFn) -> QueryFn:
         if name in REGISTRY:
             raise ValueError(f"duplicate query name: {name}")
-        REGISTRY[name] = Query(name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "")
+        REGISTRY[name] = Query(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=fn.__doc__ or "", eager=eager
+        )
         return fn
 
     return deco

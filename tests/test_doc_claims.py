@@ -51,3 +51,22 @@ def test_dedup_near_table_count_claim_matches_code():
     assert m_doc.group(1) == m_code.group(1), (
         "q_dedup_near docstring hash-table count disagrees with code"
     )
+
+
+def test_coverage_header_count_matches_registry():
+    """VERDICT r9 #6: COVERAGE.md's header count drifted one batch
+    behind the registry twice (271/258 at r9 when the registry held
+    278/265). Pin it: the exact '<N> declared queries, <M> with
+    oracles' sentence must match the live registry."""
+    from fraud_detection_spark.registry import load_all
+
+    R = load_all()
+    total = len(R)
+    with_oracle = sum(1 for q in R.values() if q.oracle is not None)
+    cov = _read("COVERAGE.md")
+    m = re.search(r"(\d+) declared queries, (\d+) with oracles", cov)
+    assert m, "COVERAGE.md header count sentence not found"
+    assert (int(m.group(1)), int(m.group(2))) == (total, with_oracle), (
+        f"COVERAGE.md says {m.group(1)}/{m.group(2)}, registry has "
+        f"{total}/{with_oracle}"
+    )

@@ -136,22 +136,36 @@ def test_hits_vectors_scales_linearly(spark):
     assert n10 == REPLICAS * n1, (n1, n10)
     assert t10 <= 2.5 * REPLICAS * t1 + 5.0, (t1, t10)
     for v1, v10 in ((a1, a10), (h1, h10)):
-        per_base = (
-            v10.groupBy((F.col("k") % 16).alias("rep"))
-            .agg(F.sum("u").alias("s"), F.count("*").alias("c"))
-            .select("s", "c")
-            .distinct()
+        # Per-VERTEX equality across replicas (ADVICE r9): every base
+        # key must carry exactly REPLICAS rows with exactly one
+        # distinct score — (sum,count) equality would pass permuted
+        # scores, countDistinct cannot.
+        diverged = (
+            v10.groupBy(F.expr("k div 16").alias("base"))
+            .agg(
+                F.countDistinct("u").alias("d"),
+                F.count("*").alias("c"),
+            )
+            .filter((F.col("d") != 1) | (F.col("c") != REPLICAS))
             .count()
         )
-        assert per_base == 1, "replicas diverged: renorm not symmetric"
+        assert diverged == 0, "replicas diverged: renorm not symmetric"
+        # Element-wise vs the 1x run: the global L1 renorm spreads the
+        # same unit mass over 10x the vertices, so each replica score
+        # is the 1x score / REPLICAS up to the per-half-step floor
+        # rounding (±0.5 unit per step, ~1e-9 relative on ~1e9-unit
+        # scores). Compare (k, u) PAIRS, not key sets, with a rounding
+        # allowance far below any real divergence.
         base0 = {
             r.k: r.u
             for r in v10.filter(F.col("k") % 16 == 0)
-            .select((F.col("k") / 16).cast("bigint").alias("k"), "u")
+            .select(F.expr("k div 16").alias("k"), "u")
             .collect()
         }
         orig = {r.k: r.u for r in v1.collect()}
         assert set(base0) == set(orig)
+        worst = max(abs(base0[k] - orig[k] / REPLICAS) for k in orig)
+        assert worst <= 64, f"replica scores drifted from 1x/{REPLICAS}: {worst}"
     print(f"SCALE hits_vectors: 1x={t1:.2f}s 10x={t10:.2f}s ratio={t10 / t1:.1f}")
 
 

@@ -98,7 +98,13 @@ def arrow_type_tag(t: pa.DataType) -> str:
 @pytest.mark.parametrize("name", ORACLE_QUERIES)
 def test_oracle_dtype_parity(name, spark, duck, sf_dir):
     q = REGISTRY[name]
-    sdf = q.fn(spark, sf_dir)  # lazy — schema only, no Spark job
+    # Lazy for most queries — schema only, no Spark job. Queries
+    # declared ``eager=True`` in the registry (q_mmr's collected
+    # candidate pool, the iterative graph family's localCheckpoint
+    # loops, the IVF index builds) DO run their bounded
+    # construction-time jobs here; the dtype assertion below is
+    # equally valid for them, just not free.
+    sdf = q.fn(spark, sf_dir)
     spark_types = {f.name: spark_type_tag(f.dataType) for f in sdf.schema.fields}
     at = duck.execute(q.oracle).fetch_arrow_table()
     duck_types = {f.name: arrow_type_tag(f.type) for f in at.schema}
