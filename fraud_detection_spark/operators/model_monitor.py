@@ -596,7 +596,40 @@ def _pav(rates: list[float], weights: list[float]) -> list[float]:
     return res
 
 
-@query("q_isotonic", oracle=None, tags=("ml", "monitor", "calibration"), eager=True)
+def _isotonic_oracle() -> str:
+    return (
+        f"WITH s AS ({SCORED_SQL}), "
+        "bands AS (SELECT CAST(FLOOR(score * 50) AS BIGINT) AS band, "
+        "CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(label) AS BIGINT) AS pos, "
+        "CAST(SUM(CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT)) AS BIGINT)"
+        " AS su FROM s GROUP BY band), "
+        "c AS (SELECT band, n, pos, su, "
+        "CAST(SUM(pos) OVER (ORDER BY band) AS BIGINT) AS cp, "
+        "CAST(SUM(n) OVER (ORDER BY band) AS BIGINT) AS cw FROM bands), "
+        # pairs (a <= b): pooled mean over bands [a..b] is a ratio of
+        # integer prefix-sum differences — Σpos/Σn, no float folding
+        "pairs AS (SELECT a.band AS ab, b.band AS bb, "
+        "CAST(b.cp - (a.cp - a.pos) AS DOUBLE) / "
+        "CAST(b.cw - (a.cw - a.n) AS DOUBLE) AS m "
+        "FROM c a JOIN c b ON a.band <= b.band), "
+        "m2 AS (SELECT ab, bb, MIN(m) OVER (PARTITION BY ab ORDER BY bb DESC "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mn FROM pairs), "
+        "fit AS (SELECT ab, bb, MAX(mn) OVER (PARTITION BY bb ORDER BY ab "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fitted "
+        "FROM m2) "
+        "SELECT bands.band, bands.n, "
+        + sql_round("fit.fitted", 6) + " AS rate_cal, "
+        + sql_round("CAST(bands.su AS DOUBLE) / 1000000 / bands.n", 6)
+        + " AS mean_score "
+        "FROM bands JOIN fit ON bands.band = fit.bb AND fit.ab = fit.bb"
+    )
+
+
+@query(
+    "q_isotonic",
+    oracle=_isotonic_oracle(),
+    tags=("ml", "monitor", "calibration"),
+)
 def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Isotonic score calibration (pool-adjacent-violators): fit a
     monotone map from raw score to observed fraud rate — the standard
@@ -605,47 +638,75 @@ def q_isotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw sigmoid outputs (predict_single.py:30) with no calibration
     layer at all.
 
-    Scale shape: PAV is sequential, but its INPUT is the binned
-    reliability table (≤50 rows), not the fact table — one hash
-    aggregate folds the 100 TB of scores into bands, the ≤50-row table
-    comes to the driver (bounded metadata, same discipline as
-    centroid/bucket-offset collects), numpy-free PAV runs in
-    microseconds, and the monotone band→rate map broadcasts back as a
-    codegen'd join. Declared rows-only: the pooling recursion is not
-    a single SQL expression (DuckDB has no isotonic aggregate)."""
+    Exactness (VERDICT r9 #4 — rows-only upgraded to oracle-checked):
+    instead of running the sequential PAV stack driver-side, the
+    fitted values use PAV's minimax characterization
+    fitted_i = max_{a<=i} min_{b>=i} pooledmean(a, b), and because the
+    weights ARE the band counts, every pooled mean is a ratio of
+    integer prefix-sum differences (Σpos / Σn) — one correctly-rounded
+    long/long double division per (a, b) pair, bit-identical on both
+    engines; MIN/MAX over identical doubles are exact, so the whole
+    fit hash-matches DuckDB with no iterative CTE at all.
+    tests/test_model_monitor.py cross-checks the minimax fit against
+    the sequential ``_pav`` stack on random inputs.
+
+    Scale shape: ONE hash aggregate folds the 100 TB of scores into
+    the <=51-band reliability table (count, positives, AND the
+    mean-score units — the fact table is scanned once, where the old
+    eager form paid a second scan to re-join the calibrated map); the
+    O(bands^2) pair table is <=1326 rows with two GROWING-frame
+    windows over it — bounded metadata, fully lazy/declarative, no
+    driver collect."""
     s = scored(spark, sf_dir)
-    bands = (
-        s.groupBy(F.floor(F.col("score") * 50).cast("bigint").alias("band"))
-        .agg(F.count("*").alias("n"), F.sum("label").alias("pos"))
-        .orderBy("band")
+    bands = s.groupBy(
+        F.floor(F.col("score") * 50).cast("bigint").alias("band")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+        F.sum(fp_units(F.col("score"), 6)).cast("bigint").alias("su"),
     )
-    rows = bands.collect()  # ≤51 rows — bounded by construction
-    rates = [r.pos / r.n for r in rows]
-    weights = [float(r.n) for r in rows]
-    fitted = _pav(rates, weights)
-    cal = spark.createDataFrame(
-        [
-            (r.band, float(rate), int(r.n), int(r.pos))
-            for r, rate in zip(rows, fitted)
-        ],
-        "band bigint, rate_cal double, n bigint, pos bigint",
+    w_cum = Window.orderBy("band").rowsBetween(Window.unboundedPreceding, 0)
+    c = bands.select(
+        "band",
+        "n",
+        "pos",
+        "su",
+        F.sum("pos").over(w_cum).cast("bigint").alias("cp"),
+        F.sum("n").over(w_cum).cast("bigint").alias("cw"),
     )
-    return (
-        s.join(
-            F.broadcast(cal),
-            F.floor(F.col("score") * 50).cast("bigint") == F.col("band"),
-        )
-        .groupBy("band")
-        .agg(
-            F.count("*").cast("bigint").alias("n"),
-            pround(F.first("rate_cal"), 6).alias("rate_cal"),
-            pround(
-                F.sum(fp_units(F.col("score"), 6)).cast("double") / 1000000
-                / F.count("*"),
-                6,
-            ).alias("mean_score"),
-        )
-        .orderBy("band")
+    a = c.select(
+        F.col("band").alias("ab"),
+        (F.col("cp") - F.col("pos")).alias("cpm"),
+        (F.col("cw") - F.col("n")).alias("cwm"),
+    )
+    b = c.select(F.col("band").alias("bb"), "cp", "cw")
+    pairs = a.join(b, F.col("ab") <= F.col("bb")).select(
+        "ab",
+        "bb",
+        (
+            (F.col("cp") - F.col("cpm")).cast("double")
+            / (F.col("cw") - F.col("cwm")).cast("double")
+        ).alias("m"),
+    )
+    w_suf = Window.partitionBy("ab").orderBy(F.desc("bb")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    m2 = pairs.select("ab", "bb", F.min("m").over(w_suf).alias("mn"))
+    w_pre = Window.partitionBy("bb").orderBy("ab").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    fit = (
+        m2.select("ab", "bb", F.max("mn").over(w_pre).alias("fitted"))
+        .filter(F.col("ab") == F.col("bb"))
+        .select(F.col("bb").alias("band"), "fitted")
+    )
+    return bands.join(fit, "band").select(
+        "band",
+        "n",
+        pround(F.col("fitted"), 6).alias("rate_cal"),
+        pround(F.col("su").cast("double") / 1000000 / F.col("n"), 6).alias(
+            "mean_score"
+        ),
     )
 
 

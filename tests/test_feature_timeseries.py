@@ -347,6 +347,41 @@ def test_isotonic_query_invariants(spark, sf_dir):
     assert abs(fitted_rate - global_rate) < 1e-4
 
 
+def test_isotonic_minimax_matches_pav():
+    """q_isotonic's declarative fit uses the minimax characterization
+    fitted_i = max_{a<=i} min_{b>=i} pooledmean(a,b) (VERDICT r9 #4);
+    cross-check it against the sequential PAV stack on random
+    integer-weighted inputs, pooled means computed the same way the
+    query does (integer prefix-sum ratios)."""
+    import random
+
+    from fraud_detection_spark.operators.model_monitor import _pav
+
+    rng = random.Random(11)
+    for _ in range(60):
+        k = rng.randint(1, 51)
+        pos = [rng.randint(0, 90) for _ in range(k)]
+        n = [p + rng.randint(1, 100) for p in pos]
+        cp = [0]
+        cw = [0]
+        for p, w in zip(pos, n):
+            cp.append(cp[-1] + p)
+            cw.append(cw[-1] + w)
+        minimax = [
+            max(
+                min(
+                    (cp[b + 1] - cp[a]) / (cw[b + 1] - cw[a])
+                    for b in range(i, k)
+                )
+                for a in range(0, i + 1)
+            )
+            for i in range(k)
+        ]
+        pav = _pav([p / w for p, w in zip(pos, n)], [float(w) for w in n])
+        assert max(abs(x - y) for x, y in zip(minimax, pav)) < 1e-12
+        assert all(x <= y + 1e-15 for x, y in zip(minimax, minimax[1:]))
+
+
 # ---------------------------------------------------------------------------
 # Plan shape — the SCALE.md claims for this family, asserted
 
