@@ -78,6 +78,12 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_anova",   # oracle now floors in DECIMAL(38,6) like Spark (ADVICE r9 #1)
     "q_levene",  # same, plus sg now sums the widened operand (ADVICE r9 #2)
     "q_isotonic",  # upgraded rows-only -> DuckDB PAV oracle (VERDICT r9 #4)
+    # round-10 additions (VERDICT r9 #5 — capped at 4 so the sample
+    # still covers all 39 stale-evidence queries: 7 + 39 = 46 <= 50):
+    "q_boosted_stumps",
+    "q_bh_fdr",
+    "q_xcorr_leadlag",
+    "q_ktruss",
 })
 
 

@@ -258,6 +258,15 @@ HEADLINE = [
     "q_kendall_tau",
     "q_wilcoxon_signed_rank",
     "q_stump",
+    # round-10 additions (VERDICT r9 #5): 3-round exact-integer
+    # AdaBoost over q_stump's prefix-sum machinery, BH FDR step-up
+    # over the per-nation df=2 battery, lead-lag cross-correlation of
+    # the daily click/purchase series, and the 3-truss edge peel on
+    # the unrolled-CTE graph discipline
+    "q_boosted_stumps",
+    "q_bh_fdr",
+    "q_xcorr_leadlag",
+    "q_ktruss",
 ]
 
 

@@ -1373,3 +1373,105 @@ def q_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(top(h, "hub"))
         .orderBy(F.asc("side"), F.desc("score"), F.asc("key"))
     )
+
+
+# ---------------------------------------------------------------------------
+# k-truss (round 10, VERDICT r9 #5d): the EDGE-level ring refinement
+# of q_graph_2core — an edge survives the 3-truss iff it closes at
+# least one triangle among surviving edges, so chains and stars fall
+# away and only mutually-embedded tie BUNDLES remain (the collusion
+# pattern q_fraud_rings triages at vertex level, sharpened to ties).
+# ---------------------------------------------------------------------------
+
+_TRUSS_ROUNDS = 3  # support passes; filters between, emit after the last
+
+
+def _ktruss_oracle() -> str:
+    """DuckDB twin of the fixed-3-round 3-truss peel: per round,
+    per-edge triangle support = |N(ca) ∩ N(cb)| within the current
+    edge set via the common-neighbor join, then drop support-0 edges;
+    after the last pass emit survivors with that pass's support.
+    Unrolled MATERIALIZED CTE chain (the _two_core_oracle
+    construction). Pure integer set semantics — hash-exact."""
+    sql = [
+        "WITH " + _HEAVY_PAIR_SQL + ", "
+        "e0 AS MATERIALIZED (SELECT ca, cb FROM pe), "
+    ]
+    for r in range(1, _TRUSS_ROUNDS + 1):
+        sql.append(
+            f"y{r} AS MATERIALIZED (SELECT ca AS a, cb AS b FROM e{r - 1} "
+            f"UNION ALL SELECT cb, ca FROM e{r - 1}), "
+            f"p{r} AS MATERIALIZED (SELECT e.ca, e.cb, COUNT(s2.b) AS supp "
+            f"FROM e{r - 1} e "
+            f"LEFT JOIN y{r} s1 ON s1.a = e.ca "
+            f"LEFT JOIN y{r} s2 ON s2.a = e.cb AND s2.b = s1.b "
+            "GROUP BY e.ca, e.cb), "
+            f"e{r} AS MATERIALIZED (SELECT ca, cb FROM p{r} WHERE supp >= 1), "
+        )
+    sql[-1] = sql[-1].rstrip(", ") + " "
+    sql.append(
+        f"SELECT ca, cb, CAST(supp AS BIGINT) AS support FROM p{_TRUSS_ROUNDS} "
+        "WHERE supp >= 1"
+    )
+    return "".join(sql)
+
+
+@query(
+    "q_ktruss",
+    oracle=_ktruss_oracle(),
+    tags=("graph", "iterative", "fraud"),
+    eager=True,
+)
+def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-truss of the projected collusion graph, fixed 3 support
+    rounds: repeatedly delete edges that close no triangle among the
+    surviving edges, then emit the survivors with their support — the
+    edge-level refinement of q_graph_2core (a vertex can survive the
+    2-core on two independent chains; an edge survives the 3-truss
+    only inside a mutually-embedded bundle, the collusion-ring tie
+    signature). Pure-integer set semantics → hash-exact against the
+    unrolled MATERIALIZED-CTE chain, like q_graph_2core; the emitted
+    support is the last pass's count, which equals the induced-
+    subgraph support once the peel has converged (asserted at test
+    scales by tests/test_round10_ops.py).
+
+    Plan: per round, per-edge support is ONE common-neighbor count —
+    the symmetric adjacency list (bounded by the q_fraud_rings
+    suspicion cut that defines this projection) broadcasts into a
+    two-hop join, grouped per edge; support-0 edges drop and the
+    shrunken edge list localCheckpoints (lineage cut + exact
+    sizeInBytes keeps every later join broadcast). Per-round cost is
+    the oriented-wedge bound q_triangle_count documents, paid
+    _TRUSS_ROUNDS times on a shrinking set; at 100 TB the same
+    per-counterparty degree cap that bounds the projection bounds the
+    wedge fan-out. Eager by construction (checkpointed peel rounds);
+    the registry eager contract applies."""
+    e = _heavy_pairs(spark, sf_dir).localCheckpoint()
+
+    def support(cur: DataFrame) -> DataFrame:
+        sym = cur.select(F.col("ca").alias("a"), F.col("cb").alias("b")).unionAll(
+            cur.select(F.col("cb").alias("a"), F.col("ca").alias("b"))
+        )
+        tri = (
+            cur.join(
+                F.broadcast(sym.select(F.col("a").alias("ca"), F.col("b").alias("d"))),
+                "ca",
+            )
+            .join(
+                F.broadcast(sym.select(F.col("a").alias("cb"), F.col("b").alias("d"))),
+                ["cb", "d"],
+            )
+            .groupBy("ca", "cb")
+            .agg(F.count("*").alias("supp"))
+        )
+        return cur.join(F.broadcast(tri), ["ca", "cb"], "left").select(
+            "ca", "cb", F.coalesce(F.col("supp"), F.lit(0)).alias("supp")
+        )
+
+    p = support(e)
+    for _ in range(1, _TRUSS_ROUNDS):
+        e = p.filter(F.col("supp") >= 1).select("ca", "cb").localCheckpoint()
+        p = support(e)
+    return p.filter(F.col("supp") >= 1).select(
+        "ca", "cb", F.col("supp").cast("bigint").alias("support")
+    )

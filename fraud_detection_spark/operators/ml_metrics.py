@@ -967,3 +967,346 @@ def q_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(base, 6).alias("gini_base"),
         pround(base - F.col("key") / nd, 6).alias("gain"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Boosted stumps (round 10, VERDICT r9 #5a): 3 rounds of EXACT
+# AdaBoost over q_stump's bounded distinct-score machinery — the
+# oracle-checked TRAINING frontier q_stump opened, extended to the
+# reference's actual shape (an additive ensemble of axis splits,
+# train_model.py:69-80), still hash-verifiable because every weighted
+# error is an exact integer.
+# ---------------------------------------------------------------------------
+
+_BOOST_ROUNDS = 3
+
+
+def _boost_oracle() -> str:
+    """DuckDB twin of the fixed-3-round exact AdaBoost. The key trick:
+    AdaBoost's reweighting w <- w * exp(+-alpha) / Z is RATIONAL when
+    tracked as integer numerators — after round j a point's weight
+    numerator multiplies by (d_j - e_j) if misclassified else e_j
+    (e_j = round-j weighted error units, d_j = that round's
+    denominator), so every candidate stump's weighted error is an
+    exact HUGEINT and the per-round argmin is engine-identical. Floats
+    appear only in the displayed error/alpha/accuracy scalars and the
+    ensemble margin sign (identical IEEE expressions on exact
+    integers on both engines)."""
+    R = _BOOST_ROUNDS
+    parts = [
+        f"WITH s AS ({SCORED_SQL}), ",
+        "per AS MATERIALIZED (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM s GROUP BY score), ",
+        "t AS MATERIALIZED (SELECT MAX(score) AS smax FROM per), ",
+    ]
+    for r in range(1, R + 1):
+        if r == 1:
+            parts.append(
+                "w1 AS MATERIALIZED (SELECT score, "
+                "CAST(pos AS HUGEINT) AS wp, "
+                "CAST(cnt - pos AS HUGEINT) AS wn FROM per), "
+            )
+        else:
+            fp = " * ".join(
+                f"(CASE WHEN (pol{j} = 1) = (p.score <= t{j}) "
+                f"THEN d{j} - e{j} ELSE e{j} END)"
+                for j in range(1, r)
+            )
+            fn = " * ".join(
+                f"(CASE WHEN (pol{j} = 1) = (p.score > t{j}) "
+                f"THEN d{j} - e{j} ELSE e{j} END)"
+                for j in range(1, r)
+            )
+            srcs = ", ".join(f"b{j}" for j in range(1, r))
+            parts.append(
+                f"w{r} AS MATERIALIZED (SELECT p.score, "
+                f"CAST(p.pos AS HUGEINT) * {fp} AS wp, "
+                f"CAST(p.cnt - p.pos AS HUGEINT) * {fn} AS wn "
+                f"FROM per p, {srcs}), "
+            )
+        parts.append(
+            f"c{r} AS (SELECT score, "
+            f"SUM(wp) OVER (ORDER BY score) AS cwp, "
+            f"SUM(wn) OVER (ORDER BY score) AS cwn FROM w{r}), "
+            f"tw{r} AS (SELECT CAST(SUM(wp) AS HUGEINT) AS wpt, "
+            f"CAST(SUM(wn) AS HUGEINT) AS wnt FROM w{r}), "
+            f"b{r} AS MATERIALIZED (SELECT score AS t{r}, "
+            "CASE WHEN cwp + (wnt - cwn) <= (wpt + wnt) - (cwp + (wnt - cwn)) "
+            f"THEN 1 ELSE -1 END AS pol{r}, "
+            "LEAST(cwp + (wnt - cwn), (wpt + wnt) - (cwp + (wnt - cwn))) "
+            f"AS e{r}, wpt + wnt AS d{r} "
+            f"FROM c{r}, tw{r}, t WHERE score < smax "
+            f"ORDER BY e{r}, t{r} LIMIT 1), "
+        )
+
+    def alpha(j: int) -> str:
+        return f"(0.5 * LN(CAST(d{j} - e{j} AS DOUBLE) / CAST(e{j} AS DOUBLE)))"
+
+    def h(j: int) -> str:
+        return f"(CASE WHEN p.score > t{j} THEN pol{j} ELSE -pol{j} END)"
+
+    accs = ", ".join(
+        "CAST(SUM(CASE WHEN "
+        + " + ".join(f"{alpha(j)} * {h(j)}" for j in range(1, r + 1))
+        + " > 0 THEN p.pos ELSE p.cnt - p.pos END) AS HUGEINT) AS u" + str(r)
+        for r in range(1, R + 1)
+    )
+    allb = ", ".join(f"b{j}" for j in range(1, R + 1))
+    parts.append(
+        f"acc AS (SELECT CAST(SUM(cnt) AS HUGEINT) AS nn, {accs} "
+        f"FROM per p, {allb}) "
+    )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS round, t{r} AS threshold, "
+        f"CAST(pol{r} AS BIGINT) AS polarity, "
+        + sql_round(f"CAST(e{r} AS DOUBLE) / CAST(d{r} AS DOUBLE)", 6)
+        + " AS w_err, "
+        + sql_round(alpha(r), 6)
+        + " AS alpha, "
+        + sql_round(f"CAST(u{r} AS DOUBLE) / CAST(nn AS DOUBLE)", 6)
+        + f" AS acc FROM {allb}, acc"
+        for r in range(1, R + 1)
+    )
+    return "".join(parts) + selects
+
+
+@query(
+    "q_boosted_stumps",
+    oracle=_boost_oracle(),
+    tags=("ml", "train", "boost"),
+    eager=True,
+)
+def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 3-round AdaBoost ensemble of decision stumps on the
+    published model score by EXACT weighted split search — the
+    additive-ensemble extension of q_stump and the closest
+    oracle-checked analog of the reference's tree-ensemble training
+    loop (train_model.py:69-80). Each round emits (threshold,
+    polarity, weighted error, alpha, ensemble train accuracy).
+
+    Exactness: AdaBoost's multiplicative reweighting stays RATIONAL —
+    after round j every point's weight numerator multiplies by
+    (d_j − e_j) if misclassified else e_j, so round-r candidate
+    errors are exact DECIMAL(38,0)/HUGEINT integers (numerators grow
+    like n^(2r-1): within 38 digits through round 3 for n up to
+    ~1.5e9 rows; past that both engines still agree but the exactness
+    headroom is documented here). The per-round argmin ORDER BY
+    (e, score) compares exact integers; floats appear only in the
+    displayed scalars and the ensemble-margin sign, identical IEEE
+    expressions on exact integers on both engines (LN carries the
+    q_lr/q_chi2 house 1-ulp library risk, rounded at 6 dp).
+
+    Scale: ONE fact fold to the distinct-score table (bounded by the
+    6-dp score domain, the q_auc/q_stump discipline) and ONE raw
+    prefix-count pass over it (coarse 1e-3-bucket offsets via a
+    <=1001-row broadcast self-join plus a PARTITIONED within-bucket
+    window — never a global single-partition sort), checkpointed once.
+    Every round's WEIGHTED prefix sums are then CLOSED FORMS over the
+    raw counts: the weight of a point after round j is piecewise
+    constant with a breakpoint at t_j, so cum_w(t) is a linear
+    combination of cp(t)/cn(t) and the scalars cp(t_j)/cn(t_j) carried
+    on the chosen-stump row — each round costs one scan of the
+    checkpointed cum table + a TakeOrdered(1), zero additional
+    shuffles (the first cut re-ran the bucket-offset window machinery
+    per round: 7.9 s warm at sf0.1; this form reads ~2.5 s). One more
+    scan folds the three ensemble accuracies. Eager by construction
+    (the checkpointed stump chain); the registry eager contract
+    applies."""
+    s = scored(spark, sf_dir)
+    per = s.groupBy("score").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+
+    # raw prefix counts over score — computed ONCE, bucket-offset form
+    b = per.withColumn("bucket", F.floor(F.col("score") * 1000).cast("bigint"))
+    btot = b.groupBy("bucket").agg(
+        F.sum("cnt").alias("bc"), F.sum("pos").alias("bp")
+    )
+    lower = btot.select(
+        F.col("bucket").alias("lb"),
+        F.col("bc").alias("lc"),
+        F.col("bp").alias("lp"),
+    )
+    offs = (
+        btot.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("lc"), F.lit(0)).alias("oc"),
+            F.coalesce(F.sum("lp"), F.lit(0)).alias("op"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum0 = (
+        b.join(F.broadcast(offs), "bucket")
+        .select(
+            "score",
+            "cnt",
+            "pos",
+            (F.col("op") + F.sum("pos").over(w_in)).cast("bigint").alias("cp"),
+            (
+                F.col("oc")
+                - F.col("op")
+                + F.sum(F.col("cnt") - F.col("pos")).over(w_in)
+            )
+            .cast("bigint")
+            .alias("cn"),
+        )
+        .localCheckpoint()
+    )
+    tot = cum0.agg(
+        F.max("score").alias("smax"),
+        F.max("cp").alias("tp"),
+        F.max("cn").alias("tn"),
+    ).localCheckpoint()
+    cand0 = cum0.crossJoin(F.broadcast(tot)).filter(F.col("score") < F.col("smax"))
+    dec = "decimal(38,0)"
+
+    def pick(cands, u, d, r: int):
+        e = F.least(u, d - u)
+        return (
+            cands.select(
+                F.col("score").alias(f"t{r}"),
+                F.when(u <= d - u, F.lit(1)).otherwise(F.lit(-1)).alias(f"pol{r}"),
+                e.cast(dec).alias(f"e{r}"),
+                d.cast(dec).alias(f"d{r}"),
+                F.col("cp").alias(f"cp{r}"),
+                F.col("cn").alias(f"cn{r}"),
+            )
+            .orderBy(f"e{r}", f"t{r}")
+            .limit(1)
+            .localCheckpoint()
+        )
+
+    def ab(j: int):
+        up = F.col(f"d{j}") - F.col(f"e{j}")
+        A = F.when(F.col(f"pol{j}") == 1, up).otherwise(F.col(f"e{j}"))
+        B = F.when(F.col(f"pol{j}") == 1, F.col(f"e{j}")).otherwise(up)
+        return A, B
+
+    # round 1: uniform weights — the raw counts ARE the weighted cums
+    u1 = (F.col("cp") + (F.col("tn") - F.col("cn"))).cast(dec)
+    d1 = (F.col("tp") + F.col("tn")).cast(dec)
+    b1 = pick(cand0, u1, d1, 1)
+
+    # round 2: one breakpoint t1 — cum_w(t) is linear in cp(t)/cn(t)
+    # with the scalars cp(t1)/cn(t1) carried on b1
+    c2 = cand0.crossJoin(F.broadcast(b1))
+    A1, B1 = ab(1)
+    le1 = F.col("score") <= F.col("t1")
+    cpm1 = F.when(le1, F.col("cp")).otherwise(F.col("cp1"))
+    cnm1 = F.when(le1, F.col("cn")).otherwise(F.col("cn1"))
+    cwp2 = A1 * cpm1 + B1 * (F.col("cp") - cpm1)
+    cwn2 = B1 * cnm1 + A1 * (F.col("cn") - cnm1)
+    WP2 = A1 * F.col("cp1") + B1 * (F.col("tp") - F.col("cp1"))
+    WN2 = B1 * F.col("cn1") + A1 * (F.col("tn") - F.col("cn1"))
+    u2 = (cwp2 + (WN2 - cwn2)).cast(dec)
+    d2 = (WP2 + WN2).cast(dec)
+    b2 = pick(c2, u2, d2, 2)
+
+    # round 3: two breakpoints — inclusion-exclusion over the
+    # (s<=t1, s<=t2) quadrants, coefficients A/B products
+    c3 = cand0.crossJoin(F.broadcast(b1)).crossJoin(F.broadcast(b2))
+    A2, B2 = ab(2)
+    le2 = F.col("score") <= F.col("t2")
+    t1le2 = F.col("t1") <= F.col("t2")
+    cpm2 = F.when(le2, F.col("cp")).otherwise(F.col("cp2"))
+    cnm2 = F.when(le2, F.col("cn")).otherwise(F.col("cn2"))
+    cp12 = F.when(t1le2, F.col("cp1")).otherwise(F.col("cp2"))
+    cn12 = F.when(t1le2, F.col("cn1")).otherwise(F.col("cn2"))
+    cpm12 = F.when(le1 & le2, F.col("cp")).otherwise(cp12)
+    cnm12 = F.when(le1 & le2, F.col("cn")).otherwise(cn12)
+    cwp3 = (
+        A1 * A2 * cpm12
+        + A1 * B2 * (cpm1 - cpm12)
+        + B1 * A2 * (cpm2 - cpm12)
+        + B1 * B2 * (F.col("cp") - cpm1 - cpm2 + cpm12)
+    )
+    cwn3 = (
+        B1 * B2 * cnm12
+        + B1 * A2 * (cnm1 - cnm12)
+        + A1 * B2 * (cnm2 - cnm12)
+        + A1 * A2 * (F.col("cn") - cnm1 - cnm2 + cnm12)
+    )
+    WP3 = (
+        A1 * A2 * cp12
+        + A1 * B2 * (F.col("cp1") - cp12)
+        + B1 * A2 * (F.col("cp2") - cp12)
+        + B1 * B2 * (F.col("tp") - F.col("cp1") - F.col("cp2") + cp12)
+    )
+    WN3 = (
+        B1 * B2 * cn12
+        + B1 * A2 * (F.col("cn1") - cn12)
+        + A1 * B2 * (F.col("cn2") - cn12)
+        + A1 * A2 * (F.col("tn") - F.col("cn1") - F.col("cn2") + cn12)
+    )
+    u3 = (cwp3 + (WN3 - cwn3)).cast(dec)
+    d3 = (WP3 + WN3).cast(dec)
+    b3 = pick(c3, u3, d3, 3)
+
+    bests = [b1, b2, b3]
+    wide = cum0
+    for bb in bests:
+        wide = wide.crossJoin(F.broadcast(bb))
+
+    def alpha(j: int):
+        return F.lit(0.5) * F.log(
+            (F.col(f"d{j}") - F.col(f"e{j}")).cast("double")
+            / F.col(f"e{j}").cast("double")
+        )
+
+    def hj(j: int):
+        return F.when(
+            F.col("score") > F.col(f"t{j}"), F.col(f"pol{j}")
+        ).otherwise(-F.col(f"pol{j}"))
+
+    acc_aggs = [F.sum("cnt").cast("bigint").alias("nn")]
+    for r in range(1, _BOOST_ROUNDS + 1):
+        margin = alpha(1) * hj(1)
+        for j in range(2, r + 1):
+            margin = margin + alpha(j) * hj(j)
+        acc_aggs.append(
+            F.sum(
+                F.when(margin > 0, F.col("pos")).otherwise(
+                    F.col("cnt") - F.col("pos")
+                )
+            )
+            .cast("bigint")
+            .alias(f"u{r}")
+        )
+    accrow = wide.agg(*acc_aggs)
+
+    out = accrow
+    for bb in bests:
+        out = out.crossJoin(F.broadcast(bb))
+    cols = []
+    for r in range(1, _BOOST_ROUNDS + 1):
+        cols += [
+            pround(
+                F.col(f"e{r}").cast("double") / F.col(f"d{r}").cast("double"), 6
+            ).alias(f"werr{r}"),
+            pround(alpha(r), 6).alias(f"alpha{r}"),
+            pround(
+                F.col(f"u{r}").cast("double") / F.col("nn").cast("double"), 6
+            ).alias(f"acc{r}"),
+        ]
+    wide2 = out.select(
+        *[F.col(f"t{r}") for r in range(1, _BOOST_ROUNDS + 1)],
+        *[F.col(f"pol{r}") for r in range(1, _BOOST_ROUNDS + 1)],
+        *cols,
+    )
+    stack_args = ", ".join(
+        f"cast({r} as int), t{r}, cast(pol{r} as bigint), "
+        f"werr{r}, alpha{r}, acc{r}"
+        for r in range(1, _BOOST_ROUNDS + 1)
+    )
+    return wide2.select(
+        F.expr(
+            f"stack({_BOOST_ROUNDS}, {stack_args}) "
+            "AS (round, threshold, polarity, w_err, alpha, acc)"
+        )
+    )

@@ -1225,3 +1225,126 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(1)
         .drop("_g")
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation lead-lag (round 10, VERDICT r9 #5c): which of two
+# event signals moves first — the fraud-ops question behind alerting
+# ("do clicks lead purchases, and by how many days?"). Pearson r
+# between the daily click-count series and the daily purchase-count
+# series at every calendar-day lag in [-7, +7]; a positive lag means
+# clicks LEAD purchases by that many days.
+# ---------------------------------------------------------------------------
+
+_XCORR_MAX_LAG = 7
+
+
+def _xcorr_oracle() -> str:
+    nd = "CAST(n AS DOUBLE)"
+    num = f"({nd} * CAST(sxy AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))"
+    vx = f"({nd} * CAST(sxx AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))"
+    vy = f"({nd} * CAST(syy AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE))"
+    return (
+        "WITH d AS MATERIALIZED (SELECT (epoch_ns(ts) // 1000000000) // 86400 AS day, "
+        "CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS x, "
+        "CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS y "
+        "FROM events WHERE event_type IN ('click', 'purchase') GROUP BY day), "
+        "g AS (SELECT CAST(b.day - a.day AS INT) AS lag, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(a.x AS HUGEINT) * b.y) AS HUGEINT) AS sxy, "
+        "CAST(SUM(CAST(a.x AS HUGEINT)) AS HUGEINT) AS sa, "
+        "CAST(SUM(CAST(b.y AS HUGEINT)) AS HUGEINT) AS sb, "
+        "CAST(SUM(CAST(a.x AS HUGEINT) * a.x) AS HUGEINT) AS sxx, "
+        "CAST(SUM(CAST(b.y AS HUGEINT) * b.y) AS HUGEINT) AS syy "
+        "FROM d a JOIN d b ON b.day - a.day "
+        f"BETWEEN -{_XCORR_MAX_LAG} AND {_XCORR_MAX_LAG} GROUP BY lag) "
+        "SELECT lag, n AS n_pairs, "
+        f"CASE WHEN {vx} <= 0 OR {vy} <= 0 THEN NULL ELSE "
+        + sql_round(f"{num} / SQRT({vx} * {vy})", 6)
+        + " END AS xcorr FROM g"
+    )
+
+
+@query(
+    "q_xcorr_leadlag",
+    oracle=_xcorr_oracle(),
+    tags=("timeseries", "stats", "agg"),
+)
+def q_xcorr_leadlag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead-lag cross-correlation between the daily click-count and
+    daily purchase-count series: Pearson r over the aligned (x_t,
+    y_{t+lag}) day pairs for every calendar lag in [-7, +7] —
+    positive lags mean clicks LEAD purchases. The bivariate companion
+    to q_autocorrelation and the standard "which signal moves first"
+    diagnostic a fraud-ops team runs before promoting a leading
+    indicator into an alert.
+
+    Exactness: both series are integer daily counts; per lag, every
+    moment (n, Σx, Σy, Σxy, Σx², Σy² over the aligned day pairs) is
+    an exact integer sum accumulated in DECIMAL(38,0)/HUGEINT (counts
+    at 100 TB put Σxy past BIGINT), so each r is one scalar IEEE
+    expression on exact integers — identical bits on both engines.
+    SQRT args are guarded (vx<=0 OR vy<=0 -> NULL) because DuckDB
+    errors on SQRT(negative) where Spark yields NaN, and double
+    rounding can land an exactly-zero variance a hair negative (the
+    q_corr_matrix guard).
+
+    Scale: ONE map-side-combinable fold of the event stream to the
+    <=|days| daily table (the two-type filter is pushed to the scan);
+    the lag alignment is a bounded range self-join of that table
+    (<=366 x 15 pairs) into a 15-group aggregate — no window, no
+    global sort, and the 15-row corr math runs per group row. The
+    first cut used 14 LEAD columns + a 90-expression one-row
+    aggregate; the generated code dominated wall-clock at ~2.3 s of
+    pure codegen on 30 rows — the pair-join form is both simpler and
+    ~3x faster end to end."""
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.expr("ts div 1000000000 div 86400").alias("day"),
+            "event_type",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1))
+            .cast("bigint")
+            .alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1))
+            .cast("bigint")
+            .alias("y"),
+        )
+    )
+    a = d.select(F.col("day").alias("da"), F.col("x"))
+    b = d.select(F.col("day").alias("db"), F.col("y"))
+    L = _XCORR_MAX_LAG
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
+    g = (
+        a.join(
+            F.broadcast(b),
+            (F.col("db") - F.col("da") >= -L) & (F.col("db") - F.col("da") <= L),
+        )
+        .groupBy((F.col("db") - F.col("da")).cast("int").alias("lag"))
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.sum(xd * F.col("y")).alias("sxy"),
+            F.sum(xd).alias("sa"),
+            F.sum(yd).alias("sb"),
+            F.sum(xd * F.col("x")).alias("sxx"),
+            F.sum(yd * F.col("y")).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sa = F.col("sa").cast("double")
+    sb = F.col("sb").cast("double")
+    num = nd * F.col("sxy").cast("double") - sa * sb
+    vx = nd * F.col("sxx").cast("double") - sa * sa
+    vy = nd * F.col("syy").cast("double") - sb * sb
+    return g.select(
+        "lag",
+        F.col("n").alias("n_pairs"),
+        F.when((vx <= 0) | (vy <= 0), F.lit(None).cast("double"))
+        .otherwise(pround(num / F.sqrt(vx * vy), 6))
+        .alias("xcorr"),
+    )

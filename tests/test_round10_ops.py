@@ -1,0 +1,205 @@
+"""Property tests for the round-10 additions (VERDICT r9 #5):
+q_xcorr_leadlag, q_bh_fdr, q_boosted_stumps, q_ktruss. Each is
+oracle-checked by tests/test_oracle_parity.py; these assert the
+SEMANTIC claims the oracle can't express (reference-implementation
+cross-checks, fixpoint/monotonicity invariants)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from fraud_detection_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+# ---------------------------------------------------------------------------
+# q_xcorr_leadlag
+
+
+def test_xcorr_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    got = (
+        REGISTRY["q_xcorr_leadlag"].fn(spark, sf_dir).toPandas().set_index("lag")
+    )
+    from fraud_detection_spark.sources import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy(F.expr("ts div 1000000000 div 86400").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "click", 1)).alias("x"),
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("y"),
+        )
+        .toPandas()
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    n_days = len(d)
+    assert set(got.index) == set(range(-7, 8))
+    for lag in range(-7, 8):
+        if lag >= 0:
+            a = d.x.values[: n_days - lag].astype(float)
+            b = d.y.values[lag:].astype(float)
+        else:
+            a = d.x.values[-lag:].astype(float)
+            b = d.y.values[: n_days + lag].astype(float)
+        assert got.loc[lag, "n_pairs"] == len(a)
+        if len(a) >= 2 and a.std() > 0 and b.std() > 0:
+            want = float(np.corrcoef(a, b)[0, 1])
+            have = got.loc[lag, "xcorr"]
+            assert abs(have - want) < 1e-6, (lag, have, want)
+            assert abs(have) <= 1 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q_bh_fdr
+
+
+def test_bh_fdr_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    got = REGISTRY["q_bh_fdr"].fn(spark, sf_dir).toPandas().sort_values("k")
+    m = len(got)
+    assert sorted(got.k) == list(range(1, m + 1))
+    # p is non-decreasing in k (k is the p-rank)
+    assert (got.p_value.diff().dropna() >= -1e-12).all()
+    # BH step-up recomputed independently from the emitted p-values
+    flags = got.p_value.values <= got.k.values * 0.05 / m
+    kstar = int(got.k.values[flags].max()) if flags.any() else 0
+    want_rej = (got.k.values <= kstar).astype(int)
+    assert (got.rejected.values == want_rej).all()
+    # rejected set is a prefix of the p-sorted order
+    rej = got.rejected.values
+    assert all(rej[i] >= rej[i + 1] for i in range(m - 1))
+    # chi2 recomputed from raw counts
+    import duckdb
+
+    con = duckdb.connect()
+    cells = con.execute(
+        "SELECT c.c_nationkey AS nk, "
+        "CASE WHEN o_totalprice < 100000 THEN 1 "
+        "WHEN o_totalprice < 250000 THEN 2 ELSE 3 END AS b, COUNT(*) AS o "
+        f"FROM read_parquet('{sf_dir}/orders.parquet') o "
+        f"JOIN read_parquet('{sf_dir}/customer.parquet') c "
+        "ON o.o_custkey = c.c_custkey GROUP BY nk, b"
+    ).df()
+    piv = cells.pivot_table(index="nk", columns="b", values="o", fill_value=0)
+    piv = piv.reindex(columns=[1, 2, 3], fill_value=0)
+    tot = piv.sum(axis=0)
+    nn = tot.sum()
+    for _, row in got.iterrows():
+        o = piv.loc[row.nationkey].values.astype(float)
+        e = o.sum() * tot.values / nn
+        chi2 = ((o - e) ** 2 / e).sum()
+        assert abs(chi2 - row.chi2) < 1e-4, (row.nationkey, chi2, row.chi2)
+        assert abs(math.exp(-chi2 / 2) - row.p_value) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# q_boosted_stumps
+
+
+def _adaboost_reference(rows):
+    """Exact-integer AdaBoost reference on the distinct-score table:
+    rows = [(score, cnt, pos)], returns per-round
+    (threshold, polarity, e_num, d_num) in python ints."""
+    rows = sorted(rows)
+    smax = rows[-1][0]
+    wp = {s: p for s, c, p in rows}
+    wn = {s: c - p for s, c, p in rows}
+    out = []
+    for _ in range(3):
+        wpt = sum(wp.values())
+        wnt = sum(wn.values())
+        d = wpt + wnt
+        best = None
+        cwp = cwn = 0
+        for s, c, p in rows:
+            cwp += wp[s]
+            cwn += wn[s]
+            if s >= smax:
+                continue
+            u = cwp + (wnt - cwn)
+            pol = 1 if u <= d - u else -1
+            e = min(u, d - u)
+            k = (e, s)
+            if best is None or k < best[0]:
+                best = (k, s, pol, e, d)
+        _, t, pol, e, d = best
+        out.append((t, pol, e, d))
+        for s, c, p in rows:
+            mis_p = (pol == 1) == (s <= t)
+            mis_n = (pol == 1) == (s > t)
+            wp[s] *= (d - e) if mis_p else e
+            wn[s] *= (d - e) if mis_n else e
+    return out
+
+
+def test_boosted_stumps_matches_integer_reference(spark, sf_dir):
+    from fraud_detection_spark.operators.ml_metrics import scored
+    from pyspark.sql import functions as F
+
+    per = (
+        scored(spark, sf_dir)
+        .groupBy("score")
+        .agg(F.count("*").alias("cnt"), F.sum("label").alias("pos"))
+        .collect()
+    )
+    rows = [(r.score, r.cnt, r.pos) for r in per]
+    want = _adaboost_reference(rows)
+    got = (
+        REGISTRY["q_boosted_stumps"].fn(spark, sf_dir).toPandas().sort_values("round")
+    )
+    for (t, pol, e, d), (_, row) in zip(want, got.iterrows()):
+        assert abs(row.threshold - t) < 1e-12
+        assert row.polarity == pol
+        assert abs(row.w_err - round(e / d, 6)) < 2e-6
+        want_alpha = 0.5 * math.log((d - e) / e)
+        assert abs(row.alpha - want_alpha) < 2e-6
+    # weighted error can never exceed 1/2 (polarity flip), and round 1's
+    # ensemble accuracy is exactly 1 - its error when alpha > 0
+    assert (got.w_err <= 0.5 + 1e-12).all()
+    if got.alpha.iloc[0] > 0:
+        assert abs(got.acc.iloc[0] - (1 - got.w_err.iloc[0])) < 2e-6
+    assert ((got.acc >= 0) & (got.acc <= 1)).all()
+
+
+# ---------------------------------------------------------------------------
+# q_ktruss
+
+
+def test_ktruss_fixpoint_and_support(spark, sf_dir):
+    from collections import defaultdict
+
+    got = REGISTRY["q_ktruss"].fn(spark, sf_dir).toPandas()
+    assert (got.support >= 1).all()
+    assert (got.ca < got.cb).all()
+    edges = {(r.ca, r.cb) for r in got.itertuples()}
+    nbr = defaultdict(set)
+    for a, b in edges:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    # fixpoint: the reported support equals the common-neighbor count
+    # INSIDE the emitted edge set (the peel converged at this scale),
+    # and every edge still closes a triangle
+    for r in got.itertuples():
+        s = len(nbr[r.ca] & nbr[r.cb])
+        assert s == r.support, ((r.ca, r.cb), s, r.support)
+        assert s >= 1
+    # the truss is a subgraph of the heavy-pair projection
+    from fraud_detection_spark.operators.graph import _heavy_pairs
+
+    pe = {(r.ca, r.cb) for r in _heavy_pairs(spark, sf_dir).collect()}
+    assert edges <= pe
+    # edge-level strictness: the truss never keeps MORE than the
+    # 2-core keeps vertices (every truss endpoint has >= 2 alive ties
+    # through its triangle)
+    deg = {v: len(nbr[v]) for v in nbr}
+    assert all(d >= 2 for d in deg.values())
