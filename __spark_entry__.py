@@ -84,6 +84,9 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_bh_fdr",
     "q_xcorr_leadlag",
     "q_ktruss",
+    # round-10 batch 2 (9 touched + 39 stale = 48 <= 50):
+    "q_holm",
+    "q_gini_index",
 })
 
 

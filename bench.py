@@ -267,6 +267,11 @@ HEADLINE = [
     "q_bh_fdr",
     "q_xcorr_leadlag",
     "q_ktruss",
+    # round-10 batch 2: Holm step-down (FWER twin of the BH battery,
+    # shared construction) and the Gini spend-concentration index on
+    # the distributed log2-bucket rank machinery
+    "q_holm",
+    "q_gini_index",
 ]
 
 

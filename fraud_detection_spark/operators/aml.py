@@ -665,3 +665,101 @@ def q_reciprocal_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("gross"), F.asc("nation_a"), F.asc("nation_b"))
         .limit(15)
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration of customer spend (round 10): the classic
+# inequality coefficient over per-customer total order value — the
+# AML "concentration of flow" screen (a spike in Gini means volume is
+# consolidating into few hands, the structuring/mule-network
+# precondition q_structuring looks for per account, measured at
+# population level).
+# ---------------------------------------------------------------------------
+
+
+def _gini_oracle() -> str:
+    g = (
+        "(2 * CAST(six AS DOUBLE) - (CAST(n AS DOUBLE) + 1) "
+        "* CAST(sx AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))"
+    )
+    return (
+        "WITH ct AS (SELECT o_custkey AS custkey, "
+        "CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)"
+        " AS x FROM orders GROUP BY o_custkey), "
+        "r AS (SELECT x, CAST(ROW_NUMBER() OVER (ORDER BY x, custkey) "
+        "AS BIGINT) AS i FROM ct), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(x) AS HUGEINT) AS sx, "
+        "CAST(SUM(CAST(i AS HUGEINT) * x) AS HUGEINT) AS six FROM r) "
+        "SELECT n AS n_customers, "
+        + sql_round("CAST(sx AS DOUBLE) / 100", 2) + " AS total_spend, "
+        + sql_round(g, 6) + " AS gini FROM a"
+    )
+
+
+@query(
+    "q_gini_index",
+    oracle=_gini_oracle(),
+    tags=("aml", "stats", "agg"),
+)
+def q_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-customer total spend: with per-customer
+    cent totals x_(1) <= ... <= x_(n) (ties broken by custkey),
+    G = (2*Σ i*x_(i) − (n+1)*Σx) / (n*Σx) — 0 when every customer
+    moves the same volume, →1 as flow concentrates into few hands.
+    Population-level companion to q_structuring/q_fan_in_out: ring
+    consolidation moves this number before any single account trips a
+    per-account screen. This is the EXACT twin of behavior.py's
+    q_gini (trapezoid over a 50-band Lorenz curve, resolution 1/50) —
+    the q_auc ↔ q_auc_binned relationship: banded stays the cheap
+    dashboard path, this one is the exact rank-based value on the
+    distributed prefix machinery (and runs on customer ORDER totals,
+    the AML book, not event values).
+
+    Exactness: cent totals are exact integer sums; ranks come from a
+    deterministic (x, custkey) order; Σ i*x accumulates in
+    DECIMAL(38,0)/HUGEINT; the final G is one scalar IEEE expression
+    on exact integers — identical on both engines, rounded at 6 dp.
+
+    Scale: per-customer totals are ONE map-side-combinable fact fold.
+    The rank does NOT use a global window: totals bucket by
+    floor(log2(x)) (monotone in x, so buckets are contiguous ranges of
+    the sort order), cross-bucket offsets come from a <=64-row
+    broadcast self-join, and row_number runs in PARTITIONED windows —
+    the q_auc distributed-rank machinery, correct for any bucketing
+    that respects the sort order. One more one-row aggregate finishes."""
+    from fraud_detection_spark.functions import fp_units
+    from fraud_detection_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    ct = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.sum(fp_units(F.col("o_totalprice"), 2)).cast("bigint").alias("x")
+    )
+    b = ct.withColumn("bucket", F.floor(F.log2("x")).cast("bigint"))
+    btot = b.groupBy("bucket").agg(F.count("*").alias("bc"))
+    lower = btot.select(F.col("bucket").alias("lb"), F.col("bc").alias("lc"))
+    offs = (
+        btot.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(F.coalesce(F.sum("lc"), F.lit(0)).cast("bigint").alias("off"))
+    )
+    w_in = Window.partitionBy("bucket").orderBy("x", "custkey")
+    r = b.join(F.broadcast(offs), "bucket").select(
+        "x",
+        (F.col("off") + F.row_number().over(w_in)).cast("bigint").alias("i"),
+    )
+    a = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        # widen BEFORE the sum (the q_moments/q_levene discipline):
+        # DuckDB's SUM(BIGINT) accumulates in HUGEINT natively
+        F.sum(F.col("x").cast("decimal(38,0)")).alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("x")).alias("six"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    g = (2 * F.col("six").cast("double") - (nd + 1) * sxd) / (nd * sxd)
+    return a.select(
+        F.col("n").alias("n_customers"),
+        pround(sxd / 100, 2).alias("total_spend"),
+        pround(g, 6).alias("gini"),
+    )

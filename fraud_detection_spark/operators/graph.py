@@ -1448,7 +1448,7 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     the registry eager contract applies."""
     e = _heavy_pairs(spark, sf_dir).localCheckpoint()
 
-    def support(cur: DataFrame) -> DataFrame:
+    def _truss_support(cur: DataFrame) -> DataFrame:
         sym = cur.select(F.col("ca").alias("a"), F.col("cb").alias("b")).unionAll(
             cur.select(F.col("cb").alias("a"), F.col("ca").alias("b"))
         )
@@ -1468,10 +1468,10 @@ def q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ca", "cb", F.coalesce(F.col("supp"), F.lit(0)).alias("supp")
         )
 
-    p = support(e)
+    p = _truss_support(e)
     for _ in range(1, _TRUSS_ROUNDS):
         e = p.filter(F.col("supp") >= 1).select("ca", "cb").localCheckpoint()
-        p = support(e)
+        p = _truss_support(e)
     return p.filter(F.col("supp") >= 1).select(
         "ca", "cb", F.col("supp").cast("bigint").alias("support")
     )

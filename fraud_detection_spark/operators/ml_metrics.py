@@ -1166,7 +1166,7 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand0 = cum0.crossJoin(F.broadcast(tot)).filter(F.col("score") < F.col("smax"))
     dec = "decimal(38,0)"
 
-    def pick(cands, u, d, r: int):
+    def _pick_stump(cands, u, d, r: int):
         e = F.least(u, d - u)
         return (
             cands.select(
@@ -1191,7 +1191,7 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     # round 1: uniform weights — the raw counts ARE the weighted cums
     u1 = (F.col("cp") + (F.col("tn") - F.col("cn"))).cast(dec)
     d1 = (F.col("tp") + F.col("tn")).cast(dec)
-    b1 = pick(cand0, u1, d1, 1)
+    b1 = _pick_stump(cand0, u1, d1, 1)
 
     # round 2: one breakpoint t1 — cum_w(t) is linear in cp(t)/cn(t)
     # with the scalars cp(t1)/cn(t1) carried on b1
@@ -1206,7 +1206,7 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     WN2 = B1 * F.col("cn1") + A1 * (F.col("tn") - F.col("cn1"))
     u2 = (cwp2 + (WN2 - cwn2)).cast(dec)
     d2 = (WP2 + WN2).cast(dec)
-    b2 = pick(c2, u2, d2, 2)
+    b2 = _pick_stump(c2, u2, d2, 2)
 
     # round 3: two breakpoints — inclusion-exclusion over the
     # (s<=t1, s<=t2) quadrants, coefficients A/B products
@@ -1246,7 +1246,7 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u3 = (cwp3 + (WN3 - cwn3)).cast(dec)
     d3 = (WP3 + WN3).cast(dec)
-    b3 = pick(c3, u3, d3, 3)
+    b3 = _pick_stump(c3, u3, d3, 3)
 
     bests = [b1, b2, b3]
     wide = cum0

@@ -1296,7 +1296,10 @@ _BH_BUCKET_SQL = (
 )
 
 
-def _bh_fdr_oracle() -> str:
+def _battery_sql() -> str:
+    """Shared oracle prefix: the per-nation df=2 chi-square battery,
+    p-ranked — CTE ``r`` ends with (nationkey, n, m, chi2, p, k).
+    Consumed by q_bh_fdr (step-up) and q_holm (step-down)."""
     chi2 = (
         "(CAST(o1 AS DOUBLE) - e1) * (CAST(o1 AS DOUBLE) - e1) / e1 "
         "+ (CAST(o2 AS DOUBLE) - e2) * (CAST(o2 AS DOUBLE) - e2) / e2 "
@@ -1324,48 +1327,22 @@ def _bh_fdr_oracle() -> str:
         f"s AS (SELECT nationkey, n, m, {chi2} AS chi2, "
         f"EXP(-({chi2}) / 2) AS p FROM x), "
         "r AS (SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY p, nationkey) "
-        "AS BIGINT) AS k FROM s), "
-        "f AS (SELECT *, "
-        f"CASE WHEN p <= k * {_BH_Q!r} / m THEN k END AS flagk FROM r), "
-        "ks AS (SELECT *, MAX(flagk) OVER () AS kstar FROM f) "
-        "SELECT CAST(nationkey AS BIGINT) AS nationkey, n, "
-        + sql_round("chi2", 6) + " AS chi2, "
-        + sql_round("p", 8) + " AS p_value, k, "
-        "CAST(CASE WHEN k <= COALESCE(kstar, 0) THEN 1 ELSE 0 END "
-        "AS BIGINT) AS rejected FROM ks"
+        "AS BIGINT) AS k FROM s)"
     )
 
 
-@query(
-    "q_bh_fdr",
-    oracle=_bh_fdr_oracle(),
-    tags=("stats", "test", "fdr"),
+_BATTERY_TAIL_SQL = (
+    "SELECT CAST(nationkey AS BIGINT) AS nationkey, n, "
+    + sql_round("chi2", 6) + " AS chi2, "
+    + sql_round("p", 8) + " AS p_value, k, "
 )
-def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Benjamini-Hochberg FDR step-up over a per-nation test battery:
-    for every customer nation, an exact df=2 chi-square goodness-of-fit
-    of the nation's order-value mix (3 fixed price buckets) against
-    the pooled global mix, then the BH procedure at q=0.05 over the
-    m<=25 p-values — reject p_(k) for all k <= k* where k* is the
-    largest k with p_(k) <= k*q/m. This is how a monitoring stack
-    actually consumes the engine's per-segment battery (q_chi2/
-    q_anova/q_levene emit the raw statistics; BH controls the family-
-    wise false-discovery rate across segments).
 
-    Exactness: all cell counts are exact integers folded ONCE from
-    the fact table; each chi2 is a fixed 3-term IEEE expression on
-    those integers (explicit term order — never a SQL SUM over rows),
-    and df=2 makes the p-value ELEMENTARY: P(X > x) = exp(-x/2), so
-    no incomplete-gamma approximation enters. EXP is the one
-    library-rounding risk (the q_lr/q_chi2 LN/LOG2 house class) —
-    identical doubles feed identical BH flag comparisons on both
-    engines, and displayed values round at 6/8 dp. Ranks tiebreak by
-    (p, nationkey); k* via a full-window MAX of flagged ranks.
 
-    Scale: ONE fact fold to the <=75-cell (nation, bucket) table
-    (customer joins broadcast), then everything — margins, p-values,
-    the BH sort and step-up — runs on bounded metadata. The rank
-    window orders <=25 rows; no fact-scale sort anywhere."""
+def _nation_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark twin of _battery_sql: one fact fold to the <=75
+    (nation, bucket) cells, exact df=2 chi-square per nation against
+    the pooled mix, elementary p = exp(-x/2), p-ranked with
+    (p, nationkey) tiebreak. Returns (nationkey, n, m, chi2, p, k)."""
     from fraud_detection_spark.sources import load_table
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1382,28 +1359,24 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("c_nationkey").alias("nationkey"), bucket.alias("bucket"))
         .agg(F.count("*").alias("o"))
     )
+
+    def bsum(j: int, alias: str):
+        return (
+            F.sum(F.when(F.col("bucket") == j, F.col("o")).otherwise(0))
+            .cast("bigint")
+            .alias(alias)
+        )
+
     seg = cells.groupBy("nationkey").agg(
-        F.sum(F.when(F.col("bucket") == 1, F.col("o")).otherwise(0))
-        .cast("bigint")
-        .alias("o1"),
-        F.sum(F.when(F.col("bucket") == 2, F.col("o")).otherwise(0))
-        .cast("bigint")
-        .alias("o2"),
-        F.sum(F.when(F.col("bucket") == 3, F.col("o")).otherwise(0))
-        .cast("bigint")
-        .alias("o3"),
+        bsum(1, "o1"),
+        bsum(2, "o2"),
+        bsum(3, "o3"),
         F.sum("o").cast("bigint").alias("n"),
     )
     glob = cells.agg(
-        F.sum(F.when(F.col("bucket") == 1, F.col("o")).otherwise(0))
-        .cast("bigint")
-        .alias("t1"),
-        F.sum(F.when(F.col("bucket") == 2, F.col("o")).otherwise(0))
-        .cast("bigint")
-        .alias("t2"),
-        F.sum(F.when(F.col("bucket") == 3, F.col("o")).otherwise(0))
-        .cast("bigint")
-        .alias("t3"),
+        bsum(1, "t1"),
+        bsum(2, "t2"),
+        bsum(3, "t3"),
         F.sum("o").cast("bigint").alias("nn"),
         F.countDistinct("nationkey").cast("bigint").alias("m"),
     )
@@ -1428,22 +1401,111 @@ def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nationkey", "n", "m", chi2.alias("chi2"), F.exp(-chi2 / 2).alias("p")
     )
     w_rank = Window.orderBy("p", "nationkey")  # bounded: <=25 rows
-    r = s.withColumn("k", F.row_number().over(w_rank).cast("bigint"))
-    f = r.withColumn(
-        "flagk",
-        F.when(F.col("p") <= F.col("k") * F.lit(_BH_Q) / F.col("m"), F.col("k")),
-    )
-    ks = f.withColumn(
-        "kstar", F.max("flagk").over(Window.partitionBy())
-    )
-    return ks.select(
+    return s.withColumn("k", F.row_number().over(w_rank).cast("bigint"))
+
+
+def _battery_out(df: DataFrame, rejected) -> DataFrame:
+    return df.select(
         F.col("nationkey").cast("bigint").alias("nationkey"),
         "n",
         pround(F.col("chi2"), 6).alias("chi2"),
         pround(F.col("p"), 8).alias("p_value"),
         "k",
-        F.when(F.col("k") <= F.coalesce(F.col("kstar"), F.lit(0)), 1)
-        .otherwise(0)
-        .cast("bigint")
-        .alias("rejected"),
+        rejected.cast("bigint").alias("rejected"),
+    )
+
+
+@query(
+    "q_bh_fdr",
+    oracle=(
+        _battery_sql() + ", "
+        "f AS (SELECT *, "
+        f"CASE WHEN p <= k * {_BH_Q!r} / m THEN k END AS flagk FROM r), "
+        "ks AS (SELECT *, MAX(flagk) OVER () AS kstar FROM f) "
+        + _BATTERY_TAIL_SQL
+        + "CAST(CASE WHEN k <= COALESCE(kstar, 0) THEN 1 ELSE 0 END "
+        "AS BIGINT) AS rejected FROM ks"
+    ),
+    tags=("stats", "test", "fdr"),
+)
+def q_bh_fdr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR step-up over a per-nation test battery:
+    for every customer nation, an exact df=2 chi-square goodness-of-fit
+    of the nation's order-value mix (3 fixed price buckets) against
+    the pooled global mix, then the BH procedure at q=0.05 over the
+    m<=25 p-values — reject p_(k) for all k <= k* where k* is the
+    largest k with p_(k) <= k*q/m. This is how a monitoring stack
+    actually consumes the engine's per-segment battery (q_chi2/
+    q_anova/q_levene emit the raw statistics; BH controls the
+    false-discovery rate across segments). FWER-controlling companion:
+    q_holm (step-down over the same battery).
+
+    Exactness: all cell counts are exact integers folded ONCE from
+    the fact table; each chi2 is a fixed 3-term IEEE expression on
+    those integers (explicit term order — never a SQL SUM over rows),
+    and df=2 makes the p-value ELEMENTARY: P(X > x) = exp(-x/2), so
+    no incomplete-gamma approximation enters. EXP is the one
+    library-rounding risk (the q_lr/q_chi2 LN/LOG2 house class) —
+    identical doubles feed identical flag comparisons on both
+    engines, and displayed values round at 6/8 dp. Ranks tiebreak by
+    (p, nationkey); k* via a full-window MAX of flagged ranks.
+
+    Scale: ONE fact fold to the <=75-cell (nation, bucket) table
+    (customer joins broadcast), then everything — margins, p-values,
+    the BH sort and step-up — runs on bounded metadata. The rank
+    window orders <=25 rows; no fact-scale sort anywhere."""
+    r = _nation_battery(spark, sf_dir)
+    f = r.withColumn(
+        "flagk",
+        F.when(F.col("p") <= F.col("k") * F.lit(_BH_Q) / F.col("m"), F.col("k")),
+    )
+    ks = f.withColumn("kstar", F.max("flagk").over(Window.partitionBy()))
+    return _battery_out(
+        ks, F.when(F.col("k") <= F.coalesce(F.col("kstar"), F.lit(0)), 1).otherwise(0)
+    )
+
+
+@query(
+    "q_holm",
+    oracle=(
+        _battery_sql() + ", "
+        "f AS (SELECT *, "
+        f"CASE WHEN p > {_BH_Q!r} / (m - k + 1) THEN k END AS failk FROM r), "
+        "ks AS (SELECT *, MIN(failk) OVER () AS kstop FROM f) "
+        + _BATTERY_TAIL_SQL
+        + "CAST(CASE WHEN k < COALESCE(kstop, m + 1) THEN 1 ELSE 0 END "
+        "AS BIGINT) AS rejected FROM ks"
+    ),
+    tags=("stats", "test", "fdr"),
+)
+def q_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holm-Bonferroni step-DOWN over the same per-nation df=2 battery
+    as q_bh_fdr: walk the p-values ascending, rejecting while
+    p_(k) <= q/(m-k+1), and STOP at the first failure — controls the
+    family-wise error rate (any false positive at all), the stricter
+    guarantee a fraud team wants before an auto-action (freeze, SAR)
+    where BH's false-discovery RATE is the right bar for triage
+    queues. Same battery, both corrections — the pair is how the
+    segment monitor is actually consumed.
+
+    Exactness: identical battery integers/doubles as q_bh_fdr (shared
+    _nation_battery / _battery_sql construction); the step-down stop
+    is a full-window MIN over failed ranks — identical comparisons of
+    identical doubles on both engines.
+
+    Scale: the q_bh_fdr plan verbatim — one fact fold to <=75 cells,
+    all correction machinery on <=25 bounded rows."""
+    r = _nation_battery(spark, sf_dir)
+    f = r.withColumn(
+        "failk",
+        F.when(
+            F.col("p") > F.lit(_BH_Q) / (F.col("m") - F.col("k") + 1), F.col("k")
+        ),
+    )
+    ks = f.withColumn("kstop", F.min("failk").over(Window.partitionBy()))
+    return _battery_out(
+        ks,
+        F.when(
+            F.col("k") < F.coalesce(F.col("kstop"), F.col("m") + 1), 1
+        ).otherwise(0),
     )

@@ -203,3 +203,62 @@ def test_ktruss_fixpoint_and_support(spark, sf_dir):
     # through its triangle)
     deg = {v: len(nbr[v]) for v in nbr}
     assert all(d >= 2 for d in deg.values())
+
+
+# ---------------------------------------------------------------------------
+# q_holm
+
+
+def test_holm_stepdown_and_dominance(spark, sf_dir):
+    got = REGISTRY["q_holm"].fn(spark, sf_dir).toPandas().sort_values("k")
+    bh = REGISTRY["q_bh_fdr"].fn(spark, sf_dir).toPandas().sort_values("k")
+    m = len(got)
+    assert sorted(got.k) == list(range(1, m + 1))
+    # step-down recomputed from the emitted p-values
+    rej = []
+    stopped = False
+    for _, row in got.iterrows():
+        if not stopped and row.p_value <= 0.05 / (m - row.k + 1):
+            rej.append(1)
+        else:
+            stopped = True
+            rej.append(0)
+    assert (got.rejected.values == rej).all()
+    # the battery is shared bit-for-bit with q_bh_fdr
+    merged = got.merge(bh, on="nationkey", suffixes=("_h", "_b"))
+    assert (merged.chi2_h == merged.chi2_b).all()
+    assert (merged.p_value_h == merged.p_value_b).all()
+    assert (merged.k_h == merged.k_b).all()
+    # Holm (FWER) never rejects outside BH's (FDR) rejection set:
+    # q/(m-k+1) <= k*q/m for every k, and Holm additionally stops early
+    assert (merged.rejected_h <= merged.rejected_b).all()
+
+
+# ---------------------------------------------------------------------------
+# q_gini_index
+
+
+def test_gini_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+
+    got = REGISTRY["q_gini_index"].fn(spark, sf_dir).toPandas().iloc[0]
+    import duckdb
+
+    con = duckdb.connect()
+    x = (
+        con.execute(
+            "SELECT CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) "
+            f"AS BIGINT) AS x FROM read_parquet('{sf_dir}/orders.parquet') "
+            "GROUP BY o_custkey"
+        )
+        .df()
+        .x.values
+    )
+    xs = np.sort(x)
+    n = len(xs)
+    i = np.arange(1, n + 1, dtype=np.float64)
+    want = (2 * (i * xs).sum() - (n + 1) * xs.sum()) / (n * xs.sum())
+    assert got.n_customers == n
+    assert abs(got.total_spend - round(xs.sum() / 100, 2)) < 1e-6
+    assert abs(got.gini - want) < 1e-6
+    assert 0 <= got.gini < 1
