@@ -87,6 +87,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     # round-10 batch 2 (9 touched + 39 stale = 48 <= 50):
     "q_holm",
     "q_gini_index",
+    # round-10 batch 3 (10 touched + 39 stale = 49 <= 50):
+    "q_mrr",
 })
 
 

@@ -272,6 +272,10 @@ HEADLINE = [
     # the distributed log2-bucket rank machinery
     "q_holm",
     "q_gini_index",
+    # round-10 batch 3: mean reciprocal rank over a 10-query panel —
+    # window-free first-relevant ranks (two map-side folds of the
+    # broadcast-panel cosine pass)
+    "q_mrr",
 ]
 
 

@@ -1552,3 +1552,122 @@ def q_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mmr_rank bigint, vec_id bigint, relevance double, penalty double, "
         "mmr_score double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Mean reciprocal rank (round 10): the multi-query retrieval metric
+# missing between q_ndcg (single-query, rank-position-weighted) and
+# q_rrf (rank FUSION, not a metric) — "how high does the first
+# relevant hit land, averaged over a query panel", the number an
+# embedding-retrieval stack reports next to recall@k.
+# ---------------------------------------------------------------------------
+
+_MRR_QUERIES = 10
+
+
+def _mrr_oracle() -> str:
+    return (
+        "WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, "
+        f"label AS ql FROM embeddings WHERE vec_id < {_MRR_QUERIES}), "
+        "r AS MATERIALIZED (SELECT qid, vec_id, "
+        "CASE WHEN label = ql THEN 1 ELSE 0 END AS rel, "
+        + sql_round(
+            "list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe)", 6
+        )
+        + " AS cosine FROM embeddings CROSS JOIN qs WHERE vec_id <> qid), "
+        "rk AS (SELECT qid, rel, ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rnk FROM r), "
+        "fr AS (SELECT qid, CAST(MIN(rnk) AS BIGINT) AS frank FROM rk "
+        "WHERE rel = 1 GROUP BY qid), "
+        "qn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_queries FROM qs), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_with_rel, "
+        "CAST(SUM(CAST(FLOOR(1000000000.0 / frank + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS units FROM fr) "
+        "SELECT n_queries, n_with_rel, "
+        + sql_round("CAST(units AS DOUBLE) / 1000000000 / n_queries", 6)
+        + " AS mrr FROM qn, a"
+    )
+
+
+@query(
+    "q_mrr",
+    oracle=_mrr_oracle(),
+    tags=("similarity", "retrieval", "metric"),
+)
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean reciprocal rank over a 10-query panel (vec_id 0..9),
+    same-label relevance, brute-force cosine ranking: per query the
+    rank of the FIRST relevant corpus vector under the proven
+    (6-dp cosine DESC, vec_id) order, RR = 1/rank (0 when a query has
+    no same-label corpus vector — still counted in the denominator),
+    MRR = mean over the panel.
+
+    Exactness: ranks reuse q_knn_cosine's engine-identical 6-dp
+    cosine + vec_id tie-break; each reciprocal folds to 1e-9
+    fixed-point units BEFORE the sum (the q_chi2 discipline), so the
+    mean is exact-integer / constant.
+
+    Scale: NO ranking window at all — the first-relevant rank is two
+    aggregates: (1) per query, the lexicographic max over relevant
+    rows of struct(cosine, -vec_id) picks the first-ranked relevant
+    item; (2) its rank = 1 + count of rows ordering strictly before
+    it. Both are map-side-combinable folds over the broadcast-panel
+    cosine pass (paid twice — the q_ndcg window's single-partition
+    tail is what this shape removes at 100 TB), then everything is
+    <=|panel| rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < _MRR_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        _as_double("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    scored = (
+        e.select("vec_id", "label", _as_double("embedding").alias("ce"))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("label") == F.col("ql")).cast("int").alias("rel"),
+            pround(cosine_to_query("ce", "qe"), 6).alias("cosine"),
+        )
+    )
+    best = (
+        scored.filter(F.col("rel") == 1)
+        .groupBy("qid")
+        .agg(
+            F.max(
+                F.struct(F.col("cosine"), (-F.col("vec_id")).alias("nv"))
+            ).alias("b")
+        )
+    )
+    before = (F.col("cosine") > F.col("b.cosine")) | (
+        (F.col("cosine") == F.col("b.cosine")) & (F.col("vec_id") < -F.col("b.nv"))
+    )
+    fr = (
+        scored.join(F.broadcast(best), "qid")
+        .groupBy("qid")
+        .agg(
+            (F.lit(1) + F.sum(F.when(before, 1).otherwise(0)))
+            .cast("bigint")
+            .alias("frank")
+        )
+    )
+    qn = qs.agg(F.count("*").cast("bigint").alias("n_queries"))
+    a = fr.agg(
+        F.count("*").cast("bigint").alias("n_with_rel"),
+        F.sum(
+            F.floor(F.lit(1000000000.0) / F.col("frank") + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("units"),
+    )
+    return a.crossJoin(F.broadcast(qn)).select(
+        "n_queries",
+        "n_with_rel",
+        pround(
+            F.col("units").cast("double") / 1000000000 / F.col("n_queries"), 6
+        ).alias("mrr"),
+    )

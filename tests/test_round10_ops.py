@@ -262,3 +262,44 @@ def test_gini_matches_numpy_reference(spark, sf_dir):
     assert abs(got.total_spend - round(xs.sum() / 100, 2)) < 1e-6
     assert abs(got.gini - want) < 1e-6
     assert 0 <= got.gini < 1
+
+
+# ---------------------------------------------------------------------------
+# q_mrr
+
+
+def test_mrr_matches_numpy_reference(spark, sf_dir):
+    import numpy as np
+    import duckdb
+
+    got = REGISTRY["q_mrr"].fn(spark, sf_dir).toPandas().iloc[0]
+    con = duckdb.connect()
+    e = con.execute(
+        f"SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb "
+        f"FROM read_parquet('{sf_dir}/embeddings.parquet') ORDER BY vec_id"
+    ).df()
+    vecs = np.stack(e.emb.values)
+    norms = np.linalg.norm(vecs, axis=1)
+    rrs = []
+    n_with = 0
+    for qid in range(10):
+        q = vecs[e.vec_id == qid][0]
+        ql = e.label[e.vec_id == qid].iloc[0]
+        mask = e.vec_id.values != qid
+        cos = vecs[mask] @ q / (norms[mask] * np.linalg.norm(q))
+        cos = np.floor(cos * 1e6 + 0.5) / 1e6  # the 6-dp pround contract
+        order = sorted(
+            zip(-cos, e.vec_id.values[mask], e.label.values[mask] == ql)
+        )
+        frank = next(
+            (i + 1 for i, (_, _, rel) in enumerate(order) if rel), None
+        )
+        if frank is not None:
+            n_with += 1
+            rrs.append(np.floor(1e9 / frank + 0.5) / 1e9)
+        else:
+            rrs.append(0.0)
+    assert got.n_queries == 10
+    assert got.n_with_rel == n_with
+    assert abs(got.mrr - sum(rrs) / 10) < 1e-6
+    assert 0 <= got.mrr <= 1
