@@ -1108,7 +1108,9 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the chosen-stump row — each round costs one scan of the
     checkpointed cum table + a TakeOrdered(1), zero additional
     shuffles (the first cut re-ran the bucket-offset window machinery
-    per round: 7.9 s warm at sf0.1; this form reads ~2.5 s). One more
+    per round: 7.9 s warm at sf0.1; this form reads 4.4 s warm
+    isolated — the residual is the fact fold + the one checkpointed
+    cum pass, not per-round work). One more
     scan folds the three ensemble accuracies. Eager by construction
     (the checkpointed stump chain); the registry eager contract
     applies."""

@@ -8,8 +8,6 @@ from __future__ import annotations
 
 import math
 
-import pytest
-
 from fraud_detection_spark.registry import load_all
 
 REGISTRY = load_all()
@@ -21,7 +19,6 @@ REGISTRY = load_all()
 
 def test_xcorr_matches_numpy_reference(spark, sf_dir):
     import numpy as np
-    import pandas as pd
 
     got = (
         REGISTRY["q_xcorr_leadlag"].fn(spark, sf_dir).toPandas().set_index("lag")
@@ -63,8 +60,6 @@ def test_xcorr_matches_numpy_reference(spark, sf_dir):
 
 
 def test_bh_fdr_matches_numpy_reference(spark, sf_dir):
-    import numpy as np
-
     got = REGISTRY["q_bh_fdr"].fn(spark, sf_dir).toPandas().sort_values("k")
     m = len(got)
     assert sorted(got.k) == list(range(1, m + 1))
