@@ -89,6 +89,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_gini_index",
     # round-10 batch 3 (10 touched + 39 stale = 49 <= 50):
     "q_mrr",
+    # round-10 batch 4 (11 touched + 39 stale = 50 — the full sample):
+    "q_ridge",
 })
 
 

@@ -276,6 +276,9 @@ HEADLINE = [
     # window-free first-relevant ranks (two map-side folds of the
     # broadcast-panel cosine pass)
     "q_mrr",
+    # round-10 batch 4: closed-form ridge training — two fact folds
+    # (integer moment matrix + residuals vs the broadcast 1-row solve)
+    "q_ridge",
 ]
 
 

@@ -39,7 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from fraud_detection_spark.functions import pround
+from fraud_detection_spark.functions import fp_units, pround
 from fraud_detection_spark.registry import query, sql_round
 from fraud_detection_spark.sources import load_table
 
@@ -1311,4 +1311,169 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"stack({_BOOST_ROUNDS}, {stack_args}) "
             "AS (round, threshold, polarity, w_err, alpha, acc)"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Closed-form ridge regression (round 10 batch 4): the second
+# oracle-checked TRAINING operator family next to the stump/boosting
+# split search — an actual fitted linear model (weights + training
+# RMSE), hash-exact because the normal equations are a fixed Cramer
+# expression over exact integer moments and BOTH engines evaluate the
+# SAME expression text.
+# ---------------------------------------------------------------------------
+
+_RIDGE_LAMBDA = 1.0
+
+
+def _ridge_exprs() -> dict[str, str]:
+    """Shared expression text for the 3x3 ridge solve — used verbatim
+    by Spark (selectExpr) and DuckDB (oracle SQL), so every double op
+    is the identical IEEE expression tree on both engines. Inputs are
+    the integer moment columns (n, squ, sdu, syc, squ2, squdu, sdu2,
+    squy, sduy) in 1e-4 fixed-point regressor units / cent response
+    units; the design variables are x1 = quantity, x2 = discount,
+    y = extendedprice / 1e5 (the scored() feature scaling)."""
+    lam = repr(_RIDGE_LAMBDA)
+    a = {
+        "A11": "CAST(n AS DOUBLE)",
+        "A12": "CAST(squ AS DOUBLE) / 10000",
+        "A13": "CAST(sdu AS DOUBLE) / 10000",
+        "A22": f"(CAST(squ2 AS DOUBLE) / 100000000 + {lam})",
+        "A23": "CAST(squdu AS DOUBLE) / 100000000",
+        "A33": f"(CAST(sdu2 AS DOUBLE) / 100000000 + {lam})",
+        "b1": "CAST(syc AS DOUBLE) / 10000000",
+        "b2": "CAST(squy AS DOUBLE) / 100000000000",
+        "b3": "CAST(sduy AS DOUBLE) / 100000000000",
+    }
+
+    def det(c1, c2, c3):
+        # 3x3 determinant of columns c1,c2,c3 (each a (r1,r2,r3) tuple
+        # of expression names), expanded along the first row — fixed
+        # association order on both engines
+        return (
+            f"({a[c1[0]]} * ({a[c2[1]]} * {a[c3[2]]} - {a[c2[2]]} * {a[c3[1]]}) "
+            f"- {a[c2[0]]} * ({a[c1[1]]} * {a[c3[2]]} - {a[c1[2]]} * {a[c3[1]]}) "
+            f"+ {a[c3[0]]} * ({a[c1[1]]} * {a[c2[2]]} - {a[c1[2]]} * {a[c2[1]]}))"
+        )
+
+    A1 = ("A11", "A12", "A13")  # symmetric matrix columns
+    A2 = ("A12", "A22", "A23")
+    A3 = ("A13", "A23", "A33")
+    B = ("b1", "b2", "b3")
+    d = det(A1, A2, A3)
+    return {
+        "w0": f"{det(B, A2, A3)} / {d}",
+        "w1": f"{det(A1, B, A3)} / {d}",
+        "w2": f"{det(A1, A2, B)} / {d}",
+    }
+
+
+def _ridge_oracle() -> str:
+    e = _ridge_exprs()
+    u = "CAST(FLOOR({c} * 10000 + 0.5) AS BIGINT)"
+    qu, du = u.format(c="l_quantity"), u.format(c="l_discount")
+    yc = "CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)"
+    return (
+        "WITH m AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM({qu}) AS HUGEINT) AS squ, "
+        f"CAST(SUM({du}) AS HUGEINT) AS sdu, "
+        f"CAST(SUM({yc}) AS HUGEINT) AS syc, "
+        f"CAST(SUM(CAST({qu} AS HUGEINT) * {qu}) AS HUGEINT) AS squ2, "
+        f"CAST(SUM(CAST({qu} AS HUGEINT) * {du}) AS HUGEINT) AS squdu, "
+        f"CAST(SUM(CAST({du} AS HUGEINT) * {du}) AS HUGEINT) AS sdu2, "
+        f"CAST(SUM(CAST({qu} AS HUGEINT) * {yc}) AS HUGEINT) AS squy, "
+        f"CAST(SUM(CAST({du} AS HUGEINT) * {yc}) AS HUGEINT) AS sduy "
+        "FROM lineitem), "
+        f"w AS MATERIALIZED (SELECT n, {e['w0']} AS w0, {e['w1']} AS w1, "
+        f"{e['w2']} AS w2 FROM m), "
+        "r AS (SELECT w.n, w.w0, w.w1, w.w2, "
+        "CAST(SUM(CAST(FLOOR("
+        "POWER(l_extendedprice / 100000.0 "
+        "- (w.w0 + w.w1 * l_quantity + w.w2 * l_discount), 2) "
+        "* 1000000 + 0.5) AS BIGINT)) AS HUGEINT) AS ssr "
+        "FROM lineitem, w GROUP BY w.n, w.w0, w.w1, w.w2) "
+        "SELECT n, "
+        + sql_round("w0", 6) + " AS w0, "
+        + sql_round("w1", 6) + " AS w_qty, "
+        + sql_round("w2", 6) + " AS w_disc, "
+        + sql_round("SQRT(CAST(ssr AS DOUBLE) / 1000000 / n)", 6)
+        + " AS rmse FROM r"
+    )
+
+
+@query(
+    "q_ridge",
+    oracle=_ridge_oracle(),
+    tags=("ml", "train", "regression"),
+)
+def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (lambda=1, intercept unpenalized):
+    fit extendedprice/1e5 ~ quantity + discount by solving the 3x3
+    normal equations exactly, and report the fitted weights plus the
+    training RMSE — a real TRAINED model with a full DuckDB oracle,
+    extending the oracle-checked training frontier (q_stump,
+    q_boosted_stumps) from split search to continuous-response
+    fitting. Ref: the reference's sklearn models fit on exactly these
+    engineered columns (train_model.py:31-33).
+
+    Exactness: every moment (n, Σx, Σx², Σxy, ...) is an exact integer
+    sum of 1e-4 fixed-point regressor units / cent response units in
+    DECIMAL(38,0)/HUGEINT; the Cramer solve is ONE shared expression
+    TEXT (_ridge_exprs) evaluated by Spark selectExpr and DuckDB
+    alike, so every double op is the identical IEEE tree and the
+    weights are bit-equal; the RMSE pass folds per-row squared
+    residuals (identical doubles) to 1e-6 fixed point before the sum.
+
+    Scale: two map-side-combinable fact folds — one for the moment
+    matrix, one for residuals against the broadcast 1-row solution.
+    No shuffle beyond the two 1-row aggregates, no window, no UDF;
+    the solve itself is driver-free column arithmetic on a single
+    row. The classic scale story for linear training: the data never
+    moves, only the 3x3 moment matrix does."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qu = fp_units(F.col("l_quantity"), 4)
+    du = fp_units(F.col("l_discount"), 4)
+    yc = fp_units(F.col("l_extendedprice"), 2)
+    dec = "decimal(38,0)"
+    m = li.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(qu.cast(dec)).alias("squ"),
+        F.sum(du.cast(dec)).alias("sdu"),
+        F.sum(yc.cast(dec)).alias("syc"),
+        F.sum(qu.cast(dec) * qu).alias("squ2"),
+        F.sum(qu.cast(dec) * du).alias("squdu"),
+        F.sum(du.cast(dec) * du).alias("sdu2"),
+        F.sum(qu.cast(dec) * yc).alias("squy"),
+        F.sum(du.cast(dec) * yc).alias("sduy"),
+    )
+    e = _ridge_exprs()
+    w = m.selectExpr(
+        "n", f"{e['w0']} AS w0", f"{e['w1']} AS w1", f"{e['w2']} AS w2"
+    )
+    resid = (
+        F.col("l_extendedprice") / 100000.0
+        - (
+            F.col("w0")
+            + F.col("w1") * F.col("l_quantity")
+            + F.col("w2") * F.col("l_discount")
+        )
+    )
+    r = (
+        li.crossJoin(F.broadcast(w))
+        .groupBy("n", "w0", "w1", "w2")
+        .agg(
+            F.sum(
+                F.floor(F.pow(resid, F.lit(2)) * 1000000 + F.lit(0.5)).cast(dec)
+            ).alias("ssr")
+        )
+    )
+    return r.select(
+        "n",
+        pround(F.col("w0"), 6).alias("w0"),
+        pround(F.col("w1"), 6).alias("w_qty"),
+        pround(F.col("w2"), 6).alias("w_disc"),
+        pround(
+            F.sqrt(F.col("ssr").cast("double") / 1000000 / F.col("n")), 6
+        ).alias("rmse"),
     )

@@ -298,3 +298,36 @@ def test_mrr_matches_numpy_reference(spark, sf_dir):
     assert got.n_with_rel == n_with
     assert abs(got.mrr - sum(rrs) / 10) < 1e-6
     assert 0 <= got.mrr <= 1
+
+
+# ---------------------------------------------------------------------------
+# q_ridge
+
+
+def test_ridge_matches_numpy_reference(spark, sf_dir):
+    import duckdb
+    import numpy as np
+
+    got = REGISTRY["q_ridge"].fn(spark, sf_dir).toPandas().iloc[0]
+    con = duckdb.connect()
+    df = con.execute(
+        "SELECT FLOOR(l_quantity * 10000 + 0.5) / 10000 AS x1, "
+        "FLOOR(l_discount * 10000 + 0.5) / 10000 AS x2, "
+        "FLOOR(l_extendedprice * 100 + 0.5) / 100 / 100000 AS y, "
+        "l_quantity AS rq, l_discount AS rd, "
+        "l_extendedprice / 100000.0 AS ry "
+        f"FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    ).df()
+    X = np.column_stack([np.ones(len(df)), df.x1.values, df.x2.values])
+    A = X.T @ X + np.diag([0.0, 1.0, 1.0])
+    b = X.T @ df.y.values
+    w = np.linalg.solve(A, b)
+    assert got.n == len(df)
+    assert abs(got.w0 - w[0]) < 1e-4
+    assert abs(got.w_qty - w[1]) < 1e-4
+    assert abs(got.w_disc - w[2]) < 1e-2  # discount has tiny leverage
+    # RMSE on the RAW columns with the exact emitted weights
+    r = df.ry.values - (got.w0 + got.w_qty * df.rq.values + got.w_disc * df.rd.values)
+    assert abs(got.rmse - np.sqrt((r**2).mean())) < 1e-3
+    # the fit should beat the intercept-only model on its own data
+    assert got.rmse < df.ry.std() + 1e-9
