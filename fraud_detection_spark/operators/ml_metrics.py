@@ -1389,8 +1389,8 @@ def _ridge_oracle() -> str:
         f"{e['w2']} AS w2 FROM m), "
         "r AS (SELECT w.n, w.w0, w.w1, w.w2, "
         "CAST(SUM(CAST(FLOOR("
-        "POWER(l_extendedprice / 100000.0 "
-        "- (w.w0 + w.w1 * l_quantity + w.w2 * l_discount), 2) "
+        "(l_extendedprice / 100000.0 - (w.w0 + w.w1 * l_quantity + w.w2 * l_discount)) "
+        "* (l_extendedprice / 100000.0 - (w.w0 + w.w1 * l_quantity + w.w2 * l_discount)) "
         "* 1000000 + 0.5) AS BIGINT)) AS HUGEINT) AS ssr "
         "FROM lineitem, w GROUP BY w.n, w.w0, w.w1, w.w2) "
         "SELECT n, "
@@ -1463,8 +1463,11 @@ def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.crossJoin(F.broadcast(w))
         .groupBy("n", "w0", "w1", "w2")
         .agg(
+            # resid*resid, NOT pow(resid, 2): POWER is not guaranteed
+            # correctly rounded and could drift 1 ulp between engines
+            # at a fixed-point floor boundary (the ADVICE r9 #1 class)
             F.sum(
-                F.floor(F.pow(resid, F.lit(2)) * 1000000 + F.lit(0.5)).cast(dec)
+                F.floor(resid * resid * 1000000 + F.lit(0.5)).cast(dec)
             ).alias("ssr")
         )
     )
