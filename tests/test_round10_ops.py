@@ -331,3 +331,65 @@ def test_ridge_matches_numpy_reference(spark, sf_dir):
     assert abs(got.rmse - np.sqrt((r**2).mean())) < 1e-3
     # the fit should beat the intercept-only model on its own data
     assert got.rmse < df.ry.std() + 1e-9
+
+
+def test_boosted_stumps_closed_form_on_adversarial_orderings(spark):
+    """The closed-form round-3 weighted cums use inclusion-exclusion
+    over the (s<=t1, s<=t2) quadrants with CASE branches on the
+    ORDERING of t1 vs t2 — the shipped data only exercises t1<t2, so
+    this drives crafted distributions through the Spark operator and
+    checks every emitted value against the exact-integer python
+    reference: seeds cover t1>t2 (0, 2, 5), t1<t2 (1), a repeated
+    threshold t3==t1 (3), and mixed polarities."""
+    import random
+
+    from fraud_detection_spark.operators import ml_metrics as mm
+
+    for seed in (0, 1, 2, 3, 5):
+        rng = random.Random(seed)
+        n = rng.randint(4, 12)
+        scores = sorted(rng.sample([i / 10 for i in range(1, 21)], n))
+        rows = []
+        for s in scores:
+            c = rng.randint(1, 6)
+            p = rng.randint(0, c)
+            rows.append((s, c, p))
+        want = _adaboost_reference(rows)
+        if len(want) < 3 or any(e == 0 for _, _, e, _ in want):
+            continue
+        level = [
+            (s, 1 if i < p else 0)
+            for s, c, p in rows
+            for i in range(c)
+        ]
+        sdf = spark.createDataFrame(level, "score double, label int")
+        orig = mm.scored
+        mm.scored = lambda *_: sdf
+        try:
+            got = (
+                mm.q_boosted_stumps(spark, "unused")
+                .toPandas()
+                .sort_values("round")
+                .reset_index(drop=True)
+            )
+        finally:
+            mm.scored = orig
+        # reference accs from the reference stumps
+        alphas = [0.5 * math.log((d - e) / e) for _, _, e, d in want]
+        nn = sum(c for _, c, _ in rows)
+        for r in range(3):
+            t, pol, e, d = want[r]
+            row = got.iloc[r]
+            assert row.threshold == t, (seed, r)
+            assert row.polarity == pol, (seed, r)
+            assert abs(row.w_err - e / d) < 2e-6, (seed, r)
+            assert abs(row.alpha - alphas[r]) < 2e-6, (seed, r)
+            corr = 0
+            for s, c, p in rows:
+                margin = sum(
+                    alphas[j]
+                    * (want[j][1] if s > want[j][0] else -want[j][1])
+                    for j in range(r + 1)
+                )
+                corr += p if margin > 0 else c - p
+            assert abs(row.acc - corr / nn) < 2e-6, (seed, r)
