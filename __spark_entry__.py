@@ -91,6 +91,12 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_mrr",
     # round-10 batch 4 (11 touched + 39 stale = 50 — the full sample):
     "q_ridge",
+    # round-10 parity fix: the sf0.1 oracle sweep caught q_hhi's raw
+    # SUM(double) flipping a 6-dp boundary (partial-sum order); now a
+    # 1e-9 fixed-point fold. Worth the one displaced stale slot —
+    # 12 touched + 39 stale = 51, so the lowest-priority stale row
+    # waits one more round (done-criterion >=35/39 still met at 38).
+    "q_hhi",
 })
 
 

@@ -467,7 +467,9 @@ def q_neighbor_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT e.custkey, CAST(t.n_tot AS BIGINT) AS n_txn, "
         "CAST(COUNT(*) AS BIGINT) AS n_counterparties, "
         + sql_round(
-            "SUM((e.n * 1.0 / t.n_tot) * (e.n * 1.0 / t.n_tot))", 6
+            "CAST(SUM(CAST(FLOOR((e.n * 1.0 / t.n_tot) * (e.n * 1.0 / t.n_tot)"
+            " * 1000000000 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000000",
+            6,
         )
         + " AS hhi FROM e JOIN t USING (custkey) GROUP BY e.custkey, t.n_tot"
     ),
@@ -479,19 +481,23 @@ def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
     through one counterparty (the mule-funnel shape), 1/k = spread
     evenly over k. Completes q_graph_degree's max-share concentration
     with the full-distribution index regulators actually use for
-    concentration. Shares are integer/integer ratios; their squares
-    sum per customer in one map-side-combinable aggregate — engine-
-    exact at 6 dp (each group's sum is over that customer's ≤|suppliers|
-    terms, and the partition-stress test pins bit-equality)."""
+    concentration. Shares are integer/integer ratios (identical
+    doubles per row on both engines); each share² folds to 1e-9
+    fixed-point units BEFORE the per-customer sum — the round-10
+    sf0.1 parity sweep caught the previous raw SUM(double) flipping a
+    6-dp boundary at one 63-counterparty customer (partial-sum-order
+    dependence, the round-2 q_tpch_q9 class; invisible at the smaller
+    test SFs). Integer sums are associative — layout-proof."""
     e = edges(spark, sf_dir)
     t = e.groupBy("custkey").agg(F.sum("n").alias("n_tot"))
     share = F.col("n") * 1.0 / F.col("n_tot")
+    hhi_units = F.floor(share * share * 1000000000 + F.lit(0.5)).cast("bigint")
     return (
         e.join(F.broadcast(t), "custkey")
         .groupBy("custkey", "n_tot")
         .agg(
             F.count("*").cast("bigint").alias("n_counterparties"),
-            pround(F.sum(share * share), 6).alias("hhi"),
+            pround(F.sum(hhi_units).cast("double") / 1000000000, 6).alias("hhi"),
         )
         .select(
             "custkey",
