@@ -69,34 +69,30 @@ def entry(spark: SparkSession) -> DataFrame:
 _PINNED_HEAD = ()
 
 _TOUCHED_THIS_ROUND = frozenset({
-    # round 10 edits (VERDICT r9 next-round items + ADVICE r9).
-    # Deliberately NOT listed: the 17 queries that only gained the
-    # registry's new eager=True metadata flag (ADVICE r9 #3) — zero
-    # semantic change, zero plan change, and listing them would
-    # displace the 39 stale-evidence queries VERDICT r9 #1 wants this
-    # round's 50-slot sample to drain.
-    "q_anova",   # oracle now floors in DECIMAL(38,6) like Spark (ADVICE r9 #1)
-    "q_levene",  # same, plus sg now sums the widened operand (ADVICE r9 #2)
-    "q_isotonic",  # upgraded rows-only -> DuckDB PAV oracle (VERDICT r9 #4)
-    # round-10 additions (VERDICT r9 #5 — capped at 4 so the sample
-    # still covers all 39 stale-evidence queries: 7 + 39 = 46 <= 50):
-    "q_boosted_stumps",
+    # round 11 edits. The stale tail is down to ONE query (q_lag_delta,
+    # r4 — VERDICT r10 #4), so the 50-slot sample has ample room: the
+    # rotation puts touched first, then q_lag_delta, then the oldest
+    # r5-green rows.
+    #
+    # VERDICT r10 #1 — POWER(x,2) -> x*x and POWER(m2,1.5) ->
+    # m2*SQRT(m2) exact decompositions on BOTH engines (the 1-ulp
+    # cross-engine class the sf0.1 q_hhi catch proved real); class
+    # pinned closed by test_doc_claims.py::
+    # test_no_correctly_roundable_power_in_any_oracle_or_query:
+    "q_trend_forecast",
+    "q_moments",
+    "q_zipf_fit",
+    "q_chi2",
+    "q_embedding_outlier",
+    # ADVICE r10 #1: BH oracle threshold now k*CAST(0.05 AS DOUBLE)/m
+    # so both engines evaluate the identical double expression:
     "q_bh_fdr",
-    "q_xcorr_leadlag",
-    "q_ktruss",
-    # round-10 batch 2 (9 touched + 39 stale = 48 <= 50):
-    "q_holm",
+    # ADVICE r10 #3: rank bucket now integer bit-length (exactly
+    # monotone), not floating-point floor(log2):
     "q_gini_index",
-    # round-10 batch 3 (10 touched + 39 stale = 49 <= 50):
-    "q_mrr",
-    # round-10 batch 4 (11 touched + 39 stale = 50 — the full sample):
-    "q_ridge",
-    # round-10 parity fix: the sf0.1 oracle sweep caught q_hhi's raw
-    # SUM(double) flipping a 6-dp boundary (partial-sum order); now a
-    # 1e-9 fixed-point fold. Worth the one displaced stale slot —
-    # 12 touched + 39 stale = 51, so the lowest-priority stale row
-    # waits one more round (done-criterion >=35/39 still met at 38).
-    "q_hhi",
+    # ADVICE r10 #2/#5: NULL-e raise_error guard in _pick_stump +
+    # corrected headroom/margin-sign docstring claims:
+    "q_boosted_stumps",
 })
 
 

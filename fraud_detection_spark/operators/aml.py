@@ -722,9 +722,10 @@ def q_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     on exact integers — identical on both engines, rounded at 6 dp.
 
     Scale: per-customer totals are ONE map-side-combinable fact fold.
-    The rank does NOT use a global window: totals bucket by
-    floor(log2(x)) (monotone in x, so buckets are contiguous ranges of
-    the sort order), cross-bucket offsets come from a <=64-row
+    The rank does NOT use a global window: totals bucket by the
+    integer bit length of x (exactly monotone in x — unlike float
+    log2 — so buckets are contiguous ranges of the sort order),
+    cross-bucket offsets come from a <=64-row
     broadcast self-join, and row_number runs in PARTITIONED windows —
     the q_auc distributed-rank machinery, correct for any bucketing
     that respects the sort order. One more one-row aggregate finishes."""
@@ -735,7 +736,13 @@ def q_gini_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     ct = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.sum(fp_units(F.col("o_totalprice"), 2)).cast("bigint").alias("x")
     )
-    b = ct.withColumn("bucket", F.floor(F.log2("x")).cast("bigint"))
+    # bucket by the integer bit length of x (length of the binary
+    # string), not floor(log2(x)): the distributed-rank machinery needs
+    # the bucket to be exactly monotone in x, and floating-point LOG2
+    # (~1-ulp error) is not provably monotone across power-of-two
+    # boundaries — an ulp inversion at an integer floor boundary would
+    # silently corrupt ranks. bin() is exact integer work (ADVICE r10).
+    b = ct.withColumn("bucket", F.length(F.bin("x")).cast("bigint"))
     btot = b.groupBy("bucket").agg(F.count("*").alias("bc"))
     lower = btot.select(F.col("bucket").alias("lb"), F.col("bc").alias("lc"))
     offs = (

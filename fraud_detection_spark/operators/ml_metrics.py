@@ -990,8 +990,9 @@ def _boost_oracle() -> str:
     denominator), so every candidate stump's weighted error is an
     exact HUGEINT and the per-round argmin is engine-identical. Floats
     appear only in the displayed error/alpha/accuracy scalars and the
-    ensemble margin sign (identical IEEE expressions on exact
-    integers on both engines)."""
+    ensemble margin sign (the margin sums alpha·h terms with
+    alpha = 0.5·LN(...), so the sign inherits the LN house 1-ulp
+    risk — see the query docstring)."""
     R = _BOOST_ROUNDS
     parts = [
         f"WITH s AS ({SCORED_SQL}), ",
@@ -1089,12 +1090,16 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     (d_j − e_j) if misclassified else e_j, so round-r candidate
     errors are exact DECIMAL(38,0)/HUGEINT integers (numerators grow
     like n^(2r-1): within 38 digits through round 3 for n up to
-    ~1.5e9 rows; past that both engines still agree but the exactness
-    headroom is documented here). The per-round argmin ORDER BY
-    (e, score) compares exact integers; floats appear only in the
-    displayed scalars and the ensemble-margin sign, identical IEEE
-    expressions on exact integers on both engines (LN carries the
-    q_lr/q_chi2 house 1-ulp library risk, rounded at 6 dp).
+    ~1.5e9 rows; PAST that the engines diverge in failure mode —
+    DuckDB's HUGEINT overflow raises while non-ANSI Spark would
+    silently NULL the products, so _pick_stump raise_error-guards
+    NULL e to fail loudly on the Spark side too). The per-round
+    argmin ORDER BY (e, score) compares exact integers; floats appear
+    in the displayed scalars AND the ensemble-margin sign — the
+    margin is Σ alpha_j·h_j with alpha = 0.5·LN(...), so its sign
+    inherits the q_lr/q_chi2 LN house 1-ulp library risk (a score
+    group whose margin lands within ~1 ulp of 0 could flip acc by
+    cnt/nn between engines; displayed scalars round at 6 dp).
 
     Scale: ONE fact fold to the distinct-score table (bounded by the
     6-dp score domain, the q_auc/q_stump discipline) and ONE raw
@@ -1170,6 +1175,20 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _pick_stump(cands, u, d, r: int):
         e = F.least(u, d - u)
+        # fail LOUDLY if the DECIMAL(38,0) weight numerators overflow
+        # (non-ANSI Spark silently NULLs them, and ascending ORDER BY e
+        # would put NULL first — a garbage stump chosen silently while
+        # DuckDB's HUGEINT overflow raises; ADVICE r10 #2). Inside the
+        # documented n^(2r-1) < 10^38 headroom this branch never fires.
+        e = F.when(
+            e.isNull(),
+            F.raise_error(
+                F.lit(
+                    "q_boosted_stumps: DECIMAL(38,0) weight-numerator "
+                    "overflow — exactness headroom exhausted"
+                )
+            ).cast(dec),
+        ).otherwise(e)
         return (
             cands.select(
                 F.col("score").alias(f"t{r}"),

@@ -1330,7 +1330,8 @@ def q_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c AS (SELECT label, i, CAST(SUM(xi) AS BIGINT) AS s, "
         "CAST(COUNT(*) AS BIGINT) AS m FROM fx GROUP BY label, i), "
         "d AS (SELECT f.vec_id, f.label, "
-        "SQRT(SUM(CAST(FLOOR(POWER(f.x - CAST(c.s AS DOUBLE) / 1000000000 / c.m, 2) "
+        "SQRT(SUM(CAST(FLOOR((f.x - CAST(c.s AS DOUBLE) / 1000000000 / c.m) "
+        "* (f.x - CAST(c.s AS DOUBLE) / 1000000000 / c.m) "
         "* 1000000000000 + 0.5) AS BIGINT)) / 1000000000000.0) AS dist "
         "FROM fx f JOIN c ON f.label = c.label AND f.i = c.i "
         "GROUP BY f.vec_id, f.label) "
@@ -1375,9 +1376,12 @@ def q_embedding_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         fx.join(F.broadcast(c), ["label", "i"])
         .groupBy("vec_id", "label")
         .agg(
+            # dev*dev, not POWER(dev,2): Math.pow is not guaranteed
+            # correctly rounded (1-ulp risk at the fixed-point floor
+            # boundary); IEEE multiplication is.
             F.sqrt(
                 F.sum(
-                    F.floor(F.pow(dev, 2) * 1000000000000 + F.lit(0.5)).cast(
+                    F.floor(dev * dev * 1000000000000 + F.lit(0.5)).cast(
                         "bigint"
                     )
                 )

@@ -48,7 +48,8 @@ _CONT_SQL = (
     oracle=(
         "WITH " + _CONT_SQL + ", "
         "t AS (SELECT n, "
-        "CAST(FLOOR(POWER(o - r * c * 1.0 / n, 2) / (r * c * 1.0 / n) "
+        "CAST(FLOOR((o - r * c * 1.0 / n) * (o - r * c * 1.0 / n) "
+        "/ (r * c * 1.0 / n) "
         f"* {_FP} + 0.5) AS BIGINT) AS units, event_type, dow FROM m), "
         "a AS (SELECT MAX(n) AS n, "
         "CAST(SUM(units) AS DOUBLE) / " + str(_FP) + " AS chi2, "
@@ -91,7 +92,11 @@ def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("o").over(Window.partitionBy()).alias("n"),
     )
     e = F.col("r") * F.col("c") * 1.0 / F.col("n")
-    units = F.floor(F.pow(F.col("o") - e, 2) / e * _FP + F.lit(0.5)).cast("bigint")
+    # (o-e)*(o-e), not POWER(o-e,2): Math.pow is not guaranteed
+    # correctly rounded (1-ulp cross-engine risk at the fixed-point
+    # floor boundary); IEEE multiplication is.
+    dev = F.col("o") - e
+    units = F.floor(dev * dev / e * _FP + F.lit(0.5)).cast("bigint")
     t = m.select("n", "event_type", "dow", units.alias("units"))
     a = t.agg(
         F.max("n").alias("n"),
@@ -1420,7 +1425,13 @@ def _battery_out(df: DataFrame, rejected) -> DataFrame:
     oracle=(
         _battery_sql() + ", "
         "f AS (SELECT *, "
-        f"CASE WHEN p <= k * {_BH_Q!r} / m THEN k END AS flagk FROM r), "
+        # CAST the q literal to DOUBLE: DuckDB types a bare 0.05 as
+        # DECIMAL, making k*0.05 exact before the double division while
+        # Spark computes all-double — a verified threshold divergence
+        # (k=3, m=7). The cast makes both engines evaluate the identical
+        # double expression (ADVICE r10 #1).
+        f"CASE WHEN p <= k * CAST({_BH_Q!r} AS DOUBLE) / m THEN k END"
+        " AS flagk FROM r), "
         "ks AS (SELECT *, MAX(flagk) OVER () AS kstar FROM f) "
         + _BATTERY_TAIL_SQL
         + "CAST(CASE WHEN k <= COALESCE(kstar, 0) THEN 1 ELSE 0 END "

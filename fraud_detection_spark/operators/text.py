@@ -862,7 +862,7 @@ _ZIPF_FP = 10**9
         + sql_round("(sy * sxx - sx * sxy) / (k * sxx - sx * sx)", 6)
         + " AS intercept, "
         + sql_round(
-            "POWER(k * sxy - sx * sy, 2) "
+            "((k * sxy - sx * sy) * (k * sxy - sx * sy)) "
             "/ ((k * sxx - sx * sx) * (k * syy - sy * sy))",
             6,
         )
@@ -924,8 +924,10 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(
             (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den, 6
         ).alias("intercept"),
+        # num*num, not POWER(num,2): Math.pow is not guaranteed
+        # correctly rounded (1-ulp cross-engine risk); IEEE mul is.
         pround(
-            F.pow(num, 2)
+            (num * num)
             / (den * (k * F.col("syy") - F.col("sy") * F.col("sy"))),
             6,
         ).alias("r2"),

@@ -444,7 +444,8 @@ _FORECAST_H = 7  # days ahead
         )
         + " AS forecast, "
         + sql_round(
-            "POWER(n * sxy - sx * sy, 2) / ((n * sxx - sx * sx) * (n * syy - sy * sy))",
+            "((n * sxy - sx * sy) * (n * sxy - sx * sy))"
+            " / ((n * sxx - sx * sx) * (n * syy - sy * sy))",
             6,
         )
         + " AS r2 "
@@ -496,9 +497,11 @@ def q_trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
     slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den
     intercept = (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")) / den
-    r2 = F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2) / (
-        den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
-    )
+    # x*x, not POWER(x,2): Math.pow is not guaranteed correctly rounded
+    # (1-ulp cross-engine risk at a fixed-point floor boundary); IEEE
+    # multiplication is, so both engines evaluate the identical double.
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    r2 = (cov * cov) / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
     return f.crossJoin(h).select(
         (F.col("day_max") + F.col("h")).cast("bigint").alias("day"),
         F.col("h").cast("int").alias("horizon"),
@@ -798,7 +801,7 @@ def q_robust_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "- 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4 FROM a) "
         "SELECT n, " + sql_round("mu", 4) + " AS mean, "
         + sql_round("SQRT(m2)", 4) + " AS std_pop, "
-        + sql_round("m3 / POWER(m2, 1.5)", 6) + " AS skewness, "
+        + sql_round("m3 / (m2 * SQRT(m2))", 6) + " AS skewness, "
         + sql_round("m4 / (m2 * m2) - 3", 6) + " AS excess_kurtosis FROM m"
     ),
     tags=("timeseries", "stats", "agg"),
@@ -868,7 +871,10 @@ def q_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         pround(mu, 4).alias("mean"),
         pround(F.sqrt(m2), 4).alias("std_pop"),
-        pround(m3 / F.pow(m2, 1.5), 6).alias("skewness"),
+        # m2*sqrt(m2), not POWER(m2,1.5): mul and sqrt are correctly
+        # rounded IEEE ops so both engines compute the identical double;
+        # Math.pow with a fractional exponent is the 1-ulp house class.
+        pround(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
         pround(m4 / (m2 * m2) - 3, 6).alias("excess_kurtosis"),
     )
 

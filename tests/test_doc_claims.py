@@ -70,3 +70,45 @@ def test_coverage_header_count_matches_registry():
         f"COVERAGE.md says {m.group(1)}/{m.group(2)}, registry has "
         f"{total}/{with_oracle}"
     )
+
+
+def test_no_correctly_roundable_power_in_any_oracle_or_query():
+    """VERDICT r10 #1: POWER(x, k) / F.pow(x, k) with an exactly
+    decomposable exponent (2 -> x*x, 1.5 -> x*SQRT(x)) is banned
+    engine-wide — Math.pow / libm pow is not guaranteed correctly
+    rounded, and the sf0.1 q_hhi catch proved a 1-ulp divergence can
+    flip a fixed-point floor boundary and a driver hash. Only the
+    documented LN/EXP house class (fractional exponents with no exact
+    decomposition, rounded before any comparison) may remain:
+    q_domain_mix_temp's rate (corpus.py) and its pipeline twin
+    (pipelines/corpus_job.py)."""
+    from fraud_detection_spark.registry import load_all
+
+    decomposable = re.compile(r"POWER\s*\(.*,\s*(2|2\.0|1\.5)\s*\)", re.I)
+    for name, q in load_all().items():
+        if q.oracle is None:
+            continue
+        assert not decomposable.search(q.oracle), (
+            f"{name}: oracle uses POWER with a decomposable exponent — "
+            "write x*x / x*SQRT(x) so both engines evaluate the "
+            "identical correctly-rounded IEEE expression"
+        )
+
+    allowed_pow_files = {
+        "fraud_detection_spark/operators/corpus.py",
+        "fraud_detection_spark/pipelines/corpus_job.py",
+    }
+    pkg = os.path.join(ROOT, "fraud_detection_spark")
+    for dirpath, _dirs, files in os.walk(pkg):
+        if "__pycache__" in dirpath:
+            continue
+        for fn in files:
+            if not fn.endswith(".py"):
+                continue
+            rel = os.path.relpath(os.path.join(dirpath, fn), ROOT)
+            src = _read(rel)
+            if "F.pow(" in src and rel not in allowed_pow_files:
+                raise AssertionError(
+                    f"{rel}: F.pow() outside the documented LN/EXP "
+                    "house-class allowlist"
+                )

@@ -38,15 +38,17 @@ def test_xcorr_matches_numpy_reference(spark, sf_dir):
         .sort_values("day")
         .reset_index(drop=True)
     )
-    n_days = len(d)
     assert set(got.index) == set(range(-7, 8))
+    # align by DAY KEY, not array position (ADVICE r10 #4): the
+    # operator and oracle pair x(day) with y(day+lag) by day value,
+    # so a dataset with a zero-event calendar day must not shift the
+    # reference alignment the way positional slicing would.
+    by_day = d.set_index("day")
+    days = by_day.index
     for lag in range(-7, 8):
-        if lag >= 0:
-            a = d.x.values[: n_days - lag].astype(float)
-            b = d.y.values[lag:].astype(float)
-        else:
-            a = d.x.values[-lag:].astype(float)
-            b = d.y.values[: n_days + lag].astype(float)
+        paired = days[(days + lag).isin(days)]
+        a = by_day.x.loc[paired].values.astype(float)
+        b = by_day.y.loc[paired + lag].values.astype(float)
         assert got.loc[lag, "n_pairs"] == len(a)
         if len(a) >= 2 and a.std() > 0 and b.std() > 0:
             want = float(np.corrcoef(a, b)[0, 1])
