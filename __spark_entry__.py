@@ -93,6 +93,12 @@ _TOUCHED_THIS_ROUND = frozenset({
     # ADVICE r10 #2/#5: NULL-e raise_error guard in _pick_stump +
     # corrected headroom/margin-sign docstring claims:
     "q_boosted_stumps",
+    # round-11 additions (VERDICT r10 #5 — 12 touched + 1 stale
+    # (q_lag_delta, the whole remaining stale tail) = 13 <= 50):
+    "q_map",
+    "q_tree2",
+    "q_cochran_armitage",
+    "q_neardup_sources",
 })
 
 

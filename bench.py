@@ -279,6 +279,18 @@ HEADLINE = [
     # round-10 batch 4: closed-form ridge training — two fact folds
     # (integer moment matrix + residuals vs the broadcast 1-row solve)
     "q_ridge",
+    # round-11 additions (VERDICT r10 #5): mean average precision
+    # (completes the q_ndcg/q_mrr/q_rrf retrieval battery — prefix +
+    # tie-partitioned ranks, no per-query global window), depth-2
+    # greedy Gini tree (q_stump's checkpointed prefix table scanned
+    # once per node), Cochran-Armitage dose trend per nation (one
+    # fact fold to integer score moments), and the cross-source
+    # near-dup contamination matrix (q_dedup_jaccard's pairs folded
+    # to source cells)
+    "q_map",
+    "q_tree2",
+    "q_cochran_armitage",
+    "q_neardup_sources",
 ]
 
 

@@ -1132,3 +1132,86 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", ca.alias("c_ab"), cb.alias("c_ba"))
         .filter(F.greatest("c_ab", "c_ba") >= _CONTAIN_THRESHOLD)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source near-dup contamination matrix (round 11, VERDICT r10
+# #5d): the NEAR-dup counterpart of q_dedup_stats' per-source exact
+# scoreboard — which feed pairs copy each other, the corpus-health
+# attribution a 100 TB curation run monitors after every crawl.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_neardup_sources",
+    oracle=(
+        "WITH " + _JACCARD_CTES + ", "
+        "p AS (SELECT doc_a, doc_b, jaccard FROM "
+        "(SELECT doc_a, doc_b, " + sql_round("jac", 6) + " AS jaccard FROM j) "
+        f"WHERE jaccard >= {_JACCARD_THRESHOLD}), "
+        "ps AS (SELECT LEAST(da.source, db.source) AS src_a, "
+        "GREATEST(da.source, db.source) AS src_b, "
+        "CAST(FLOOR(jaccard * 1000000 + 0.5) AS BIGINT) AS ju FROM p "
+        "JOIN documents da ON da.doc_id = p.doc_a "
+        "JOIN documents db ON db.doc_id = p.doc_b) "
+        "SELECT src_a, src_b, CAST(COUNT(*) AS BIGINT) AS n_pairs, "
+        + sql_round(
+            "CAST(SUM(ju) AS DOUBLE) / 1000000 / COUNT(*)", 6
+        )
+        + " AS mean_jaccard FROM ps GROUP BY src_a, src_b"
+    ),
+    tags=("dedup", "curation", "monitor"),
+)
+def q_neardup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: q_dedup_jaccard's
+    near-dup pairs (exact n-gram Jaccard >= 0.5 over MinHash-prefix
+    candidates) attributed to the (source, source) pair that produced
+    them, with pair counts and mean Jaccard — the observability layer
+    q_dedup_stats provides for EXACT duplicates, extended to near-dups.
+    The diagonal (src_a = src_b) reads within-feed template churn; the
+    off-diagonal reads feeds syndicating each other's content — the
+    two need different curation responses (re-crawl config vs
+    cross-feed dedup priority), and neither is visible in
+    q_dedup_jaccard's raw pair list at corpus scale.
+
+    Exactness: rides q_dedup_jaccard verbatim (same blocking, same
+    6-dp Jaccard, same threshold — the oracle shares its CTEs), so the
+    pair set hash-matches by construction; sources order inside each
+    pair by LEAST/GREATEST string comparison (deterministic), and each
+    pair's 6-dp Jaccard folds to 1e-6 fixed-point units BEFORE the
+    per-cell mean (the q_chi2 discipline).
+
+    Scale: the q_dedup_jaccard plan (8-byte min-key candidate shuffle,
+    fingerprint-array intersection on candidates only) plus one
+    doc_id->source hash join from the surviving near-dup pairs —
+    pair-count-scale, far below fact scale — and a <=|sources|² cell
+    aggregate. Document bodies never shuffle."""
+    pairs = q_dedup_jaccard(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    ps = (
+        pairs.join(
+            src.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            src.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .select(
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+            F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("ju"),
+        )
+    )
+    return ps.groupBy("src_a", "src_b").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        pround(
+            F.sum("ju").cast("double") / 1000000 / F.count("*"), 6
+        ).alias("mean_jaccard"),
+    )

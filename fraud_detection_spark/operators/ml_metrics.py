@@ -1499,3 +1499,235 @@ def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("ssr").cast("double") / 1000000 / F.col("n")), 6
         ).alias("rmse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Depth-2 greedy tree (round 11, VERDICT r10 #5b): root split + the
+# best split inside EACH branch, all on q_stump's exact Gini machinery
+# over the bounded distinct-score table — the next rung on the
+# oracle-checked training ladder toward the reference's depth-5 trees
+# (train_model.py:69-80).
+# ---------------------------------------------------------------------------
+
+
+def _tree2_oracle() -> str:
+    """DuckDB twin of the depth-2 greedy Gini tree. Branch splits are
+    CLOSED FORMS over the one materialized prefix-count table: with
+    branch base offsets (n0, p0) and branch totals (nb, pb), a split
+    at t inside the branch has left counts (cum_n(t)-n0, cum_p(t)-p0)
+    — so each branch argmin is one scan of `c`, no re-aggregation."""
+
+    def key(n0: str, p0: str, nb: str, pb: str) -> str:
+        nl = f"CAST(cum_n - {n0} AS DOUBLE)"
+        pl = f"CAST(cum_p - {p0} AS DOUBLE)"
+        nr = f"CAST({nb} - (cum_n - {n0}) AS DOUBLE)"
+        pr = f"CAST({pb} - (cum_p - {p0}) AS DOUBLE)"
+        return (
+            f"({nl} - ({pl} * {pl} + ({nl} - {pl}) * ({nl} - {pl})) / {nl}) "
+            f"+ ({nr} - ({pr} * {pr} + ({nr} - {pr}) * ({nr} - {pr})) / {nr})"
+        )
+
+    def base(nb: str, pb: str) -> str:
+        p_ = f"(CAST({pb} AS DOUBLE) / {nb})"
+        q_ = f"(CAST({nb} - {pb} AS DOUBLE) / {nb})"
+        return f"(1.0 - {p_} * {p_} - {q_} * {q_})"
+
+    def node(tag: str, src: str, n0: str, p0: str, nb: str, pb: str) -> str:
+        k = key(n0, p0, nb, pb)
+        return (
+            f"SELECT '{tag}' AS node, score AS threshold, "
+            f"CAST(cum_n - {n0} AS BIGINT) AS n_left, "
+            f"CAST(cum_p - {p0} AS BIGINT) AS pos_left, "
+            f"CAST({nb} - (cum_n - {n0}) AS BIGINT) AS n_right, "
+            f"CAST({pb} - (cum_p - {p0}) AS BIGINT) AS pos_right, "
+            + sql_round(f"({k}) / {nb}", 6) + " AS gini_split, "
+            + sql_round(base(nb, pb), 6) + " AS gini_base, "
+            + sql_round(f"{base(nb, pb)} - ({k}) / {nb}", 6) + " AS gain "
+            f"FROM {src} ORDER BY {k}, score LIMIT 1"
+        )
+
+    return (
+        f"WITH s AS ({SCORED_SQL}), "
+        "g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM s GROUP BY score), "
+        "t AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS n, "
+        "CAST(SUM(pos) AS BIGINT) AS p FROM g), "
+        "c AS MATERIALIZED (SELECT score, "
+        "CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT) AS cum_n, "
+        "CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS cum_p, "
+        "n, p FROM g, t), "
+        "root AS MATERIALIZED ("
+        + node("root", "c WHERE cum_n < n", "0", "0", "n", "p")
+        + "), "
+        # left branch: thresholds strictly below the root threshold;
+        # branch totals = root's left counts
+        "lc AS (SELECT c.*, root.n_left AS nb, root.pos_left AS pb "
+        "FROM c, root WHERE c.score < root.threshold), "
+        "lpick AS MATERIALIZED ("
+        + node("left", "lc WHERE cum_n < nb", "0", "0", "nb", "pb")
+        + "), "
+        # right branch: thresholds strictly above the root threshold
+        # and below the branch max; base offsets = root's left counts
+        "rc AS (SELECT c.*, root.n_left AS n0, root.pos_left AS p0, "
+        "root.n_right AS nb, root.pos_right AS pb "
+        "FROM c, root WHERE c.score > root.threshold), "
+        "rpick AS MATERIALIZED ("
+        + node("right", "rc WHERE cum_n - n0 < nb", "n0", "p0", "nb", "pb")
+        + ") "
+        "SELECT * FROM root UNION ALL SELECT * FROM lpick "
+        "UNION ALL SELECT * FROM rpick"
+    )
+
+
+@query(
+    "q_tree2",
+    oracle=_tree2_oracle(),
+    tags=("ml", "train", "split"),
+    eager=True,
+)
+def q_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-2 greedy decision tree on the published model
+    score by EXACT Gini split search: q_stump's root split, then the
+    best split INSIDE each branch (left: score <= t_root, right:
+    score > t_root), each with its own branch-conditional impurity and
+    gain. Emits up to 3 rows (node = root/left/right; a pure or
+    single-valued branch emits none) — the next rung on the
+    oracle-checked training ladder toward the reference's depth-5
+    trees (train_model.py:69-80), still hash-verifiable because every
+    candidate's branch-conditional counts are exact integers.
+
+    Exactness: branch split keys are the q_stump expression on
+    BRANCH-OFFSET exact integers — with branch base (n0, p0) and
+    totals (nb, pb), the candidate at t has left counts
+    (cum_n(t)-n0, cum_p(t)-p0) — the same IEEE doubles on both
+    engines, so each ORDER BY (key, score) argmin is engine-identical;
+    display values round at 6 dp.
+
+    Scale: the q_stump/q_boosted_stumps discipline — ONE fact fold to
+    the distinct-score table (bounded by the 6-dp score domain), ONE
+    prefix-count pass over it (coarse 1e-3-bucket offsets via a
+    <=1001-row broadcast self-join + PARTITIONED within-bucket
+    windows, never a global single-partition sort), checkpointed once;
+    the root and both branch argmins are then three scans of that
+    bounded checkpointed table + TakeOrdered(1) each, with the root
+    row broadcast into the branch scans. Depth d costs 2^d bounded
+    scans, never a fact re-shuffle. Eager by construction (the
+    checkpointed cum table); the registry eager contract applies."""
+    s = scored(spark, sf_dir)
+    per = (
+        s.groupBy("score")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+        .withColumn("bucket", F.floor(F.col("score") * 1000).cast("bigint"))
+    )
+    btot = per.groupBy("bucket").agg(
+        F.sum("cnt").alias("bcnt"), F.sum("pos").alias("bpos")
+    )
+    lower = btot.select(
+        F.col("bucket").alias("lb"),
+        F.col("bcnt").alias("lcnt"),
+        F.col("bpos").alias("lpos"),
+    )
+    offs = (
+        btot.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("lcnt"), F.lit(0)).alias("off_n"),
+            F.coalesce(F.sum("lpos"), F.lit(0)).alias("off_p"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    c = (
+        per.join(F.broadcast(offs), "bucket")
+        .select(
+            "score",
+            (F.col("off_n") + F.sum("cnt").over(w_in)).cast("bigint").alias("cum_n"),
+            (F.col("off_p") + F.sum("pos").over(w_in)).cast("bigint").alias("cum_p"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .localCheckpoint()
+    )
+
+    def _key(n0, p0, nb, pb):
+        nl = (F.col("cum_n") - n0).cast("double")
+        pl = (F.col("cum_p") - p0).cast("double")
+        nr = (nb - (F.col("cum_n") - n0)).cast("double")
+        pr = (pb - (F.col("cum_p") - p0)).cast("double")
+        return (nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) + (
+            nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+        )
+
+    def _node(tag: str, cands, n0, p0, nb, pb):
+        nbd = nb.cast("double")
+        pbd = pb.cast("double")
+        base = (
+            F.lit(1.0)
+            - (pbd / nbd) * (pbd / nbd)
+            - ((nbd - pbd) / nbd) * ((nbd - pbd) / nbd)
+        )
+        k = F.col("key")
+        return (
+            cands.withColumn("key", _key(n0, p0, nb, pb))
+            .orderBy("key", "score")
+            .limit(1)
+            .select(
+                F.lit(tag).alias("node"),
+                F.col("score").alias("threshold"),
+                (F.col("cum_n") - n0).cast("bigint").alias("n_left"),
+                (F.col("cum_p") - p0).cast("bigint").alias("pos_left"),
+                (nb - (F.col("cum_n") - n0)).cast("bigint").alias("n_right"),
+                (pb - (F.col("cum_p") - p0)).cast("bigint").alias("pos_right"),
+                pround(k / nbd, 6).alias("gini_split"),
+                pround(base, 6).alias("gini_base"),
+                pround(base - k / nbd, 6).alias("gain"),
+            )
+        )
+
+    zero = F.lit(0)
+    root = _node(
+        "root",
+        c.filter(F.col("cum_n") < F.col("n")),
+        zero,
+        zero,
+        F.col("n"),
+        F.col("p"),
+    ).localCheckpoint()
+    cb = c.crossJoin(F.broadcast(root.select(
+        F.col("threshold").alias("t0"),
+        F.col("n_left").alias("bn0"),
+        F.col("pos_left").alias("bp0"),
+        F.col("n_right").alias("bn1"),
+        F.col("pos_right").alias("bp1"),
+    )))
+    left = _node(
+        "left",
+        cb.filter(
+            (F.col("score") < F.col("t0")) & (F.col("cum_n") < F.col("bn0"))
+        ),
+        zero,
+        zero,
+        F.col("bn0"),
+        F.col("bp0"),
+    )
+    right = _node(
+        "right",
+        cb.filter(
+            (F.col("score") > F.col("t0"))
+            & (F.col("cum_n") - F.col("bn0") < F.col("bn1"))
+        ),
+        F.col("bn0"),
+        F.col("bp0"),
+        F.col("bn1"),
+        F.col("bp1"),
+    )
+    return root.unionAll(left).unionAll(right)

@@ -1675,3 +1675,165 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("units").cast("double") / 1000000000 / F.col("n_queries"), 6
         ).alias("mrr"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mean average precision (round 11, VERDICT r10 #5a): the last missing
+# member of the retrieval-eval battery (q_ndcg / q_mrr / q_rrf / AP) —
+# per-query AVERAGE precision over ALL relevant items, not just the
+# first (q_mrr) or a position-discounted gain (q_ndcg), mean'd over
+# the same 10-query panel.
+# ---------------------------------------------------------------------------
+
+
+def _map_oracle() -> str:
+    return (
+        "WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, "
+        f"label AS ql FROM embeddings WHERE vec_id < {_MRR_QUERIES}), "
+        "r AS MATERIALIZED (SELECT qid, vec_id, "
+        "CASE WHEN label = ql THEN 1 ELSE 0 END AS rel, "
+        + sql_round(
+            "list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe)", 6
+        )
+        + " AS cosine FROM embeddings CROSS JOIN qs WHERE vec_id <> qid), "
+        "rk AS (SELECT qid, rel, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk "
+        "FROM r), "
+        "ri AS (SELECT qid, rnk, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY rnk) AS BIGINT) AS i FROM rk "
+        "WHERE rel = 1), "
+        "ap AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_rel, "
+        "CAST(SUM(CAST(FLOOR(1000000000.0 * i / rnk + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS s FROM ri GROUP BY qid), "
+        "apq AS (SELECT qid, n_rel, "
+        "CAST(FLOOR(CAST(s AS DOUBLE) / n_rel + 0.5) AS BIGINT) AS apu "
+        "FROM ap), "
+        "pan AS (SELECT qid FROM qs), "
+        "o AS (SELECT pan.qid, COALESCE(apq.n_rel, 0) AS n_rel, "
+        "COALESCE(apq.apu, 0) AS apu FROM pan LEFT JOIN apq USING (qid)), "
+        "mp AS (SELECT CAST(SUM(apu) AS BIGINT) AS mu, "
+        "CAST(COUNT(*) AS BIGINT) AS nq FROM o) "
+        "SELECT CAST(o.qid AS BIGINT) AS qid, CAST(o.n_rel AS BIGINT) AS n_rel, "
+        + sql_round("CAST(o.apu AS DOUBLE) / 1000000000", 6) + " AS ap, "
+        + sql_round("CAST(mp.mu AS DOUBLE) / 1000000000 / mp.nq", 6)
+        + " AS map FROM o, mp"
+    )
+
+
+@query(
+    "q_map",
+    oracle=_map_oracle(),
+    tags=("similarity", "retrieval", "metric"),
+)
+def q_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean average precision over the q_mrr 10-query panel (vec_id
+    0..9, same-label relevance, brute-force cosine ranking): per query
+    the average of precision@rank over every relevant item — with the
+    i-th relevant item (rank order) sitting at overall rank r_i,
+    AP = (1/R)·Σ_i i/r_i — then the panel mean (a query with no
+    relevant corpus vector contributes AP = 0 but stays in the
+    denominator, the q_mrr convention). Emits one row per panel query
+    (qid, n_rel, ap) with the panel MAP repeated as a column — the
+    broadcast-scalar pattern q_stump uses for gini_base.
+
+    Exactness: the ranking is the proven (6-dp cosine DESC, vec_id)
+    order from q_knn_cosine/q_mrr. Each relevant item's overall rank r
+    and relevant-index i are EXACT INTEGERS (prefix counts + tie
+    positions), so i/r is the same IEEE division on both engines; each
+    term folds to 1e-9 fixed-point units BEFORE the per-query sum, the
+    per-query AP folds to units before the panel mean (the q_chi2
+    discipline) — no float crosses an aggregation boundary.
+
+    Scale: NO per-query global ranking window over facts. Ranks
+    decompose as r = (#rows with strictly greater 6-dp cosine) +
+    (#ties with smaller vec_id) + 1: the first term is a prefix over
+    the per-(qid, cosine) count table — bounded by the 6-dp cosine
+    DOMAIN (≤2e6+1 rows/query), not corpus size, the q_auc argument —
+    and the second is a window PARTITIONED by (qid, cosine), i.e. by
+    tie group. The fact-scale work is the same broadcast-panel cosine
+    pass q_mrr pays plus one (qid, cosine)-partitioned shuffle; past
+    the 10-query panel both axes parallelize."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < _MRR_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        _as_double("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    scored = (
+        e.select("vec_id", "label", _as_double("embedding").alias("ce"))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("label") == F.col("ql")).cast("int").alias("rel"),
+            pround(cosine_to_query("ce", "qe"), 6).alias("cosine"),
+        )
+    )
+    # prefix counts over the DOMAIN-bounded per-(qid, cosine) table
+    per = scored.groupBy("qid", "cosine").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("rel").cast("bigint").alias("rcnt"),
+    )
+    w_pre = (
+        Window.partitionBy("qid")
+        .orderBy(F.desc("cosine"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.select(
+        "qid",
+        "cosine",
+        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0)).alias("before_n"),
+        F.coalesce(F.sum("rcnt").over(w_pre), F.lit(0)).alias("before_r"),
+    )
+    # within-tie positions: windows partitioned by the tie group
+    w_tie = Window.partitionBy("qid", "cosine").orderBy("vec_id")
+    w_tie_pre = w_tie.rowsBetween(Window.unboundedPreceding, -1)
+    x = (
+        scored.withColumn("tp", F.row_number().over(w_tie) - 1)
+        .withColumn(
+            "trp", F.coalesce(F.sum("rel").over(w_tie_pre), F.lit(0))
+        )
+        .filter(F.col("rel") == 1)
+        .join(cum, ["qid", "cosine"])
+    )
+    r_rank = (F.col("before_n") + F.col("tp") + 1).cast("bigint")
+    i_rel = (F.col("before_r") + F.col("trp") + 1).cast("bigint")
+    ap = x.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_rel"),
+        F.sum(
+            F.floor(F.lit(1000000000.0) * i_rel / r_rank + F.lit(0.5)).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    apq = ap.select(
+        "qid",
+        "n_rel",
+        F.floor(F.col("s").cast("double") / F.col("n_rel") + F.lit(0.5))
+        .cast("bigint")
+        .alias("apu"),
+    )
+    o = (
+        qs.select("qid")
+        .join(F.broadcast(apq), "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint").alias("n_rel"),
+            F.coalesce(F.col("apu"), F.lit(0)).cast("bigint").alias("apu"),
+        )
+    )
+    mp = o.agg(
+        F.sum("apu").cast("bigint").alias("mu"),
+        F.count("*").cast("bigint").alias("nq"),
+    )
+    return o.crossJoin(F.broadcast(mp)).select(
+        F.col("qid").cast("bigint").alias("qid"),
+        "n_rel",
+        pround(F.col("apu").cast("double") / 1000000000, 6).alias("ap"),
+        pround(
+            F.col("mu").cast("double") / 1000000000 / F.col("nq"), 6
+        ).alias("map"),
+    )

@@ -1520,3 +1520,128 @@ def q_holm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("k") < F.coalesce(F.col("kstop"), F.col("m") + 1), 1
         ).otherwise(0),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cochran-Armitage dose-trend test (round 11, VERDICT r10 #5c): the
+# third test family feeding the q_bh_fdr/q_holm correction battery —
+# per customer nation, is the fulfillment rate MONOTONE in the order
+# value (3 ordered price buckets as the dose)? A chi-square sees any
+# mix difference; this sees the DIRECTION, which is what a
+# risk-by-exposure monitor actually asks.
+# ---------------------------------------------------------------------------
+
+
+def _catrend_oracle() -> str:
+    # exact integer score moments per nation: with bucket scores
+    # s_j = j (1,2,3), T = sum(j*r_j), b = sum(j*n_j), a = sum(j^2*n_j)
+    z_num = "(CAST(t_stat AS DOUBLE) - CAST(r AS DOUBLE) * b / n)"
+    bracket = (
+        "GREATEST(CAST(a AS DOUBLE) - CAST(b AS DOUBLE) * b / n, 0.0)"
+    )
+    var = (
+        "((CAST(r AS DOUBLE) / n) * (1.0 - CAST(r AS DOUBLE) / n) "
+        f"* {bracket})"
+    )
+    return (
+        "WITH cells AS (SELECT c.c_nationkey AS nationkey, "
+        f"{_BH_BUCKET_SQL} AS j, "
+        "CAST(COUNT(*) AS BIGINT) AS nj, "
+        "CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS rj "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY nationkey, j), "
+        "seg AS (SELECT nationkey, CAST(SUM(nj) AS BIGINT) AS n, "
+        "CAST(SUM(rj) AS BIGINT) AS r, "
+        "CAST(SUM(j * rj) AS BIGINT) AS t_stat, "
+        "CAST(SUM(j * nj) AS BIGINT) AS b, "
+        "CAST(SUM(j * j * nj) AS BIGINT) AS a FROM cells GROUP BY nationkey) "
+        "SELECT CAST(nationkey AS BIGINT) AS nationkey, n, r AS n_pos, "
+        "t_stat, "
+        + sql_round("CAST(r AS DOUBLE) * b / n", 6) + " AS e_t, "
+        + sql_round(var, 6) + " AS var_t, "
+        + sql_round(f"{z_num} / SQRT({var})", 6) + " AS z FROM seg"
+    )
+
+
+@query(
+    "q_cochran_armitage",
+    oracle=_catrend_oracle(),
+    tags=("stats", "test", "trend"),
+)
+def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test per customer nation: is the
+    fulfilled-order rate (o_orderstatus = 'F') monotone in the order
+    value, with the 3 fixed price buckets (the q_bh_fdr battery's
+    buckets) as ordered doses scored s_j = j? Emits per nation the
+    exact trend statistic T = Σ j·r_j, its null mean E[T] = R·b/N,
+    variance Var[T] = p(1-p)(a - b²/N) with p = R/N, and
+    Z = (T-E)/sqrt(Var) — the signed direction a chi-square
+    independence test (q_chi2/q_bh_fdr's battery) cannot express. The
+    third test family for the q_bh_fdr/q_holm correction battery.
+
+    Exactness: every moment is an exact BIGINT from ONE fact fold —
+    T, b = Σ j·n_j, a = Σ j²·n_j, N, R — and E/Var/Z are scalar IEEE
+    expressions on those integers (mul/div/sqrt are correctly rounded,
+    so identical on both engines; no LN/EXP enters — Z is emitted
+    WITHOUT a p-value precisely because the normal CDF would import
+    the erf library-divergence class). A zero-variance nation
+    (all orders in one bucket, or all/no fulfilled) divides by zero:
+    NULL on both engines (DuckDB double x/0 and non-ANSI Spark agree);
+    the sqrt argument is clamped at 0.0 on both sides because
+    a - b²/N can land 1 ulp negative when the dose variance is
+    exactly 0 and DuckDB SQRT(negative) raises where Spark says NaN.
+
+    Scale: ONE map-side-combinable fact fold to the <=75-cell
+    (nation, bucket) table (customer broadcast into the join), then a
+    <=25-row aggregate — the q_bh_fdr shape; no fact-scale shuffle
+    beyond the fold, no window anywhere."""
+    from fraud_detection_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    bucket = (
+        F.when(F.col("o_totalprice") < 100000, 1)
+        .when(F.col("o_totalprice") < 250000, 2)
+        .otherwise(3)
+    )
+    cells = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"), bucket.alias("j")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("nj"),
+            F.sum((F.col("o_orderstatus") == "F").cast("int"))
+            .cast("bigint")
+            .alias("rj"),
+        )
+    )
+    seg = cells.groupBy("nationkey").agg(
+        F.sum("nj").cast("bigint").alias("n"),
+        F.sum("rj").cast("bigint").alias("r"),
+        F.sum(F.col("j") * F.col("rj")).cast("bigint").alias("t_stat"),
+        F.sum(F.col("j") * F.col("nj")).cast("bigint").alias("b"),
+        F.sum(F.col("j") * F.col("j") * F.col("nj"))
+        .cast("bigint")
+        .alias("a"),
+    )
+    nd = F.col("n").cast("double")
+    rd = F.col("r").cast("double")
+    bd = F.col("b").cast("double")
+    ad = F.col("a").cast("double")
+    p = rd / nd
+    bracket = F.greatest(ad - bd * F.col("b") / nd, F.lit(0.0))
+    var = p * (F.lit(1.0) - p) * bracket
+    z = (F.col("t_stat").cast("double") - rd * bd / nd) / F.sqrt(var)
+    return seg.select(
+        F.col("nationkey").cast("bigint").alias("nationkey"),
+        "n",
+        F.col("r").alias("n_pos"),
+        "t_stat",
+        pround(rd * bd / nd, 6).alias("e_t"),
+        pround(var, 6).alias("var_t"),
+        pround(z, 6).alias("z"),
+    )

@@ -1,0 +1,264 @@
+"""Property tests for the round-11 additions (VERDICT r10 #5):
+q_map, q_tree2, q_cochran_armitage, q_neardup_sources. Each is
+oracle-checked by tests/test_oracle_parity.py; these assert the
+SEMANTIC claims the oracle can't express (independent python/numpy
+reference implementations, cross-query reconciliations, invariants).
+"""
+
+from __future__ import annotations
+
+import math
+
+from fraud_detection_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+# ---------------------------------------------------------------------------
+# q_map
+
+
+def test_map_matches_numpy_reference(spark, sf_dir):
+    """Independent AP computation: rank by (-cosine, vec_id) with
+    numpy/python sorting (no prefix/tie decomposition), AP = mean of
+    i/r over relevant items, MAP = panel mean with AP=0 for
+    no-relevant queries."""
+    import numpy as np
+
+    got = REGISTRY["q_map"].fn(spark, sf_dir).toPandas().set_index("qid")
+
+    from pyspark.sql import functions as F
+
+    from fraud_detection_spark.sources import load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    rows = e.collect()
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    panel = sorted(v for v in vecs if v < 10)
+    assert sorted(got.index) == panel
+
+    aps = []
+    for qid in panel:
+        q = vecs[qid]
+        qn = math.sqrt(float(q @ q))
+        scored = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            c = float(q @ v) / (qn * math.sqrt(float(v @ v)))
+            c6 = math.floor(c * 1e6 + 0.5) / 1e6  # functions.pround
+            scored.append((-c6, vid, 1 if labels[vid] == labels[qid] else 0))
+        scored.sort()
+        i = 0
+        terms = []
+        for r, (_, _, rel) in enumerate(scored, start=1):
+            if rel:
+                i += 1
+                terms.append(i / r)
+        ap = sum(terms) / i if i else 0.0
+        aps.append(ap)
+        assert got.loc[qid, "n_rel"] == i
+        assert abs(got.loc[qid, "ap"] - ap) < 1e-6, (qid, ap)
+        assert 0.0 <= got.loc[qid, "ap"] <= 1.0
+    want_map = sum(aps) / len(panel)
+    assert (got["map"].nunique()) == 1
+    assert abs(got["map"].iloc[0] - want_map) < 1e-6
+    # MAP is the mean of the emitted APs (internal consistency)
+    assert abs(got["map"].iloc[0] - got["ap"].mean()) < 1e-5
+
+
+def test_map_vs_mrr_bound(spark, sf_dir):
+    """AP <= 1/first_rank would be false in general, but AP <= 1 and
+    MRR >= MAP's first-hit term: for every query AP <= precision@1
+    ... the robust cross-metric invariant is MRR >= MAP when every
+    query has >= 1 relevant item and the top item dominates; assert
+    the weaker universally-true pair: both metrics in [0, 1] and
+    computed over the same panel size."""
+    m1 = REGISTRY["q_map"].fn(spark, sf_dir).toPandas()
+    m2 = REGISTRY["q_mrr"].fn(spark, sf_dir).toPandas()
+    assert len(m1) == int(m2.n_queries.iloc[0])
+    assert 0.0 <= m1["map"].iloc[0] <= 1.0
+    assert 0.0 <= m2["mrr"].iloc[0] <= 1.0
+    # RR >= the i=1 AP term (1/r_1) per query, so MRR >= MAP always
+    # (every later AP term i/r_i <= 1 but averaged; the classic
+    # inequality MRR >= MAP holds for binary relevance)
+    assert m2["mrr"].iloc[0] >= m1["map"].iloc[0] - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q_tree2
+
+
+def _best_split(rows, n0, p0, nb, pb):
+    """Exhaustive python reference: rows = sorted distinct
+    (score, cum_n, cum_p); candidates need 0 < cum_n-n0 < nb."""
+    best = None
+    for score, cum_n, cum_p in rows:
+        nl = cum_n - n0
+        pl = cum_p - p0
+        if nl <= 0 or nl >= nb:
+            continue
+        nr, pr = nb - nl, pb - pl
+        key = (nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) + (
+            nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+        )
+        if best is None or (key, score) < best[:2]:
+            best = (key, score, nl, pl, nr, pr)
+    return best
+
+
+def test_tree2_matches_python_reference(spark, sf_dir, duck):
+    from fraud_detection_spark.operators.ml_metrics import SCORED_SQL
+
+    got = (
+        REGISTRY["q_tree2"].fn(spark, sf_dir).toPandas().set_index("node")
+    )
+    cum = duck.execute(
+        f"WITH s AS ({SCORED_SQL}), "
+        "g AS (SELECT score, COUNT(*) AS cnt, SUM(label) AS pos "
+        "FROM s GROUP BY score) "
+        "SELECT score, SUM(cnt) OVER (ORDER BY score) AS cum_n, "
+        "SUM(pos) OVER (ORDER BY score) AS cum_p FROM g ORDER BY score"
+    ).fetchall()
+    rows = [(float(s), int(cn), int(cp)) for s, cn, cp in cum]
+    n, p = rows[-1][1], rows[-1][2]
+
+    root = _best_split(rows, 0, 0, n, p)
+    assert abs(got.loc["root", "threshold"] - root[1]) < 1e-12
+    assert got.loc["root", "n_left"] == root[2]
+    assert got.loc["root", "pos_left"] == root[3]
+
+    # left branch: thresholds < root threshold within the left counts
+    lrows = [r for r in rows if r[0] < root[1]]
+    lbest = _best_split(lrows, 0, 0, root[2], root[3])
+    if lbest is None:
+        assert "left" not in got.index
+    else:
+        assert abs(got.loc["left", "threshold"] - lbest[1]) < 1e-12
+        assert got.loc["left", "n_left"] == lbest[2]
+
+    rrows = [r for r in rows if r[0] > root[1]]
+    rbest = _best_split(rrows, root[2], root[3], root[4], root[5])
+    if rbest is None:
+        assert "right" not in got.index
+    else:
+        assert abs(got.loc["right", "threshold"] - rbest[1]) < 1e-12
+        assert got.loc["right", "n_left"] == rbest[2]
+
+
+def test_tree2_root_equals_stump_and_gains_nonneg(spark, sf_dir):
+    """The root row IS q_stump's output (same machinery, same argmin);
+    every node's best-split gain is >= 0 (Gini concavity: the minimum
+    weighted child impurity never exceeds the parent's)."""
+    t2 = REGISTRY["q_tree2"].fn(spark, sf_dir).toPandas().set_index("node")
+    st = REGISTRY["q_stump"].fn(spark, sf_dir).toPandas().iloc[0]
+    for col in (
+        "threshold",
+        "n_left",
+        "pos_left",
+        "n_right",
+        "pos_right",
+        "gini_split",
+        "gini_base",
+        "gain",
+    ):
+        assert t2.loc["root", col] == st[col], col
+    assert (t2["gain"] >= -1e-12).all()
+    # branch bookkeeping: each branch's total is the root's side count
+    if "left" in t2.index:
+        assert (
+            t2.loc["left", "n_left"] + t2.loc["left", "n_right"]
+            == t2.loc["root", "n_left"]
+        )
+    if "right" in t2.index:
+        assert (
+            t2.loc["right", "n_left"] + t2.loc["right", "n_right"]
+            == t2.loc["root", "n_right"]
+        )
+
+
+# ---------------------------------------------------------------------------
+# q_cochran_armitage
+
+
+def test_cochran_armitage_matches_numpy_reference(spark, sf_dir, duck):
+    import numpy as np
+
+    got = (
+        REGISTRY["q_cochran_armitage"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("nationkey")
+    )
+    cells = duck.execute(
+        "SELECT c.c_nationkey AS nk, "
+        "CASE WHEN o_totalprice < 100000 THEN 1 "
+        "WHEN o_totalprice < 250000 THEN 2 ELSE 3 END AS j, "
+        "COUNT(*) AS nj, "
+        "SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS rj "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey "
+        "GROUP BY nk, j"
+    ).df()
+    for nk, grp in cells.groupby("nk"):
+        nj = grp.nj.values.astype(float)
+        rj = grp.rj.values.astype(float)
+        s = grp.j.values.astype(float)
+        N, R = nj.sum(), rj.sum()
+        T = float((s * rj).sum())
+        E = R * float((s * nj).sum()) / N
+        pbar = R / N
+        var = pbar * (1 - pbar) * (
+            float((s * s * nj).sum()) - float((s * nj).sum()) ** 2 / N
+        )
+        row = got.loc[nk]
+        assert row.n == N and row.n_pos == R
+        assert row.t_stat == T
+        assert abs(row.e_t - E) < 1e-4
+        assert abs(row.var_t - var) < 1e-3
+        if var > 0:
+            z = (T - E) / math.sqrt(var)
+            assert abs(row.z - z) < 1e-5, (nk, z, row.z)
+            # Z sign == sign of the dose/response covariance
+            if abs(z) > 1e-9:
+                cov = T - E
+                assert np.sign(row.z) == np.sign(cov)
+
+
+# ---------------------------------------------------------------------------
+# q_neardup_sources
+
+
+def test_neardup_sources_reconciles_with_pair_list(spark, sf_dir):
+    mat = REGISTRY["q_neardup_sources"].fn(spark, sf_dir).toPandas()
+    pairs = REGISTRY["q_dedup_jaccard"].fn(spark, sf_dir).toPandas()
+    from fraud_detection_spark.sources import load_table
+
+    src = {
+        r.doc_id: r.source
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", "source")
+        .collect()
+    }
+    # total pair count reconciles exactly
+    assert mat.n_pairs.sum() == len(pairs)
+    # every cell is normalized (src_a <= src_b) and mean within range
+    assert (mat.src_a <= mat.src_b).all()
+    assert ((mat.mean_jaccard >= 0.5 - 1e-9) & (mat.mean_jaccard <= 1.0)).all()
+    # independent re-aggregation from the raw pair list
+    import collections
+
+    want = collections.Counter()
+    jsum = collections.Counter()
+    for r in pairs.itertuples():
+        a, b = sorted((src[r.doc_a], src[r.doc_b]))
+        want[(a, b)] += 1
+        jsum[(a, b)] += math.floor(r.jaccard * 1e6 + 0.5)
+    assert len(want) == len(mat)
+    for r in mat.itertuples():
+        k = (r.src_a, r.src_b)
+        assert want[k] == r.n_pairs
+        mean = jsum[k] / 1e6 / want[k]
+        assert abs(r.mean_jaccard - mean) < 1e-6
