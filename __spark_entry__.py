@@ -99,6 +99,9 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_tree2",
     "q_cochran_armitage",
     "q_neardup_sources",
+    # round-11 batch 2 (14 touched + 1 stale = 15 <= 50):
+    "q_recall_at_k",
+    "q_mcnemar",
 })
 
 

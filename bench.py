@@ -291,6 +291,11 @@ HEADLINE = [
     "q_tree2",
     "q_cochran_armitage",
     "q_neardup_sources",
+    # round-11 batch 2: recall@10 / precision@10 (shared
+    # _panel_relevant_ranks machinery with q_map) and the McNemar
+    # paired activity-shift test (one per-customer fold + dim join)
+    "q_recall_at_k",
+    "q_mcnemar",
 ]
 
 

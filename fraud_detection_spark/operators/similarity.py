@@ -1686,6 +1686,68 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _panel_relevant_ranks(spark: SparkSession, sf_dir: str):
+    """Shared rank machinery for q_map / q_recall_at_k: per panel
+    query (vec_id < _MRR_QUERIES, same-label relevance), the overall
+    rank r_rank and relevant-index i_rel of EVERY relevant corpus
+    vector under the proven (6-dp cosine DESC, vec_id) order — ranks
+    decomposed as (prefix over the DOMAIN-bounded per-(qid, cosine)
+    count table) + (position inside a window PARTITIONED by tie
+    group), never a per-query global ranking window. Returns
+    (qs panel, relevant rows with qid/vec_id/r_rank/i_rel)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    qs = e.filter(F.col("vec_id") < _MRR_QUERIES).select(
+        F.col("vec_id").alias("qid"),
+        _as_double("embedding").alias("qe"),
+        F.col("label").alias("ql"),
+    )
+    scored = (
+        e.select("vec_id", "label", _as_double("embedding").alias("ce"))
+        .crossJoin(F.broadcast(qs))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("label") == F.col("ql")).cast("int").alias("rel"),
+            pround(cosine_to_query("ce", "qe"), 6).alias("cosine"),
+        )
+    )
+    # prefix counts over the DOMAIN-bounded per-(qid, cosine) table
+    per = scored.groupBy("qid", "cosine").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("rel").cast("bigint").alias("rcnt"),
+    )
+    w_pre = (
+        Window.partitionBy("qid")
+        .orderBy(F.desc("cosine"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = per.select(
+        "qid",
+        "cosine",
+        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0)).alias("before_n"),
+        F.coalesce(F.sum("rcnt").over(w_pre), F.lit(0)).alias("before_r"),
+    )
+    # within-tie positions: windows partitioned by the tie group
+    w_tie = Window.partitionBy("qid", "cosine").orderBy("vec_id")
+    w_tie_pre = w_tie.rowsBetween(Window.unboundedPreceding, -1)
+    x = (
+        scored.withColumn("tp", F.row_number().over(w_tie) - 1)
+        .withColumn(
+            "trp", F.coalesce(F.sum("rel").over(w_tie_pre), F.lit(0))
+        )
+        .filter(F.col("rel") == 1)
+        .join(cum, ["qid", "cosine"])
+        .select(
+            "qid",
+            "vec_id",
+            (F.col("before_n") + F.col("tp") + 1).cast("bigint").alias("r_rank"),
+            (F.col("before_r") + F.col("trp") + 1).cast("bigint").alias("i_rel"),
+        )
+    )
+    return qs, x
+
+
 def _map_oracle() -> str:
     return (
         "WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, "
@@ -1753,52 +1815,9 @@ def q_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     tie group. The fact-scale work is the same broadcast-panel cosine
     pass q_mrr pays plus one (qid, cosine)-partitioned shuffle; past
     the 10-query panel both axes parallelize."""
-    e = load_table(spark, sf_dir, "embeddings")
-    qs = e.filter(F.col("vec_id") < _MRR_QUERIES).select(
-        F.col("vec_id").alias("qid"),
-        _as_double("embedding").alias("qe"),
-        F.col("label").alias("ql"),
-    )
-    scored = (
-        e.select("vec_id", "label", _as_double("embedding").alias("ce"))
-        .crossJoin(F.broadcast(qs))
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            (F.col("label") == F.col("ql")).cast("int").alias("rel"),
-            pround(cosine_to_query("ce", "qe"), 6).alias("cosine"),
-        )
-    )
-    # prefix counts over the DOMAIN-bounded per-(qid, cosine) table
-    per = scored.groupBy("qid", "cosine").agg(
-        F.count("*").cast("bigint").alias("cnt"),
-        F.sum("rel").cast("bigint").alias("rcnt"),
-    )
-    w_pre = (
-        Window.partitionBy("qid")
-        .orderBy(F.desc("cosine"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = per.select(
-        "qid",
-        "cosine",
-        F.coalesce(F.sum("cnt").over(w_pre), F.lit(0)).alias("before_n"),
-        F.coalesce(F.sum("rcnt").over(w_pre), F.lit(0)).alias("before_r"),
-    )
-    # within-tie positions: windows partitioned by the tie group
-    w_tie = Window.partitionBy("qid", "cosine").orderBy("vec_id")
-    w_tie_pre = w_tie.rowsBetween(Window.unboundedPreceding, -1)
-    x = (
-        scored.withColumn("tp", F.row_number().over(w_tie) - 1)
-        .withColumn(
-            "trp", F.coalesce(F.sum("rel").over(w_tie_pre), F.lit(0))
-        )
-        .filter(F.col("rel") == 1)
-        .join(cum, ["qid", "cosine"])
-    )
-    r_rank = (F.col("before_n") + F.col("tp") + 1).cast("bigint")
-    i_rel = (F.col("before_r") + F.col("trp") + 1).cast("bigint")
+    qs, x = _panel_relevant_ranks(spark, sf_dir)
+    r_rank = F.col("r_rank")
+    i_rel = F.col("i_rel")
     ap = x.groupBy("qid").agg(
         F.count("*").cast("bigint").alias("n_rel"),
         F.sum(
@@ -1836,4 +1855,98 @@ def q_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(
             F.col("mu").cast("double") / 1000000000 / F.col("nq"), 6
         ).alias("map"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Recall@k / precision@k (round 11, batch 2): the operational pair a
+# retrieval stack actually pages on — "of the R relevant vectors, how
+# many landed in the top k" — next to the rank-weighted q_ndcg/q_mrr/
+# q_map. Rides the shared _panel_relevant_ranks machinery.
+# ---------------------------------------------------------------------------
+
+_RECALL_K = 10
+
+
+def _recall_oracle() -> str:
+    return (
+        "WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe, "
+        f"label AS ql FROM embeddings WHERE vec_id < {_MRR_QUERIES}), "
+        "r AS MATERIALIZED (SELECT qid, vec_id, "
+        "CASE WHEN label = ql THEN 1 ELSE 0 END AS rel, "
+        + sql_round(
+            "list_cosine_similarity(CAST(embedding AS DOUBLE[]), qe)", 6
+        )
+        + " AS cosine FROM embeddings CROSS JOIN qs WHERE vec_id <> qid), "
+        "rk AS (SELECT qid, rel, CAST(ROW_NUMBER() OVER "
+        "(PARTITION BY qid ORDER BY cosine DESC, vec_id) AS BIGINT) AS rnk "
+        "FROM r), "
+        "ag AS (SELECT qid, CAST(SUM(rel) AS BIGINT) AS n_rel, "
+        f"CAST(SUM(CASE WHEN rel = 1 AND rnk <= {_RECALL_K} THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS hits FROM rk GROUP BY qid) "
+        # every panel query emits a row, a zero-relevant one with
+        # n_rel = 0 and NULL recall (0/0 -> NULL on both engines)
+        "SELECT CAST(qs.qid AS BIGINT) AS qid, "
+        "COALESCE(ag.n_rel, 0) AS n_rel, COALESCE(ag.hits, 0) AS hits, "
+        + sql_round(
+            "CAST(COALESCE(ag.hits, 0) AS DOUBLE) / COALESCE(ag.n_rel, 0)", 6
+        )
+        + " AS recall_at_k, "
+        + sql_round(
+            f"CAST(COALESCE(ag.hits, 0) AS DOUBLE) / {_RECALL_K}", 6
+        )
+        + " AS precision_at_k FROM qs LEFT JOIN ag USING (qid)"
+    )
+
+
+@query(
+    "q_recall_at_k",
+    oracle=_recall_oracle(),
+    tags=("similarity", "retrieval", "metric"),
+)
+def q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 and precision@10 per panel query (the q_mrr/q_map
+    panel: vec_id 0..9, same-label relevance, brute-force cosine
+    ranking): hits = relevant vectors ranked in the top 10 under the
+    proven (6-dp cosine DESC, vec_id) order, recall = hits/R,
+    precision = hits/10 — the cutoff pair an embedding-retrieval
+    dashboard reports next to MRR/MAP (q_knn_ivf's recall-vs-exact
+    test measures the INDEX against this same notion; this measures
+    the EMBEDDINGS against labels). A query with no relevant corpus
+    vector divides by zero: NULL recall on both engines (DuckDB
+    double x/0 and non-ANSI Spark agree).
+
+    Exactness: ranks come from _panel_relevant_ranks — exact-integer
+    prefix + tie-position decomposition of the q_knn_cosine order —
+    so hits and R are exact integers; the two displayed ratios are
+    identical IEEE divisions rounded at 6 dp.
+
+    Scale: the q_map plan minus the AP folds — one broadcast-panel
+    cosine pass, the domain-bounded per-(qid, cosine) prefix table,
+    tie-partitioned windows, then a <=|panel| aggregate. No per-query
+    global ranking window."""
+    qs, x = _panel_relevant_ranks(spark, sf_dir)
+    ag = x.groupBy("qid").agg(
+        F.count("*").cast("bigint").alias("n_rel"),
+        F.sum((F.col("r_rank") <= _RECALL_K).cast("int"))
+        .cast("bigint")
+        .alias("hits"),
+    )
+    # every panel query emits a row; a zero-relevant one reads
+    # n_rel = 0 with NULL recall (0/0 -> NULL on both engines)
+    o = qs.select("qid").join(F.broadcast(ag), "qid", "left").select(
+        "qid",
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("bigint").alias("n_rel"),
+        F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+    )
+    return o.select(
+        F.col("qid").cast("bigint").alias("qid"),
+        "n_rel",
+        "hits",
+        pround(F.col("hits").cast("double") / F.col("n_rel"), 6).alias(
+            "recall_at_k"
+        ),
+        pround(F.col("hits").cast("double") / _RECALL_K, 6).alias(
+            "precision_at_k"
+        ),
     )

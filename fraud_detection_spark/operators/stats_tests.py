@@ -1645,3 +1645,122 @@ def q_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(var, 6).alias("var_t"),
         pround(z, 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# McNemar paired test (round 11, batch 2): the PAIRED binary shift
+# test the battery lacks — chi2/CA compare independent groups, but
+# "did the SAME customers change behavior between periods" is a
+# paired question, and the discordant-pair statistic is the correct
+# (and exactly computable) answer.
+# ---------------------------------------------------------------------------
+
+
+def _mcnemar_oracle() -> str:
+    return (
+        "WITH o AS (SELECT o_custkey AS custkey, "
+        "CAST(year(o_orderdate) AS BIGINT) AS y FROM orders), "
+        "yr AS (SELECT (MIN(y) + MAX(y) + 1) // 2 AS mid FROM o), "
+        "per AS (SELECT custkey, "
+        "MAX(CASE WHEN y < mid THEN 1 ELSE 0 END) AS h1, "
+        "MAX(CASE WHEN y >= mid THEN 1 ELSE 0 END) AS h2 "
+        "FROM o, yr GROUP BY custkey), "
+        "j AS (SELECT COALESCE(p.h1, 0) AS h1, COALESCE(p.h2, 0) AS h2 "
+        "FROM customer c LEFT JOIN per p ON p.custkey = c.c_custkey), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_customers, "
+        "CAST(SUM(h1 * h2) AS BIGINT) AS n_both, "
+        "CAST(SUM(h1 * (1 - h2)) AS BIGINT) AS b, "
+        "CAST(SUM((1 - h1) * h2) AS BIGINT) AS c, "
+        "CAST(SUM((1 - h1) * (1 - h2)) AS BIGINT) AS n_neither FROM j) "
+        "SELECT n_customers, n_both, b, c, n_neither, "
+        + sql_round(
+            "CAST((b - c) * (b - c) AS DOUBLE) / (b + c)", 6
+        )
+        + " AS chi2, "
+        + sql_round(
+            "CAST(GREATEST(ABS(b - c) - 1, 0) AS DOUBLE) "
+            "* GREATEST(ABS(b - c) - 1, 0) / (b + c)",
+            6,
+        )
+        + " AS chi2_cc FROM a"
+    )
+
+
+@query(
+    "q_mcnemar",
+    oracle=_mcnemar_oracle(),
+    tags=("stats", "test", "paired"),
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar paired test of customer activity shift between the two
+    halves of the order-date range (split at the integer year midpoint
+    (min_year + max_year + 1) // 2, a data-derived constant both
+    engines compute identically in integer arithmetic): with b =
+    customers active ONLY in the first half and c = active ONLY in the
+    second, chi2 = (b-c)²/(b+c) — the discordant-pair statistic. The
+    paired complement of the battery's independent-group tests
+    (q_chi2/q_cochran_armitage): the marginal activity rates can be
+    identical while HALF the population churned and was replaced, and
+    only the paired view sees it. Also emits the Edwards
+    continuity-corrected (max(|b-c|-1, 0))²/(b+c) (clamped so a
+    zero-discordance population reads 0, not the textbook 1/(b+c)
+    artifact). No p-value by design: df=1 needs erf, the
+    cross-engine library class q_cochran_armitage also excludes.
+
+    Exactness: every cell is an exact integer from ONE per-customer
+    fold left-joined to the customer dim (never-ordering customers
+    count as concordant-absent); the two statistics are (b-c)*(b-c)
+    style IEEE expressions on exact integers — multiplication, not
+    POWER (the r11 house rule); b + c = 0 divides to NULL on both
+    engines. Displayed at 6 dp.
+
+    Scale: one map-side-combinable fact fold to |customers| rows, a
+    broadcast 1-row year-midpoint, one dim-sized left join, one 1-row
+    aggregate. No window, no fact-scale shuffle beyond the fold."""
+    from fraud_detection_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        F.year("o_orderdate").cast("bigint").alias("y"),
+    )
+    yr = o.agg(
+        F.floor((F.min("y") + F.max("y") + 1) / 2).cast("bigint").alias("mid")
+    )
+    per = (
+        o.crossJoin(F.broadcast(yr))
+        .groupBy("custkey")
+        .agg(
+            F.max((F.col("y") < F.col("mid")).cast("int")).alias("h1"),
+            F.max((F.col("y") >= F.col("mid")).cast("int")).alias("h2"),
+        )
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    j = cust.join(per, cust.c_custkey == per.custkey, "left").select(
+        F.coalesce(F.col("h1"), F.lit(0)).alias("h1"),
+        F.coalesce(F.col("h2"), F.lit(0)).alias("h2"),
+    )
+    a = j.agg(
+        F.count("*").cast("bigint").alias("n_customers"),
+        F.sum(F.col("h1") * F.col("h2")).cast("bigint").alias("n_both"),
+        F.sum(F.col("h1") * (1 - F.col("h2"))).cast("bigint").alias("b"),
+        F.sum((1 - F.col("h1")) * F.col("h2")).cast("bigint").alias("c"),
+        F.sum((1 - F.col("h1")) * (1 - F.col("h2")))
+        .cast("bigint")
+        .alias("n_neither"),
+    )
+    d = F.col("b") - F.col("c")
+    dc = F.greatest(F.abs(d) - 1, F.lit(0))
+    return a.select(
+        "n_customers",
+        "n_both",
+        "b",
+        "c",
+        "n_neither",
+        pround((d * d).cast("double") / (F.col("b") + F.col("c")), 6).alias(
+            "chi2"
+        ),
+        pround(
+            dc.cast("double") * dc / (F.col("b") + F.col("c")), 6
+        ).alias("chi2_cc"),
+    )

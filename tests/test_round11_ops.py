@@ -1,5 +1,6 @@
 """Property tests for the round-11 additions (VERDICT r10 #5):
-q_map, q_tree2, q_cochran_armitage, q_neardup_sources. Each is
+q_map, q_tree2, q_cochran_armitage, q_neardup_sources, plus batch 2's
+q_recall_at_k and q_mcnemar. Each is
 oracle-checked by tests/test_oracle_parity.py; these assert the
 SEMANTIC claims the oracle can't express (independent python/numpy
 reference implementations, cross-query reconciliations, invariants).
@@ -262,3 +263,101 @@ def test_neardup_sources_reconciles_with_pair_list(spark, sf_dir):
         assert want[k] == r.n_pairs
         mean = jsum[k] / 1e6 / want[k]
         assert abs(r.mean_jaccard - mean) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# q_recall_at_k (round 11, batch 2)
+
+
+def test_recall_at_k_matches_numpy_reference(spark, sf_dir):
+    """Independent full-sort reference: rank by (-cosine, vec_id),
+    hits = relevant in top 10."""
+    import numpy as np
+
+    got = (
+        REGISTRY["q_recall_at_k"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("qid")
+    )
+    from fraud_detection_spark.sources import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: np.array(r.embedding, dtype=float) for r in rows}
+    labels = {r.vec_id: r.label for r in rows}
+    panel = sorted(v for v in vecs if v < 10)
+    assert sorted(got.index) == panel
+    for qid in panel:
+        q = vecs[qid]
+        qn = math.sqrt(float(q @ q))
+        scored = []
+        for vid, v in vecs.items():
+            if vid == qid:
+                continue
+            c = float(q @ v) / (qn * math.sqrt(float(v @ v)))
+            c6 = math.floor(c * 1e6 + 0.5) / 1e6
+            scored.append((-c6, vid, 1 if labels[vid] == labels[qid] else 0))
+        scored.sort()
+        rels = [rel for _, _, rel in scored]
+        R = sum(rels)
+        hits = sum(rels[:10])
+        row = got.loc[qid]
+        assert row.n_rel == R
+        assert row.hits == hits
+        if R:
+            assert abs(row.recall_at_k - hits / R) < 1e-6
+        assert abs(row.precision_at_k - hits / 10) < 1e-6
+        # precision@k and the q_map AP cohere: AP >= (hits-in-top-k
+        # contribution alone) / R... assert the weak bounds instead
+        assert 0 <= row.precision_at_k <= 1
+
+
+def test_recall_at_k_consistent_with_map_ranks(spark, sf_dir):
+    """hits summed over the panel equals the count of q_map's
+    relevant-rank table entries with rank <= 10 (shared machinery)."""
+    from fraud_detection_spark.operators.similarity import (
+        _panel_relevant_ranks,
+    )
+
+    got = REGISTRY["q_recall_at_k"].fn(spark, sf_dir).toPandas()
+    _, x = _panel_relevant_ranks(spark, sf_dir)
+    n_le10 = x.filter("r_rank <= 10").count()
+    assert got.hits.sum() == n_le10
+    assert got.n_rel.sum() == x.count()
+
+
+# ---------------------------------------------------------------------------
+# q_mcnemar (round 11, batch 2)
+
+
+def test_mcnemar_matches_python_reference(spark, sf_dir, duck):
+    got = REGISTRY["q_mcnemar"].fn(spark, sf_dir).toPandas().iloc[0]
+    rows = duck.execute(
+        "SELECT o_custkey, year(o_orderdate) AS y FROM orders"
+    ).fetchall()
+    years = [y for _, y in rows]
+    mid = (min(years) + max(years) + 1) // 2
+    h1, h2 = set(), set()
+    for ck, y in rows:
+        (h1 if y < mid else h2).add(ck)
+    cust = {
+        r[0]
+        for r in duck.execute("SELECT c_custkey FROM customer").fetchall()
+    }
+    both = len(cust & h1 & h2)
+    b = len((cust & h1) - h2)
+    c = len((cust & h2) - h1)
+    neither = len(cust - h1 - h2)
+    assert got.n_customers == len(cust)
+    assert (got.n_both, got.b, got.c, got.n_neither) == (both, b, c, neither)
+    assert got.n_both + got.b + got.c + got.n_neither == got.n_customers
+    if b + c:
+        assert abs(got.chi2 - (b - c) ** 2 / (b + c)) < 1e-6
+        cc = max(abs(b - c) - 1, 0) ** 2 / (b + c)
+        assert abs(got.chi2_cc - cc) < 1e-6
+        # continuity correction never increases the statistic
+        assert got.chi2_cc <= got.chi2 + 1e-12
