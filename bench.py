@@ -269,7 +269,7 @@ HEADLINE = [
     "q_ktruss",
     # round-10 batch 2: Holm step-down (FWER twin of the BH battery,
     # shared construction) and the Gini spend-concentration index on
-    # the distributed log2-bucket rank machinery
+    # the distributed bit-length-bucket rank machinery
     "q_holm",
     "q_gini_index",
     # round-10 batch 3: mean reciprocal rank over a 10-query panel —
