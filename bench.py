@@ -296,6 +296,10 @@ HEADLINE = [
     # paired activity-shift test (one per-customer fold + dim join)
     "q_recall_at_k",
     "q_mcnemar",
+    # round-11 batch 3: Jonckheere-Terpstra ordered trend over the
+    # four day-parts (domain-bounded (grp, value) fold + one
+    # growing-frame pass over the distinct-value table)
+    "q_jonckheere",
 ]
 
 

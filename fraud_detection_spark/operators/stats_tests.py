@@ -1764,3 +1764,191 @@ def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
             dc.cast("double") * dc / (F.col("b") + F.col("c")), 6
         ).alias("chi2_cc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Jonckheere-Terpstra ordered-trend test (round 11, batch 3): the
+# CONTINUOUS-response member of the trend family — q_cochran_armitage
+# reads a binary rate across ordered doses, q_kruskal_wallis reads ANY
+# shift across unordered groups; JT is the test for "does the VALUE
+# distribution shift monotonically across ordered groups", here the
+# transaction amount across the four day-parts.
+# ---------------------------------------------------------------------------
+
+
+def _jt_oracle() -> str:
+    # JT2 = doubled JT statistic (ties count 1 -> 2 units, strict
+    # wins 2 units), summed over ordered group pairs g < h via
+    # per-value strict-prefix counts L_g(v) = cum_g(v) - c_g(v).
+    pair_terms = " + ".join(
+        f"CAST(c{h} AS HUGEINT) * (2 * (cum{g} - c{g}) + c{g})"
+        for g in range(1, 4)
+        for h in range(g + 1, 5)
+    )
+    return (
+        "WITH e AS (SELECT ((epoch_ns(ts) // 1000000000 // 3600) % 24) // 6 + 1 "
+        "AS grp, CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v FROM events), "
+        "gp AS (SELECT grp, v, CAST(COUNT(*) AS BIGINT) AS c FROM e "
+        "GROUP BY grp, v), "
+        "t AS (SELECT v, "
+        + ", ".join(
+            f"CAST(SUM(CASE WHEN grp = {g} THEN c ELSE 0 END) AS BIGINT) AS c{g}"
+            for g in range(1, 5)
+        )
+        + " FROM gp GROUP BY v), "
+        "cumt AS (SELECT v, c1, c2, c3, c4, "
+        + ", ".join(
+            f"CAST(SUM(c{g}) OVER (ORDER BY v) AS BIGINT) AS cum{g}"
+            for g in range(1, 5)
+        )
+        + " FROM t), "
+        f"jt AS (SELECT CAST(SUM({pair_terms}) AS HUGEINT) AS jt2 FROM cumt), "
+        "gs AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS ng FROM gp GROUP BY grp), "
+        "gm AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+        "CAST(SUM(ng) AS BIGINT) AS n, "
+        "CAST(SUM(CAST(ng AS HUGEINT) * ng) AS HUGEINT) AS s2g, "
+        "CAST(SUM(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)) AS HUGEINT) AS ag, "
+        "CAST(SUM(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS HUGEINT) AS bg, "
+        "CAST(SUM(CAST(ng AS HUGEINT) * (ng - 1)) AS HUGEINT) AS cg FROM gs), "
+        "tm AS (SELECT "
+        "CAST(SUM(CAST(tv AS HUGEINT) * (tv - 1) * (2 * tv + 5)) AS HUGEINT) AS at, "
+        "CAST(SUM(CAST(tv AS HUGEINT) * (tv - 1) * (tv - 2)) AS HUGEINT) AS bt, "
+        "CAST(SUM(CAST(tv AS HUGEINT) * (tv - 1)) AS HUGEINT) AS ct "
+        "FROM (SELECT c1 + c2 + c3 + c4 AS tv FROM t)), "
+        "f AS (SELECT k, n, "
+        "CAST(jt2 AS DOUBLE) / 2 AS jtv, "
+        "(CAST(n AS DOUBLE) * n - CAST(s2g AS DOUBLE)) / 4 AS e_jt, "
+        "(CAST(n AS DOUBLE) * (n - 1) * (2 * n + 5) - CAST(ag AS DOUBLE) "
+        "- CAST(at AS DOUBLE)) / 72 "
+        "+ CAST(bg AS DOUBLE) * CAST(bt AS DOUBLE) "
+        "/ (36.0 * n * (n - 1) * (n - 2)) "
+        "+ CAST(cg AS DOUBLE) * CAST(ct AS DOUBLE) / (8.0 * n * (n - 1)) "
+        "AS var_jt FROM jt, gm, tm) "
+        "SELECT k, n, " + sql_round("jtv", 1) + " AS jt, "
+        + sql_round("e_jt", 2) + " AS e_jt, "
+        + sql_round("var_jt", 2) + " AS var_jt, "
+        + sql_round("(jtv - e_jt) / SQRT(var_jt)", 6) + " AS z FROM f"
+    )
+
+
+@query(
+    "q_jonckheere",
+    oracle=_jt_oracle(),
+    tags=("stats", "test", "trend", "rank"),
+)
+def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jonckheere-Terpstra ordered-alternative trend test: does the
+    transaction-value distribution shift monotonically across the four
+    ordered day-parts (night 0-5h, morning 6-11h, afternoon 12-17h,
+    evening 18-23h)? JT = Σ_{g<h} U_{gh} (pairwise Mann-Whitney counts
+    between every LOWER and HIGHER dose, ties ½), with the
+    TIE-CORRECTED normal moments (Hollander-Wolfe three-term
+    variance). Completes the trend family: q_cochran_armitage reads a
+    binary rate over doses, q_kruskal_wallis any unordered shift —
+    this is the ordered continuous case, strictly more powerful than
+    KW when the alternative is monotone.
+
+    Exactness: values fold to 1e-4 fixed-point units; the doubled
+    statistic JT2 = Σ_v Σ_{g<h} c_h(v)·(2·L_g(v) + c_g(v)) is an
+    exact HUGEINT/DECIMAL(38,0) integer (L_g = strict-prefix counts
+    from ONE growing-frame window pass), so JT = JT2/2 is exact at
+    1 dp. Group/tie moment factors (Σn(n-1)(2n+5) etc.) are exact
+    integers; only the FINAL E/Var/z combination runs in IEEE doubles
+    (per-factor casts then mul/div/sqrt — all correctly rounded,
+    identical both engines; the B and C cross terms are kept as
+    double PRODUCTS of exact integer factors because their n⁶-scale
+    product would overflow DECIMAL(38,0) past ~1e6 rows — same
+    inputs, same ops, engine-identical). No p-value: the normal CDF
+    is the erf class this house excludes (q_cochran_armitage
+    precedent).
+
+    Scale: one map-side (grp, v) fold bounded by 4 × the 1e-4 value
+    DOMAIN (≤4e6 cells regardless of row count); the per-group prefix
+    windows are GROWING frames over the ≤1e6-row distinct-value table
+    (the q_kruskal_wallis/_rank2_tables pattern — domain-bounded, and
+    the bucket-offset machinery is the documented scale-up if the
+    domain widens); everything after is 1-row scalar math."""
+    ev = events_with_time(spark, sf_dir)
+    gp = (
+        ev.select(
+            (F.expr("ts_sec div 3600") % 24)
+            .cast("bigint")
+            .alias("hour"),
+            F.floor(F.col("value") * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+        )
+        .select((F.expr("hour div 6") + 1).alias("grp"), "v")
+        .groupBy("grp", "v")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+
+    def csum(g: int):
+        return (
+            F.sum(F.when(F.col("grp") == g, F.col("c")).otherwise(0))
+            .cast("bigint")
+            .alias(f"c{g}")
+        )
+
+    t = gp.groupBy("v").agg(*[csum(g) for g in range(1, 5)])
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cumt = t.select(
+        "v",
+        *[F.col(f"c{g}") for g in range(1, 5)],
+        *[
+            F.sum(f"c{g}").over(w).cast("bigint").alias(f"cum{g}")
+            for g in range(1, 5)
+        ],
+    )
+    dec = "decimal(38,0)"
+    pair_terms = None
+    for g in range(1, 4):
+        for h in range(g + 1, 5):
+            term = F.col(f"c{h}").cast(dec) * (
+                2 * (F.col(f"cum{g}") - F.col(f"c{g}")) + F.col(f"c{g}")
+            )
+            pair_terms = term if pair_terms is None else pair_terms + term
+    jt = cumt.agg(F.sum(pair_terms).alias("jt2"))
+    gs = gp.groupBy("grp").agg(F.sum("c").cast("bigint").alias("ng"))
+    ngd = F.col("ng").cast(dec)
+    gm = gs.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum("ng").cast("bigint").alias("n"),
+        F.sum(ngd * F.col("ng")).alias("s2g"),
+        F.sum(ngd * (F.col("ng") - 1) * (2 * F.col("ng") + 5)).alias("ag"),
+        F.sum(ngd * (F.col("ng") - 1) * (F.col("ng") - 2)).alias("bg"),
+        F.sum(ngd * (F.col("ng") - 1)).alias("cg"),
+    )
+    tv = (F.col("c1") + F.col("c2") + F.col("c3") + F.col("c4")).alias("tv")
+    tvd = F.col("tv").cast(dec)
+    tm = t.select(tv).agg(
+        F.sum(tvd * (F.col("tv") - 1) * (2 * F.col("tv") + 5)).alias("at"),
+        F.sum(tvd * (F.col("tv") - 1) * (F.col("tv") - 2)).alias("bt"),
+        F.sum(tvd * (F.col("tv") - 1)).alias("ct"),
+    )
+    f = jt.crossJoin(F.broadcast(gm)).crossJoin(F.broadcast(tm))
+    nd = F.col("n").cast("double")
+    jtv = F.col("jt2").cast("double") / 2
+    e_jt = (nd * F.col("n") - F.col("s2g").cast("double")) / 4
+    var_jt = (
+        (
+            nd * (F.col("n") - 1) * (2 * F.col("n") + 5)
+            - F.col("ag").cast("double")
+            - F.col("at").cast("double")
+        )
+        / 72
+        + F.col("bg").cast("double")
+        * F.col("bt").cast("double")
+        / (F.lit(36.0) * F.col("n") * (F.col("n") - 1) * (F.col("n") - 2))
+        + F.col("cg").cast("double")
+        * F.col("ct").cast("double")
+        / (F.lit(8.0) * F.col("n") * (F.col("n") - 1))
+    )
+    return f.select(
+        "k",
+        "n",
+        pround(jtv, 1).alias("jt"),
+        pround(e_jt, 2).alias("e_jt"),
+        pround(var_jt, 2).alias("var_jt"),
+        pround((jtv - e_jt) / F.sqrt(var_jt), 6).alias("z"),
+    )

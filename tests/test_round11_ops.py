@@ -361,3 +361,62 @@ def test_mcnemar_matches_python_reference(spark, sf_dir, duck):
         assert abs(got.chi2_cc - cc) < 1e-6
         # continuity correction never increases the statistic
         assert got.chi2_cc <= got.chi2 + 1e-12
+
+
+# ---------------------------------------------------------------------------
+# q_jonckheere (round 11, batch 3)
+
+
+def test_jonckheere_matches_bruteforce_reference(spark, sf_dir, duck):
+    """O(n²) pairwise JT + independent Hollander-Wolfe tie-corrected
+    moments on the raw rows (sf0.001-sized: ~1e6 python pair ops)."""
+    got = REGISTRY["q_jonckheere"].fn(spark, sf_dir).toPandas().iloc[0]
+    rows = duck.execute(
+        "SELECT ((epoch_ns(ts) // 1000000000 // 3600) % 24) // 6 + 1 AS g, "
+        "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v FROM events"
+    ).fetchall()
+    from collections import defaultdict
+
+    by_g = defaultdict(list)
+    for g, v in rows:
+        by_g[g].append(v)
+    groups = sorted(by_g)
+    # pairwise U with half-ties, in doubled units
+    jt2 = 0
+    for i, g in enumerate(groups):
+        for h in groups[i + 1 :]:
+            for x in by_g[g]:
+                for y in by_g[h]:
+                    if x < y:
+                        jt2 += 2
+                    elif x == y:
+                        jt2 += 1
+    assert got.jt == jt2 / 2
+    n = len(rows)
+    ngs = [len(by_g[g]) for g in groups]
+    e_jt = (n * n - sum(x * x for x in ngs)) / 4
+    assert abs(got.e_jt - e_jt) < 0.01
+    ties = defaultdict(int)
+    for _, v in rows:
+        ties[v] += 1
+    tvs = list(ties.values())
+    a = (
+        n * (n - 1) * (2 * n + 5)
+        - sum(x * (x - 1) * (2 * x + 5) for x in ngs)
+        - sum(t * (t - 1) * (2 * t + 5) for t in tvs)
+    ) / 72
+    b = (
+        sum(x * (x - 1) * (x - 2) for x in ngs)
+        * sum(t * (t - 1) * (t - 2) for t in tvs)
+        / (36 * n * (n - 1) * (n - 2))
+    )
+    c = (
+        sum(x * (x - 1) for x in ngs)
+        * sum(t * (t - 1) for t in tvs)
+        / (8 * n * (n - 1))
+    )
+    var = a + b + c
+    assert abs(got.var_jt - var) / var < 1e-9
+    z = (jt2 / 2 - e_jt) / math.sqrt(var)
+    assert abs(got.z - z) < 1e-5
+    assert got.k == len(groups) and got.n == n
