@@ -102,9 +102,11 @@ _TOUCHED_THIS_ROUND = frozenset({
     # round-11 batch 2 (14 touched + 1 stale = 15 <= 50):
     "q_recall_at_k",
     "q_mcnemar",
-    # round-11 batch 3 (15 touched + 1 stale = 16 <= 50; 7th and
-    # final addition of the <=8 budget):
+    # round-11 batch 3 (15 touched + 1 stale = 16 <= 50):
     "q_jonckheere",
+    # round-11 batch 4 (16 touched + 1 stale = 17 <= 50; 8th and
+    # final addition — the full VERDICT r10 #5 budget):
+    "q_friedman",
 })
 
 

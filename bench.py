@@ -300,6 +300,10 @@ HEADLINE = [
     # four day-parts (domain-bounded (grp, value) fold + one
     # growing-frame pass over the distinct-value table)
     "q_jonckheere",
+    # round-11 batch 4: Friedman blocked rank test + Page's L (two
+    # hash aggregates + constant-size per-user rank expressions,
+    # exact fraction comparisons — no window at all)
+    "q_friedman",
 ]
 
 

@@ -1952,3 +1952,221 @@ def q_jonckheere(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(var_jt, 2).alias("var_jt"),
         pround((jtv - e_jt) / F.sqrt(var_jt), 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Friedman blocked rank test + Page's L ordered alternative (round 11,
+# batch 4): the BLOCKED members of the rank family — q_kruskal_wallis
+# compares independent groups, but "does the same user's value level
+# differ by day-part" is a repeated-measures question; Friedman ranks
+# WITHIN each user (block) so between-user level differences cancel,
+# and Page's L is its ordered-alternative refinement (the blocked
+# analog of q_jonckheere).
+# ---------------------------------------------------------------------------
+
+_FRIED_K = 4  # day-parts
+
+
+def _fried_oracle() -> str:
+    k = _FRIED_K
+
+    def less(a: int, b: int) -> str:
+        # mean_a < mean_b exactly: s_a*n_b < s_b*n_a (integer cross-mul)
+        return (
+            f"CAST(s{a} AS HUGEINT) * n{b} < CAST(s{b} AS HUGEINT) * n{a}"
+        )
+
+    def eq(a: int, b: int) -> str:
+        return (
+            f"CAST(s{a} AS HUGEINT) * n{b} = CAST(s{b} AS HUGEINT) * n{a}"
+        )
+
+    r2_cols = []
+    for j in range(1, k + 1):
+        c_less = " + ".join(
+            f"CASE WHEN {less(o, j)} THEN 1 ELSE 0 END"
+            for o in range(1, k + 1)
+            if o != j
+        )
+        t_j = " + ".join(
+            f"CASE WHEN {eq(o, j)} THEN 1 ELSE 0 END"
+            for o in range(1, k + 1)
+            if o != j
+        )
+        r2_cols.append(f"2 * ({c_less}) + ({t_j}) + 2 AS r2_{j}")
+    tie_sq = " + ".join(
+        "(" + " + ".join(
+            f"CASE WHEN {eq(o, j)} THEN 1 ELSE 0 END"
+            for o in range(1, k + 1)
+            if o != j
+        )
+        + f" + 1) * ("
+        + " + ".join(
+            f"CASE WHEN {eq(o, j)} THEN 1 ELSE 0 END"
+            for o in range(1, k + 1)
+            if o != j
+        )
+        + " + 1) - 1"
+        for j in range(1, k + 1)
+    )
+    piv = ", ".join(
+        f"CAST(SUM(CASE WHEN j = {j} THEN cnt ELSE 0 END) AS BIGINT) AS n{j}, "
+        f"CAST(SUM(CASE WHEN j = {j} THEN sv ELSE 0 END) AS BIGINT) AS s{j}"
+        for j in range(1, k + 1)
+    )
+    complete = " AND ".join(f"n{j} > 0" for j in range(1, k + 1))
+    sum_r2sq = " + ".join(
+        f"CAST(SUM(r2_{j}) AS HUGEINT) * CAST(SUM(r2_{j}) AS HUGEINT)"
+        for j in range(1, k + 1)
+    )
+    l2 = " + ".join(f"{j} * CAST(SUM(r2_{j}) AS HUGEINT)" for j in range(1, k + 1))
+    return (
+        "WITH e AS (SELECT user_id, "
+        "((epoch_ns(ts) // 1000000000 // 3600) % 24) // 6 + 1 AS j, "
+        "CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v FROM events), "
+        "g AS (SELECT user_id, j, COUNT(*) AS cnt, CAST(SUM(v) AS BIGINT) "
+        "AS sv FROM e GROUP BY user_id, j), "
+        f"p AS (SELECT user_id, {piv} "
+        "FROM g GROUP BY user_id), "
+        f"c AS (SELECT * FROM p WHERE {complete}), "
+        f"r AS (SELECT user_id, {', '.join(r2_cols)}, {tie_sq} AS tsq FROM c), "
+        "a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        f"CAST(SUM(tsq) AS BIGINT) AS tt, {sum_r2sq} AS q4, {l2} AS l2 FROM r), "
+        "f AS (SELECT n, "
+        f"3.0 * CAST(q4 AS DOUBLE) / (CAST(n AS DOUBLE) * {k} * {k + 1}) "
+        f"- 3.0 * n * {k + 1} AS q, "
+        f"1.0 - CAST(tt AS DOUBLE) / (CAST(n AS DOUBLE) * {k} * {k * k - 1}) AS cc, "
+        "CAST(l2 AS DOUBLE) / 2 AS lv, "
+        f"CAST(n AS DOUBLE) * {k} * {(k + 1) * (k + 1)} / 4 AS e_l, "
+        f"CAST(n AS DOUBLE) * {k * k} * {k + 1} * {k * k - 1} / 144 AS var_l "
+        "FROM a) "
+        f"SELECT n AS n_blocks, CAST({k} AS INT) AS k, "
+        + sql_round("q", 6) + " AS q, "
+        + sql_round("q / cc", 6) + " AS q_tie_adj, "
+        + sql_round("lv", 1) + " AS page_l, "
+        + sql_round("e_l", 2) + " AS e_l, "
+        + sql_round("(lv - e_l) / SQRT(var_l)", 6) + " AS z_l FROM f"
+    )
+
+
+@query(
+    "q_friedman",
+    oracle=_fried_oracle(),
+    tags=("stats", "test", "rank", "trend"),
+)
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman repeated-measures rank test + Page's L ordered trend:
+    does a USER's mean transaction value differ across the four
+    day-parts, ranking day-parts WITHIN each user so between-user
+    level differences cancel (the blocked complement of
+    q_kruskal_wallis, which would confound user mix with day-part) —
+    and, because day-parts are ORDERED, Page's L = Σ j·R_j with its
+    normal z as the blocked analog of q_jonckheere. Blocks are users
+    with activity in all four day-parts (incomplete blocks are
+    excluded — the standard complete-block design; both engines apply
+    the identical filter).
+
+    Exactness: a user's per-day-part means are RATIONALS (1e-4
+    fixed-point sums / counts), and within-block ranking needs only
+    mean COMPARISONS — done exactly by integer cross-multiplication
+    s_a·n_b vs s_b·n_a in HUGEINT/DECIMAL(38,0), so the doubled ranks
+    r2 = 2·c_less + t + 1 (t incl. self) are exact integers and NO
+    float enters before the final scalars. Column sums R2_j, the tie
+    term Σ(t²−1), ΣR2_j² and L2 fold as exact integers; Friedman
+    Q = 3·ΣR2_j²/(nk(k+1)) − 3n(k+1) (the doubled-rank form), the
+    tie-corrected Q/C with C = 1 − Σ(t³−t)/(nk(k²−1)), and Page's
+    E[L] = nk(k+1)²/4, Var[L] = nk²(k+1)(k²−1)/144 (untied variance —
+    ties across a user's four means are rare at 1e-4 resolution and
+    the tie-corrected Q is the guarded statistic) are scalar IEEE on
+    those integers. No p-value (the erf house exclusion).
+
+    Scale: one map-side (user, day-part) fold, one |users|-row pivot
+    aggregate, per-row constant-size rank expressions (12 integer
+    comparisons), one 1-row fold — no window at all, no shuffle
+    beyond the two hash aggregates. Blocks parallelize perfectly."""
+    ev = events_with_time(spark, sf_dir)
+    k = _FRIED_K
+    g = (
+        ev.select(
+            "user_id",
+            (F.expr("ts_sec div 3600") % 24).alias("hour"),
+            F.floor(F.col("value") * 10000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("v"),
+        )
+        .select("user_id", (F.expr("hour div 6") + 1).alias("j"), "v")
+        .groupBy("user_id", "j")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("v").cast("bigint").alias("sv"),
+        )
+    )
+    p = g.groupBy("user_id").agg(
+        *[
+            F.sum(F.when(F.col("j") == j, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias(f"n{j}")
+            for j in range(1, k + 1)
+        ],
+        *[
+            F.sum(F.when(F.col("j") == j, F.col("sv")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s{j}")
+            for j in range(1, k + 1)
+        ],
+    )
+    complete = None
+    for j in range(1, k + 1):
+        c = F.col(f"n{j}") > 0
+        complete = c if complete is None else (complete & c)
+    cb = p.filter(complete)
+    dec = "decimal(38,0)"
+
+    def cross(a: int, b: int):
+        return F.col(f"s{a}").cast(dec) * F.col(f"n{b}")
+
+    r2_cols, tsq = [], None
+    for j in range(1, k + 1):
+        c_less, t_j = None, None
+        for o in range(1, k + 1):
+            if o == j:
+                continue
+            lt = F.when(cross(o, j) < cross(j, o), 1).otherwise(0)
+            eqc = F.when(cross(o, j) == cross(j, o), 1).otherwise(0)
+            c_less = lt if c_less is None else c_less + lt
+            t_j = eqc if t_j is None else t_j + eqc
+        r2_cols.append((2 * c_less + t_j + 2).alias(f"r2_{j}"))
+        tie_term = (t_j + 1) * (t_j + 1) - 1
+        tsq = tie_term if tsq is None else tsq + tie_term
+    r = cb.select("user_id", *r2_cols, tsq.alias("tsq"))
+    a = r.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("tsq").cast("bigint").alias("tt"),
+        *[
+            F.sum(f"r2_{j}").cast("bigint").alias(f"rs{j}")
+            for j in range(1, k + 1)
+        ],
+    )
+    q4, l2 = None, None
+    for j in range(1, k + 1):
+        sq = F.col(f"rs{j}").cast(dec) * F.col(f"rs{j}")
+        q4 = sq if q4 is None else q4 + sq
+        lj = F.lit(j).cast(dec) * F.col(f"rs{j}")
+        l2 = lj if l2 is None else l2 + lj
+    nd = F.col("n").cast("double")
+    qstat = 3.0 * q4.cast("double") / (nd * k * (k + 1)) - 3.0 * F.col("n") * (
+        k + 1
+    )
+    cc = 1.0 - F.col("tt").cast("double") / (nd * k * (k * k - 1))
+    lv = l2.cast("double") / 2
+    e_l = nd * k * (k + 1) * (k + 1) / 4
+    var_l = nd * k * k * (k + 1) * (k * k - 1) / 144
+    return a.select(
+        F.col("n").alias("n_blocks"),
+        F.lit(k).cast("int").alias("k"),
+        pround(qstat, 6).alias("q"),
+        pround(qstat / cc, 6).alias("q_tie_adj"),
+        pround(lv, 1).alias("page_l"),
+        pround(e_l, 2).alias("e_l"),
+        pround((lv - e_l) / F.sqrt(var_l), 6).alias("z_l"),
+    )

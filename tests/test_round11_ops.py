@@ -420,3 +420,57 @@ def test_jonckheere_matches_bruteforce_reference(spark, sf_dir, duck):
     z = (jt2 / 2 - e_jt) / math.sqrt(var)
     assert abs(got.z - z) < 1e-5
     assert got.k == len(groups) and got.n == n
+
+
+# ---------------------------------------------------------------------------
+# q_friedman (round 11, batch 4)
+
+
+def test_friedman_matches_python_reference(spark, sf_dir, duck):
+    """Independent reference: per-user day-part means as exact
+    fractions, average ranks via sorting, Friedman Q + tie correction
+    + Page's L recomputed from scratch."""
+    from collections import defaultdict
+    from fractions import Fraction
+
+    got = REGISTRY["q_friedman"].fn(spark, sf_dir).toPandas().iloc[0]
+    rows = duck.execute(
+        "SELECT user_id, ((epoch_ns(ts) // 1000000000 // 3600) % 24) // 6 "
+        "AS j, CAST(FLOOR(value * 10000 + 0.5) AS BIGINT) AS v FROM events"
+    ).fetchall()
+    acc = defaultdict(lambda: defaultdict(lambda: [0, 0]))  # u -> j -> [n, s]
+    for u, j, v in rows:
+        a = acc[u][j]
+        a[0] += 1
+        a[1] += v
+    k = 4
+    R = [0.0] * k
+    n_blocks = 0
+    tt = 0
+    L = 0.0
+    for u, parts in acc.items():
+        if len(parts) < k:
+            continue
+        n_blocks += 1
+        means = [Fraction(parts[j][1], parts[j][0]) for j in range(k)]
+        for j in range(k):
+            c_less = sum(1 for o in range(k) if means[o] < means[j])
+            t = sum(1 for o in range(k) if means[o] == means[j])
+            r = c_less + (t + 1) / 2
+            R[j] += r
+            L += (j + 1) * r
+            tt += t * t - 1
+    assert got.n_blocks == n_blocks and got.k == k
+    q = 12.0 / (n_blocks * k * (k + 1)) * sum(x * x for x in R) - 3 * n_blocks * (
+        k + 1
+    )
+    assert abs(got.q - q) < 1e-4, (got.q, q)
+    cc = 1 - tt / (n_blocks * k * (k * k - 1))
+    assert abs(got.q_tie_adj - q / cc) < 1e-4
+    assert got.page_l == L
+    e_l = n_blocks * k * (k + 1) ** 2 / 4
+    var_l = n_blocks * k * k * (k + 1) * (k * k - 1) / 144
+    assert abs(got.e_l - e_l) < 0.01
+    assert abs(got.z_l - (L - e_l) / math.sqrt(var_l)) < 1e-5
+    # blocked rank sums partition the total: ΣR_j = n·k(k+1)/2
+    assert abs(sum(R) - n_blocks * k * (k + 1) / 2) < 1e-9
