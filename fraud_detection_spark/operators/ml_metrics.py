@@ -1174,25 +1174,28 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
 
     def _pick_stump(cands, u, d, r: int):
-        e = F.least(u, d - u)
         # fail LOUDLY if the DECIMAL(38,0) weight numerators overflow
         # (non-ANSI Spark silently NULLs them, and ascending ORDER BY e
         # would put NULL first — a garbage stump chosen silently while
-        # DuckDB's HUGEINT overflow raises; ADVICE r10 #2). Inside the
-        # documented n^(2r-1) < 10^38 headroom this branch never fires.
-        e = F.when(
-            e.isNull(),
-            F.raise_error(
-                F.lit(
-                    "q_boosted_stumps: DECIMAL(38,0) weight-numerator "
-                    "overflow — exactness headroom exhausted"
-                )
-            ).cast(dec),
-        ).otherwise(e)
+        # DuckDB's HUGEINT overflow raises; ADVICE r10 #2). Guard the
+        # INPUTS, not the least() result: least() skips NULL operands,
+        # so a NULLed d with a representable u would otherwise fall
+        # through as e = u and pol = -1 silently (ADVICE r11 #1).
+        # Inside the documented n^(2r-1) < 10^38 headroom this branch
+        # never fires.
+        overflow = F.raise_error(
+            F.lit(
+                "q_boosted_stumps: DECIMAL(38,0) weight-numerator "
+                "overflow — exactness headroom exhausted"
+            )
+        ).cast(dec)
+        bad = u.isNull() | d.isNull()
+        e = F.when(bad, overflow).otherwise(F.least(u, d - u))
+        pol_pos = F.when(bad, overflow.cast("boolean")).otherwise(u <= d - u)
         return (
             cands.select(
                 F.col("score").alias(f"t{r}"),
-                F.when(u <= d - u, F.lit(1)).otherwise(F.lit(-1)).alias(f"pol{r}"),
+                F.when(pol_pos, F.lit(1)).otherwise(F.lit(-1)).alias(f"pol{r}"),
                 e.cast(dec).alias(f"e{r}"),
                 d.cast(dec).alias(f"d{r}"),
                 F.col("cp").alias(f"cp{r}"),

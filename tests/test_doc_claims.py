@@ -84,7 +84,15 @@ def test_no_correctly_roundable_power_in_any_oracle_or_query():
     (pipelines/corpus_job.py)."""
     from fraud_detection_spark.registry import load_all
 
-    decomposable = re.compile(r"POWER\s*\(.*,\s*(2|2\.0|1\.5)\s*\)", re.I)
+    # Stay inside ONE call: '[^()]*(?:\([^()]*\)[^()]*)*' walks the
+    # first POWER argument allowing one nesting level of parens, so a
+    # later ', 2)' from an unrelated ROUND(x, 2) in the same oracle
+    # can no longer false-positive, and '2.00'/whitespace variants of
+    # the exponent no longer escape (ADVICE r11 #3).
+    decomposable = re.compile(
+        r"POWER\s*\([^()]*(?:\([^()]*\)[^()]*)*,\s*(2|2\.0+|1\.50*)\s*\)",
+        re.I,
+    )
     for name, q in load_all().items():
         if q.oracle is None:
             continue

@@ -83,10 +83,12 @@ def test_map_vs_mrr_bound(spark, sf_dir):
     assert len(m1) == int(m2.n_queries.iloc[0])
     assert 0.0 <= m1["map"].iloc[0] <= 1.0
     assert 0.0 <= m2["mrr"].iloc[0] <= 1.0
-    # RR >= the i=1 AP term (1/r_1) per query, so MRR >= MAP always
-    # (every later AP term i/r_i <= 1 but averaged; the classic
-    # inequality MRR >= MAP holds for binary relevance)
-    assert m2["mrr"].iloc[0] >= m1["map"].iloc[0] - 1e-9
+    # NOTE (ADVICE r11 #2): MRR >= MAP is NOT universal for binary
+    # relevance (R=2 with hits at ranks 2,3 gives AP = 7/12 > RR =
+    # 1/2), so no cross-metric inequality is asserted here — only the
+    # universally-true range and panel-size invariants above. The
+    # per-query relation that IS universal (RR = 1/r_1 >= the first
+    # AP summand 1/R * 1/r_1 ... trivially) carries no test value.
 
 
 # ---------------------------------------------------------------------------
