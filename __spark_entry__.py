@@ -69,44 +69,18 @@ def entry(spark: SparkSession) -> DataFrame:
 _PINNED_HEAD = ()
 
 _TOUCHED_THIS_ROUND = frozenset({
-    # round 11 edits. The stale tail is down to ONE query (q_lag_delta,
-    # r4 — VERDICT r10 #4), so the 50-slot sample has ample room: the
-    # rotation puts touched first, then q_lag_delta, then the oldest
-    # r5-green rows.
+    # round 12 edits. VERDICT r11 #3: keep this set small (<= ~10) so
+    # the rotation's stale-first ordering drains the r05-evidence
+    # block (q_chunk_dedup, q_tfidf, q_bpe_tokens, q_pq_encode,
+    # q_knn_ivf_pq, q_edit_distance, q_text_normalize, ...) into the
+    # 50-slot sample.
     #
-    # VERDICT r10 #1 — POWER(x,2) -> x*x and POWER(m2,1.5) ->
-    # m2*SQRT(m2) exact decompositions on BOTH engines (the 1-ulp
-    # cross-engine class the sf0.1 q_hhi catch proved real); class
-    # pinned closed by test_doc_claims.py::
-    # test_no_correctly_roundable_power_in_any_oracle_or_query:
-    "q_trend_forecast",
-    "q_moments",
-    "q_zipf_fit",
-    "q_chi2",
-    "q_embedding_outlier",
-    # ADVICE r10 #1: BH oracle threshold now k*CAST(0.05 AS DOUBLE)/m
-    # so both engines evaluate the identical double expression:
-    "q_bh_fdr",
-    # ADVICE r10 #3: rank bucket now integer bit-length (exactly
-    # monotone), not floating-point floor(log2):
-    "q_gini_index",
-    # ADVICE r10 #2/#5: NULL-e raise_error guard in _pick_stump +
-    # corrected headroom/margin-sign docstring claims:
+    # ADVICE r11 #1: overflow guard in _pick_stump now gates the
+    # INPUTS (u/d NULLness) instead of the NULL-skipping least()
+    # result, and the polarity comparison too:
     "q_boosted_stumps",
-    # round-11 additions (VERDICT r10 #5 — 12 touched + 1 stale
-    # (q_lag_delta, the whole remaining stale tail) = 13 <= 50):
-    "q_map",
-    "q_tree2",
-    "q_cochran_armitage",
-    "q_neardup_sources",
-    # round-11 batch 2 (14 touched + 1 stale = 15 <= 50):
-    "q_recall_at_k",
-    "q_mcnemar",
-    # round-11 batch 3 (15 touched + 1 stale = 16 <= 50):
-    "q_jonckheere",
-    # round-11 batch 4 (16 touched + 1 stale = 17 <= 50; 8th and
-    # final addition — the full VERDICT r10 #5 budget):
-    "q_friedman",
+    # round-12 additions (VERDICT r11 #4 + #6):
+    "q_tree3",
 })
 
 

@@ -304,6 +304,10 @@ HEADLINE = [
     # hash aggregates + constant-size per-user rank expressions,
     # exact fraction comparisons — no window at all)
     "q_friedman",
+    # round 12: depth-3 exact Gini tree (VERDICT r11 #4 — q_tree2's
+    # one fact fold + checkpointed prefix pass, then SEVEN bounded
+    # scans; no new fact passes)
+    "q_tree3",
 ]
 
 

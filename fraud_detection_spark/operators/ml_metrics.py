@@ -1513,41 +1513,145 @@ def q_ridge(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _tree_cum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ONE fact fold to the distinct-score table (bounded by the 6-dp
+    score domain) + ONE prefix-count pass over it (coarse 1e-3-bucket
+    offsets via a <=1001-row broadcast self-join + PARTITIONED
+    within-bucket windows — never a global single-partition sort),
+    checkpointed once. Shared by the q_tree2/q_tree3 training ladder:
+    every node argmin at any depth is a bounded scan of this table."""
+    s = scored(spark, sf_dir)
+    per = (
+        s.groupBy("score")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+        .withColumn("bucket", F.floor(F.col("score") * 1000).cast("bigint"))
+    )
+    btot = per.groupBy("bucket").agg(
+        F.sum("cnt").alias("bcnt"), F.sum("pos").alias("bpos")
+    )
+    lower = btot.select(
+        F.col("bucket").alias("lb"),
+        F.col("bcnt").alias("lcnt"),
+        F.col("bpos").alias("lpos"),
+    )
+    offs = (
+        btot.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("lcnt"), F.lit(0)).alias("off_n"),
+            F.coalesce(F.sum("lpos"), F.lit(0)).alias("off_p"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("p"),
+    )
+    return (
+        per.join(F.broadcast(offs), "bucket")
+        .select(
+            "score",
+            (F.col("off_n") + F.sum("cnt").over(w_in)).cast("bigint").alias("cum_n"),
+            (F.col("off_p") + F.sum("pos").over(w_in)).cast("bigint").alias("cum_p"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .localCheckpoint()
+    )
+
+
+def _tree_key(n0, p0, nb, pb):
+    """Branch-offset Gini split key (Spark twin of _gini_key_sql)."""
+    nl = (F.col("cum_n") - n0).cast("double")
+    pl = (F.col("cum_p") - p0).cast("double")
+    nr = (nb - (F.col("cum_n") - n0)).cast("double")
+    pr = (pb - (F.col("cum_p") - p0)).cast("double")
+    return (nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) + (
+        nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+    )
+
+
+def _tree_node(tag: str, cands, n0, p0, nb, pb):
+    """Best split inside one branch: TakeOrdered(1) over the bounded
+    candidate scan by the exact (key, score) order (Spark twin of
+    _gini_node_sql)."""
+    nbd = nb.cast("double")
+    pbd = pb.cast("double")
+    base = (
+        F.lit(1.0)
+        - (pbd / nbd) * (pbd / nbd)
+        - ((nbd - pbd) / nbd) * ((nbd - pbd) / nbd)
+    )
+    k = F.col("key")
+    return (
+        cands.withColumn("key", _tree_key(n0, p0, nb, pb))
+        .orderBy("key", "score")
+        .limit(1)
+        .select(
+            F.lit(tag).alias("node"),
+            F.col("score").alias("threshold"),
+            (F.col("cum_n") - n0).cast("bigint").alias("n_left"),
+            (F.col("cum_p") - p0).cast("bigint").alias("pos_left"),
+            (nb - (F.col("cum_n") - n0)).cast("bigint").alias("n_right"),
+            (pb - (F.col("cum_p") - p0)).cast("bigint").alias("pos_right"),
+            pround(k / nbd, 6).alias("gini_split"),
+            pround(base, 6).alias("gini_base"),
+            pround(base - k / nbd, 6).alias("gain"),
+        )
+    )
+
+
+def _gini_key_sql(n0: str, p0: str, nb: str, pb: str) -> str:
+    """Branch-offset Gini split key at a candidate threshold (exact
+    integer counts cast once to DOUBLE — identical IEEE expression on
+    both engines). Shared by the q_tree2/q_tree3 oracles."""
+    nl = f"CAST(cum_n - {n0} AS DOUBLE)"
+    pl = f"CAST(cum_p - {p0} AS DOUBLE)"
+    nr = f"CAST({nb} - (cum_n - {n0}) AS DOUBLE)"
+    pr = f"CAST({pb} - (cum_p - {p0}) AS DOUBLE)"
+    return (
+        f"({nl} - ({pl} * {pl} + ({nl} - {pl}) * ({nl} - {pl})) / {nl}) "
+        f"+ ({nr} - ({pr} * {pr} + ({nr} - {pr}) * ({nr} - {pr})) / {nr})"
+    )
+
+
+def _gini_base_sql(nb: str, pb: str) -> str:
+    p_ = f"(CAST({pb} AS DOUBLE) / {nb})"
+    q_ = f"(CAST({nb} - {pb} AS DOUBLE) / {nb})"
+    return f"(1.0 - {p_} * {p_} - {q_} * {q_})"
+
+
+def _gini_node_sql(
+    tag: str, src: str, n0: str, p0: str, nb: str, pb: str
+) -> str:
+    k = _gini_key_sql(n0, p0, nb, pb)
+    base = _gini_base_sql(nb, pb)
+    return (
+        f"SELECT '{tag}' AS node, score AS threshold, "
+        f"CAST(cum_n - {n0} AS BIGINT) AS n_left, "
+        f"CAST(cum_p - {p0} AS BIGINT) AS pos_left, "
+        f"CAST({nb} - (cum_n - {n0}) AS BIGINT) AS n_right, "
+        f"CAST({pb} - (cum_p - {p0}) AS BIGINT) AS pos_right, "
+        + sql_round(f"({k}) / {nb}", 6) + " AS gini_split, "
+        + sql_round(base, 6) + " AS gini_base, "
+        + sql_round(f"{base} - ({k}) / {nb}", 6) + " AS gain "
+        f"FROM {src} ORDER BY {k}, score LIMIT 1"
+    )
+
+
 def _tree2_oracle() -> str:
     """DuckDB twin of the depth-2 greedy Gini tree. Branch splits are
     CLOSED FORMS over the one materialized prefix-count table: with
     branch base offsets (n0, p0) and branch totals (nb, pb), a split
     at t inside the branch has left counts (cum_n(t)-n0, cum_p(t)-p0)
     — so each branch argmin is one scan of `c`, no re-aggregation."""
-
-    def key(n0: str, p0: str, nb: str, pb: str) -> str:
-        nl = f"CAST(cum_n - {n0} AS DOUBLE)"
-        pl = f"CAST(cum_p - {p0} AS DOUBLE)"
-        nr = f"CAST({nb} - (cum_n - {n0}) AS DOUBLE)"
-        pr = f"CAST({pb} - (cum_p - {p0}) AS DOUBLE)"
-        return (
-            f"({nl} - ({pl} * {pl} + ({nl} - {pl}) * ({nl} - {pl})) / {nl}) "
-            f"+ ({nr} - ({pr} * {pr} + ({nr} - {pr}) * ({nr} - {pr})) / {nr})"
-        )
-
-    def base(nb: str, pb: str) -> str:
-        p_ = f"(CAST({pb} AS DOUBLE) / {nb})"
-        q_ = f"(CAST({nb} - {pb} AS DOUBLE) / {nb})"
-        return f"(1.0 - {p_} * {p_} - {q_} * {q_})"
-
-    def node(tag: str, src: str, n0: str, p0: str, nb: str, pb: str) -> str:
-        k = key(n0, p0, nb, pb)
-        return (
-            f"SELECT '{tag}' AS node, score AS threshold, "
-            f"CAST(cum_n - {n0} AS BIGINT) AS n_left, "
-            f"CAST(cum_p - {p0} AS BIGINT) AS pos_left, "
-            f"CAST({nb} - (cum_n - {n0}) AS BIGINT) AS n_right, "
-            f"CAST({pb} - (cum_p - {p0}) AS BIGINT) AS pos_right, "
-            + sql_round(f"({k}) / {nb}", 6) + " AS gini_split, "
-            + sql_round(base(nb, pb), 6) + " AS gini_base, "
-            + sql_round(f"{base(nb, pb)} - ({k}) / {nb}", 6) + " AS gain "
-            f"FROM {src} ORDER BY {k}, score LIMIT 1"
-        )
+    node = _gini_node_sql
 
     return (
         f"WITH s AS ({SCORED_SQL}), "
@@ -1616,86 +1720,8 @@ def q_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
     row broadcast into the branch scans. Depth d costs 2^d bounded
     scans, never a fact re-shuffle. Eager by construction (the
     checkpointed cum table); the registry eager contract applies."""
-    s = scored(spark, sf_dir)
-    per = (
-        s.groupBy("score")
-        .agg(
-            F.count("*").cast("bigint").alias("cnt"),
-            F.sum("label").cast("bigint").alias("pos"),
-        )
-        .withColumn("bucket", F.floor(F.col("score") * 1000).cast("bigint"))
-    )
-    btot = per.groupBy("bucket").agg(
-        F.sum("cnt").alias("bcnt"), F.sum("pos").alias("bpos")
-    )
-    lower = btot.select(
-        F.col("bucket").alias("lb"),
-        F.col("bcnt").alias("lcnt"),
-        F.col("bpos").alias("lpos"),
-    )
-    offs = (
-        btot.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
-        .groupBy("bucket")
-        .agg(
-            F.coalesce(F.sum("lcnt"), F.lit(0)).alias("off_n"),
-            F.coalesce(F.sum("lpos"), F.lit(0)).alias("off_p"),
-        )
-    )
-    w_in = (
-        Window.partitionBy("bucket")
-        .orderBy("score")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    tot = per.agg(
-        F.sum("cnt").cast("bigint").alias("n"),
-        F.sum("pos").cast("bigint").alias("p"),
-    )
-    c = (
-        per.join(F.broadcast(offs), "bucket")
-        .select(
-            "score",
-            (F.col("off_n") + F.sum("cnt").over(w_in)).cast("bigint").alias("cum_n"),
-            (F.col("off_p") + F.sum("pos").over(w_in)).cast("bigint").alias("cum_p"),
-        )
-        .crossJoin(F.broadcast(tot))
-        .localCheckpoint()
-    )
-
-    def _key(n0, p0, nb, pb):
-        nl = (F.col("cum_n") - n0).cast("double")
-        pl = (F.col("cum_p") - p0).cast("double")
-        nr = (nb - (F.col("cum_n") - n0)).cast("double")
-        pr = (pb - (F.col("cum_p") - p0)).cast("double")
-        return (nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) + (
-            nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
-        )
-
-    def _node(tag: str, cands, n0, p0, nb, pb):
-        nbd = nb.cast("double")
-        pbd = pb.cast("double")
-        base = (
-            F.lit(1.0)
-            - (pbd / nbd) * (pbd / nbd)
-            - ((nbd - pbd) / nbd) * ((nbd - pbd) / nbd)
-        )
-        k = F.col("key")
-        return (
-            cands.withColumn("key", _key(n0, p0, nb, pb))
-            .orderBy("key", "score")
-            .limit(1)
-            .select(
-                F.lit(tag).alias("node"),
-                F.col("score").alias("threshold"),
-                (F.col("cum_n") - n0).cast("bigint").alias("n_left"),
-                (F.col("cum_p") - p0).cast("bigint").alias("pos_left"),
-                (nb - (F.col("cum_n") - n0)).cast("bigint").alias("n_right"),
-                (pb - (F.col("cum_p") - p0)).cast("bigint").alias("pos_right"),
-                pround(k / nbd, 6).alias("gini_split"),
-                pround(base, 6).alias("gini_base"),
-                pround(base - k / nbd, 6).alias("gain"),
-            )
-        )
-
+    c = _tree_cum_table(spark, sf_dir)
+    _node = _tree_node
     zero = F.lit(0)
     root = _node(
         "root",
@@ -1734,3 +1760,225 @@ def q_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bp1"),
     )
     return root.unionAll(left).unionAll(right)
+
+
+# ---------------------------------------------------------------------------
+# q_tree3 — depth-3 greedy Gini tree (VERDICT r11 #4): root + both
+# depth-1 branch splits + all four depth-2 leaf splits, every argmin a
+# CLOSED FORM over the one checkpointed prefix-count table — the next
+# rung toward the reference's depth-5 trees (train_model.py:69-80).
+# ---------------------------------------------------------------------------
+
+
+def _tree3_oracle() -> str:
+    """DuckDB twin of the depth-3 greedy Gini tree. Level-2 leaves
+    reuse the level-1 picks exactly as q_tree2's branches reuse the
+    root: with parent base offsets (o_n, o_p) and parent-branch totals
+    (nb2, pb2) attached as columns, each leaf argmin is one more scan
+    of the materialized `c`. An empty parent pick (pure or
+    single-valued branch) makes the leaf's cross join empty, so the
+    leaf emits nothing — same semantics as the Spark side's crossJoin
+    of the 0-or-1-row pick."""
+    node = _gini_node_sql
+
+    return (
+        f"WITH s AS ({SCORED_SQL}), "
+        "g AS (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM s GROUP BY score), "
+        "t AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS n, "
+        "CAST(SUM(pos) AS BIGINT) AS p FROM g), "
+        "c AS MATERIALIZED (SELECT score, "
+        "CAST(SUM(cnt) OVER (ORDER BY score) AS BIGINT) AS cum_n, "
+        "CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS cum_p, "
+        "n, p FROM g, t), "
+        "root AS MATERIALIZED ("
+        + node("root", "c WHERE cum_n < n", "0", "0", "n", "p")
+        + "), "
+        "lc AS (SELECT c.*, root.n_left AS nb, root.pos_left AS pb "
+        "FROM c, root WHERE c.score < root.threshold), "
+        "lpick AS MATERIALIZED ("
+        + node("left", "lc WHERE cum_n < nb", "0", "0", "nb", "pb")
+        + "), "
+        "rc AS (SELECT c.*, root.n_left AS n0, root.pos_left AS p0, "
+        "root.n_right AS nb, root.pos_right AS pb "
+        "FROM c, root WHERE c.score > root.threshold), "
+        "rpick AS MATERIALIZED ("
+        + node("right", "rc WHERE cum_n - n0 < nb", "n0", "p0", "nb", "pb")
+        + "), "
+        # depth-2 leaves: parent pick's counts attached as columns,
+        # candidate set bounded strictly inside the parent interval
+        "llc AS (SELECT c.*, lpick.n_left AS nb2, lpick.pos_left AS pb2 "
+        "FROM c, lpick WHERE c.score < lpick.threshold), "
+        "llpick AS ("
+        + node("ll", "llc WHERE cum_n < nb2", "0", "0", "nb2", "pb2")
+        + "), "
+        "lrc AS (SELECT c.*, lpick.n_left AS o_n, lpick.pos_left AS o_p, "
+        "lpick.n_right AS nb2, lpick.pos_right AS pb2 "
+        "FROM c, root, lpick "
+        "WHERE c.score > lpick.threshold AND c.score < root.threshold), "
+        "lrpick AS ("
+        + node("lr", "lrc WHERE cum_n - o_n < nb2", "o_n", "o_p", "nb2", "pb2")
+        + "), "
+        "rlc AS (SELECT c.*, root.n_left AS o_n, root.pos_left AS o_p, "
+        "rpick.n_left AS nb2, rpick.pos_left AS pb2 "
+        "FROM c, root, rpick "
+        "WHERE c.score > root.threshold AND c.score < rpick.threshold), "
+        "rlpick AS ("
+        + node("rl", "rlc WHERE cum_n - o_n < nb2", "o_n", "o_p", "nb2", "pb2")
+        + "), "
+        "rrc AS (SELECT c.*, root.n_left + rpick.n_left AS o_n, "
+        "root.pos_left + rpick.pos_left AS o_p, "
+        "rpick.n_right AS nb2, rpick.pos_right AS pb2 "
+        "FROM c, root, rpick WHERE c.score > rpick.threshold), "
+        "rrpick AS ("
+        + node("rr", "rrc WHERE cum_n - o_n < nb2", "o_n", "o_p", "nb2", "pb2")
+        + ") "
+        "SELECT * FROM root UNION ALL SELECT * FROM lpick "
+        "UNION ALL SELECT * FROM rpick UNION ALL SELECT * FROM llpick "
+        "UNION ALL SELECT * FROM lrpick UNION ALL SELECT * FROM rlpick "
+        "UNION ALL SELECT * FROM rrpick"
+    )
+
+
+@query(
+    "q_tree3",
+    oracle=_tree3_oracle(),
+    tags=("ml", "train", "split"),
+    eager=True,
+)
+def q_tree3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a depth-3 greedy decision tree on the published model
+    score by EXACT Gini split search: q_tree2's root + branch picks,
+    then the best split inside each of the four depth-2 leaves
+    (ll: score < t_left; lr: t_left < score < t_root;
+    rl: t_root < score < t_right; rr: score > t_right). Emits up to 7
+    rows (node = root/left/right/ll/lr/rl/rr; a pure or single-valued
+    branch emits none, and its children then emit none too) — the
+    third rung on the oracle-checked training ladder toward the
+    reference's depth-5 trees (train_model.py:69-80).
+
+    Exactness: identical to q_tree2 one level down — every leaf
+    candidate's branch-conditional counts are (cum_n - o_n,
+    cum_p - o_p) on exact integers, where the leaf base offset o_n is
+    the parent pick's absolute cumulative position (for rr:
+    root.n_left + right.n_left = cum_n(t_right)); the argmin key is
+    the same IEEE double expression on both engines, ORDER BY
+    (key, score) ties broken identically.
+
+    Scale (VERDICT r11 #4 cost budget): NO new fact passes — the one
+    fact fold + ONE checkpointed prefix-count pass of q_tree2
+    (_tree_cum_table), then SEVEN bounded scans of that checkpointed
+    table + TakeOrdered(1) each (2^d - 1 at depth d), with the root
+    and level-1 pick rows broadcast into the deeper scans. Three tiny
+    localCheckpoints (root, left, right picks — <=1 row each) keep
+    every level's offsets exact constants instead of re-derived
+    subplans. An empty pick propagates emptiness to its children via
+    the crossJoin, matching the oracle's `FROM c, parent` semantics."""
+    c = _tree_cum_table(spark, sf_dir)
+    _node = _tree_node
+    zero = F.lit(0)
+    root = _node(
+        "root",
+        c.filter(F.col("cum_n") < F.col("n")),
+        zero,
+        zero,
+        F.col("n"),
+        F.col("p"),
+    ).localCheckpoint()
+    cb = c.crossJoin(F.broadcast(root.select(
+        F.col("threshold").alias("t0"),
+        F.col("n_left").alias("bn0"),
+        F.col("pos_left").alias("bp0"),
+        F.col("n_right").alias("bn1"),
+        F.col("pos_right").alias("bp1"),
+    )))
+    left = _node(
+        "left",
+        cb.filter(
+            (F.col("score") < F.col("t0")) & (F.col("cum_n") < F.col("bn0"))
+        ),
+        zero,
+        zero,
+        F.col("bn0"),
+        F.col("bp0"),
+    ).localCheckpoint()
+    right = _node(
+        "right",
+        cb.filter(
+            (F.col("score") > F.col("t0"))
+            & (F.col("cum_n") - F.col("bn0") < F.col("bn1"))
+        ),
+        F.col("bn0"),
+        F.col("bp0"),
+        F.col("bn1"),
+        F.col("bp1"),
+    ).localCheckpoint()
+    cl = cb.crossJoin(F.broadcast(left.select(
+        F.col("threshold").alias("t1"),
+        F.col("n_left").alias("ln0"),
+        F.col("pos_left").alias("lq0"),
+        F.col("n_right").alias("ln1"),
+        F.col("pos_right").alias("lq1"),
+    )))
+    ll = _node(
+        "ll",
+        cl.filter(
+            (F.col("score") < F.col("t1")) & (F.col("cum_n") < F.col("ln0"))
+        ),
+        zero,
+        zero,
+        F.col("ln0"),
+        F.col("lq0"),
+    )
+    lr = _node(
+        "lr",
+        cl.filter(
+            (F.col("score") > F.col("t1"))
+            & (F.col("score") < F.col("t0"))
+            & (F.col("cum_n") - F.col("ln0") < F.col("ln1"))
+        ),
+        F.col("ln0"),
+        F.col("lq0"),
+        F.col("ln1"),
+        F.col("lq1"),
+    )
+    cr = cb.crossJoin(F.broadcast(right.select(
+        F.col("threshold").alias("t2"),
+        F.col("n_left").alias("rn0"),
+        F.col("pos_left").alias("rq0"),
+        F.col("n_right").alias("rn1"),
+        F.col("pos_right").alias("rq1"),
+    )))
+    rl = _node(
+        "rl",
+        cr.filter(
+            (F.col("score") > F.col("t0"))
+            & (F.col("score") < F.col("t2"))
+            & (F.col("cum_n") - F.col("bn0") < F.col("rn0"))
+        ),
+        F.col("bn0"),
+        F.col("bp0"),
+        F.col("rn0"),
+        F.col("rq0"),
+    )
+    rr = _node(
+        "rr",
+        cr.filter(
+            (F.col("score") > F.col("t2"))
+            & (
+                F.col("cum_n") - F.col("bn0") - F.col("rn0") < F.col("rn1")
+            )
+        ),
+        F.col("bn0") + F.col("rn0"),
+        F.col("bp0") + F.col("rq0"),
+        F.col("rn1"),
+        F.col("rq1"),
+    )
+    return (
+        root.unionAll(left)
+        .unionAll(right)
+        .unionAll(ll)
+        .unionAll(lr)
+        .unionAll(rl)
+        .unionAll(rr)
+    )

@@ -1,0 +1,145 @@
+"""Round-12 operators: q_tree3 (depth-3 exact Gini tree — VERDICT r11
+#4) and the round's widenings. Oracle parity is auto-covered by
+test_oracle_parity's registry sweep; these tests pin the semantics
+against independent python references.
+"""
+
+from __future__ import annotations
+
+from fraud_detection_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+# ---------------------------------------------------------------------------
+# q_tree3
+
+
+def _best_split(rows, n0, p0, nb, pb):
+    """Exhaustive python reference (same as round-11's tree2 test):
+    rows = sorted distinct (score, cum_n, cum_p); a candidate needs
+    0 < cum_n - n0 < nb."""
+    best = None
+    for score, cum_n, cum_p in rows:
+        nl = cum_n - n0
+        pl = cum_p - p0
+        if nl <= 0 or nl >= nb:
+            continue
+        nr, pr = nb - nl, pb - pl
+        key = (nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) + (
+            nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+        )
+        if best is None or (key, score) < best[:2]:
+            best = (key, score, nl, pl, nr, pr)
+    return best
+
+
+def _cum_rows(duck):
+    from fraud_detection_spark.operators.ml_metrics import SCORED_SQL
+
+    cum = duck.execute(
+        f"WITH s AS ({SCORED_SQL}), "
+        "g AS (SELECT score, COUNT(*) AS cnt, SUM(label) AS pos "
+        "FROM s GROUP BY score) "
+        "SELECT score, SUM(cnt) OVER (ORDER BY score) AS cum_n, "
+        "SUM(pos) OVER (ORDER BY score) AS cum_p FROM g ORDER BY score"
+    ).fetchall()
+    return [(float(s), int(cn), int(cp)) for s, cn, cp in cum]
+
+
+def test_tree3_matches_python_reference(spark, sf_dir, duck):
+    """Greedy depth-3 reference: root, both branches, then the best
+    split inside each of the four depth-2 leaves — every pick compared
+    on threshold and exact left counts; an unreachable/pure node must
+    be ABSENT, not emitted with degenerate counts."""
+    got = REGISTRY["q_tree3"].fn(spark, sf_dir).toPandas().set_index("node")
+    rows = _cum_rows(duck)
+    n, p = rows[-1][1], rows[-1][2]
+
+    root = _best_split(rows, 0, 0, n, p)
+    assert abs(got.loc["root", "threshold"] - root[1]) < 1e-12
+
+    def check(tag, sub, n0, p0, nb, pb):
+        best = _best_split(sub, n0, p0, nb, pb)
+        if best is None:
+            assert tag not in got.index, tag
+        else:
+            assert abs(got.loc[tag, "threshold"] - best[1]) < 1e-12, tag
+            assert got.loc[tag, "n_left"] == best[2] - 0, tag
+            assert got.loc[tag, "pos_left"] == best[3], tag
+        return best
+
+    t0 = root[1]
+    lbest = check("left", [r for r in rows if r[0] < t0], 0, 0, root[2], root[3])
+    rbest = check(
+        "right", [r for r in rows if r[0] > t0], root[2], root[3], root[4], root[5]
+    )
+    if lbest is not None:
+        t1 = lbest[1]
+        # ll: base (0,0), totals = left pick's left counts; note the
+        # reference's nl/pl are already branch-relative, so the
+        # absolute offsets are n0 + nl
+        check("ll", [r for r in rows if r[0] < t1], 0, 0, lbest[2], lbest[3])
+        check(
+            "lr",
+            [r for r in rows if t1 < r[0] < t0],
+            lbest[2],
+            lbest[3],
+            lbest[4],
+            lbest[5],
+        )
+    else:
+        assert "ll" not in got.index and "lr" not in got.index
+    if rbest is not None:
+        t2 = rbest[1]
+        # right branch base is (root.n_left, root.pos_left); the right
+        # pick's branch-relative left counts are rbest[2], rbest[3],
+        # so rl's totals are those and rr's absolute base offsets are
+        # root_left + right_left
+        check(
+            "rl",
+            [r for r in rows if t0 < r[0] < t2],
+            root[2],
+            root[3],
+            rbest[2],
+            rbest[3],
+        )
+        check(
+            "rr",
+            [r for r in rows if r[0] > t2],
+            root[2] + rbest[2],
+            root[3] + rbest[3],
+            rbest[4],
+            rbest[5],
+        )
+    else:
+        assert "rl" not in got.index and "rr" not in got.index
+
+
+def test_tree3_prefix_is_tree2_and_bookkeeping(spark, sf_dir):
+    """The first three nodes of q_tree3 ARE q_tree2 (same machinery,
+    same argmins); every emitted node's gain >= 0; each leaf's branch
+    total equals its parent's corresponding side count."""
+    t3 = REGISTRY["q_tree3"].fn(spark, sf_dir).toPandas().set_index("node")
+    t2 = REGISTRY["q_tree2"].fn(spark, sf_dir).toPandas().set_index("node")
+    for node in t2.index:
+        for col in t2.columns:
+            assert t3.loc[node, col] == t2.loc[node, col], (node, col)
+    assert (t3["gain"] >= -1e-12).all()
+    pairs = {
+        "ll": ("left", "n_left", "pos_left"),
+        "lr": ("left", "n_right", "pos_right"),
+        "rl": ("right", "n_left", "pos_left"),
+        "rr": ("right", "n_right", "pos_right"),
+    }
+    for leaf, (parent, ncol, pcol) in pairs.items():
+        if leaf in t3.index:
+            assert parent in t3.index
+            assert (
+                t3.loc[leaf, "n_left"] + t3.loc[leaf, "n_right"]
+                == t3.loc[parent, ncol]
+            ), leaf
+            assert (
+                t3.loc[leaf, "pos_left"] + t3.loc[leaf, "pos_right"]
+                == t3.loc[parent, pcol]
+            ), leaf
