@@ -81,6 +81,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_boosted_stumps",
     # round-12 additions (VERDICT r11 #4 + #6):
     "q_tree3",
+    "q_delong",
 })
 
 

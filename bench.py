@@ -308,6 +308,10 @@ HEADLINE = [
     # one fact fold + checkpointed prefix pass, then SEVEN bounded
     # scans; no new fact passes)
     "q_tree3",
+    # round 12: paired DeLong AUC comparison (VERDICT r11 #6a — two
+    # bounded distinct-score unit tables BROADCAST into the fact scan,
+    # zero fact shuffles, one 12-expression exact-integer aggregate)
+    "q_delong",
 ]
 
 

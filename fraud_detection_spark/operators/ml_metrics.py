@@ -1982,3 +1982,261 @@ def q_tree3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(rl)
         .unionAll(rr)
     )
+
+
+# ---------------------------------------------------------------------------
+# q_delong — paired DeLong comparison of two scorers (VERDICT r11 #6a):
+# the paired counterpart to q_auc, completing the paired battery
+# q_mcnemar opened. Statistic only (z) — erf/p-values stay excluded
+# from twin contracts (the q_cochran_armitage precedent).
+# ---------------------------------------------------------------------------
+
+# Challenger model coefficients (literals on both engines) — a weaker
+# scorer to compare against the published model on the SAME rows.
+B0_B, W_QTY_B, W_DISC_B, W_PRICE_B = -1.0, 0.05, 5.0, 0.3
+
+_SCORED2_SQL = (
+    "SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+    + sql_round(
+        "1.0 / (1.0 + EXP(-(-2.0 + 0.03 * l_quantity + 9.0 * l_discount "
+        "+ 0.8 * (l_extendedprice / 100000.0))))",
+        6,
+    )
+    + " AS sa, "
+    + sql_round(
+        "1.0 / (1.0 + EXP(-(-1.0 + 0.05 * l_quantity + 5.0 * l_discount "
+        "+ 0.3 * (l_extendedprice / 100000.0))))",
+        6,
+    )
+    + " AS sb FROM lineitem"
+)
+
+
+def _delong_final_sql() -> dict[str, str]:
+    """The DeLong scalar formulas as ONE shared expression text per
+    output column, evaluated verbatim by BOTH engines over the 1-row
+    exact-integer aggregate (np, nn, sua..svab) — the q_ridge
+    shared-Cramer-text discipline, so every double op has identical
+    structure and the results are bit-identical."""
+    d = {c: f"CAST({c} AS DOUBLE)" for c in (
+        "np", "nn", "sua", "suaa", "sub", "subb", "suab",
+        "sva", "svaa", "svb", "svbb", "svab",
+    )}
+    auc_a = f"({d['sua']} / (2.0 * {d['nn']} * {d['np']}))"
+    auc_b = f"({d['sub']} / (2.0 * {d['nn']} * {d['np']}))"
+    # sample-covariance combination S_AA + S_BB - 2*S_AB per class,
+    # numerators as (n*Sxy - Sx*Sy) over exact integer sums
+    d10 = (
+        f"(({d['np']} * {d['suaa']} - {d['sua']} * {d['sua']} "
+        f"+ {d['np']} * {d['subb']} - {d['sub']} * {d['sub']} "
+        f"- 2.0 * ({d['np']} * {d['suab']} - {d['sua']} * {d['sub']})) "
+        f"/ ({d['np']} * {d['np']} * ({d['np']} - 1.0) "
+        f"* (2.0 * {d['nn']}) * (2.0 * {d['nn']})))"
+    )
+    d01 = (
+        f"(({d['nn']} * {d['svaa']} - {d['sva']} * {d['sva']} "
+        f"+ {d['nn']} * {d['svbb']} - {d['svb']} * {d['svb']} "
+        f"- 2.0 * ({d['nn']} * {d['svab']} - {d['sva']} * {d['svb']})) "
+        f"/ ({d['nn']} * {d['nn']} * ({d['nn']} - 1.0) "
+        f"* (2.0 * {d['np']}) * (2.0 * {d['np']})))"
+    )
+    # GREATEST guards the tiny-negative cancellation case so SQRT
+    # never sees a negative (DuckDB errors where Spark returns NaN)
+    var = f"GREATEST({d10} + {d01}, 0.0)"
+    return {
+        "auc_a": auc_a,
+        "auc_b": auc_b,
+        "delta": f"({auc_a} - {auc_b})",
+        "se": f"SQRT({var})",
+        "z": f"(({auc_a} - {auc_b}) / SQRT({var}))",
+    }
+
+
+def _delong_oracle() -> str:
+    fin = _delong_final_sql()
+    units = (
+        "SELECT s, 2 * cumneg - neg AS uval, "
+        "2 * (tp - cumpos) + pos AS vval FROM ("
+        "SELECT {col} AS s, SUM(label) AS pos, "
+        "COUNT(*) - SUM(label) AS neg, "
+        "SUM(SUM(label)) OVER (ORDER BY {col}) AS cumpos, "
+        "SUM(COUNT(*) - SUM(label)) OVER (ORDER BY {col}) AS cumneg "
+        "FROM r GROUP BY {col}), tot"
+    )
+    return (
+        f"WITH r AS MATERIALIZED ({_SCORED2_SQL}), "
+        "tot AS MATERIALIZED (SELECT CAST(SUM(label) AS BIGINT) AS tp "
+        "FROM r), "
+        f"ta AS MATERIALIZED ({units.format(col='sa')}), "
+        f"tb AS MATERIALIZED ({units.format(col='sb')}), "
+        "j AS (SELECT r.label, ta.uval AS ua, ta.vval AS va, "
+        "tb.uval AS ub, tb.vval AS vb "
+        "FROM r JOIN ta ON r.sa = ta.s JOIN tb ON r.sb = tb.s), "
+        "agg AS MATERIALIZED (SELECT "
+        "CAST(SUM(label) AS BIGINT) AS np, "
+        "CAST(COUNT(*) - SUM(label) AS BIGINT) AS nn, "
+        "SUM(CASE WHEN label = 1 THEN ua ELSE 0 END) AS sua, "
+        "SUM(CASE WHEN label = 1 THEN ua * ua ELSE 0 END) AS suaa, "
+        "SUM(CASE WHEN label = 1 THEN ub ELSE 0 END) AS sub, "
+        "SUM(CASE WHEN label = 1 THEN ub * ub ELSE 0 END) AS subb, "
+        "SUM(CASE WHEN label = 1 THEN ua * ub ELSE 0 END) AS suab, "
+        "SUM(CASE WHEN label = 0 THEN va ELSE 0 END) AS sva, "
+        "SUM(CASE WHEN label = 0 THEN va * va ELSE 0 END) AS svaa, "
+        "SUM(CASE WHEN label = 0 THEN vb ELSE 0 END) AS svb, "
+        "SUM(CASE WHEN label = 0 THEN vb * vb ELSE 0 END) AS svbb, "
+        "SUM(CASE WHEN label = 0 THEN va * vb ELSE 0 END) AS svab "
+        "FROM j) "
+        "SELECT np AS n_pos, nn AS n_neg, "
+        + ", ".join(
+            sql_round(fin[c], 6) + f" AS {c}"
+            for c in ("auc_a", "auc_b", "delta", "se", "z")
+        )
+        + " FROM agg"
+    )
+
+
+def _rank_units(rows: DataFrame, scol: str) -> DataFrame:
+    """Per distinct score of ``scol``: doubled DeLong structural-
+    component units — uval = 2·(negatives strictly below) + (negative
+    ties) for positive rows at that score, vval = 2·(positives
+    strictly above) + (positive ties) for negative rows. Prefix sums
+    via the q_auc bucket-offset machinery (<=1001-row broadcast
+    self-join + PARTITIONED within-bucket windows — no global
+    single-partition sort; the distinct-score table is bounded by the
+    6-dp domain regardless of input size)."""
+    per = rows.groupBy(scol).agg(
+        F.sum("label").cast("bigint").alias("pos"),
+        (F.count("*") - F.sum("label")).cast("bigint").alias("neg"),
+    ).withColumn("bucket", F.floor(F.col(scol) * 1000).cast("bigint"))
+    btot = per.groupBy("bucket").agg(
+        F.sum("pos").alias("bpos"), F.sum("neg").alias("bneg")
+    )
+    lower = btot.select(
+        F.col("bucket").alias("lb"),
+        F.col("bpos").alias("lpos"),
+        F.col("bneg").alias("lneg"),
+    )
+    offs = (
+        btot.join(F.broadcast(lower), F.col("lb") < F.col("bucket"), "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(F.sum("lpos"), F.lit(0)).alias("off_pos"),
+            F.coalesce(F.sum("lneg"), F.lit(0)).alias("off_neg"),
+        )
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy(scol)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = per.agg(F.sum("pos").cast("bigint").alias("tp"))
+    return (
+        per.join(F.broadcast(offs), "bucket")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(scol).alias("s"),
+            (
+                2 * (F.col("off_neg") + F.sum("neg").over(w_in)) - F.col("neg")
+            ).cast("bigint").alias("uval"),
+            (
+                2 * (F.col("tp") - (F.col("off_pos") + F.sum("pos").over(w_in)))
+                + F.col("pos")
+            ).cast("bigint").alias("vval"),
+        )
+    )
+
+
+@query(
+    "q_delong",
+    oracle=_delong_oracle(),
+    tags=("ml", "stats", "eval"),
+)
+def q_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DeLong paired comparison of two ROC-AUCs on the SAME rows: the
+    published model (q_auc's scorer) vs a literal-coefficient
+    challenger. Emits both AUCs, their difference, the DeLong standard
+    error of the difference, and the z statistic — the test a model
+    bake-off actually needs (two AUCs on the same eval set are highly
+    correlated; unpaired comparison wildly overstates the variance).
+    Statistic only, no p-value — erf stays outside the twin contract
+    (q_cochran_armitage precedent). Ref: the reference's single-model
+    roc_auc_score at train_model.py:83 / evaluate_model.py:50 has no
+    challenger comparison; this is the evaluation-side completion of
+    that metric, DeLong/Sun-Xu fast form.
+
+    Exactness: with 6-dp scores, each positive row's structural
+    component V10(i) = (#neg below + #neg ties/2)/nn is carried
+    DOUBLED as the exact integer uval = 2·neg_below + neg_ties
+    (likewise vval per negative row); all five per-class sums
+    (Σu_A, Σu_A², Σu_B, Σu_B², Σu_A·u_B and the v twins) accumulate in
+    DECIMAL(38,0)/HUGEINT, and the final AUC/variance/z scalars are
+    ONE shared expression text evaluated over those exact integers on
+    both engines (_delong_final_sql — the q_ridge discipline), so the
+    z statistic is bit-identical. Per-row products fit BIGINT while
+    2·max(nn,np) < 3e9 (true at every test SF; the Spark side is
+    exact to DECIMAL(38,0) — the (2·n·N)² < 10³⁸ headroom holds to
+    ~4-billion-row eval sets, far beyond any single eval split).
+
+    Scale: two bounded distinct-score tables (6-dp domain, the q_auc
+    bucket-offset prefix — no global sort), two shuffle joins of the
+    fact rows against those <=1e6-row tables on the score key, ONE
+    map-side-combinable 12-expression aggregate. No window over fact
+    rows, no driver collection."""
+    li = load_table(spark, sf_dir, "lineitem")
+    logit_a = (
+        F.lit(B0)
+        + F.lit(W_QTY) * F.col("l_quantity")
+        + F.lit(W_DISC) * F.col("l_discount")
+        + F.lit(W_PRICE) * (F.col("l_extendedprice") / 100000.0)
+    )
+    logit_b = (
+        F.lit(B0_B)
+        + F.lit(W_QTY_B) * F.col("l_quantity")
+        + F.lit(W_DISC_B) * F.col("l_discount")
+        + F.lit(W_PRICE_B) * (F.col("l_extendedprice") / 100000.0)
+    )
+    r = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_a)), 6).alias("sa"),
+        pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit_b)), 6).alias("sb"),
+    )
+    ta = _rank_units(r, "sa").select(
+        F.col("s").alias("sa"), F.col("uval").alias("ua"), F.col("vval").alias("va")
+    )
+    tb = _rank_units(r, "sb").select(
+        F.col("s").alias("sb"), F.col("uval").alias("ub"), F.col("vval").alias("vb")
+    )
+    # the unit tables are bounded by the 6-dp score domain (<=1e6+1
+    # rows each, ~24 MB) REGARDLESS of fact size — broadcast them so
+    # the fact rows are never shuffled at all: scan -> two broadcast
+    # hash joins -> one map-side-combinable aggregate
+    j = r.join(F.broadcast(ta), "sa").join(F.broadcast(tb), "sb")
+    dec = "decimal(38,0)"
+    pos = F.col("label") == 1
+
+    def csum(cond, expr, name):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0).cast(dec))).alias(name)
+
+    agg = j.agg(
+        F.sum("label").cast("bigint").alias("np"),
+        (F.count("*") - F.sum("label")).cast("bigint").alias("nn"),
+        csum(pos, F.col("ua").cast(dec), "sua"),
+        csum(pos, F.col("ua").cast(dec) * F.col("ua"), "suaa"),
+        csum(pos, F.col("ub").cast(dec), "sub"),
+        csum(pos, F.col("ub").cast(dec) * F.col("ub"), "subb"),
+        csum(pos, F.col("ua").cast(dec) * F.col("ub"), "suab"),
+        csum(~pos, F.col("va").cast(dec), "sva"),
+        csum(~pos, F.col("va").cast(dec) * F.col("va"), "svaa"),
+        csum(~pos, F.col("vb").cast(dec), "svb"),
+        csum(~pos, F.col("vb").cast(dec) * F.col("vb"), "svbb"),
+        csum(~pos, F.col("va").cast(dec) * F.col("vb"), "svab"),
+    )
+    fin = _delong_final_sql()
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        *[
+            pround(F.expr(fin[c]), 6).alias(c)
+            for c in ("auc_a", "auc_b", "delta", "se", "z")
+        ],
+    )

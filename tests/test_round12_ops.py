@@ -143,3 +143,55 @@ def test_tree3_prefix_is_tree2_and_bookkeeping(spark, sf_dir):
                 t3.loc[leaf, "pos_left"] + t3.loc[leaf, "pos_right"]
                 == t3.loc[parent, pcol]
             ), leaf
+
+
+# ---------------------------------------------------------------------------
+# q_delong
+
+
+def _delong_numpy(labels, sa, sb):
+    """Brute-force DeLong reference: per-example structural components
+    via full pairwise psi (fine at sf0.001), sample covariances, z."""
+    import numpy as np
+
+    labels = np.asarray(labels)
+    pos_a, neg_a = np.asarray(sa)[labels == 1], np.asarray(sa)[labels == 0]
+    pos_b, neg_b = np.asarray(sb)[labels == 1], np.asarray(sb)[labels == 0]
+    m, n = len(pos_a), len(neg_a)
+
+    # V10_i = mean_j psi(x_i, y_j); V01_j = mean_i psi(x_i, y_j)
+    def comps2(pos, neg):
+        psi = (pos[:, None] > neg[None, :]) + 0.5 * (pos[:, None] == neg[None, :])
+        return psi.mean(axis=1), psi.mean(axis=0)
+
+    v10a, v01a = comps2(pos_a, neg_a)
+    v10b, v01b = comps2(pos_b, neg_b)
+    auc_a, auc_b = v10a.mean(), v10b.mean()
+    s10 = np.cov(np.vstack([v10a, v10b]), ddof=1)
+    s01 = np.cov(np.vstack([v01a, v01b]), ddof=1)
+    var = (s10[0, 0] + s10[1, 1] - 2 * s10[0, 1]) / m + (
+        s01[0, 0] + s01[1, 1] - 2 * s01[0, 1]
+    ) / n
+    return auc_a, auc_b, (auc_a - auc_b) / var**0.5
+
+
+def test_delong_matches_numpy_reference(spark, sf_dir, duck):
+    from fraud_detection_spark.operators.ml_metrics import _SCORED2_SQL
+
+    got = REGISTRY["q_delong"].fn(spark, sf_dir).toPandas().iloc[0]
+    rows = duck.execute(f"WITH r AS ({_SCORED2_SQL}) SELECT * FROM r").df()
+    auc_a, auc_b, z = _delong_numpy(rows.label, rows.sa, rows.sb)
+    assert abs(got.auc_a - auc_a) < 1e-6
+    assert abs(got.auc_b - auc_b) < 1e-6
+    assert abs(got.z - z) < 1e-4  # numpy path is float, query is exact-int
+    assert got.n_pos == int(rows.label.sum())
+    assert got.n_neg == int((1 - rows.label).sum())
+
+
+def test_delong_auc_a_equals_q_auc(spark, sf_dir):
+    """The published-model side of the paired comparison IS q_auc's
+    tie-aware Mann-Whitney AUC — same scorer, same rounded-score tie
+    structure, so the two declared queries must agree to the digit."""
+    a1 = REGISTRY["q_auc"].fn(spark, sf_dir).toPandas().auc.iloc[0]
+    a2 = REGISTRY["q_delong"].fn(spark, sf_dir).toPandas().auc_a.iloc[0]
+    assert a1 == a2
