@@ -82,6 +82,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     # round-12 additions (VERDICT r11 #4 + #6):
     "q_tree3",
     "q_delong",
+    "q_ivfpq_probe_curve",
 })
 
 

@@ -312,6 +312,10 @@ HEADLINE = [
     # bounded distinct-score unit tables BROADCAST into the fact scan,
     # zero fact shuffles, one 12-expression exact-integer aggregate)
     "q_delong",
+    # round 12: IVF probe-radius -> recall/cost tuning curve (VERDICT
+    # r11 #6b — one corpus pass vs the 10-row broadcast panel, bounded
+    # bucket-pruned top-10, cost axis off the 16-row cell histogram)
+    "q_ivfpq_probe_curve",
 ]
 
 

@@ -1950,3 +1950,187 @@ def q_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "precision_at_k"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_ivfpq_probe_curve — probe-radius -> recall/cost curve (VERDICT r11
+# #6b): the serving tuning table a 100 TB ANN deployment actually
+# reads before picking nprobe.
+# ---------------------------------------------------------------------------
+
+_CURVE_PANEL = 10  # queries = vec_id 0..9 (the q_mrr panel)
+_CURVE_K = 10
+
+
+def _probe_curve_oracle() -> str:
+    from math import comb
+
+    cell = _cell_sql_expr()
+    cos6 = sql_round("list_cosine_similarity(c.e, p.qe)", 6)
+    r_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN ham <= {h} THEN 1 ELSE 0 END) AS BIGINT) AS r{h}"
+        for h in range(_IVFPQ_PLANES + 1)
+    )
+    s_cols = ", ".join(
+        f"CAST(SUM(CASE WHEN ham <= {h} THEN cnt ELSE 0 END) AS BIGINT) AS s{h}"
+        for h in range(_IVFPQ_PLANES + 1)
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT {h} AS h, "
+        f"{sum(comb(_IVFPQ_PLANES, i) for i in range(h + 1))} AS cells_probed, "
+        + sql_round(
+            f"(CAST(s{h} AS DOUBLE) - {_CURVE_PANEL}.0) "
+            f"/ ({_CURVE_PANEL}.0 * (CAST(n AS DOUBLE) - 1.0))",
+            6,
+        )
+        + " AS scan_frac, "
+        + sql_round(
+            f"CAST(r{h} AS DOUBLE) / {_CURVE_PANEL * _CURVE_K}.0", 6
+        )
+        + " AS recall_at_10 FROM r, s, tot"
+        for h in range(_IVFPQ_PLANES + 1)
+    )
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e "
+        "FROM embeddings), "
+        f"cells AS MATERIALIZED (SELECT vec_id, e, ({cell}) AS cell FROM base), "
+        "panel AS MATERIALIZED (SELECT vec_id AS qid, e AS qe, cell AS qcell "
+        f"FROM cells WHERE vec_id < {_CURVE_PANEL}), "
+        "pairs AS (SELECT p.qid, c.vec_id, "
+        f"{cos6} AS cos6, "
+        "bit_count(xor(c.cell, p.qcell)) AS ham "
+        "FROM cells c, panel p WHERE c.vec_id <> p.qid), "
+        "rel AS MATERIALIZED (SELECT qid, ham FROM ("
+        "SELECT qid, ham, ROW_NUMBER() OVER (PARTITION BY qid "
+        "ORDER BY cos6 DESC, vec_id) AS rn FROM pairs) "
+        f"WHERE rn <= {_CURVE_K}), "
+        "hist AS MATERIALIZED (SELECT cell, CAST(COUNT(*) AS BIGINT) AS cnt "
+        "FROM cells GROUP BY cell), "
+        "scans AS (SELECT bit_count(xor(h.cell, p.qcell)) AS ham, h.cnt "
+        "FROM hist h, panel p), "
+        "tot AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM cells), "
+        f"r AS MATERIALIZED (SELECT {r_cols} FROM rel), "
+        f"s AS MATERIALIZED (SELECT {s_cols} FROM scans) "
+        + rows
+    )
+
+
+@query(
+    "q_ivfpq_probe_curve",
+    oracle=_probe_curve_oracle(),
+    tags=("similarity", "ann", "ivf", "eval"),
+)
+def q_ivfpq_probe_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probe-radius tuning curve for the sign-plane IVF quantizer
+    (q_knn_ivf_pq's coarse stage): for each Hamming radius h = 0..4
+    over the 4-bit cells, the number of cells probed, the exact
+    fraction of the (non-query) corpus those cells contain, and
+    recall@10 — the share of the TRUE cosine top-10 (per the proven
+    6-dp cosine + vec_id order, 10-query panel = vec_id 0..9) whose
+    own cell lies within h of the query's cell. This is the
+    operating-point table an ANN deployment reads to pick nprobe:
+    q_knn_ivf_pq ships radius 1; this query prices every radius.
+
+    Exactness: recall needs NO second search — a true neighbor is
+    retained by radius-h probing iff ITS cell is within h, so the
+    curve is exact integer counting over the ground-truth top-10
+    rows (100) and the 16-row cell histogram x 10 panel cells; the
+    final ratios divide exact integers cast once to double.
+
+    100 TB shape: ONE corpus pass against the 10-row broadcast panel
+    for cosines + cells; the top-10 cut uses a coarse 1e-3-bucket
+    prefix (bounded <=20k-row window) to prune candidates before the
+    per-qid (cosine, vec_id) window ranks a bounded remainder — never
+    a window over the raw corpus; the cost axis (scan_frac) comes from
+    the 16-row histogram, not a rescan. The curve rides the SAME cell
+    expression as q_knn_ivf_pq / q_cell_balance, so its numbers
+    describe exactly the deployed quantizer."""
+    from math import comb
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+    base = emb.withColumn("cell", _coarse_cell(F.col("e")))
+    panel = base.filter(F.col("vec_id") < _CURVE_PANEL).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("cell").alias("qcell"),
+    )
+    pairs = (
+        base.crossJoin(F.broadcast(panel))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            pround(cosine_to_query("e", "qe"), 6).alias("cos6"),
+            F.bit_count(F.col("cell").bitwiseXOR(F.col("qcell"))).alias("ham"),
+        )
+    )
+    # top-10 cut, scale-safe: coarse 1e-3 cosine buckets -> per-qid
+    # prefix over the <=(10 x 2001)-row bucket table -> only buckets
+    # that can still hold a top-10 row survive -> bounded per-qid
+    # window for the exact (cos6 DESC, vec_id) row_number
+    bpairs = pairs.withColumn(
+        "bucket", F.floor(F.col("cos6") * 1000).cast("bigint")
+    )
+    bcnt = bpairs.groupBy("qid", "bucket").agg(F.count("*").alias("cnt"))
+    w_b = (
+        Window.partitionBy("qid")
+        .orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    keep = (
+        bcnt.withColumn("cum_before", F.sum("cnt").over(w_b) - F.col("cnt"))
+        .filter(F.col("cum_before") < _CURVE_K)
+        .select("qid", "bucket")
+    )
+    cand = bpairs.join(F.broadcast(keep), ["qid", "bucket"])
+    w_r = Window.partitionBy("qid").orderBy(F.desc("cos6"), F.asc("vec_id"))
+    rel = (
+        cand.withColumn("rn", F.row_number().over(w_r))
+        .filter(F.col("rn") <= _CURVE_K)
+        .select("qid", "ham")
+    )
+    r_agg = rel.agg(
+        *[
+            F.sum(F.when(F.col("ham") <= h, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"r{h}")
+            for h in range(_IVFPQ_PLANES + 1)
+        ]
+    )
+    hist = base.groupBy("cell").agg(F.count("*").cast("bigint").alias("cnt"))
+    scans = hist.crossJoin(F.broadcast(panel.select("qcell"))).select(
+        F.bit_count(F.col("cell").bitwiseXOR(F.col("qcell"))).alias("ham"),
+        "cnt",
+    )
+    s_agg = scans.agg(
+        *[
+            F.sum(F.when(F.col("ham") <= h, F.col("cnt")).otherwise(0))
+            .cast("bigint")
+            .alias(f"s{h}")
+            for h in range(_IVFPQ_PLANES + 1)
+        ]
+    )
+    # corpus size folds off the 16-row histogram — no third corpus pass
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("n"))
+    one = r_agg.crossJoin(F.broadcast(s_agg)).crossJoin(F.broadcast(tot))
+    rows = []
+    for h in range(_IVFPQ_PLANES + 1):
+        cp = sum(comb(_IVFPQ_PLANES, i) for i in range(h + 1))
+        rows.append(
+            f"{h}, {cp}, "
+            f"(CAST(s{h} AS DOUBLE) - {_CURVE_PANEL}.0) "
+            f"/ ({_CURVE_PANEL}.0 * (CAST(n AS DOUBLE) - 1.0)), "
+            f"CAST(r{h} AS DOUBLE) / {_CURVE_PANEL * _CURVE_K}.0"
+        )
+    stacked = one.selectExpr(
+        f"stack({_IVFPQ_PLANES + 1}, " + ", ".join(rows)
+        + ") AS (h, cells_probed, scan_frac, recall_at_10)"
+    )
+    return stacked.select(
+        F.col("h").cast("int").alias("h"),
+        F.col("cells_probed").cast("int").alias("cells_probed"),
+        pround(F.col("scan_frac"), 6).alias("scan_frac"),
+        pround(F.col("recall_at_10"), 6).alias("recall_at_10"),
+    )

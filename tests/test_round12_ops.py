@@ -195,3 +195,72 @@ def test_delong_auc_a_equals_q_auc(spark, sf_dir):
     a1 = REGISTRY["q_auc"].fn(spark, sf_dir).toPandas().auc.iloc[0]
     a2 = REGISTRY["q_delong"].fn(spark, sf_dir).toPandas().auc_a.iloc[0]
     assert a1 == a2
+
+
+# ---------------------------------------------------------------------------
+# q_ivfpq_probe_curve
+
+
+def test_probe_curve_matches_numpy_reference(spark, sf_dir, duck):
+    """Brute-force reference: numpy cosines for the 10-query panel,
+    exact (round6 desc, vec_id) top-10, cells from the same sign
+    planes, recall/scan recomputed from scratch."""
+    import numpy as np
+
+    from fraud_detection_spark.operators.similarity import _ann_plane_signs
+
+    got = (
+        REGISTRY["q_ivfpq_probe_curve"].fn(spark, sf_dir).toPandas()
+        .set_index("h").sort_index()
+    )
+    rows = duck.execute(
+        "SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings "
+        "ORDER BY vec_id"
+    ).df()
+    E = np.stack(rows.e.to_numpy())
+    ids = rows.vec_id.to_numpy()
+    planes = np.array([_ann_plane_signs(j) for j in range(4)])
+    # sequential fold == dot for the sign DECISION in every observed
+    # case; recompute cells with plain dot (test-only reference)
+    cells = ((E @ planes.T > 0) * np.array([1, 2, 4, 8])).sum(axis=1)
+    norm = np.linalg.norm(E, axis=1)
+    retained = np.zeros(5)
+    for qid in range(10):
+        qi = np.where(ids == qid)[0][0]
+        cos = np.round((E @ E[qi]) / (norm * norm[qi]), 6)
+        order = sorted(
+            [(id_, c) for id_, c in zip(ids, cos) if id_ != qid],
+            key=lambda t: (-t[1], t[0]),
+        )[:10]
+        top_ids = {t[0] for t in order}
+        ham = np.vectorize(lambda c: bin(int(c) ^ int(cells[qi])).count("1"))(
+            cells
+        )
+        for h in range(5):
+            within = {i for i, hm in zip(ids, ham) if hm <= h}
+            retained[h] += len(top_ids & within)
+    for h in range(5):
+        assert abs(got.loc[h, "recall_at_10"] - retained[h] / 100.0) < 2e-6, h
+    # scan fraction from the same cells
+    n = len(ids)
+    for h in range(5):
+        s = sum(
+            (bin(int(c) ^ int(cells[np.where(ids == q)[0][0]])).count("1") <= h)
+            for q in range(10)
+            for c in cells
+        )
+        assert abs(got.loc[h, "scan_frac"] - (s - 10) / (10.0 * (n - 1))) < 2e-6
+
+
+def test_probe_curve_shape_invariants(spark, sf_dir):
+    got = (
+        REGISTRY["q_ivfpq_probe_curve"].fn(spark, sf_dir).toPandas()
+        .set_index("h").sort_index()
+    )
+    assert list(got.index) == [0, 1, 2, 3, 4]
+    assert list(got.cells_probed) == [1, 5, 11, 15, 16]
+    # both axes monotone nondecreasing; full radius is exhaustive
+    assert (got.recall_at_10.diff().dropna() >= -1e-12).all()
+    assert (got.scan_frac.diff().dropna() >= -1e-12).all()
+    assert got.loc[4, "recall_at_10"] == 1.0
+    assert got.loc[4, "scan_frac"] == 1.0
