@@ -83,6 +83,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_tree3",
     "q_delong",
     "q_ivfpq_probe_curve",
+    "q_dedup_funnel",
 })
 
 

@@ -1215,3 +1215,167 @@ def q_neardup_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("ju").cast("double") / 1000000 / F.count("*"), 6
         ).alias("mean_jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_funnel — dedup-stage funnel observability (round 12, VERDICT
+# r11 #6c): per source, survivor counts after each stage of the
+# exact -> simhash -> jaccard -> embedding pipeline, riding the four
+# existing candidate sets. The table a 100 TB curation run reads to
+# see WHERE its corpus shrinks — and which stage a new feed trips.
+# ---------------------------------------------------------------------------
+
+_SIMHASH_HAM = 3  # within-band full-signature Hamming cut (classic k=3)
+
+
+def _emb_pair_sql() -> str:
+    """q_dedup_embedding's thresholded pair list as a nestable
+    subquery (its own WITH scope — the b/cand names inside shadow any
+    outer CTEs)."""
+    return (
+        f"WITH b AS ({_emb_base_sql()}), cand AS ({_cand_sql()}) "
+        "SELECT vec_a, vec_b FROM ("
+        "SELECT cand.vec_a, cand.vec_b, "
+        + sql_round("list_cosine_similarity(x.e, y.e)", 6) + " AS cosine "
+        "FROM cand JOIN b x ON x.vec_id = cand.vec_a "
+        "JOIN b y ON y.vec_id = cand.vec_b) "
+        "WHERE cosine > 0.3"
+    )
+
+
+def _funnel_oracle() -> str:
+    return (
+        "WITH g AS (SELECT md5(text) AS h, MIN(doc_id) AS k "
+        "FROM documents GROUP BY md5(text)), "
+        "a1 AS MATERIALIZED (SELECT doc_id FROM documents "
+        "JOIN g ON md5(documents.text) = g.h WHERE doc_id = g.k), "
+        f"sh AS MATERIALIZED (SELECT doc_id, simhash, band FROM ({_simhash_sql()})), "
+        "p2 AS (SELECT a.doc_id AS da, b.doc_id AS db FROM sh a JOIN sh b "
+        "ON a.band = b.band AND a.doc_id < b.doc_id "
+        f"AND bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAM}), "
+        "d2 AS (SELECT DISTINCT p2.db AS doc_id FROM p2 "
+        "JOIN a1 x ON x.doc_id = p2.da JOIN a1 y ON y.doc_id = p2.db), "
+        "a2 AS MATERIALIZED (SELECT doc_id FROM a1 "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM d2)), "
+        + _JACCARD_CTES + ", "
+        "p3 AS (SELECT da, db FROM (SELECT doc_a AS da, doc_b AS db, "
+        + sql_round("jac", 6) + " AS jaccard FROM j) "
+        f"WHERE jaccard >= {_JACCARD_THRESHOLD}), "
+        "d3 AS (SELECT DISTINCT p3.db AS doc_id FROM p3 "
+        "JOIN a2 x ON x.doc_id = p3.da JOIN a2 y ON y.doc_id = p3.db), "
+        "a3 AS MATERIALIZED (SELECT doc_id FROM a2 "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM d3)), "
+        f"p4 AS (SELECT vec_a AS da, vec_b AS db FROM ({_emb_pair_sql()})), "
+        "d4 AS (SELECT DISTINCT p4.db AS doc_id FROM p4 "
+        "JOIN a3 x ON x.doc_id = p4.da JOIN a3 y ON y.doc_id = p4.db), "
+        "a4 AS (SELECT doc_id FROM a3 "
+        "WHERE doc_id NOT IN (SELECT doc_id FROM d4)) "
+        "SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs, "
+        "CAST(COUNT(x1.doc_id) AS BIGINT) AS n_after_exact, "
+        "CAST(COUNT(x2.doc_id) AS BIGINT) AS n_after_simhash, "
+        "CAST(COUNT(x3.doc_id) AS BIGINT) AS n_after_jaccard, "
+        "CAST(COUNT(x4.doc_id) AS BIGINT) AS n_after_embedding "
+        "FROM documents d "
+        "LEFT JOIN a1 x1 ON x1.doc_id = d.doc_id "
+        "LEFT JOIN a2 x2 ON x2.doc_id = d.doc_id "
+        "LEFT JOIN a3 x3 ON x3.doc_id = d.doc_id "
+        "LEFT JOIN a4 x4 ON x4.doc_id = d.doc_id "
+        "GROUP BY d.source"
+    )
+
+
+@query(
+    "q_dedup_funnel",
+    oracle=_funnel_oracle(),
+    tags=("dedup", "curation", "monitor"),
+)
+def q_dedup_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survivor funnel across the four dedup stages this
+    engine ships, applied in pipeline order: exact (md5 group,
+    min-doc_id keeper) -> simhash (band-blocked, full-signature
+    Hamming <= 3) -> n-gram Jaccard (MinHash-prefix candidates,
+    6-dp J >= 0.5) -> embedding cosine (banded sign-LSH, > 0.3,
+    vec_id = doc_id per the q_distinctive_terms convention). Emits
+    per source the doc count and the count still alive after each
+    stage — q_dedup_stats reads the exact stage, q_neardup_sources
+    attributes ONE stage's pairs; this is the whole pipeline's
+    shrinkage in one table.
+
+    Drop policy (documented, single-pass): at stage k a doc b is
+    dropped iff some pair (a, b) with a < b from stage k's candidate
+    set has BOTH endpoints alive after stages 1..k-1 — the
+    keep-earliest rule evaluated against the previous stage's
+    survivor set, not re-chained within the stage (the transitive
+    variant is q_dedup_doc_cluster's connected components; a funnel
+    wants per-stage attribution, so each stage is one exact
+    semi-join, not an iteration). Docs with no embedding row simply
+    cannot drop at stage 4.
+
+    Exactness: every stage rides its oracle-proven machinery verbatim
+    (q_dedup_exact / q_dedup_simhash / q_dedup_jaccard /
+    q_dedup_embedding are all hash-green); drop sets are integer
+    doc_id joins — no floats anywhere past the stage thresholds.
+
+    Scale: the three pair stages are blocked/banded (never all-pairs);
+    aliveness joins are doc_id-scale skinny semi-joins; the final
+    rollup is one |sources|-row aggregate. Stage costs are the sum of
+    the four member queries' (each individually benched/anchored);
+    this query is correctness-gated, benched separately from HEADLINE
+    like q_dedup_near — re-measuring all four members' fixed costs
+    inside the suite would double-charge the dedup family."""
+    d = load_table(spark, sf_dir, "documents")
+    ids = d.select("doc_id", "source")
+    ex = q_dedup_exact(spark, sf_dir)
+    a1 = (
+        d.select("doc_id", F.md5(F.col("text").cast("binary")).alias("text_hash"))
+        .join(ex, "text_hash")
+        .filter(F.col("doc_id") == F.col("keeper_id"))
+        .select("doc_id")
+    )
+    sig = q_dedup_simhash(spark, sf_dir)
+    p2 = (
+        sig.alias("a")
+        .join(sig.alias("b"), F.col("a.band") == F.col("b.band"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (
+                F.bit_count(
+                    F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+                )
+                <= _SIMHASH_HAM
+            )
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+    )
+    p3 = q_dedup_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("da"), F.col("doc_b").alias("db")
+    )
+    p4 = q_dedup_embedding(spark, sf_dir).select(
+        F.col("vec_a").alias("da"), F.col("vec_b").alias("db")
+    )
+
+    def survive(alive: DataFrame, pairs: DataFrame) -> DataFrame:
+        dropped = (
+            pairs.join(alive.select(F.col("doc_id").alias("da")), "da")
+            .join(alive.select(F.col("doc_id").alias("db")), "db")
+            .select(F.col("db").alias("doc_id"))
+            .distinct()
+        )
+        return alive.join(dropped, "doc_id", "left_anti")
+
+    a2 = survive(a1, p2)
+    a3 = survive(a2, p3)
+    a4 = survive(a3, p4)
+    flagged = (
+        ids.join(a1.withColumn("f1", F.lit(1)), "doc_id", "left")
+        .join(a2.withColumn("f2", F.lit(1)), "doc_id", "left")
+        .join(a3.withColumn("f3", F.lit(1)), "doc_id", "left")
+        .join(a4.withColumn("f4", F.lit(1)), "doc_id", "left")
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.count("f1").cast("bigint").alias("n_after_exact"),
+        F.count("f2").cast("bigint").alias("n_after_simhash"),
+        F.count("f3").cast("bigint").alias("n_after_jaccard"),
+        F.count("f4").cast("bigint").alias("n_after_embedding"),
+    )

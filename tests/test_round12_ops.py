@@ -264,3 +264,83 @@ def test_probe_curve_shape_invariants(spark, sf_dir):
     assert (got.scan_frac.diff().dropna() >= -1e-12).all()
     assert got.loc[4, "recall_at_10"] == 1.0
     assert got.loc[4, "scan_frac"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_funnel
+
+
+def test_funnel_matches_python_recomputation(spark, sf_dir):
+    """Recompute the single-pass keep-earliest funnel in python from
+    the member queries' own outputs (each independently oracle-green):
+    the funnel must equal stagewise set algebra over those pair sets."""
+    got = (
+        REGISTRY["q_dedup_funnel"].fn(spark, sf_dir).toPandas()
+        .set_index("source").sort_index()
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source"
+    ).toPandas()
+    ex = REGISTRY["q_dedup_exact"].fn(spark, sf_dir).toPandas()
+    import hashlib
+
+    texts = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).toPandas()
+    texts["h"] = texts.text.map(lambda t: hashlib.md5(t.encode()).hexdigest())
+    keep = texts.groupby("h").doc_id.min()
+    a1 = set(texts[texts.doc_id.isin(set(keep))].doc_id)
+
+    sig = REGISTRY["q_dedup_simhash"].fn(spark, sf_dir).toPandas()
+    p2 = []
+    for _, grp in sig.groupby("band"):
+        rows = grp.sort_values("doc_id").to_dict("records")
+        for i in range(len(rows)):
+            for k in range(i + 1, len(rows)):
+                if bin(int(rows[i]["simhash"]) ^ int(rows[k]["simhash"])).count(
+                    "1"
+                ) <= 3:
+                    p2.append((rows[i]["doc_id"], rows[k]["doc_id"]))
+    p3 = [
+        tuple(r)
+        for r in REGISTRY["q_dedup_jaccard"].fn(spark, sf_dir)
+        .select("doc_a", "doc_b").toPandas().to_numpy()
+    ]
+    p4 = [
+        tuple(r)
+        for r in REGISTRY["q_dedup_embedding"].fn(spark, sf_dir)
+        .select("vec_a", "vec_b").toPandas().to_numpy()
+    ]
+
+    def survive(alive, pairs):
+        dropped = {b for a, b in pairs if a in alive and b in alive}
+        return alive - dropped
+
+    a2 = survive(a1, p2)
+    a3 = survive(a2, p3)
+    a4 = survive(a3, p4)
+    ref = d.assign(
+        f1=d.doc_id.isin(a1),
+        f2=d.doc_id.isin(a2),
+        f3=d.doc_id.isin(a3),
+        f4=d.doc_id.isin(a4),
+    ).groupby("source").agg(
+        n_docs=("doc_id", "size"),
+        n_after_exact=("f1", "sum"),
+        n_after_simhash=("f2", "sum"),
+        n_after_jaccard=("f3", "sum"),
+        n_after_embedding=("f4", "sum"),
+    ).sort_index()
+    for col in ref.columns:
+        assert (got[col] == ref[col]).all(), col
+
+
+def test_funnel_monotone_and_totals(spark, sf_dir):
+    got = REGISTRY["q_dedup_funnel"].fn(spark, sf_dir).toPandas()
+    assert (got.n_after_exact <= got.n_docs).all()
+    assert (got.n_after_simhash <= got.n_after_exact).all()
+    assert (got.n_after_jaccard <= got.n_after_simhash).all()
+    assert (got.n_after_embedding <= got.n_after_jaccard).all()
+    # exact stage total equals the number of md5 groups corpus-wide
+    ex = REGISTRY["q_dedup_exact"].fn(spark, sf_dir).toPandas()
+    assert got.n_after_exact.sum() == len(ex)
