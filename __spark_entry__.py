@@ -84,6 +84,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_delong",
     "q_ivfpq_probe_curve",
     "q_dedup_funnel",
+    "q_page_hinkley",
 })
 
 

@@ -316,6 +316,10 @@ HEADLINE = [
     # r11 #6b — one corpus pass vs the 10-row broadcast panel, bounded
     # bucket-pruned top-10, cost axis off the 16-row cell histogram)
     "q_ivfpq_probe_curve",
+    # round 12: two-sided Page-Hinkley sequential changepoint (VERDICT
+    # r11 #6d — one fact fold to <=|days| rows + four chained bounded
+    # windows; exact streaming twin in streaming/drift.py)
+    "q_page_hinkley",
 ]
 
 

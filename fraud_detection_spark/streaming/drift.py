@@ -32,6 +32,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 # Published reference shares for the 10 amount bands [0,10), ... [90,100):
 # the uniform prior a fraud amount screen starts from before learning the
@@ -150,4 +151,155 @@ def structuring_stream(events: DataFrame) -> DataFrame:
         "n_band",
         lift.alias("lift"),
         ((F.col("n_band") >= 10) & (share > 0.18)).cast("int").alias("flag"),
+    )
+
+
+# --- Page-Hinkley online changepoint (q_page_hinkley's stream twin) --
+
+PH_OUTPUT = T.StructType(
+    [
+        T.StructField("series", T.StringType()),
+        T.StructField("day", T.LongType()),
+        T.StructField("day_mean", T.DoubleType()),
+        T.StructField("ph_inc", T.DoubleType()),
+        T.StructField("ph_dec", T.DoubleType()),
+        T.StructField("alarm", T.IntegerType()),
+    ]
+)
+
+# PH accumulators + the open-day partial buffer (parallel arrays)
+PH_STATE = T.StructType(
+    [
+        T.StructField("i", T.LongType()),
+        T.StructField("sx", T.DoubleType()),
+        T.StructField("mi", T.DoubleType()),
+        T.StructField("mmin", T.DoubleType()),
+        T.StructField("md", T.DoubleType()),
+        T.StructField("mdmin", T.DoubleType()),
+        T.StructField("pend_days", T.ArrayType(T.LongType())),
+        T.StructField("pend_units", T.ArrayType(T.LongType())),
+        T.StructField("pend_cnts", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _ph_updater(delta: float, lam: float):
+    """Factory for the per-series Page-Hinkley state function
+    (closure — ships by value, see streaming/stateful.py's pickling
+    contract). Every float op replicates q_page_hinkley's batch
+    expression STRUCTURE exactly (same association order), so the
+    emitted rows are bit-identical to the batch query's — asserted by
+    the parity test, the same stream==batch discipline as every other
+    streaming op in this package."""
+
+    def update_ph(key, pdfs, state):
+        import math as _math
+
+        import pandas as _pd
+
+        if state.exists:
+            i, sx, mi, mmin, md, mdmin, pd_, pu_, pc_ = state.get
+            pend = {d: [u, c] for d, u, c in zip(pd_, pu_, pc_)}
+        else:
+            i, sx, mi, mmin, md, mdmin = 0, 0.0, 0.0, None, 0.0, None
+            pend = {}
+            mmin = float("inf")
+            mdmin = float("inf")
+        for pdf in pdfs:
+            for day, grp in pdf.groupby("day"):
+                # per-row fixed-point units, the engine-wide fixed_sum
+                # discipline (python floor == Spark FLOOR on doubles)
+                units = int(
+                    sum(
+                        int(_math.floor(v * 10000 + 0.5))
+                        for v in grp["value"].astype(float)
+                    )
+                )
+                cur = pend.setdefault(int(day), [0, 0])
+                cur[0] += units
+                cur[1] += int(len(grp))
+        out = []
+        if pend:
+            hi = max(pend)
+            # close every day strictly before the newest open day —
+            # event-time monotone closure (the upstream feed is
+            # watermark-ordered at day grain; late rows for a closed
+            # day would be a watermark violation upstream too)
+            for day in sorted(d for d in pend if d < hi):
+                units, cnt = pend.pop(day)
+                y = float(units) / 10000 / cnt
+                x = _math.floor(y * 10000 + 0.5) / 10000
+                i += 1
+                sx += x
+                ti = x - sx / i - delta
+                td = sx / i - x - delta
+                mi += ti
+                md += td
+                mmin = mi if mi < mmin else mmin
+                mdmin = md if md < mdmin else mdmin
+                phi = mi - mmin
+                phd = md - mdmin
+                out.append(
+                    {
+                        "series": key[0],
+                        "day": day,
+                        "day_mean": _math.floor(x * 10000 + 0.5) / 10000,
+                        "ph_inc": _math.floor(phi * 1000000 + 0.5) / 1000000,
+                        "ph_dec": _math.floor(phd * 1000000 + 0.5) / 1000000,
+                        "alarm": int(phi > lam or phd > lam),
+                    }
+                )
+        days = sorted(pend)
+        state.update(
+            (
+                i,
+                sx,
+                mi,
+                mmin,
+                md,
+                mdmin,
+                days,
+                [pend[d][0] for d in days],
+                [pend[d][1] for d in days],
+            )
+        )
+        if out:
+            yield _pd.DataFrame(out)
+
+    return update_ph
+
+
+def page_hinkley_stream(
+    events: DataFrame, delta: float | None = None, lam: float | None = None
+) -> DataFrame:
+    """events(ts nanos, value) -> online two-sided Page-Hinkley rows
+    per closed event-time day, exact twin of
+    operators/timeseries.py::q_page_hinkley (δ/λ default to its
+    literals). A day closes when a later day appears — emit-on-close;
+    the newest open day stays buffered in state (one (units, count)
+    pair per open day, O(1) in practice).
+
+    Scale: state is a handful of scalars per series key (here one
+    'amount' series; a per-feature deployment keys by feature name —
+    the operator is already keyed). The sequential statistic is
+    inherently single-series, so the single-key shuffle is the
+    algorithm, not a bottleneck: every upstream event fold is
+    map-side-combinable before the one-key stage at day grain."""
+    from fraud_detection_spark.operators.timeseries import PH_DELTA, PH_LAMBDA
+
+    d = delta if delta is not None else PH_DELTA
+    w = lam if lam is not None else PH_LAMBDA
+    keyed = events.select(
+        F.lit("amount").alias("series"),
+        F.expr("ts div 1000000000 div 86400").cast("long").alias("day"),
+        F.col("value"),
+    )
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return keyed.groupBy("series").applyInPandasWithState(
+        _ph_updater(d, w),
+        outputStructType=PH_OUTPUT,
+        stateStructType=PH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

@@ -344,3 +344,101 @@ def test_funnel_monotone_and_totals(spark, sf_dir):
     # exact stage total equals the number of md5 groups corpus-wide
     ex = REGISTRY["q_dedup_exact"].fn(spark, sf_dir).toPandas()
     assert got.n_after_exact.sum() == len(ex)
+
+
+# ---------------------------------------------------------------------------
+# q_page_hinkley + streaming twin
+
+
+def test_page_hinkley_stream_matches_batch_exactly(spark, sf_dir, tmp_path):
+    """Bit-exact stream==batch parity: the stateful stream fed the
+    same events in 3 time-ordered slices (state carries PH
+    accumulators + the open day across checkpointed restarts) must
+    emit exactly q_page_hinkley's rows for every day except the final
+    (still-open) one."""
+    import shutil
+
+    from fraud_detection_spark.sources import load_table
+    from fraud_detection_spark.streaming.drift import page_hinkley_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "value")
+        .orderBy("ts")
+    )
+    pdf = ev.toPandas()
+    n = len(pdf)
+    n_slices = 3
+    rows_per = (n + n_slices - 1) // n_slices
+    src = tmp_path / "ph_src"
+    src.mkdir()
+    for i in range(n_slices):
+        chunk = pdf.iloc[i * rows_per : (i + 1) * rows_per]
+        if len(chunk):
+            spark.createDataFrame(chunk).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"slice_{i:03d}"))
+    paths = sorted(str(p) for p in src.glob("slice_*"))
+    schema = ev.schema
+    ckpt = str(tmp_path / "ph_ckpt")
+    out = str(tmp_path / "ph_out")
+    staged = tmp_path / "ph_staged"
+    staged.mkdir()
+    for i, p in enumerate(paths):
+        shutil.copytree(p, str(staged / f"s{i}"))
+        stream_in = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(staged))
+        q = (
+            page_hinkley_stream(stream_in)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = spark.read.parquet(out).toPandas().sort_values("day").reset_index(
+        drop=True
+    )
+    batch = REGISTRY["q_page_hinkley"].fn(spark, sf_dir).toPandas()
+    want = (
+        batch[batch.day < batch.day.max()]
+        .sort_values("day")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    assert (got.series == "amount").all()
+    for c in ["day", "day_mean", "ph_inc", "ph_dec", "alarm"]:
+        assert (got[c].values == want[c].values).all(), c
+
+
+def test_page_hinkley_statistic_invariants(spark, sf_dir):
+    got = REGISTRY["q_page_hinkley"].fn(spark, sf_dir).toPandas()
+    assert (got.ph_inc >= 0).all() and (got.ph_dec >= 0).all()
+    # first day: running mean == x, so both sides read exactly -delta
+    # floored at the min => PH = 0
+    first = got.sort_values("day").iloc[0]
+    assert first.ph_inc == 0.0 and first.ph_dec == 0.0
+    # python reference recomputation (same association order)
+    import math
+
+    xs = got.sort_values("day").day_mean.tolist()
+    from fraud_detection_spark.operators.timeseries import PH_DELTA, PH_LAMBDA
+
+    i, sx, mi, md = 0, 0.0, 0.0, 0.0
+    mmin, mdmin = float("inf"), float("inf")
+    for k, x in enumerate(xs):
+        i += 1
+        sx += x
+        mi += x - sx / i - PH_DELTA
+        md += sx / i - x - PH_DELTA
+        mmin = min(mmin, mi)
+        mdmin = min(mdmin, md)
+        row = got.sort_values("day").iloc[k]
+        assert abs(row.ph_inc - (mi - mmin)) < 2e-6
+        assert abs(row.ph_dec - (md - mdmin)) < 2e-6
+        assert row.alarm == int(
+            (mi - mmin) > PH_LAMBDA or (md - mdmin) > PH_LAMBDA
+        )
