@@ -1,0 +1,249 @@
+"""10x scale smoke for the dedup/ANN candidate kernels (VERDICT r11
+#5): the graph family got its skew-stress in r8 (test_graph_scale.py,
+the template); the dedup/ANN families carry equally load-bearing
+100 TB claims (blocked candidates, never all-pairs) but never had one.
+
+Replication scheme, dedup: 10 CONTENT-DISJOINT isomorphic copies —
+doc_id -> doc_id*16+rep and every token salted with "_<rep>", so every
+3-word shingle (and hence every md5 min-key) is distinct across
+replicas. Per-replica structure is identical, so candidate pairs and
+near-dup pairs must scale EXACTLY 10x; a blocking regression that
+lets replicas collide would read ~100x pairs, and a quadratic kernel
+~100x wall.
+
+Replication scheme, ANN: vec_id -> vec_id*16+rep with the SAME
+embedding (cells are content-derived), so each coarse cell's
+population grows exactly 10x and the probe candidate count obeys the
+closed form cand10 = 10*cand1 + 9 (all copies of every 1x candidate,
+plus the 9 non-self copies of the query vector).
+
+Gated behind SPARK_GRAFT_SCALE_TESTS=1 (~2 min at sf0.1). Measured
+numbers live in SCALE.md ("Dedup/ANN families, 10x smoke") —
+re-measure here when the kernels change.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+SCALE_SF_DIR = os.environ.get("SPARK_GRAFT_SCALE_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 10
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1",
+    reason="scale exercise; run with SPARK_GRAFT_SCALE_TESTS=1",
+)
+
+
+def _salted_docs(spark, k=REPLICAS):
+    """k content-disjoint isomorphic copies of the documents table."""
+    from fraud_detection_spark.sources import load_table
+
+    d = load_table(spark, SCALE_SF_DIR, "documents").select(
+        "doc_id", "source", "text"
+    )
+    r = d.crossJoin(
+        F.broadcast(spark.range(k).select(F.col("id").alias("_rep")))
+    )
+    salted = F.array_join(
+        F.transform(
+            F.split("text", " "),
+            lambda t: F.concat(t, F.lit("_"), F.col("_rep").cast("string")),
+        ),
+        " ",
+    )
+    return r.select(
+        (F.col("doc_id") * 16 + F.col("_rep")).alias("doc_id"),
+        "source",
+        salted.alias("text"),
+    )
+
+
+def _jaccard_pipeline(docs):
+    """q_dedup_jaccard's exact pipeline over an arbitrary documents
+    frame: sketch -> key explode -> candidate self-join -> exact
+    Jaccard >= threshold (mirrors operators/dedup.py verbatim)."""
+    from fraud_detection_spark.operators.dedup import (
+        _JACCARD_BLOCK_K,
+        _JACCARD_THRESHOLD,
+        jaccard_sketch_docs,
+    )
+    from fraud_detection_spark.functions import pround
+
+    s = jaccard_sketch_docs(docs, k=_JACCARD_BLOCK_K).cache()
+    keys = s.select("doc_id", F.explode("mk").alias("mk"))
+    a = keys.select(F.col("doc_id").alias("doc_a"), F.col("mk"))
+    b = keys.select(F.col("doc_id").alias("doc_b"), F.col("mk"))
+    cand = (
+        a.join(b, "mk")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = s.select(F.col("doc_id").alias("doc_a"), F.col("sh64").alias("sha"))
+    y = s.select(F.col("doc_id").alias("doc_b"), F.col("sh64").alias("shb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    jac = inter.cast("double") / (F.size("sha") + F.size("shb") - inter)
+    pairs = (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", pround(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= _JACCARD_THRESHOLD)
+    )
+    return cand, pairs
+
+
+def _timed_count(df):
+    t0 = time.time()
+    n = df.count()
+    return n, time.time() - t0
+
+
+def test_jaccard_candidate_build_scales_linearly(spark):
+    """MinHash blocking is CONTENT-dependent, so salted replicas are
+    fresh hash draws, not blocking-isomorphic copies (measured 10.10x
+    candidates at 10x when this test was written) — the exact
+    invariants are: (1) ZERO cross-replica candidates (the 100 TB
+    claim: disjoint content never enters the same block, so volume is
+    the sum of per-content blocks, never quadratic across them);
+    (2) replica 0, whose salt matches the 1x corpus verbatim, must
+    reproduce the 1x candidate and pair sets EXACTLY; (3) every
+    replica's candidate count sits within a tight band of the 1x one
+    (same corpus, fresh 64-bit hash roll); (4) wall time ~linear."""
+    docs1 = _salted_docs(spark, 1)
+    docs10 = _salted_docs(spark, REPLICAS)
+    cand1_df, pairs1_df = _jaccard_pipeline(docs1)
+    cand10_df, pairs10_df = _jaccard_pipeline(docs10)
+    # warm codegen/Arrow paths once
+    cand1_df.count()
+
+    cand1, tc1 = _timed_count(cand1_df)
+    cand10, tc10 = _timed_count(cand10_df)
+    by_rep = {
+        int(r["rep"]): int(r["n"])
+        for r in cand10_df.groupBy((F.col("doc_a") % 16).alias("rep"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    cross = cand10_df.filter(
+        F.col("doc_a") % 16 != F.col("doc_b") % 16
+    ).count()
+    assert cross == 0
+    assert by_rep[0] == cand1, (by_rep[0], cand1)
+    assert len(by_rep) == REPLICAS
+    for rep, n in by_rep.items():
+        assert 0.8 * cand1 <= n <= 1.2 * cand1, (rep, n, cand1)
+    assert sum(by_rep.values()) == cand10
+    assert tc10 <= 2.5 * REPLICAS * tc1 + 5.0, (tc1, tc10)
+
+    p1, tp1 = _timed_count(pairs1_df)
+    p10, tp10 = _timed_count(pairs10_df)
+    p10_rep0 = pairs10_df.filter(
+        (F.col("doc_a") % 16 == 0) & (F.col("doc_b") % 16 == 0)
+    ).count()
+    assert p10_rep0 == p1, (p10_rep0, p1)
+    assert 0.8 * REPLICAS * p1 <= p10 <= 1.2 * REPLICAS * p1, (p1, p10)
+    assert tp10 <= 2.5 * REPLICAS * tp1 + 5.0, (tp1, tp10)
+    print(
+        f"SCALE jaccard: cand 1x={cand1}@{tc1:.2f}s 10x={cand10}@{tc10:.2f}s "
+        f"({cand10 / cand1 / REPLICAS:.3f}x/replica); "
+        f"pairs 1x={p1}@{tp1:.2f}s 10x={p10}@{tp10:.2f}s"
+    )
+
+
+def test_neardup_sources_rollup_scales(spark):
+    """The per-(source, source) attribution over the replicated pair
+    set: replica 0 (salt-identical to the 1x corpus) must reproduce
+    the 1x rollup EXACTLY — per-cell n_pairs and mean_jaccard — and
+    the full 10x rollup's totals must equal the pair count (nothing
+    dropped or double-attributed)."""
+    from fraud_detection_spark.functions import pround
+    from fraud_detection_spark.sources import load_table
+
+    def rollup(docs):
+        _, pairs = _jaccard_pipeline(docs)
+        src = docs.select("doc_id", "source")
+        ps = (
+            pairs.join(
+                src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")),
+                "doc_a",
+            )
+            .join(
+                src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")),
+                "doc_b",
+            )
+            .select(
+                F.least("sa", "sb").alias("src_a"),
+                F.greatest("sa", "sb").alias("src_b"),
+                F.floor(F.col("jaccard") * 1000000 + F.lit(0.5))
+                .cast("bigint")
+                .alias("ju"),
+            )
+        )
+        return ps.groupBy("src_a", "src_b").agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            pround(F.sum("ju").cast("double") / 1000000 / F.count("*"), 6).alias(
+                "mean_jaccard"
+            ),
+        )
+
+    r1 = rollup(_salted_docs(spark, 1)).toPandas().set_index(["src_a", "src_b"])
+    docs10 = _salted_docs(spark, REPLICAS)
+    rep0 = docs10.filter(F.col("doc_id") % 16 == 0)
+    r10_rep0 = rollup(rep0).toPandas().set_index(["src_a", "src_b"])
+    assert set(r1.index) == set(r10_rep0.index)
+    for idx in r1.index:
+        assert r10_rep0.loc[idx, "n_pairs"] == r1.loc[idx, "n_pairs"], idx
+        assert (
+            r10_rep0.loc[idx, "mean_jaccard"] == r1.loc[idx, "mean_jaccard"]
+        ), idx
+    full = rollup(docs10).toPandas()
+    _, pairs10_df = _jaccard_pipeline(docs10)
+    assert int(full.n_pairs.sum()) == pairs10_df.count()
+
+
+def test_ivfpq_probe_candidates_scale_linearly(spark):
+    """Coarse-cell probe pruning at 10x corpus: same embeddings, so
+    cells replicate and the candidate count obeys the closed form
+    cand10 = 10*cand1 + 9 (copies of candidates + the 9 non-self
+    query copies); wall stays ~linear."""
+    from fraud_detection_spark.operators.similarity import (
+        _IVFPQ_HAM,
+        QUERY_VEC_ID,
+        _as_double,
+        _coarse_cell,
+    )
+    from fraud_detection_spark.sources import load_table
+
+    emb = load_table(spark, SCALE_SF_DIR, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("e")
+    )
+
+    def probe_cands(base):
+        b = base.withColumn("cell", _coarse_cell(F.col("e")))
+        qrow = b.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("cell").alias("qcell")
+        )
+        return (
+            b.filter(F.col("vec_id") != QUERY_VEC_ID)
+            .crossJoin(F.broadcast(qrow))
+            .filter(
+                F.bit_count(F.col("cell").bitwiseXOR(F.col("qcell")))
+                <= _IVFPQ_HAM
+            )
+        )
+
+    emb10 = emb.crossJoin(
+        F.broadcast(spark.range(REPLICAS).select(F.col("id").alias("_rep")))
+    ).select((F.col("vec_id") * 16 + F.col("_rep")).alias("vec_id"), "e")
+
+    probe_cands(emb).count()  # warm
+    c1, t1 = _timed_count(probe_cands(emb))
+    c10, t10 = _timed_count(probe_cands(emb10))
+    assert c10 == REPLICAS * c1 + (REPLICAS - 1), (c1, c10)
+    assert t10 <= 2.5 * REPLICAS * t1 + 5.0, (t1, t10)
+    print(f"SCALE ivfpq probe: 1x={c1}@{t1:.2f}s 10x={c10}@{t10:.2f}s")
