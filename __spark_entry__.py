@@ -85,6 +85,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_ivfpq_probe_curve",
     "q_dedup_funnel",
     "q_page_hinkley",
+    "q_tree5",
 })
 
 

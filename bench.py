@@ -320,6 +320,10 @@ HEADLINE = [
     # r11 #6d — one fact fold to <=|days| rows + four chained bounded
     # windows; exact streaming twin in streaming/drift.py)
     "q_page_hinkley",
+    # round 12: depth-5 exact Gini tree at the reference's model depth
+    # (per-LEVEL argmin form — d bounded jobs at depth d, not 2^d-1;
+    # zero fact passes beyond the shared checkpointed prefix fold)
+    "q_tree5",
 ]
 
 

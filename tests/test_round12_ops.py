@@ -442,3 +442,73 @@ def test_page_hinkley_statistic_invariants(spark, sf_dir):
         assert row.alarm == int(
             (mi - mmin) > PH_LAMBDA or (md - mdmin) > PH_LAMBDA
         )
+
+
+# ---------------------------------------------------------------------------
+# q_tree5
+
+
+def test_tree5_matches_python_reference(spark, sf_dir, duck):
+    """Exhaustive greedy reference to depth 5: recursive best-split
+    over the cumulative table with branch-interval candidate sets —
+    every emitted (level, branch) pick compared on threshold and exact
+    counts; unreachable branches must be absent."""
+    got = (
+        REGISTRY["q_tree5"].fn(spark, sf_dir).toPandas()
+        .set_index(["level", "branch"])
+    )
+    rows = _cum_rows(duck)
+    n, p = rows[-1][1], rows[-1][2]
+    seen = set()
+
+    def rec(level, branch, lo, hi, n0, p0, nb, pb):
+        if level >= 5:
+            return
+        sub = [r for r in rows if lo < r[0] < hi]
+        best = _best_split(sub, n0, p0, nb, pb)
+        key = (level, branch)
+        if best is None:
+            assert key not in got.index, key
+            return
+        seen.add(key)
+        _, thr, nl, pl, nr, pr = best
+        assert abs(got.loc[key, "threshold"] - thr) < 1e-12, key
+        assert got.loc[key, "n_left"] == nl, key
+        assert got.loc[key, "pos_left"] == pl, key
+        assert got.loc[key, "n_right"] == nr, key
+        assert got.loc[key, "pos_right"] == pr, key
+        # children: left keeps the base, right advances it to the
+        # threshold's absolute cumulative position
+        rec(level + 1, branch * 2, lo, thr, n0, p0, nl, pl)
+        rec(level + 1, branch * 2 + 1, thr, hi, n0 + nl, p0 + pl, nr, pr)
+
+    rec(0, 0, -1.0, 2.0, 0, 0, n, p)
+    assert seen == set(got.index)
+
+
+def test_tree5_prefix_is_tree3(spark, sf_dir):
+    """Levels 0-2 of q_tree5 ARE q_tree3's seven nodes (same argmins,
+    different orchestration — per-level argmin agg vs per-node
+    TakeOrdered); every gain >= 0."""
+    t5 = (
+        REGISTRY["q_tree5"].fn(spark, sf_dir).toPandas()
+        .set_index(["level", "branch"])
+    )
+    t3 = REGISTRY["q_tree3"].fn(spark, sf_dir).toPandas().set_index("node")
+    mapping = {
+        "root": (0, 0),
+        "left": (1, 0),
+        "right": (1, 1),
+        "ll": (2, 0),
+        "lr": (2, 1),
+        "rl": (2, 2),
+        "rr": (2, 3),
+    }
+    for node, key in mapping.items():
+        if node in t3.index:
+            assert key in t5.index, node
+            for col in t3.columns:
+                assert t5.loc[key, col] == t3.loc[node, col], (node, col)
+        else:
+            assert key not in t5.index, node
+    assert (t5["gain"] >= -1e-12).all()
