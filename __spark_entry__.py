@@ -86,6 +86,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_dedup_funnel",
     "q_page_hinkley",
     "q_tree5",
+    "q_tree5_confusion",
 })
 
 

@@ -2256,10 +2256,13 @@ def q_delong(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TREE5_DEPTH = 5
 
 
-def _tree5_oracle() -> str:
-    """DuckDB twin: per level k, cand_k = c x branches_k (interval
-    containment), pick_k = per-branch (key, score) argmin via
-    ROW_NUMBER, branches_{k+1} = the two children of every pick.
+def _tree5_chain_sql(
+    depth: int = _TREE5_DEPTH, with_final_children: bool = False
+) -> str:
+    """The shared WITH-chain of the depth-5 ladder oracles: scored ->
+    distinct-score cum table -> per level k, cand_k = c x branches_k
+    (interval containment), pick_k = per-branch (key, score) argmin
+    via ROW_NUMBER, branches_{k+1} = the two children of every pick.
     Branch ids are bit paths (left=2b, right=2b+1); an empty branch
     emits no pick and therefore no children."""
     key = _gini_key_sql("b.n0", "b.p0", "b.nb", "b.pb")
@@ -2276,7 +2279,7 @@ def _tree5_oracle() -> str:
         "CAST(0 AS BIGINT) AS n0, CAST(0 AS BIGINT) AS p0, "
         "n AS nb, p AS pb FROM t)"
     ]
-    for k in range(_TREE5_DEPTH):
+    for k in range(depth):
         parts.append(
             f", cand{k} AS (SELECT b.branch, b.lo, b.hi, b.n0, b.p0, "
             "b.nb, b.pb, c.score, c.cum_n, c.cum_p, "
@@ -2287,7 +2290,7 @@ def _tree5_oracle() -> str:
             f"SELECT *, ROW_NUMBER() OVER (PARTITION BY branch "
             f"ORDER BY key, score) AS rn FROM cand{k}) WHERE rn = 1)"
         )
-        if k + 1 < _TREE5_DEPTH:
+        if k + 1 < depth or with_final_children:
             parts.append(
                 f", b{k + 1} AS ("
                 f"SELECT branch * 2 AS branch, lo, score AS hi, n0, p0, "
@@ -2298,6 +2301,12 @@ def _tree5_oracle() -> str:
                 f"CAST(nb - (cum_n - n0) AS BIGINT), "
                 f"CAST(pb - (cum_p - p0) AS BIGINT) FROM pick{k})"
             )
+    return "".join(parts)
+
+
+def _tree5_oracle() -> str:
+    """DuckDB twin of q_tree5: the shared ladder chain + the per-level
+    pick projections."""
     gb = _gini_base_sql("nb", "pb")
     gk = "key"
     sel = (
@@ -2312,10 +2321,121 @@ def _tree5_oracle() -> str:
         + sql_round(f"{gb} - ({gk}) / nb", 6) + " AS gain "
         "FROM pick{k}"
     )
-    parts.append(
+    return _tree5_chain_sql() + (
         " " + " UNION ALL ".join(sel.format(k=k) for k in range(_TREE5_DEPTH))
     )
-    return "".join(parts)
+
+
+def _tree5_ladder(spark: SparkSession, sf_dir: str):
+    """Runs the per-level depth-5 ladder once and returns
+    (level_display_frames, leaves): the ≤2^k-row pick of every level
+    projected to the q_tree5 output columns, plus the LAZY leaf
+    partition of the trained tree — every branch row that produced no
+    pick (pure / single-valued) at its level, union the children of
+    the last level's picks, each carrying (lo, hi, nb, pb) and the
+    exact majority vote 2·pb > nb. Leaves cost nothing unless
+    materialized (they are set algebra over the already-checkpointed
+    picks)."""
+    c = _tree_cum_table(spark, sf_dir)
+    tot = c.select("n", "p").limit(1)
+    branches = tot.select(
+        F.lit(0).cast("bigint").alias("branch"),
+        F.lit(-1.0).alias("lo"),
+        F.lit(2.0).alias("hi"),
+        F.lit(0).cast("bigint").alias("n0"),
+        F.lit(0).cast("bigint").alias("p0"),
+        F.col("n").alias("nb"),
+        F.col("p").alias("pb"),
+    )
+    levels = []
+    leaf_parts = []
+    for k in range(_TREE5_DEPTH):
+        cand = (
+            c.crossJoin(F.broadcast(branches))
+            .filter(
+                (F.col("score") > F.col("lo"))
+                & (F.col("score") < F.col("hi"))
+                & (F.col("cum_n") - F.col("n0") < F.col("nb"))
+            )
+            .withColumn(
+                "key",
+                _tree_key(F.col("n0"), F.col("p0"), F.col("nb"), F.col("pb")),
+            )
+        )
+        payload = F.struct(
+            "key", "score", "cum_n", "cum_p", "lo", "hi", "n0", "p0", "nb", "pb"
+        )
+        pick = (
+            cand.groupBy("branch")
+            .agg(F.min(payload).alias("s"))
+            .select("branch", "s.*")
+            .localCheckpoint()
+        )
+        leaf_parts.append(
+            branches.join(pick.select("branch"), "branch", "left_anti").select(
+                "lo", "hi", "nb", "pb"
+            )
+        )
+        nbd = F.col("nb").cast("double")
+        pbd = F.col("pb").cast("double")
+        gbase = (
+            F.lit(1.0)
+            - (pbd / nbd) * (pbd / nbd)
+            - ((nbd - pbd) / nbd) * ((nbd - pbd) / nbd)
+        )
+        levels.append(
+            pick.select(
+                F.lit(k).cast("int").alias("level"),
+                F.col("branch").cast("bigint").alias("branch"),
+                F.col("score").alias("threshold"),
+                (F.col("cum_n") - F.col("n0")).cast("bigint").alias("n_left"),
+                (F.col("cum_p") - F.col("p0")).cast("bigint").alias("pos_left"),
+                (F.col("nb") - (F.col("cum_n") - F.col("n0")))
+                .cast("bigint")
+                .alias("n_right"),
+                (F.col("pb") - (F.col("cum_p") - F.col("p0")))
+                .cast("bigint")
+                .alias("pos_right"),
+                pround(F.col("key") / nbd, 6).alias("gini_split"),
+                pround(gbase, 6).alias("gini_base"),
+                pround(gbase - F.col("key") / nbd, 6).alias("gain"),
+            )
+        )
+        left = pick.select(
+            (F.col("branch") * 2).alias("branch"),
+            "lo",
+            F.col("score").alias("hi"),
+            "n0",
+            "p0",
+            (F.col("cum_n") - F.col("n0")).cast("bigint").alias("nb"),
+            (F.col("cum_p") - F.col("p0")).cast("bigint").alias("pb"),
+        )
+        right = pick.select(
+            (F.col("branch") * 2 + 1).alias("branch"),
+            F.col("score").alias("lo"),
+            "hi",
+            F.col("cum_n").alias("n0"),
+            F.col("cum_p").alias("p0"),
+            (F.col("nb") - (F.col("cum_n") - F.col("n0")))
+            .cast("bigint")
+            .alias("nb"),
+            (F.col("pb") - (F.col("cum_p") - F.col("p0")))
+            .cast("bigint")
+            .alias("pb"),
+        )
+        branches = left.unionAll(right)
+    leaf_parts.append(branches.select("lo", "hi", "nb", "pb"))
+    leaves = leaf_parts[0]
+    for lp in leaf_parts[1:]:
+        leaves = leaves.unionAll(lp)
+    leaves = leaves.select(
+        "lo",
+        "hi",
+        "nb",
+        "pb",
+        (F.lit(2) * F.col("pb") > F.col("nb")).cast("int").alias("pred"),
+    )
+    return levels, leaves
 
 
 @query(
@@ -2350,90 +2470,86 @@ def q_tree5(spark: SparkSession, sf_dir: str) -> DataFrame:
     absolute cumulative position); the argmin key is the same IEEE
     expression on both engines; a pure/single-valued branch emits no
     pick and no children on either engine (empty join)."""
-    c = _tree_cum_table(spark, sf_dir)
-    tot = c.select("n", "p").limit(1)
-    branches = tot.select(
-        F.lit(0).cast("bigint").alias("branch"),
-        F.lit(-1.0).alias("lo"),
-        F.lit(2.0).alias("hi"),
-        F.lit(0).cast("bigint").alias("n0"),
-        F.lit(0).cast("bigint").alias("p0"),
-        F.col("n").alias("nb"),
-        F.col("p").alias("pb"),
-    )
-    levels = []
-    for k in range(_TREE5_DEPTH):
-        cand = (
-            c.crossJoin(F.broadcast(branches))
-            .filter(
-                (F.col("score") > F.col("lo"))
-                & (F.col("score") < F.col("hi"))
-                & (F.col("cum_n") - F.col("n0") < F.col("nb"))
-            )
-            .withColumn(
-                "key",
-                _tree_key(F.col("n0"), F.col("p0"), F.col("nb"), F.col("pb")),
-            )
-        )
-        payload = F.struct(
-            "key", "score", "cum_n", "cum_p", "lo", "hi", "n0", "p0", "nb", "pb"
-        )
-        pick = (
-            cand.groupBy("branch")
-            .agg(F.min(payload).alias("s"))
-            .select("branch", "s.*")
-            .localCheckpoint()
-        )
-        nbd = F.col("nb").cast("double")
-        pbd = F.col("pb").cast("double")
-        gbase = (
-            F.lit(1.0)
-            - (pbd / nbd) * (pbd / nbd)
-            - ((nbd - pbd) / nbd) * ((nbd - pbd) / nbd)
-        )
-        levels.append(
-            pick.select(
-                F.lit(k).cast("int").alias("level"),
-                F.col("branch").cast("bigint").alias("branch"),
-                F.col("score").alias("threshold"),
-                (F.col("cum_n") - F.col("n0")).cast("bigint").alias("n_left"),
-                (F.col("cum_p") - F.col("p0")).cast("bigint").alias("pos_left"),
-                (F.col("nb") - (F.col("cum_n") - F.col("n0")))
-                .cast("bigint")
-                .alias("n_right"),
-                (F.col("pb") - (F.col("cum_p") - F.col("p0")))
-                .cast("bigint")
-                .alias("pos_right"),
-                pround(F.col("key") / nbd, 6).alias("gini_split"),
-                pround(gbase, 6).alias("gini_base"),
-                pround(gbase - F.col("key") / nbd, 6).alias("gain"),
-            )
-        )
-        if k + 1 < _TREE5_DEPTH:
-            left = pick.select(
-                (F.col("branch") * 2).alias("branch"),
-                "lo",
-                F.col("score").alias("hi"),
-                "n0",
-                "p0",
-                (F.col("cum_n") - F.col("n0")).cast("bigint").alias("nb"),
-                (F.col("cum_p") - F.col("p0")).cast("bigint").alias("pb"),
-            )
-            right = pick.select(
-                (F.col("branch") * 2 + 1).alias("branch"),
-                F.col("score").alias("lo"),
-                "hi",
-                F.col("cum_n").alias("n0"),
-                F.col("cum_p").alias("p0"),
-                (F.col("nb") - (F.col("cum_n") - F.col("n0")))
-                .cast("bigint")
-                .alias("nb"),
-                (F.col("pb") - (F.col("cum_p") - F.col("p0")))
-                .cast("bigint")
-                .alias("pb"),
-            )
-            branches = left.unionAll(right)
+    levels, _leaves = _tree5_ladder(spark, sf_dir)
     out = levels[0]
     for lv in levels[1:]:
         out = out.unionAll(lv)
     return out
+
+
+def _tree5_confusion_oracle() -> str:
+    """Leaf partition = every branch row with no pick at its level,
+    union the level-5 children; routing interval is (lo, hi] (left
+    child keeps score <= threshold, matching the cumulative counts);
+    majority vote by the exact integer comparison 2*pb > nb."""
+    anti = " UNION ALL ".join(
+        f"SELECT lo, hi, nb, pb FROM b{k} WHERE branch NOT IN "
+        f"(SELECT branch FROM pick{k})"
+        for k in range(_TREE5_DEPTH)
+    )
+    return (
+        _tree5_chain_sql(with_final_children=True)
+        + f", leaves AS MATERIALIZED ({anti} UNION ALL "
+        f"SELECT lo, hi, nb, pb FROM b{_TREE5_DEPTH}) "
+        "SELECT CAST(CASE WHEN 2 * l.pb > l.nb THEN 1 ELSE 0 END AS INT) "
+        "AS prediction, s.label AS label, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM s JOIN leaves l ON s.score > l.lo AND s.score <= l.hi "
+        "GROUP BY 1, 2"
+    )
+
+
+@query(
+    "q_tree5_confusion",
+    oracle=_tree5_confusion_oracle(),
+    tags=("ml", "train", "eval"),
+    eager=True,
+)
+def q_tree5_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the trained depth-5 Gini tree back to every scored row
+    and emit the confusion matrix — the train-then-SERVE completion of
+    the ladder (the reference trains depth-5 then scores the eval
+    split, train_model.py:69-83): prediction = the majority class of
+    the leaf the row routes to, by the EXACT integer vote 2·pos > n,
+    so no float enters the decision.
+
+    Leaf partition: every ladder branch that produced no split at its
+    level (pure or single-valued — it keeps its interval) union the
+    children of the level-5 picks; intervals are (lo, hi] so a row at
+    a threshold routes LEFT, exactly matching the training counts
+    (n_left = cum_n(t)). The leaf table is <=63 rows and carries its
+    own (n, pos) — the per-leaf class counts need NO scoring pass;
+    only the confusion matrix touches the fact rows.
+
+    Scale (the serving shape): the <=63-row leaf table is collected to
+    the driver (a bounded-scalar collect, the established
+    pbucket/threshold-list pattern) and COMPILED into a per-row CASE
+    chain over the contiguous intervals sorted by upper bound — the
+    first `score <= hi_k` match IS the routing leaf, so scoring is
+    pure whole-stage codegen on the single fact scan + one 4-cell
+    aggregate, exactly how a 100 TB tree scorer ships its model. (The
+    declarative BroadcastNestedLoop interval-join form was measured
+    ~4 s slower at sf0.1: 63x600k filtered pairs vs <=63 sequential
+    comparisons per row.) The ladder itself adds zero fact passes
+    beyond _tree_cum_table's fold; leaves are set algebra over the
+    checkpointed picks."""
+    _levels, leaves = _tree5_ladder(spark, sf_dir)
+    # bounded collect: <=2^5 * 2 - 1 rows, the compiled model
+    leaf_rows = sorted(leaves.collect(), key=lambda r: r["hi"])
+    pred_col = None
+    for r in leaf_rows:
+        cond = F.col("score") <= F.lit(float(r["hi"]))
+        branch = F.lit(int(r["pred"]))
+        pred_col = (
+            F.when(cond, branch)
+            if pred_col is None
+            else pred_col.when(cond, branch)
+        )
+    s = scored(spark, sf_dir)
+    return (
+        s.groupBy(
+            pred_col.otherwise(F.lit(-1)).cast("int").alias("prediction"),
+            F.col("label").alias("label"),
+        )
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )

@@ -512,3 +512,49 @@ def test_tree5_prefix_is_tree3(spark, sf_dir):
         else:
             assert key not in t5.index, node
     assert (t5["gain"] >= -1e-12).all()
+
+
+# ---------------------------------------------------------------------------
+# q_tree5_confusion
+
+
+def test_tree5_confusion_matches_ladder_reconstruction(spark, sf_dir, duck):
+    """Rebuild the leaf partition in python purely from q_tree5's
+    emitted picks (a child absent from the pick table is a leaf whose
+    (n, pos) are the parent's side counts) and recompute every
+    confusion cell from the leaf majority votes — no scoring pass
+    needed, so agreement proves the interval routing matched the
+    training counts exactly."""
+    t5 = (
+        REGISTRY["q_tree5"].fn(spark, sf_dir).toPandas()
+        .set_index(["level", "branch"])
+    )
+    got = (
+        REGISTRY["q_tree5_confusion"].fn(spark, sf_dir).toPandas()
+        .set_index(["prediction", "label"])["n"]
+        .to_dict()
+    )
+    from fraud_detection_spark.operators.ml_metrics import SCORED_SQL
+
+    n_all, p_all = duck.execute(
+        f"WITH s AS ({SCORED_SQL}) SELECT COUNT(*), SUM(label) FROM s"
+    ).fetchone()
+    cells = {(0, 0): 0, (0, 1): 0, (1, 0): 0, (1, 1): 0}
+
+    def leaf(nb, pb):
+        pred = int(2 * pb > nb)
+        cells[(pred, 1)] += pb
+        cells[(pred, 0)] += nb - pb
+
+    def walk(level, branch, nb, pb):
+        if level >= 5 or (level, branch) not in t5.index:
+            leaf(nb, pb)
+            return
+        row = t5.loc[(level, branch)]
+        walk(level + 1, branch * 2, int(row.n_left), int(row.pos_left))
+        walk(level + 1, branch * 2 + 1, int(row.n_right), int(row.pos_right))
+
+    walk(0, 0, int(n_all), int(p_all))
+    for key, want in cells.items():
+        assert got.get(key, 0) == want, key
+    assert sum(got.values()) == int(n_all)
