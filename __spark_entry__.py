@@ -87,6 +87,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_page_hinkley",
     "q_tree5",
     "q_tree5_confusion",
+    "q_logrank",
 })
 
 

@@ -324,6 +324,9 @@ HEADLINE = [
     # (per-LEVEL argmin form — d bounded jobs at depth d, not 2^d-1;
     # zero fact passes beyond the shared checkpointed prefix fold)
     "q_tree5",
+    # round 12: two-group log-rank survival test (one event fold to
+    # per-user rows + bounded duration-table windows + 1-row agg)
+    "q_logrank",
 ]
 
 

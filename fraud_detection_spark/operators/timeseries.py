@@ -1462,3 +1462,165 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("alarm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_logrank — two-group log-rank test over the q_kaplan_meier
+# durations (round 12): the survival-endpoint A/B comparison, closing
+# the family the same way q_delong closed q_auc's (single estimate ->
+# two-sample test). Statistic only — erf stays outside the twin
+# contract.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_logrank",
+    oracle=(
+        "WITH u AS (SELECT user_id % 2 AS arm, "
+        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
+        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
+        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
+        "END) AS err_sec FROM events GROUP BY user_id), "
+        "d AS (SELECT arm, CASE WHEN err_sec IS NOT NULL "
+        "THEN (err_sec - first_sec) // 86400 "
+        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
+        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
+        "t AS (SELECT dur, "
+        "CAST(SUM(ev) AS BIGINT) AS de, "
+        "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1, "
+        "CAST(COUNT(*) AS BIGINT) AS tot, "
+        "CAST(SUM(arm) AS BIGINT) AS tot1 FROM d GROUP BY dur), "
+        "r AS (SELECT dur, de, d1, "
+        "CAST(SUM(tot) OVER (ORDER BY dur DESC) AS BIGINT) AS n, "
+        "CAST(SUM(tot1) OVER (ORDER BY dur DESC) AS BIGINT) AS n1 FROM t), "
+        "terms AS (SELECT de, d1, "
+        "CAST(FLOOR(de * (n1 * 1.0 / n) * 1000000000 + 0.5) AS BIGINT) AS eu, "
+        "CASE WHEN n > 1 THEN CAST(FLOOR("
+        "de * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) "
+        "* (n - de) * 1.0 / (n - 1) * 1000000000 + 0.5) AS BIGINT) "
+        "ELSE 0 END AS vu FROM r WHERE de > 0), "
+        "g AS (SELECT "
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control, "
+        "CAST(SUM(arm) AS BIGINT) AS n_treat, "
+        "CAST(SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT) "
+        "AS events_control, "
+        "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) "
+        "AS events_treat FROM d), "
+        "a AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1, "
+        "CAST(SUM(eu) AS BIGINT) AS eu, CAST(SUM(vu) AS BIGINT) AS vu "
+        "FROM terms) "
+        "SELECT n_control, n_treat, events_control, events_treat, "
+        "o1 AS o_treat, "
+        + sql_round("CAST(eu AS DOUBLE) / 1000000000", 6) + " AS e_treat, "
+        + sql_round("CAST(vu AS DOUBLE) / 1000000000", 6) + " AS var_treat, "
+        + sql_round(
+            "(CAST(o1 AS DOUBLE) - CAST(eu AS DOUBLE) / 1000000000) "
+            "/ SQRT(CAST(vu AS DOUBLE) / 1000000000)",
+            6,
+        )
+        + " AS z FROM g, a"
+    ),
+    tags=("timeseries", "survival", "stats"),
+)
+def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-group log-rank (Mantel-Cox) test of the q_kaplan_meier
+    time-to-first-error durations between deterministic hash arms
+    (user_id parity — q_abtest's assignment): at each distinct event
+    duration, observed arm-1 events d1 vs the hypergeometric
+    expectation d·n1/n over the joint at-risk set, variance
+    d·(n1/n)·(1−n1/n)·(n−d)/(n−1); z = (O1−E1)/√V. THE standard test
+    for "does cohort B churn faster than cohort A" under censoring —
+    a naive mean-duration comparison is biased by exactly the users
+    still alive, the same pathology q_kaplan_meier's curve corrects
+    for estimation. Statistic only (the q_cochran_armitage /
+    q_delong erf exclusion).
+
+    Exactness: at-risk counts are exact integer suffix sums (growing
+    DESC frame — O(n)-incremental, the q_kaplan_meier shape) over the
+    bounded distinct-duration table; each day's E and V terms are
+    IDENTICAL double expressions on exact integers folded to 1e-9
+    fixed-point units per row BEFORE summation (the engine-wide
+    fixed_sum audit rule — a raw double SUM would be partial-order
+    dependent), so O1/E1/V and z are engine-identical.
+
+    Scale shape: one conditional-MIN/MAX fold of the event stream to
+    per-user rows, one fold to the bounded duration table, two
+    windows over that table only, a 1-row aggregate. No fact-scale
+    window, no collect."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    u = ev.groupBy("user_id").agg(
+        F.min(sec).alias("first_sec"),
+        F.max(sec).alias("last_sec"),
+        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(
+            F.col("err_sec").isNotNull(),
+            F.expr("(err_sec - first_sec) div 86400"),
+        )
+        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
+        .alias("dur"),
+        F.col("err_sec").isNotNull().cast("int").alias("ev"),
+    )
+    t = u.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("de"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.count("*").cast("bigint").alias("tot"),
+        F.sum("arm").cast("bigint").alias("tot1"),
+    )
+    w_rev = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = t.select(
+        "de",
+        "d1",
+        F.sum("tot").over(w_rev).cast("bigint").alias("n"),
+        F.sum("tot1").over(w_rev).cast("bigint").alias("n1"),
+    ).filter(F.col("de") > 0)
+    share = F.col("n1") * 1.0 / F.col("n")
+    eu = F.floor(F.col("de") * share * 1000000000 + F.lit(0.5)).cast("bigint")
+    vu = F.when(
+        F.col("n") > 1,
+        F.floor(
+            F.col("de")
+            * share
+            * (F.lit(1) - share)
+            * (F.col("n") - F.col("de"))
+            * 1.0
+            / (F.col("n") - 1)
+            * 1000000000
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    a = r.select("d1", eu.alias("eu"), vu.alias("vu")).agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("eu").cast("bigint").alias("eu"),
+        F.sum("vu").cast("bigint").alias("vu"),
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum("arm").cast("bigint").alias("n_treat"),
+        F.sum(F.when(F.col("arm") == 0, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("events_control"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("events_treat"),
+    )
+    e1 = F.col("eu").cast("double") / 1000000000
+    v1 = F.col("vu").cast("double") / 1000000000
+    return g.crossJoin(F.broadcast(a)).select(
+        "n_control",
+        "n_treat",
+        "events_control",
+        "events_treat",
+        F.col("o1").alias("o_treat"),
+        pround(e1, 6).alias("e_treat"),
+        pround(v1, 6).alias("var_treat"),
+        pround((F.col("o1").cast("double") - e1) / F.sqrt(v1), 6).alias("z"),
+    )

@@ -558,3 +558,46 @@ def test_tree5_confusion_matches_ladder_reconstruction(spark, sf_dir, duck):
     for key, want in cells.items():
         assert got.get(key, 0) == want, key
     assert sum(got.values()) == int(n_all)
+
+
+# ---------------------------------------------------------------------------
+# q_logrank
+
+
+def test_logrank_matches_python_reference(spark, sf_dir, duck):
+    """Textbook Mantel-Cox recomputation from the per-user
+    (arm, duration, event) rows: risk sets by descending duration,
+    hypergeometric E/V per event time, z from the exact sums."""
+    import math
+
+    rows = duck.execute(
+        "WITH u AS (SELECT user_id % 2 AS arm, "
+        "MIN(epoch_ns(ts) // 1000000000) AS f, "
+        "MAX(epoch_ns(ts) // 1000000000) AS l, "
+        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
+        "END) AS e FROM events GROUP BY user_id) "
+        "SELECT arm, CASE WHEN e IS NOT NULL THEN (e - f) // 86400 "
+        "ELSE (l - f) // 86400 END AS dur, "
+        "CASE WHEN e IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u"
+    ).fetchall()
+    got = REGISTRY["q_logrank"].fn(spark, sf_dir).toPandas().iloc[0]
+    o1 = e1 = v = 0.0
+    durs = sorted({d for _, d, _ in rows})
+    for t in durs:
+        at_risk = [(a, d, e) for a, d, e in rows if d >= t]
+        n = len(at_risk)
+        n1 = sum(1 for a, _, _ in at_risk if a == 1)
+        de = sum(e for _, d, e in rows if d == t)
+        d1 = sum(e for a, d, e in rows if d == t and a == 1)
+        if de == 0:
+            continue
+        o1 += d1
+        e1 += de * n1 / n
+        if n > 1:
+            v += de * (n1 / n) * (1 - n1 / n) * (n - de) / (n - 1)
+    assert got.o_treat == o1
+    assert abs(got.e_treat - e1) < 1e-5
+    assert abs(got.var_treat - v) < 1e-5
+    assert abs(got.z - (o1 - e1) / math.sqrt(v)) < 1e-4
+    assert got.n_control + got.n_treat == len(rows)
+    assert got.events_control + got.events_treat == sum(e for *_, e in rows)
