@@ -270,27 +270,40 @@ def _ph_updater(delta: float, lam: float):
 
 
 def page_hinkley_stream(
-    events: DataFrame, delta: float | None = None, lam: float | None = None
+    events: DataFrame,
+    delta: float | None = None,
+    lam: float | None = None,
+    series_expr=None,
 ) -> DataFrame:
     """events(ts nanos, value) -> online two-sided Page-Hinkley rows
     per closed event-time day, exact twin of
     operators/timeseries.py::q_page_hinkley (δ/λ default to its
-    literals). A day closes when a later day appears — emit-on-close;
-    the newest open day stays buffered in state (one (units, count)
-    pair per open day, O(1) in practice).
+    literals). A day closes when a later day FOR THAT SERIES appears —
+    emit-on-close; the newest open day stays buffered in state (one
+    (units, count) pair per open day, O(1) in practice).
 
-    Scale: state is a handful of scalars per series key (here one
-    'amount' series; a per-feature deployment keys by feature name —
-    the operator is already keyed). The sequential statistic is
-    inherently single-series, so the single-key shuffle is the
-    algorithm, not a bottleneck: every upstream event fold is
-    map-side-combinable before the one-key stage at day grain."""
+    ``series_expr`` keys the monitor: default is the single 'amount'
+    series (the q_page_hinkley twin); pass a column/expression (e.g.
+    ``F.col('event_type')``) to run one INDEPENDENT PH monitor per
+    key — each key carries its own accumulators and day closure in
+    the state store, which is exactly how a per-feature drift
+    deployment fans out (multi-key parity is test-asserted).
+
+    Scale: state is a handful of scalars per series key. The
+    sequential statistic is inherently single-series, so the per-key
+    shuffle is the algorithm, not a bottleneck: every upstream event
+    fold is map-side-combinable before the keyed stage at day grain."""
     from fraud_detection_spark.operators.timeseries import PH_DELTA, PH_LAMBDA
 
     d = delta if delta is not None else PH_DELTA
     w = lam if lam is not None else PH_LAMBDA
+    series = (
+        F.lit("amount")
+        if series_expr is None
+        else (F.col(series_expr) if isinstance(series_expr, str) else series_expr)
+    )
     keyed = events.select(
-        F.lit("amount").alias("series"),
+        series.cast("string").alias("series"),
         F.expr("ts div 1000000000 div 86400").cast("long").alias("day"),
         F.col("value"),
     )

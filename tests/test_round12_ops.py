@@ -601,3 +601,84 @@ def test_logrank_matches_python_reference(spark, sf_dir, duck):
     assert abs(got.z - (o1 - e1) / math.sqrt(v)) < 1e-4
     assert got.n_control + got.n_treat == len(rows)
     assert got.events_control + got.events_treat == sum(e for *_, e in rows)
+
+
+def test_page_hinkley_stream_multi_series(spark, sf_dir, tmp_path):
+    """One INDEPENDENT PH monitor per event_type: every series'
+    emitted rows must equal the python reference run on that series'
+    own day-mean sequence (same fixed-point day means, same
+    association order), with per-series day closure — the keyed-state
+    claim of page_hinkley_stream, not just the single-key twin."""
+    import math
+    import shutil
+
+    from fraud_detection_spark.operators.timeseries import PH_DELTA, PH_LAMBDA
+    from fraud_detection_spark.sources import load_table
+    from fraud_detection_spark.streaming.drift import page_hinkley_stream
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("ts", "value", "event_type")
+        .orderBy("ts")
+    )
+    pdf = ev.toPandas()
+    n_slices = 3
+    rows_per = (len(pdf) + n_slices - 1) // n_slices
+    src = tmp_path / "phm_src"
+    src.mkdir()
+    for i in range(n_slices):
+        chunk = pdf.iloc[i * rows_per : (i + 1) * rows_per]
+        if len(chunk):
+            spark.createDataFrame(chunk).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(str(src / f"slice_{i:03d}"))
+    schema = ev.schema
+    ckpt = str(tmp_path / "phm_ckpt")
+    out = str(tmp_path / "phm_out")
+    staged = tmp_path / "phm_staged"
+    staged.mkdir()
+    for i, p in enumerate(sorted(str(x) for x in src.glob("slice_*"))):
+        shutil.copytree(p, str(staged / f"s{i}"))
+        stream_in = spark.readStream.schema(schema).option(
+            "recursiveFileLookup", "true"
+        ).parquet(str(staged))
+        q = (
+            page_hinkley_stream(stream_in, series_expr="event_type")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    got = spark.read.parquet(out).toPandas()
+    assert got.series.nunique() >= 3  # real fan-out
+
+    # python reference per series over the exact fixed-point day means
+    pdf["day"] = pdf.ts // 1_000_000_000 // 86400
+    pdf["units"] = (pdf.value * 10000 + 0.5).apply(math.floor).astype(int)
+    for series, g in pdf.groupby("event_type"):
+        days = g.groupby("day").agg(u=("units", "sum"), c=("units", "size"))
+        days = days.sort_index()
+        want_days = list(days.index[:-1])  # final day stays open
+        sub = got[got.series == series].sort_values("day")
+        assert list(sub.day) == want_days, series
+        i, sx, mi, md = 0, 0.0, 0.0, 0.0
+        mmin, mdmin = float("inf"), float("inf")
+        for day, row in days.iloc[:-1].iterrows():
+            y = float(row.u) / 10000 / row.c
+            x = math.floor(y * 10000 + 0.5) / 10000
+            i += 1
+            sx += x
+            mi += x - sx / i - PH_DELTA
+            md += sx / i - x - PH_DELTA
+            mmin = min(mmin, mi)
+            mdmin = min(mdmin, md)
+            r = sub[sub.day == day].iloc[0]
+            assert r.day_mean == math.floor(x * 10000 + 0.5) / 10000, (series, day)
+            assert r.ph_inc == math.floor((mi - mmin) * 1e6 + 0.5) / 1e6, (series, day)
+            assert r.ph_dec == math.floor((md - mdmin) * 1e6 + 0.5) / 1e6, (series, day)
+            assert r.alarm == int(
+                (mi - mmin) > PH_LAMBDA or (md - mdmin) > PH_LAMBDA
+            ), (series, day)
