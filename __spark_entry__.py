@@ -69,25 +69,15 @@ def entry(spark: SparkSession) -> DataFrame:
 _PINNED_HEAD = ()
 
 _TOUCHED_THIS_ROUND = frozenset({
-    # round 12 edits. VERDICT r11 #3: keep this set small (<= ~10) so
-    # the rotation's stale-first ordering drains the r05-evidence
-    # block (q_chunk_dedup, q_tfidf, q_bpe_tokens, q_pq_encode,
-    # q_knn_ivf_pq, q_edit_distance, q_text_normalize, ...) into the
-    # 50-slot sample.
+    # round 13 edits. VERDICT r12 #3: keep this set small so the
+    # rotation's stale-first ordering drains the r06-evidence block
+    # (q_ab_test, q_benford, q_brier, q_calibration, q_psi, ...) into
+    # the 50-slot sample.
     #
-    # ADVICE r11 #1: overflow guard in _pick_stump now gates the
-    # INPUTS (u/d NULLness) instead of the NULL-skipping least()
-    # result, and the polarity comparison too:
+    # VERDICT r12 #1: _pick_stump guard reworked — u/d materialized
+    # once, NULL-propagating e, raise_error on the picked 1-row table
+    # (same loudness, half the wall):
     "q_boosted_stumps",
-    # round-12 additions (VERDICT r11 #4 + #6):
-    "q_tree3",
-    "q_delong",
-    "q_ivfpq_probe_curve",
-    "q_dedup_funnel",
-    "q_page_hinkley",
-    "q_tree5",
-    "q_tree5_confusion",
-    "q_logrank",
 })
 
 

@@ -1092,8 +1092,13 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     like n^(2r-1): within 38 digits through round 3 for n up to
     ~1.5e9 rows; PAST that the engines diverge in failure mode —
     DuckDB's HUGEINT overflow raises while non-ANSI Spark would
-    silently NULL the products, so _pick_stump raise_error-guards
-    NULL e to fail loudly on the Spark side too). The per-round
+    silently NULL the products, so _pick_stump NULL-propagates an
+    overflowed candidate's e: ascending ORDER BY puts NULLS FIRST so
+    that candidate is guaranteed to be the picked row, and a
+    raise_error on the picked 1-ROW table fails loudly on the Spark
+    side too — without re-evaluating the u/d product-sum trees per
+    candidate, which the r12 per-candidate guard did at a measured
+    2x wall cost, VERDICT r12 #1). The per-round
     argmin ORDER BY (e, score) compares exact integers; floats appear
     in the displayed scalars AND the ensemble-margin sign — the
     margin is Σ alpha_j·h_j with alpha = 0.5·LN(...), so its sign
@@ -1113,7 +1118,7 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the chosen-stump row — each round costs one scan of the
     checkpointed cum table + a TakeOrdered(1), zero additional
     shuffles (the first cut re-ran the bucket-offset window machinery
-    per round: 7.9 s warm at sf0.1; this form reads 4.4 s warm
+    per round: 7.9 s warm at sf0.1; this form reads 3.0-4.4 s warm
     isolated — the residual is the fact fold + the one checkpointed
     cum pass, not per-round work). One more
     scan folds the three ensemble accuracies. Eager by construction
@@ -1175,36 +1180,62 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _pick_stump(cands, u, d, r: int):
         # fail LOUDLY if the DECIMAL(38,0) weight numerators overflow
-        # (non-ANSI Spark silently NULLs them, and ascending ORDER BY e
-        # would put NULL first — a garbage stump chosen silently while
-        # DuckDB's HUGEINT overflow raises; ADVICE r10 #2). Guard the
-        # INPUTS, not the least() result: least() skips NULL operands,
-        # so a NULLed d with a representable u would otherwise fall
-        # through as e = u and pol = -1 silently (ADVICE r11 #1).
-        # Inside the documented n^(2r-1) < 10^38 headroom this branch
-        # never fires.
+        # (non-ANSI Spark silently NULLs them, and DuckDB's HUGEINT
+        # overflow raises; ADVICE r10 #2). Guard the INPUTS, not the
+        # least() result: least() skips NULL operands, so a NULLed d
+        # with a representable u would otherwise fall through as e = u
+        # and pol = -1 silently (ADVICE r11 #1). Cost discipline
+        # (VERDICT r12 #1): the r12 form wrapped every candidate's
+        # e/pol in F.when(bad, raise_error(...)), which re-evaluated
+        # the full u/d product-sum trees ~4x per candidate row and
+        # doubled the query's wall (5.3 -> 10.1 s driver). Instead:
+        # (1) materialize u/d ONCE per candidate behind an alias
+        # boundary (CollapseProject won't inline a non-cheap alias
+        # referenced multiple times, so each evaluates once);
+        # (2) NULL-PROPAGATE e on any overflow — ascending ORDER BY
+        # puts NULLS FIRST, so an overflowed candidate is guaranteed
+        # to BE the picked row; (3) raise_error fires on the picked
+        # 1-row table only — equally loud, zero per-candidate cost.
+        # Inside the documented n^(2r-1) < 10^38 headroom the NULL
+        # branch never materializes.
+        pre = cands.select(
+            F.col("score"),
+            F.col("cp"),
+            F.col("cn"),
+            u.cast(dec).alias("_u"),
+            d.cast(dec).alias("_d"),
+        )
+        uu, dd = F.col("_u"), F.col("_d")
+        bad = uu.isNull() | dd.isNull()
+        e = F.when(bad, F.lit(None).cast(dec)).otherwise(
+            F.least(uu, dd - uu)
+        )
+        pol_pos = uu <= dd - uu
+        picked = (
+            pre.select(
+                F.col("score").alias(f"t{r}"),
+                F.when(pol_pos, F.lit(1)).otherwise(F.lit(-1)).alias(f"pol{r}"),
+                e.alias(f"e{r}"),
+                dd.alias(f"d{r}"),
+                F.col("cp").alias(f"cp{r}"),
+                F.col("cn").alias(f"cn{r}"),
+            )
+            .orderBy(f"e{r}", f"t{r}")
+            .limit(1)
+        )
         overflow = F.raise_error(
             F.lit(
                 "q_boosted_stumps: DECIMAL(38,0) weight-numerator "
                 "overflow — exactness headroom exhausted"
             )
         ).cast(dec)
-        bad = u.isNull() | d.isNull()
-        e = F.when(bad, overflow).otherwise(F.least(u, d - u))
-        pol_pos = F.when(bad, overflow.cast("boolean")).otherwise(u <= d - u)
-        return (
-            cands.select(
-                F.col("score").alias(f"t{r}"),
-                F.when(pol_pos, F.lit(1)).otherwise(F.lit(-1)).alias(f"pol{r}"),
-                e.cast(dec).alias(f"e{r}"),
-                d.cast(dec).alias(f"d{r}"),
-                F.col("cp").alias(f"cp{r}"),
-                F.col("cn").alias(f"cn{r}"),
-            )
-            .orderBy(f"e{r}", f"t{r}")
-            .limit(1)
-            .localCheckpoint()
+        guarded = picked.withColumn(
+            f"e{r}",
+            F.when(F.col(f"e{r}").isNull(), overflow).otherwise(
+                F.col(f"e{r}")
+            ),
         )
+        return guarded.localCheckpoint()
 
     def ab(j: int):
         up = F.col(f"d{j}") - F.col(f"e{j}")
