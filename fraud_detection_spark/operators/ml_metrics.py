@@ -2072,14 +2072,21 @@ def _delong_final_sql() -> dict[str, str]:
         f"* (2.0 * {d['np']}) * (2.0 * {d['np']})))"
     )
     # GREATEST guards the tiny-negative cancellation case so SQRT
-    # never sees a negative (DuckDB errors where Spark returns NaN)
+    # never sees a negative (DuckDB errors where Spark returns NaN);
+    # the var = 0 degenerate case (identical scorers / degenerate
+    # class counts) emits NULL z explicitly so both engines agree —
+    # bare division yields inf whose 6-dp rounding diverges across
+    # engines (ADVICE r12 #3)
     var = f"GREATEST({d10} + {d01}, 0.0)"
     return {
         "auc_a": auc_a,
         "auc_b": auc_b,
         "delta": f"({auc_a} - {auc_b})",
         "se": f"SQRT({var})",
-        "z": f"(({auc_a} - {auc_b}) / SQRT({var}))",
+        "z": (
+            f"(CASE WHEN {var} = 0.0 THEN NULL "
+            f"ELSE (({auc_a} - {auc_b}) / SQRT({var})) END)"
+        ),
     }
 
 

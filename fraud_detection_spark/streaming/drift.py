@@ -179,6 +179,13 @@ PH_STATE = T.StructType(
         T.StructField("pend_days", T.ArrayType(T.LongType())),
         T.StructField("pend_units", T.ArrayType(T.LongType())),
         T.StructField("pend_cnts", T.ArrayType(T.LongType())),
+        # watermark-violation bookkeeping (ADVICE r12 #1): the newest
+        # day already closed and folded into i/sx, and the count of
+        # late rows dropped because their day was <= last_closed —
+        # folding them AFTER later days would corrupt the sequential
+        # statistic for every subsequent day of the series.
+        T.StructField("last_closed", T.LongType()),
+        T.StructField("late_rows_dropped", T.LongType()),
     ]
 )
 
@@ -198,15 +205,30 @@ def _ph_updater(delta: float, lam: float):
         import pandas as _pd
 
         if state.exists:
-            i, sx, mi, mmin, md, mdmin, pd_, pu_, pc_ = state.get
+            (
+                i, sx, mi, mmin, md, mdmin, pd_, pu_, pc_,
+                last_closed, late_dropped,
+            ) = state.get
             pend = {d: [u, c] for d, u, c in zip(pd_, pu_, pc_)}
         else:
             i, sx, mi, mmin, md, mdmin = 0, 0.0, 0.0, None, 0.0, None
             pend = {}
             mmin = float("inf")
             mdmin = float("inf")
+            last_closed = None
+            late_dropped = 0
         for pdf in pdfs:
             for day, grp in pdf.groupby("day"):
+                # watermark violation (ADVICE r12 #1): a day at or
+                # before the newest CLOSED day has already been folded
+                # into i/sx — buffering it would close it out of order
+                # later and corrupt every subsequent PH value for this
+                # series. Drop it and count it; parity with the batch
+                # query holds only for the in-order feed, which is the
+                # documented upstream contract.
+                if last_closed is not None and int(day) <= last_closed:
+                    late_dropped += int(len(grp))
+                    continue
                 # per-row fixed-point units, the engine-wide fixed_sum
                 # discipline (python floor == Spark FLOOR on doubles)
                 units = int(
@@ -227,6 +249,9 @@ def _ph_updater(delta: float, lam: float):
             # day would be a watermark violation upstream too)
             for day in sorted(d for d in pend if d < hi):
                 units, cnt = pend.pop(day)
+                last_closed = day if last_closed is None else max(
+                    last_closed, day
+                )
                 y = float(units) / 10000 / cnt
                 x = _math.floor(y * 10000 + 0.5) / 10000
                 i += 1
@@ -261,6 +286,8 @@ def _ph_updater(delta: float, lam: float):
                 days,
                 [pend[d][0] for d in days],
                 [pend[d][1] for d in days],
+                last_closed,
+                late_dropped,
             )
         )
         if out:
@@ -280,7 +307,11 @@ def page_hinkley_stream(
     operators/timeseries.py::q_page_hinkley (δ/λ default to its
     literals). A day closes when a later day FOR THAT SERIES appears —
     emit-on-close; the newest open day stays buffered in state (one
-    (units, count) pair per open day, O(1) in practice).
+    (units, count) pair per open day, O(1) in practice). Rows whose
+    day is at or before the series' newest CLOSED day are watermark
+    violations and are DROPPED (counted in state, ADVICE r12 #1) —
+    folding them out of order would corrupt i/sx and every subsequent
+    PH value; stream==batch parity is over the in-order feed.
 
     ``series_expr`` keys the monitor: default is the single 'amount'
     series (the q_page_hinkley twin); pass a column/expression (e.g.

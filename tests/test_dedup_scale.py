@@ -138,7 +138,9 @@ def test_jaccard_candidate_build_scales_linearly(spark):
     for rep, n in by_rep.items():
         assert 0.8 * cand1 <= n <= 1.2 * cand1, (rep, n, cand1)
     assert sum(by_rep.values()) == cand10
-    assert tc10 <= 2.5 * REPLICAS * tc1 + 5.0, (tc1, tc10)
+    # timing is RECORDED, not asserted (ADVICE r12 #2): wall-clock
+    # ratio bounds are load-sensitive — the count invariants above are
+    # the hard scale claims; SCALE.md carries the measured numbers
 
     p1, tp1 = _timed_count(pairs1_df)
     p10, tp10 = _timed_count(pairs10_df)
@@ -147,7 +149,6 @@ def test_jaccard_candidate_build_scales_linearly(spark):
     ).count()
     assert p10_rep0 == p1, (p10_rep0, p1)
     assert 0.8 * REPLICAS * p1 <= p10 <= 1.2 * REPLICAS * p1, (p1, p10)
-    assert tp10 <= 2.5 * REPLICAS * tp1 + 5.0, (tp1, tp10)
     print(
         f"SCALE jaccard: cand 1x={cand1}@{tc1:.2f}s 10x={cand10}@{tc10:.2f}s "
         f"({cand10 / cand1 / REPLICAS:.3f}x/replica); "
@@ -245,5 +246,5 @@ def test_ivfpq_probe_candidates_scale_linearly(spark):
     c1, t1 = _timed_count(probe_cands(emb))
     c10, t10 = _timed_count(probe_cands(emb10))
     assert c10 == REPLICAS * c1 + (REPLICAS - 1), (c1, c10)
-    assert t10 <= 2.5 * REPLICAS * t1 + 5.0, (t1, t10)
+    # timing recorded, not asserted (ADVICE r12 #2) — see SCALE.md
     print(f"SCALE ivfpq probe: 1x={c1}@{t1:.2f}s 10x={c10}@{t10:.2f}s")

@@ -60,3 +60,110 @@ def test_null_pick_raises_loudly(spark):
         ).otherwise(F.col("e")),
     )
     assert guarded2.localCheckpoint().collect()[0]["e"] == 1
+
+
+# ---------------------------------------------------------------------------
+# page_hinkley_stream watermark-violation handling (ADVICE r12 #1): a
+# row for a day at or before the series' newest CLOSED day must be
+# DROPPED, not buffered — the old behavior re-closed the late day
+# AFTER later days, folding it out of order into i/sx and corrupting
+# every subsequent PH value.
+
+
+def test_page_hinkley_stream_drops_late_closed_day(spark, tmp_path):
+    import math
+    import shutil
+
+    from fraud_detection_spark.operators.timeseries import PH_DELTA
+    from fraud_detection_spark.streaming.drift import page_hinkley_stream
+
+    DAY = 86_400 * 1_000_000_000
+
+    def ev(day, value):
+        return (day * DAY + 1, float(value))
+
+    # slice 1 closes days 1 and 2 (day 3 stays open); slice 2 carries
+    # a LATE day-1 row (violation: last_closed == 2) plus days 4-5,
+    # closing 3 and 4.
+    slices = [
+        [ev(1, 10.0), ev(1, 12.0), ev(2, 11.0), ev(3, 9.0)],
+        [ev(1, 99.0), ev(4, 10.5), ev(5, 11.5)],
+    ]
+    src = tmp_path / "late_staged"
+    src.mkdir()
+    ckpt = str(tmp_path / "late_ckpt")
+    out = str(tmp_path / "late_out")
+    schema = "ts long, value double"
+    for i, rows in enumerate(slices):
+        batch = tmp_path / f"late_b{i}"
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(batch))
+        shutil.copytree(str(batch), str(src / f"s{i}"))
+        q = (
+            page_hinkley_stream(
+                spark.readStream.schema(schema)
+                .option("recursiveFileLookup", "true")
+                .parquet(str(src))
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    got = spark.read.parquet(out).toPandas().sort_values("day")
+    # exactly days 1-4 emitted once each — no re-emitted day 1
+    assert list(got.day) == [1, 2, 3, 4]
+
+    # and the emitted statistics equal the python reference WITHOUT
+    # the late row (i.e. it was dropped, not folded out of order)
+    means = {1: 11.0, 2: 11.0, 3: 9.0, 4: 10.5}
+    i, sx, mi, md = 0, 0.0, 0.0, 0.0
+    mmin, mdmin = float("inf"), float("inf")
+    for day in [1, 2, 3, 4]:
+        x = means[day]
+        i += 1
+        sx += x
+        mi += x - sx / i - PH_DELTA
+        md += sx / i - x - PH_DELTA
+        mmin = min(mmin, mi)
+        mdmin = min(mdmin, md)
+        r = got[got.day == day].iloc[0]
+        assert r.day_mean == x, day
+        assert r.ph_inc == math.floor((mi - mmin) * 1e6 + 0.5) / 1e6, day
+        assert r.ph_dec == math.floor((md - mdmin) * 1e6 + 0.5) / 1e6, day
+
+
+# ---------------------------------------------------------------------------
+# q_delong degenerate-variance guard (ADVICE r12 #3): identical scorers
+# make var = 0; bare division gives inf whose 6-dp rounding diverges
+# across engines, so the shared expression text must emit NULL z in
+# BOTH engines.
+
+
+def test_delong_zero_variance_emits_null_z_in_both_engines(spark):
+    import duckdb
+
+    from fraud_detection_spark.operators.ml_metrics import _delong_final_sql
+
+    fin = _delong_final_sql()
+    # identical scorers: sua == sub, suaa == subb == suab (and v-side
+    # alike) -> d10 = d01 = 0 -> var = 0
+    agg = (
+        "SELECT CAST(10 AS BIGINT) AS np, CAST(20 AS BIGINT) AS nn, "
+        "CAST(100 AS BIGINT) AS sua, CAST(1100 AS BIGINT) AS suaa, "
+        "CAST(100 AS BIGINT) AS sub, CAST(1100 AS BIGINT) AS subb, "
+        "CAST(1100 AS BIGINT) AS suab, "
+        "CAST(200 AS BIGINT) AS sva, CAST(2200 AS BIGINT) AS svaa, "
+        "CAST(200 AS BIGINT) AS svb, CAST(2200 AS BIGINT) AS svbb, "
+        "CAST(2200 AS BIGINT) AS svab"
+    )
+    q = f"SELECT {fin['z']} AS z, {fin['se']} AS se FROM ({agg})"
+    srow = spark.sql(q).collect()[0]
+    drow = duckdb.connect().execute(q).fetchone()
+    assert srow["z"] is None and drow[0] is None
+    assert srow["se"] == 0.0 and drow[1] == 0.0
