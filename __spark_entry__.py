@@ -78,6 +78,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     # once, NULL-propagating e, raise_error on the picked 1-row table
     # (same loudness, half the wall):
     "q_boosted_stumps",
+    # round-13 addition (VERDICT r12 #4 — multi-feature split search):
+    "q_tree_multifeat",
 })
 
 

@@ -327,6 +327,11 @@ HEADLINE = [
     # round 12: two-group log-rank survival test (one event fold to
     # per-user rows + bounded duration-table windows + 1-row agg)
     "q_logrank",
+    # round 13: multi-feature exact Gini split search at root + one
+    # child level (VERDICT r12 #4 — TWO fact passes, each one
+    # stack-explode fold map-side-combined before the only shuffle,
+    # bucket-offset prefix tables per (branch, feature))
+    "q_tree_multifeat",
 ]
 
 

@@ -2591,3 +2591,298 @@ def q_tree5_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").cast("bigint").alias("n"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q_tree_multifeat — multi-FEATURE exact Gini split search (VERDICT
+# r12 #4): the reference's XGB trees search all feature columns per
+# node (train_model.py:69-80), where the q_stump..q_tree5 ladder
+# splits on the single published score. This closes that delta at
+# the root + one child level over the three published model features.
+# ---------------------------------------------------------------------------
+
+# (name, 6-dp-rounded value expression) — names sorted so the
+# (key, feat, val) argmin tie-break is engine-identical
+_MF_FEATS = ("disc", "price", "qty")
+
+_MF_VAL_SQL = {
+    "disc": "CAST(l_discount AS DOUBLE)",
+    "price": "(CAST(l_extendedprice AS DOUBLE) / 100000.0)",
+    "qty": "CAST(l_quantity AS DOUBLE)",
+}
+
+
+def _mf_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> (label, disc, price, qty): the reference model's
+    three raw feature columns, 6-dp-rounded BEFORE any grouping so
+    distinct-value/tie structure is identical across engines (the
+    scored() discipline applied to inputs instead of the score)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        pround(F.col("l_discount").cast("double"), 6).alias("disc"),
+        pround(F.col("l_extendedprice").cast("double") / 100000.0, 6).alias(
+            "price"
+        ),
+        pround(F.col("l_quantity").cast("double"), 6).alias("qty"),
+    )
+
+
+def _mf_unpivot(base: DataFrame, extra: list[str]) -> DataFrame:
+    """(.., disc, price, qty, label) -> (.., feat, val, label): one
+    pass, stack-style explode — the per-(feat,val) fold after it is
+    map-side-combinable so the tripled row count never shuffles raw."""
+    return base.select(
+        *extra,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(f).alias("feat"), F.col(f).alias("val")
+                    )
+                    for f in _MF_FEATS
+                ]
+            )
+        ).alias("fv"),
+        "label",
+    ).select(*extra, F.col("fv.feat").alias("feat"),
+             F.col("fv.val").alias("val"), "label")
+
+
+def _mf_cum(grouped: DataFrame, keys: list[str]) -> DataFrame:
+    """Per-key prefix counts over the bounded distinct-(feat,val)
+    table — the _tree_cum_table bucket-offset machinery generalized to
+    composite keys: coarse floor(val*1000) buckets, offsets via a
+    broadcast self-join of the <=~1.5k-row bucket-total table,
+    PARTITIONED within-bucket windows; never a global single-partition
+    sort even when one feature (price) has ~1e5 distinct values."""
+    b = grouped.withColumn(
+        "bucket", F.floor(F.col("val") * 1000).cast("bigint")
+    )
+    btot = b.groupBy(*keys, "bucket").agg(
+        F.sum("cnt").alias("bcnt"), F.sum("pos").alias("bpos")
+    )
+    lower = btot.select(
+        *[F.col(k).alias(f"l_{k}") for k in keys],
+        F.col("bucket").alias("lb"),
+        F.col("bcnt").alias("lcnt"),
+        F.col("bpos").alias("lpos"),
+    )
+    cond = F.col("lb") < F.col("bucket")
+    for k in keys:
+        cond = cond & (F.col(f"l_{k}") == F.col(k))
+    offs = (
+        btot.join(F.broadcast(lower), cond, "left")
+        .groupBy(*keys, "bucket")
+        .agg(
+            F.coalesce(F.sum("lcnt"), F.lit(0)).alias("off_n"),
+            F.coalesce(F.sum("lpos"), F.lit(0)).alias("off_p"),
+        )
+    )
+    w_in = (
+        Window.partitionBy(*keys, "bucket")
+        .orderBy("val")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return b.join(F.broadcast(offs), [*keys, "bucket"]).select(
+        *keys,
+        "val",
+        (F.col("off_n") + F.sum("cnt").over(w_in))
+        .cast("bigint")
+        .alias("cum_n"),
+        (F.col("off_p") + F.sum("pos").over(w_in))
+        .cast("bigint")
+        .alias("cum_p"),
+    )
+
+
+def _mf_node(tag: str, cands: DataFrame, nb, pb) -> DataFrame:
+    """Best (feature, threshold) inside one branch: TakeOrdered(1) by
+    the exact (key, feat, val) order — branch-internal prefix counts
+    mean zero base offsets (_tree_key with n0 = p0 = 0)."""
+    zero = F.lit(0)
+    nbd = nb.cast("double")
+    pbd = pb.cast("double")
+    base = (
+        F.lit(1.0)
+        - (pbd / nbd) * (pbd / nbd)
+        - ((nbd - pbd) / nbd) * ((nbd - pbd) / nbd)
+    )
+    k = F.col("key")
+    return (
+        cands.withColumn("key", _tree_key(zero, zero, nb, pb))
+        .orderBy("key", "feat", "val")
+        .limit(1)
+        .select(
+            F.lit(tag).alias("node"),
+            F.col("feat"),
+            F.col("val").alias("threshold"),
+            F.col("cum_n").cast("bigint").alias("n_left"),
+            F.col("cum_p").cast("bigint").alias("pos_left"),
+            (nb - F.col("cum_n")).cast("bigint").alias("n_right"),
+            (pb - F.col("cum_p")).cast("bigint").alias("pos_right"),
+            pround(k / nbd, 6).alias("gini_split"),
+            pround(base, 6).alias("gini_base"),
+            pround(base - k / nbd, 6).alias("gain"),
+        )
+    )
+
+
+def _gini_node_mf_sql(tag: str, src: str, nb: str, pb: str) -> str:
+    k = _gini_key_sql("0", "0", nb, pb)
+    base = _gini_base_sql(nb, pb)
+    return (
+        f"SELECT '{tag}' AS node, feat, val AS threshold, "
+        f"CAST(cum_n AS BIGINT) AS n_left, "
+        f"CAST(cum_p AS BIGINT) AS pos_left, "
+        f"CAST({nb} - cum_n AS BIGINT) AS n_right, "
+        f"CAST({pb} - cum_p AS BIGINT) AS pos_right, "
+        + sql_round(f"({k}) / {nb}", 6) + " AS gini_split, "
+        + sql_round(base, 6) + " AS gini_base, "
+        + sql_round(f"{base} - ({k}) / {nb}", 6) + " AS gain "
+        f"FROM {src} ORDER BY {k}, feat, val LIMIT 1"
+    )
+
+
+def _tree_mf_oracle() -> str:
+    """DuckDB twin: same unpivot, same per-(branch, feature) prefix
+    counts, same (key, feat, val) argmin text."""
+    fsel = ", ".join(
+        sql_round(_MF_VAL_SQL[f], 6) + f" AS {f}" for f in _MF_FEATS
+    )
+    u1 = " UNION ALL ".join(
+        f"SELECT '{f}' AS feat, {f} AS val, label FROM f" for f in _MF_FEATS
+    )
+    u2 = " UNION ALL ".join(
+        f"SELECT br, '{f}' AS feat, {f} AS val, label FROM f2"
+        for f in _MF_FEATS
+    )
+    return (
+        "WITH f AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END "
+        f"AS label, {fsel} FROM lineitem), "
+        f"u AS ({u1}), "
+        "g AS (SELECT feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM u GROUP BY feat, val), "
+        "t AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(label) AS BIGINT) AS p FROM f), "
+        "c AS MATERIALIZED (SELECT feat, val, "
+        "CAST(SUM(cnt) OVER (PARTITION BY feat ORDER BY val) AS BIGINT) "
+        "AS cum_n, "
+        "CAST(SUM(pos) OVER (PARTITION BY feat ORDER BY val) AS BIGINT) "
+        "AS cum_p, n, p FROM g, t), "
+        "root AS MATERIALIZED ("
+        + _gini_node_mf_sql("root", "c WHERE cum_n < n", "n", "p")
+        + "), "
+        "f2 AS (SELECT f.*, CASE WHEN (CASE root.feat "
+        "WHEN 'disc' THEN f.disc WHEN 'price' THEN f.price ELSE f.qty END) "
+        "<= root.threshold THEN 0 ELSE 1 END AS br FROM f, root), "
+        f"u2 AS ({u2}), "
+        "g2 AS (SELECT br, feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM u2 GROUP BY br, feat, val), "
+        "c2 AS MATERIALIZED (SELECT br, feat, val, "
+        "CAST(SUM(cnt) OVER (PARTITION BY br, feat ORDER BY val) AS BIGINT) "
+        "AS cum_n, "
+        "CAST(SUM(pos) OVER (PARTITION BY br, feat ORDER BY val) AS BIGINT) "
+        "AS cum_p FROM g2), "
+        "lc AS (SELECT c2.*, root.n_left AS nb, root.pos_left AS pb "
+        "FROM c2, root WHERE br = 0), "
+        "lpick AS MATERIALIZED ("
+        + _gini_node_mf_sql("left", "lc WHERE cum_n < nb", "nb", "pb")
+        + "), "
+        "rc AS (SELECT c2.*, root.n_right AS nb, root.pos_right AS pb "
+        "FROM c2, root WHERE br = 1), "
+        "rpick AS MATERIALIZED ("
+        + _gini_node_mf_sql("right", "rc WHERE cum_n < nb", "nb", "pb")
+        + ") "
+        "SELECT * FROM root UNION ALL SELECT * FROM lpick "
+        "UNION ALL SELECT * FROM rpick"
+    )
+
+
+@query(
+    "q_tree_multifeat",
+    oracle=_tree_mf_oracle(),
+    tags=("ml", "train", "split"),
+    eager=True,
+)
+def q_tree_multifeat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Gini split search across ALL THREE published feature
+    columns (discount, scaled price, quantity) at the root and inside
+    both root branches — the multi-feature per-node search the
+    reference's XGBClassifier performs (train_model.py:69-80), which
+    the single-score q_stump..q_tree5 ladder could not express. Emits
+    up to 3 rows (root/left/right), each carrying the WINNING feature
+    name, threshold, exact branch counts, and impurity scalars.
+
+    Exactness: per-(branch, feature) prefix counts are exact integers;
+    the split key is the q_tree2 branch-offset Gini expression with
+    zero offsets (branch tables are folded WITHIN the branch), and the
+    argmin ORDER BY (key, feat, val) compares exact doubles then
+    strings — engine-identical. Feature values are 6-dp pround-ed
+    BEFORE grouping so distinct/tie structure matches DuckDB's.
+
+    Scale: TWO fact passes total (the honest multi-feature cost — the
+    child search conditions every feature's distribution on the root
+    branch, so branch folds cannot be closed forms over root-level
+    prefix tables). Each pass is one stack-explode (3x rows,
+    map-side-combined before the only shuffle on (br, feat, val)),
+    then the bucket-offset prefix machinery per (branch, feature) —
+    broadcast <=~1.5k-row offset tables + partitioned windows, never a
+    global sort. Argmins are TakeOrdered(1) over the bounded
+    distinct-value tables; the 1-row root pick is broadcast into the
+    second pass. At depth d this costs d+1 fact passes — the
+    level-synchronous multi-feature trainer shape (each level's branch
+    assignment rides ONE pass), exactly how a distributed tree trainer
+    scales to 100 TB. Eager by construction (the checkpointed root
+    pick); the registry eager contract applies."""
+    base = _mf_base(spark, sf_dir)
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("p"),
+    )
+    g1 = _mf_unpivot(base, []).groupBy("feat", "val").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    c1 = _mf_cum(g1, ["feat"]).crossJoin(F.broadcast(tot))
+    root = _mf_node(
+        "root",
+        c1.filter(F.col("cum_n") < F.col("n")),
+        F.col("n"),
+        F.col("p"),
+    ).localCheckpoint()
+
+    rinfo = root.select(
+        F.col("feat").alias("rfeat"),
+        F.col("threshold").alias("rt"),
+        F.col("n_left").alias("bln"),
+        F.col("pos_left").alias("blp"),
+        F.col("n_right").alias("brn"),
+        F.col("pos_right").alias("brp"),
+    )
+    rootval = (
+        F.when(F.col("rfeat") == "disc", F.col("disc"))
+        .when(F.col("rfeat") == "price", F.col("price"))
+        .otherwise(F.col("qty"))
+    )
+    f2 = base.crossJoin(F.broadcast(rinfo)).withColumn(
+        "br", F.when(rootval <= F.col("rt"), F.lit(0)).otherwise(F.lit(1))
+    )
+    g2 = _mf_unpivot(f2, ["br"]).groupBy("br", "feat", "val").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    c2 = _mf_cum(g2, ["br", "feat"]).crossJoin(F.broadcast(rinfo))
+    left = _mf_node(
+        "left",
+        c2.filter((F.col("br") == 0) & (F.col("cum_n") < F.col("bln"))),
+        F.col("bln"),
+        F.col("blp"),
+    )
+    right = _mf_node(
+        "right",
+        c2.filter((F.col("br") == 1) & (F.col("cum_n") < F.col("brn"))),
+        F.col("brn"),
+        F.col("brp"),
+    )
+    return root.unionAll(left).unionAll(right)

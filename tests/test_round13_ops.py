@@ -167,3 +167,72 @@ def test_delong_zero_variance_emits_null_z_in_both_engines(spark):
     drow = duckdb.connect().execute(q).fetchone()
     assert srow["z"] is None and drow[0] is None
     assert srow["se"] == 0.0 and drow[1] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# q_tree_multifeat (VERDICT r12 #4): multi-feature exact Gini split
+# search — python reference over the exact 6-dp feature values.
+
+
+def _mf_frame(duck):
+    return duck.execute(
+        "SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        "FLOOR(CAST(l_discount AS DOUBLE) * 1000000 + 0.5) / 1000000 "
+        "AS disc, "
+        "FLOOR((CAST(l_extendedprice AS DOUBLE) / 100000.0) * 1000000 "
+        "+ 0.5) / 1000000 AS price, "
+        "FLOOR(CAST(l_quantity AS DOUBLE) * 1000000 + 0.5) / 1000000 "
+        "AS qty FROM lineitem"
+    ).df()
+
+
+def _mf_best(pdf):
+    """Exhaustive argmin over every (feat, threshold) candidate by the
+    exact (key, feat, val) order; returns None for a pure/singleton
+    branch."""
+    n, p = len(pdf), int(pdf.label.sum())
+    best = None
+    for feat in ("disc", "price", "qty"):
+        g = pdf.groupby(feat)["label"].agg(["size", "sum"]).sort_index()
+        cum_n = g["size"].cumsum()
+        cum_p = g["sum"].cumsum()
+        for val, nl, pl in zip(g.index, cum_n, cum_p):
+            if nl >= n:
+                continue
+            nr, pr = n - nl, p - pl
+            key = (nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) + (
+                nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+            )
+            cand = (key, feat, val, int(nl), int(pl), int(nr), int(pr))
+            if best is None or cand[:3] < best[:3]:
+                best = cand
+    return best
+
+
+def test_tree_multifeat_matches_python_reference(spark, sf_dir, duck):
+    got = (
+        REGISTRY["q_tree_multifeat"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("node")
+    )
+    pdf = _mf_frame(duck)
+
+    root = _mf_best(pdf)
+    r = got.loc["root"]
+    assert r.feat == root[1] and abs(r.threshold - root[2]) < 1e-12
+    assert (r.n_left, r.pos_left, r.n_right, r.pos_right) == root[3:]
+    n, p = len(pdf), int(pdf.label.sum())
+    base = 1.0 - (p / n) ** 2 - ((n - p) / n) ** 2
+    assert abs(r.gini_base - base) < 1e-6
+    assert abs(r.gain - (base - root[0] / n)) < 1e-6
+
+    lmask = pdf[root[1]] <= root[2]
+    for node, sub in (("left", pdf[lmask]), ("right", pdf[~lmask])):
+        want = _mf_best(sub)
+        if want is None:
+            assert node not in got.index
+            continue
+        w = got.loc[node]
+        assert w.feat == want[1], node
+        assert abs(w.threshold - want[2]) < 1e-12, node
+        assert (w.n_left, w.pos_left, w.n_right, w.pos_right) == want[3:]
