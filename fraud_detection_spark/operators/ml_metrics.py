@@ -1551,7 +1551,15 @@ def _tree_cum_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     within-bucket windows — never a global single-partition sort),
     checkpointed once. Shared by the q_tree2/q_tree3 training ladder:
     every node argmin at any depth is a bounded scan of this table."""
-    s = scored(spark, sf_dir)
+    return tree_cum_table(scored(spark, sf_dir))
+
+
+def tree_cum_table(s: DataFrame) -> DataFrame:
+    """The _tree_cum_table kernel on a (label, score) DataFrame —
+    module-level so the env-gated 10x scale smoke
+    (tests/test_unit_table_scale.py) can drive it on a replicated fact
+    set and assert the distinct-score table stays FIXED while fact
+    rows grow (the q_auc bucket-offset prefix's 100 TB claim)."""
     per = (
         s.groupBy("score")
         .agg(

@@ -1,0 +1,170 @@
+"""10x fact-replication scale smoke for the 6-dp UNIT-TABLE kernels
+(VERDICT r12 #5): the rank-statistics family's 100 TB argument is that
+every expensive structure — q_delong's broadcast structural-component
+tables, the tree ladder's prefix-count table (q_auc's bucket-offset
+machinery), q_kendall_tau's dense contingency grid — is bounded by the
+6-dp VALUE DOMAIN, not by fact rows. test_stats_scale.py (r9) grows
+the grid; this file proves the complement: replicate the FACT rows 10x
+with identical values and the unit tables must stay EXACTLY fixed in
+row count while their integer contents scale in closed form:
+
+- _rank_units: same distinct-score rows; uval/vval are linear in class
+  counts, so every unit value reads exactly 10x its 1x twin.
+- tree_cum_table: same distinct-score rows; cum_n/cum_p and the (n, p)
+  totals scale exactly 10x.
+- kendall_tau: same dense-grid cells; n scales 10x and the
+  concordant/discordant PAIR counts scale exactly 100x (every original
+  pair becomes 10x10 replica pairs of the same orientation; same-value
+  replicas add only ties, which nc/nd never count).
+
+Timing is recorded, never asserted (ADVICE r12 #2). Gated behind
+SPARK_GRAFT_SCALE_TESTS=1; measured numbers live in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+SCALE_SF_DIR = os.environ.get("SPARK_GRAFT_SCALE_SF_DIR", "/root/testdata/sf0.1")
+REPLICAS = 10
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_SCALE_TESTS") != "1",
+    reason="scale exercise; run with SPARK_GRAFT_SCALE_TESTS=1",
+)
+
+
+def _replicate(df, k=REPLICAS):
+    """k identical copies of every row — value domain unchanged."""
+    return df.crossJoin(F.broadcast(spark_range(df, k))).drop("_rep")
+
+
+def spark_range(df, k):
+    return df.sparkSession.range(k).select(F.col("id").alias("_rep"))
+
+
+def _timed_count(df):
+    t0 = time.time()
+    n = df.count()
+    return n, time.time() - t0
+
+
+def test_delong_unit_tables_fixed_under_fact_replication(spark):
+    """q_delong's broadcast claim (ml_metrics 'the unit tables are
+    bounded by the 6-dp score domain ... REGARDLESS of fact size'):
+    10x fact rows -> identical unit-table row count, every doubled
+    structural component exactly 10x, and the 6-dp domain bound."""
+    from fraud_detection_spark.operators.ml_metrics import _rank_units, scored
+
+    rows1 = scored(spark, SCALE_SF_DIR).select(
+        "label", F.col("score").alias("sa")
+    )
+    rows10 = _replicate(rows1)
+
+    t1 = _rank_units(rows1, "sa")
+    t10 = _rank_units(rows10, "sa")
+    n1, w1 = _timed_count(t1)
+    n10, w10 = _timed_count(t10)
+    assert n1 == n10, (n1, n10)  # the unit table did NOT grow
+    assert n1 <= 1_000_001  # the documented 6-dp domain bound
+
+    j = (
+        t1.select("s", F.col("uval").alias("u1"), F.col("vval").alias("v1"))
+        .join(
+            t10.select(
+                "s", F.col("uval").alias("u10"), F.col("vval").alias("v10")
+            ),
+            "s",
+            "full",
+        )
+        .filter(
+            (F.col("u10") != REPLICAS * F.col("u1"))
+            | (F.col("v10") != REPLICAS * F.col("v1"))
+            | F.col("u1").isNull()
+            | F.col("u10").isNull()
+        )
+    )
+    assert j.count() == 0
+    print(f"SCALE delong units: {n1} rows @1x {w1:.2f}s @10x {w10:.2f}s")
+
+
+def test_tree_cum_table_fixed_under_fact_replication(spark):
+    """The q_auc/q_stump/q_tree* bucket-offset prefix table is bounded
+    by the distinct 6-dp score domain: 10x fact rows -> identical row
+    count, cum counts and totals exactly 10x."""
+    from fraud_detection_spark.operators.ml_metrics import (
+        scored,
+        tree_cum_table,
+    )
+
+    s1 = scored(spark, SCALE_SF_DIR).select("label", "score")
+    s10 = _replicate(s1)
+
+    c1 = tree_cum_table(s1)
+    c10 = tree_cum_table(s10)
+    n1, w1 = _timed_count(c1)
+    n10, w10 = _timed_count(c10)
+    assert n1 == n10, (n1, n10)
+    assert n1 <= 1_000_001
+
+    bad = (
+        c1.select(
+            "score",
+            F.col("cum_n").alias("cn1"),
+            F.col("cum_p").alias("cp1"),
+            F.col("n").alias("nn1"),
+            F.col("p").alias("pp1"),
+        )
+        .join(c10, "score", "full")
+        .filter(
+            (F.col("cum_n") != REPLICAS * F.col("cn1"))
+            | (F.col("cum_p") != REPLICAS * F.col("cp1"))
+            | (F.col("n") != REPLICAS * F.col("nn1"))
+            | (F.col("p") != REPLICAS * F.col("pp1"))
+            | F.col("cn1").isNull()
+            | F.col("cum_n").isNull()
+        )
+    )
+    assert bad.count() == 0
+    print(f"SCALE tree cum: {n1} rows @1x {w1:.2f}s @10x {w10:.2f}s")
+
+
+def test_kendall_grid_fixed_under_fact_replication(spark):
+    """q_kendall_tau's dense grid is |distinct vx| x 24 regardless of
+    fact rows: 10x replication keeps the grid fixed; n scales 10x and
+    nc/nd scale exactly 100x (replica pairs inherit orientation;
+    same-value pairs are ties, never counted)."""
+    from fraud_detection_spark.operators.stats_tests import kendall_tau
+    from fraud_detection_spark.sources import load_table
+
+    ev = load_table(spark, SCALE_SF_DIR, "events").select(
+        F.floor(F.col("value") * 10000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("vx"),
+        (F.expr("ts div 1000000000 div 3600") % 24)
+        .cast("bigint")
+        .alias("vy"),
+    )
+    pairs1 = ev
+    pairs10 = _replicate(ev)
+
+    grid1 = pairs1.select("vx").distinct().count() * 24
+    grid10 = pairs10.select("vx").distinct().count() * 24
+    assert grid1 == grid10
+
+    t0 = time.time()
+    r1 = kendall_tau(pairs1).collect()[0]
+    w1 = time.time() - t0
+    t0 = time.time()
+    r10 = kendall_tau(pairs10).collect()[0]
+    w10 = time.time() - t0
+    assert r10["n"] == REPLICAS * r1["n"]
+    assert r10["nc"] == REPLICAS * REPLICAS * r1["nc"]
+    assert r10["nd"] == REPLICAS * REPLICAS * r1["nd"]
+    print(
+        f"SCALE kendall grid: {grid1} cells; 1x {w1:.2f}s 10x {w10:.2f}s"
+    )
