@@ -78,8 +78,11 @@ _TOUCHED_THIS_ROUND = frozenset({
     # once, NULL-propagating e, raise_error on the picked 1-row table
     # (same loudness, half the wall):
     "q_boosted_stumps",
-    # round-13 addition (VERDICT r12 #4 — multi-feature split search):
+    # round-13 additions (VERDICT r12 #4 + #6):
     "q_tree_multifeat",
+    "q_gehan",
+    "q_cox_score",
+    "q_spiegelhalter",
 })
 
 

@@ -332,6 +332,15 @@ HEADLINE = [
     # stack-explode fold map-side-combined before the only shuffle,
     # bucket-offset prefix tables per (branch, feature))
     "q_tree_multifeat",
+    # round 13: Gehan-Wilcoxon weighted log-rank (q_logrank's risk-set
+    # machinery verbatim; the at-risk weight makes the O/E terms EXACT
+    # integers), Cox score test at beta=0 (the regression face of the
+    # same exact risk-set algebra, behavioral covariate), and the
+    # Spiegelhalter decile calibration table (one fact fold to the
+    # bounded (decile, 6-dp score) table + a 10-row fold)
+    "q_gehan",
+    "q_cox_score",
+    "q_spiegelhalter",
 ]
 
 

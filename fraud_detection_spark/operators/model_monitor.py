@@ -1159,3 +1159,124 @@ def q_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("youden_j"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_spiegelhalter — decile calibration table with Spiegelhalter-style
+# EXACT moments (round 13, VERDICT r12 #6c): per score-decile, the
+# Spiegelhalter calibration z — numerator Σ(y−p)(1−2p) and its
+# null variance Σ(1−2p)²p(1−p) — on top of the reliability columns
+# q_calibration reports. With 6-dp scores both moments are EXACT
+# fixed-point integers (1e-12 and 1e-24 units in DECIMAL(38,0)/
+# HUGEINT), so the per-decile test is hash-checkable; statistic only,
+# erf exclusion holds.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_spiegelhalter",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), "
+        "g AS (SELECT CAST(FLOOR(score * 10) AS BIGINT) AS decile, "
+        "CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS u, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM s GROUP BY decile, u), "
+        "d AS (SELECT decile, "
+        "CAST(SUM(cnt) AS BIGINT) AS n, "
+        "CAST(SUM(pos) AS BIGINT) AS events, "
+        "CAST(SUM(CAST(cnt AS HUGEINT) * u) AS HUGEINT) AS su, "
+        # numerator in 1e-12 units: (pos·1e6 − cnt·u)·(1e6 − 2u)
+        "CAST(SUM(CAST(pos * 1000000 - cnt * u AS HUGEINT) "
+        "* (1000000 - 2 * u)) AS HUGEINT) AS num, "
+        # variance in 1e-24 units: cnt·(1e6−2u)²·u·(1e6−u)
+        "CAST(SUM(CAST(cnt AS HUGEINT) * (1000000 - 2 * u) "
+        "* (1000000 - 2 * u) * u * (1000000 - u)) AS HUGEINT) AS var "
+        "FROM g GROUP BY decile) "
+        "SELECT decile, n, events, "
+        + sql_round("CAST(su AS DOUBLE) / 1000000 / n", 6)
+        + " AS mean_pred, "
+        + sql_round("CAST(events AS DOUBLE) / n", 6) + " AS obs_rate, "
+        + sql_round("CAST(num AS DOUBLE) / 1000000000000", 6)
+        + " AS num_spieg, "
+        "CASE WHEN var = 0 THEN NULL ELSE "
+        + sql_round(
+            "(CAST(num AS DOUBLE) / 1000000000000) "
+            "/ SQRT(CAST(var AS DOUBLE) / "
+            "1000000000000000000000000.0)",
+            6,
+        )
+        + " END AS z_spieg FROM d"
+    ),
+    tags=("ml", "monitor", "calibration"),
+)
+def q_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decile calibration table with the Spiegelhalter z per decile:
+    for rows binned by FLOOR(score·10), the reliability columns
+    (n, events, mean predicted, observed rate) plus the Spiegelhalter
+    calibration test restricted to the decile — numerator
+    Σ(y_i−p_i)(1−2p_i), null variance Σ(1−2p_i)²p_i(1−p_i),
+    z = num/√var. Z near 0 means the decile's predictions are
+    internally well-calibrated; a signed z localizes WHERE the model
+    is over/under-confident, which the single-number q_brier/q_ece
+    cannot. NULL z for a degenerate decile (var = 0: every score
+    exactly 0 or 1 — the q_delong var-0 discipline). Statistic only,
+    erf stays outside the twin contract.
+
+    Exactness: with 6-dp scores (u = score·1e6 exact integers), the
+    numerator is an EXACT 1e-12-unit integer per distinct score —
+    (pos·1e6 − cnt·u)·(1e6−2u) — and the variance an EXACT 1e-24-unit
+    integer — cnt·(1e6−2u)²·u·(1e6−u) ≤ ~1e30 per group, summed in
+    DECIMAL(38,0)/HUGEINT (≥1e36 headroom at 1e6 distinct scores).
+    No doubles until the final 6-dp-rounded scalars, identical
+    expression structure on both engines.
+
+    Scale: ONE map-side-combinable fact fold to the bounded
+    (decile, 6-dp score) table, one 10-row fold, zero windows, zero
+    joins. Ref: the calibration-curve completion of
+    evaluate_model.py's scalar metrics, Spiegelhalter (1986) form."""
+    s = scored(spark, sf_dir)
+    dec = "decimal(38,0)"
+    u = F.floor(F.col("score") * 1000000 + F.lit(0.5)).cast("bigint")
+    g = s.groupBy(
+        F.floor(F.col("score") * 10).cast("bigint").alias("decile"),
+        u.alias("u"),
+    ).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    one_m_2u = F.lit(1000000) - 2 * F.col("u")
+    num_row = (
+        (F.col("pos") * 1000000 - F.col("cnt") * F.col("u")).cast(dec)
+        * one_m_2u
+    )
+    var_row = (
+        F.col("cnt").cast(dec)
+        * one_m_2u
+        * one_m_2u
+        * F.col("u")
+        * (F.lit(1000000) - F.col("u"))
+    )
+    d = g.groupBy("decile").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("events"),
+        F.sum(F.col("cnt").cast(dec) * F.col("u")).alias("su"),
+        F.sum(num_row).alias("num"),
+        F.sum(var_row).alias("var"),
+    )
+    numd = F.col("num").cast("double") / 1000000000000
+    vard = F.col("var").cast("double") / 1e24
+    return d.select(
+        "decile",
+        "n",
+        "events",
+        pround(F.col("su").cast("double") / 1000000 / F.col("n"), 6).alias(
+            "mean_pred"
+        ),
+        pround(F.col("events").cast("double") / F.col("n"), 6).alias(
+            "obs_rate"
+        ),
+        pround(numd, 6).alias("num_spieg"),
+        F.when(F.col("var") == 0, F.lit(None).cast("double"))
+        .otherwise(pround(numd / F.sqrt(vard), 6))
+        .alias("z_spieg"),
+    )

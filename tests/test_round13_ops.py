@@ -236,3 +236,129 @@ def test_tree_multifeat_matches_python_reference(spark, sf_dir, duck):
         assert w.feat == want[1], node
         assert abs(w.threshold - want[2]) < 1e-12, node
         assert (w.n_left, w.pos_left, w.n_right, w.pos_right) == want[3:]
+
+
+# ---------------------------------------------------------------------------
+# Survival pair (VERDICT r12 #6a/#6b): python references over the
+# exact per-user duration table.
+
+
+def _durations(duck, arm_sql):
+    return duck.execute(
+        f"SELECT {arm_sql} AS arm, CASE WHEN err_sec IS NOT NULL "
+        "THEN (err_sec - first_sec) // 86400 "
+        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
+        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM ("
+        "SELECT user_id, "
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS pc, "
+        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
+        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
+        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) "
+        "// 1000000000 END) AS err_sec FROM events GROUP BY user_id) u0, "
+        "(SELECT CAST(COUNT(*) AS BIGINT) AS nu, "
+        "CAST(SUM(pc2) AS BIGINT) AS tp FROM (SELECT "
+        "CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS pc2 FROM events GROUP BY user_id)) gl"
+    ).fetchall()
+
+
+def _risk_sets(rows):
+    """-> sorted [(dur, de, d1, n, n1)] with suffix-sum risk sets."""
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0, 0, 0])  # de, d1, tot, tot1
+    for arm, dur, ev in rows:
+        c = per[dur]
+        c[0] += ev
+        c[1] += ev if arm == 1 else 0
+        c[2] += 1
+        c[3] += arm
+    out, n, n1 = [], 0, 0
+    for dur in sorted(per, reverse=True):
+        de, d1, tot, tot1 = per[dur]
+        n += tot
+        n1 += tot1
+        out.append((dur, de, d1, n, n1))
+    return sorted(out)
+
+
+def test_gehan_matches_weighted_python_reference(spark, sf_dir, duck):
+    import math
+
+    got = REGISTRY["q_gehan"].fn(spark, sf_dir).toPandas().iloc[0]
+    rows = _durations(duck, "user_id % 2")
+    wo = we = 0
+    v = 0.0
+    for dur, de, d1, n, n1 in _risk_sets(rows):
+        if de == 0:
+            continue
+        wo += n * d1
+        we += de * n1
+        if n > 1:
+            v += math.floor(
+                float(de) * n1 * (n - n1) * (n - de) / (n - 1) + 0.5
+            )
+    assert got.w_o_treat == wo and got.w_e_treat == we
+    assert got.s_gehan == wo - we
+    assert abs(got.var_gehan - v) < 1e-6 * max(v, 1)
+    assert abs(got.z - (wo - we) / math.sqrt(v)) < 1e-4
+    # weighted observed dominates unweighted: every term is n_j >= 1
+    lr = REGISTRY["q_logrank"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert got.w_o_treat >= lr.o_treat
+
+
+def test_cox_score_matches_python_reference(spark, sf_dir, duck):
+    import math
+
+    got = REGISTRY["q_cox_score"].fn(spark, sf_dir).toPandas().iloc[0]
+    rows = _durations(duck, "CASE WHEN pc * nu > tp THEN 1 ELSE 0 END")
+    # the covariate must be non-degenerate (the ever-bought flag was)
+    assert got.n_z0 > 0 and got.n_z1 > 0
+    o1 = eu = iu = 0
+    for dur, de, d1, n, n1 in _risk_sets(rows):
+        if de == 0:
+            continue
+        o1 += d1
+        sh = n1 * 1.0 / n
+        eu += math.floor(de * sh * 1e9 + 0.5)
+        if n > 1:
+            iu += math.floor(
+                de * sh * (1 - sh) * (n - de) * 1.0 / (n - 1) * 1e9 + 0.5
+            )
+    assert got.o_z1 == o1
+    assert abs(got.e_z1 - eu / 1e9) < 1e-6
+    assert abs(got["info"] - iu / 1e9) < 1e-6
+    assert abs(got.z - (o1 - eu / 1e9) / math.sqrt(iu / 1e9)) < 1e-4
+
+
+def test_spiegelhalter_matches_numpy_reference(spark, sf_dir, duck):
+    import numpy as np
+
+    got = (
+        REGISTRY["q_spiegelhalter"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("decile")
+        .sort_index()
+    )
+    pdf = duck.execute(
+        "SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        "FLOOR((1.0 / (1.0 + EXP(-(-2.0 + 0.03 * l_quantity "
+        "+ 9.0 * l_discount + 0.8 * (l_extendedprice / 100000.0))))) "
+        "* 1000000 + 0.5) / 1000000 AS score FROM lineitem"
+    ).df()
+    pdf["decile"] = np.floor(pdf.score * 10).astype(int)
+    for d, g in pdf.groupby("decile"):
+        r = got.loc[d]
+        y, p = g.label.values, g.score.values
+        assert r.n == len(g) and r.events == y.sum()
+        assert abs(r.mean_pred - p.mean()) < 1e-6
+        assert abs(r.obs_rate - y.mean()) < 1e-6
+        num = ((y - p) * (1 - 2 * p)).sum()
+        var = ((1 - 2 * p) ** 2 * p * (1 - p)).sum()
+        assert abs(r.num_spieg - num) < 1e-5
+        if var == 0:
+            assert np.isnan(r.z_spieg) or r.z_spieg is None
+        else:
+            assert abs(r.z_spieg - num / np.sqrt(var)) < 1e-4
+    assert set(got.index) == set(pdf.decile.unique())
