@@ -83,6 +83,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_gehan",
     "q_cox_score",
     "q_spiegelhalter",
+    "q_boosted_tree2",
 })
 
 

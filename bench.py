@@ -341,6 +341,11 @@ HEADLINE = [
     "q_gehan",
     "q_cox_score",
     "q_spiegelhalter",
+    # round 13: 2-round exact AdaBoost of depth-2 Gini trees — the
+    # boosted-ensemble flagship (q_boosted_stumps' rational
+    # reweighting x q_tree2's picks; round-2 weighted cums are clamp
+    # closed forms over the one checkpointed prefix table)
+    "q_boosted_tree2",
 ]
 
 

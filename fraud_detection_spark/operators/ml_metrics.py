@@ -1597,6 +1597,11 @@ def tree_cum_table(s: DataFrame) -> DataFrame:
         per.join(F.broadcast(offs), "bucket")
         .select(
             "score",
+            # per-score counts ride along for consumers that fold over
+            # score groups (q_boosted_tree2's accuracy pass); Catalyst
+            # prunes them everywhere else
+            "cnt",
+            "pos",
             (F.col("off_n") + F.sum("cnt").over(w_in)).cast("bigint").alias("cum_n"),
             (F.col("off_p") + F.sum("pos").over(w_in)).cast("bigint").alias("cum_p"),
         )
@@ -2894,3 +2899,471 @@ def q_tree_multifeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("brp"),
     )
     return root.unionAll(left).unionAll(right)
+
+
+# ---------------------------------------------------------------------------
+# q_boosted_tree2 — 2-round exact AdaBoost of DEPTH-2 Gini trees
+# (round 13, VERDICT r12 #6d): q_boosted_stumps' closed-form rational
+# reweighting composed with q_tree2's greedy branch picks — the
+# genuine gradient-boosted-ensemble shape at the reference's design
+# (train_model.py:69-80 boosts depth-5 trees; this is the
+# hash-checkable 2-round/depth-2 form of that loop).
+# ---------------------------------------------------------------------------
+
+
+def _wgini_sql(lp: str, ln: str, P: str, N: str) -> str:
+    """Weighted Gini split key: left weighted (pos, neg) = (lp, ln)
+    against branch weighted totals (P, N). Exact integer arithmetic up
+    to ONE cast per factor, then a fixed double expression — identical
+    text on both engines (the _gini_key_sql discipline)."""
+    nl = f"CAST({lp} + {ln} AS DOUBLE)"
+    pl = f"CAST({lp} AS DOUBLE)"
+    nr = f"CAST(({P} + {N}) - (({lp}) + ({ln})) AS DOUBLE)"
+    pr = f"CAST(({P}) - ({lp}) AS DOUBLE)"
+    return (
+        f"({nl} - ({pl} * {pl} + ({nl} - {pl}) * ({nl} - {pl})) / {nl}) "
+        f"+ ({nr} - ({pr} * {pr} + ({nr} - {pr}) * ({nr} - {pr})) / {nr})"
+    )
+
+
+def _wgini(lp, ln, P, N):
+    """Spark twin of _wgini_sql: same integer-then-one-cast shape."""
+    nl = (lp + ln).cast("double")
+    pl = lp.cast("double")
+    nr = ((P + N) - (lp + ln)).cast("double")
+    pr = (P - lp).cast("double")
+    return (nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) + (
+        nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+    )
+
+
+def _btree2_oracle() -> str:
+    """DuckDB twin. The oracle recomputes each round's weighted
+    per-score table directly (region-CASE multipliers x raw counts,
+    then plain cumulative windows) — the readable form; the Spark side
+    computes the SAME integers as clamp closed forms over the one
+    checkpointed prefix table. Leaf index k(s) = 1..4 over the sorted
+    thresholds tl < t0 < tr; AdaBoost multiplier for a correct row is
+    e, for a misclassified row d - e (the q_boosted_stumps rational
+    trick), so round-2 weighted counts are exact HUGEINTs."""
+    key_root1 = _wgini_sql("cp", "cn", "tp", "tn")
+    key_l1 = _wgini_sql("cp", "cn", "cp0", "cn0")
+    key_r1 = _wgini_sql("(cp - cp0)", "(cn - cn0)", "(tp - cp0)", "(tn - cn0)")
+    key_root2 = _wgini_sql("cwp", "cwn", "wpt", "wnt")
+    key_l2 = _wgini_sql("cwp", "cwn", "wp0", "wn0")
+    key_r2 = _wgini_sql(
+        "(cwp - wp0)", "(cwn - wn0)", "(wpt - wp0)", "(wnt - wn0)"
+    )
+
+    def leaf_cases(val1, val2, val3, val4):
+        return (
+            f"CASE WHEN p.score <= tl THEN {val1} "
+            f"WHEN p.score <= t0 THEN {val2} "
+            f"WHEN p.score <= tr THEN {val3} ELSE {val4} END"
+        )
+
+    mp = leaf_cases(
+        "(CASE WHEN pr1 = 1 THEN e1 ELSE d1 - e1 END)",
+        "(CASE WHEN pr2 = 1 THEN e1 ELSE d1 - e1 END)",
+        "(CASE WHEN pr3 = 1 THEN e1 ELSE d1 - e1 END)",
+        "(CASE WHEN pr4 = 1 THEN e1 ELSE d1 - e1 END)",
+    )
+    mn = leaf_cases(
+        "(CASE WHEN pr1 = -1 THEN e1 ELSE d1 - e1 END)",
+        "(CASE WHEN pr2 = -1 THEN e1 ELSE d1 - e1 END)",
+        "(CASE WHEN pr3 = -1 THEN e1 ELSE d1 - e1 END)",
+        "(CASE WHEN pr4 = -1 THEN e1 ELSE d1 - e1 END)",
+    )
+    h1 = leaf_cases("pr1", "pr2", "pr3", "pr4")
+    h2 = (
+        "CASE WHEN p.score <= ul THEN qr1 WHEN p.score <= u0 THEN qr2 "
+        "WHEN p.score <= ur THEN qr3 ELSE qr4 END"
+    )
+    a1 = "(0.5 * LN(CAST(d1 - e1 AS DOUBLE) / CAST(e1 AS DOUBLE)))"
+    a2 = "(0.5 * LN(CAST(d2 - e2 AS DOUBLE) / CAST(e2 AS DOUBLE)))"
+
+    def m_block(tag, rootv, lv, rv, P, N):
+        # leaf weighted counts from the three carried absolute cums
+        return (
+            f"SELECT t{rootv}, {lv}, {rv}, "
+            f"cp{lv} AS lp1, cn{lv} AS ln1, "
+            f"cp{rootv} - cp{lv} AS lp2, cn{rootv} - cn{lv} AS ln2, "
+            f"cp{rv} - cp{rootv} AS lp3, cn{rv} - cn{rootv} AS ln3, "
+            f"{P} - cp{rv} AS lp4, {N} - cn{rv} AS ln4 "
+        )
+
+    return (
+        f"WITH s AS ({SCORED_SQL}), "
+        "per AS MATERIALIZED (SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM s GROUP BY score), "
+        "t AS MATERIALIZED (SELECT CAST(SUM(pos) AS BIGINT) AS tp, "
+        "CAST(SUM(cnt - pos) AS BIGINT) AS tn, MAX(score) AS smax FROM per), "
+        "c AS MATERIALIZED (SELECT score, cnt, pos, "
+        "CAST(SUM(pos) OVER (ORDER BY score) AS BIGINT) AS cp, "
+        "CAST(SUM(cnt - pos) OVER (ORDER BY score) AS BIGINT) AS cn "
+        "FROM per), "
+        "root1 AS MATERIALIZED (SELECT score AS t0, cp AS cp0, cn AS cn0 "
+        f"FROM c, t WHERE cp + cn < tp + tn ORDER BY {key_root1}, score "
+        "LIMIT 1), "
+        "l1 AS MATERIALIZED (SELECT score AS tl, cp AS cpl, cn AS cnl "
+        f"FROM c, root1 WHERE score < t0 ORDER BY {key_l1}, score LIMIT 1), "
+        "r1 AS MATERIALIZED (SELECT score AS tr, cp AS cpr, cn AS cnr "
+        "FROM c, root1, t WHERE score > t0 AND cp + cn < tp + tn "
+        f"ORDER BY {key_r1}, score LIMIT 1), "
+        "m1 AS MATERIALIZED (SELECT t0, tl, tr, "
+        "CASE WHEN cpl > cnl THEN 1 ELSE -1 END AS pr1, "
+        "CASE WHEN cp0 - cpl > cn0 - cnl THEN 1 ELSE -1 END AS pr2, "
+        "CASE WHEN cpr - cp0 > cnr - cn0 THEN 1 ELSE -1 END AS pr3, "
+        "CASE WHEN tp - cpr > tn - cnr THEN 1 ELSE -1 END AS pr4, "
+        "CAST(CASE WHEN cpl > cnl THEN cnl ELSE cpl END "
+        "+ CASE WHEN cp0 - cpl > cn0 - cnl THEN cn0 - cnl "
+        "ELSE cp0 - cpl END "
+        "+ CASE WHEN cpr - cp0 > cnr - cn0 THEN cnr - cn0 "
+        "ELSE cpr - cp0 END "
+        "+ CASE WHEN tp - cpr > tn - cnr THEN tn - cnr "
+        "ELSE tp - cpr END AS BIGINT) AS e1, "
+        "CAST(tp + tn AS BIGINT) AS d1 "
+        "FROM root1, l1, r1, t), "
+        "w2 AS MATERIALIZED (SELECT p.score, p.cnt, p.pos, "
+        f"CAST(p.pos AS HUGEINT) * ({mp}) AS wp, "
+        f"CAST(p.cnt - p.pos AS HUGEINT) * ({mn}) AS wn "
+        "FROM per p, m1), "
+        "c2 AS (SELECT score, "
+        "CAST(SUM(wp) OVER (ORDER BY score) AS HUGEINT) AS cwp, "
+        "CAST(SUM(wn) OVER (ORDER BY score) AS HUGEINT) AS cwn FROM w2), "
+        "tw2 AS MATERIALIZED (SELECT CAST(SUM(wp) AS HUGEINT) AS wpt, "
+        "CAST(SUM(wn) AS HUGEINT) AS wnt FROM w2), "
+        "root2 AS MATERIALIZED (SELECT score AS u0, cwp AS wp0, "
+        "cwn AS wn0 FROM c2, tw2, t WHERE score < smax "
+        f"ORDER BY {key_root2}, score LIMIT 1), "
+        "l2 AS MATERIALIZED (SELECT score AS ul, cwp AS wpl, cwn AS wnl "
+        f"FROM c2, root2 WHERE score < u0 ORDER BY {key_l2}, score LIMIT 1), "
+        "r2 AS MATERIALIZED (SELECT score AS ur, cwp AS wpr, cwn AS wnr "
+        "FROM c2, root2, tw2, t WHERE score > u0 AND score < smax "
+        f"ORDER BY {key_r2}, score LIMIT 1), "
+        "m2 AS MATERIALIZED (SELECT u0, ul, ur, "
+        "CASE WHEN wpl > wnl THEN 1 ELSE -1 END AS qr1, "
+        "CASE WHEN wp0 - wpl > wn0 - wnl THEN 1 ELSE -1 END AS qr2, "
+        "CASE WHEN wpr - wp0 > wnr - wn0 THEN 1 ELSE -1 END AS qr3, "
+        "CASE WHEN wpt - wpr > wnt - wnr THEN 1 ELSE -1 END AS qr4, "
+        "CAST(CASE WHEN wpl > wnl THEN wnl ELSE wpl END "
+        "+ CASE WHEN wp0 - wpl > wn0 - wnl THEN wn0 - wnl "
+        "ELSE wp0 - wpl END "
+        "+ CASE WHEN wpr - wp0 > wnr - wn0 THEN wnr - wn0 "
+        "ELSE wpr - wp0 END "
+        "+ CASE WHEN wpt - wpr > wnt - wnr THEN wnt - wnr "
+        "ELSE wpt - wpr END AS HUGEINT) AS e2, "
+        "CAST(wpt + wnt AS HUGEINT) AS d2 "
+        "FROM root2, l2, r2, tw2), "
+        "acc AS MATERIALIZED (SELECT "
+        "CAST(SUM(p.cnt) AS HUGEINT) AS nn, "
+        f"CAST(SUM(CASE WHEN {a1} * ({h1}) > 0 THEN p.pos "
+        "ELSE p.cnt - p.pos END) AS HUGEINT) AS u1, "
+        f"CAST(SUM(CASE WHEN {a1} * ({h1}) + {a2} * ({h2}) > 0 "
+        "THEN p.pos ELSE p.cnt - p.pos END) AS HUGEINT) AS u2 "
+        "FROM per p, m1, m2) "
+        "SELECT CAST(1 AS INT) AS round, t0 AS t_root, tl AS t_left, "
+        "tr AS t_right, CAST(pr1 AS BIGINT) AS pred_l1, "
+        "CAST(pr2 AS BIGINT) AS pred_l2, CAST(pr3 AS BIGINT) AS pred_l3, "
+        "CAST(pr4 AS BIGINT) AS pred_l4, "
+        + sql_round("CAST(e1 AS DOUBLE) / CAST(d1 AS DOUBLE)", 6)
+        + " AS w_err, " + sql_round(a1, 6) + " AS alpha, "
+        + sql_round("CAST(u1 AS DOUBLE) / CAST(nn AS DOUBLE)", 6)
+        + " AS acc FROM m1, acc "
+        "UNION ALL "
+        "SELECT CAST(2 AS INT), u0, ul, ur, "
+        "CAST(qr1 AS BIGINT), CAST(qr2 AS BIGINT), "
+        "CAST(qr3 AS BIGINT), CAST(qr4 AS BIGINT), "
+        + sql_round("CAST(e2 AS DOUBLE) / CAST(d2 AS DOUBLE)", 6) + ", "
+        + sql_round(a2, 6) + ", "
+        + sql_round("CAST(u2 AS DOUBLE) / CAST(nn AS DOUBLE)", 6)
+        + " FROM m2, acc"
+    )
+
+
+@query(
+    "q_boosted_tree2",
+    oracle=_btree2_oracle(),
+    tags=("ml", "train", "boost"),
+    eager=True,
+)
+def q_boosted_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 2-round AdaBoost ensemble whose weak learner is a
+    DEPTH-2 greedy Gini tree on the published model score — 
+    q_boosted_stumps' closed-form rational reweighting composed with
+    q_tree2's branch picks: the hash-checkable form of the reference's
+    boosted-tree training loop (train_model.py:69-80 — XGB boosts
+    depth-5 trees; round 1 here IS q_tree2's exact tree, test-pinned).
+    Emits one row per round: thresholds (root/left/right), the four
+    leaf sign predictions (weighted majority), weighted error, alpha,
+    and ensemble train accuracy.
+
+    Exactness: round-1 weighted counts ARE the raw prefix counts;
+    round-2 weights multiply by (d1−e1) if tree-1 misclassified the
+    row else e1 (the q_boosted_stumps rational trick), so every
+    round-2 candidate's weighted (pos, neg) cums are exact
+    DECIMAL(38,0)/HUGEINT integers. Split keys are the weighted Gini
+    expression on exact integers with ONE cast per factor
+    (_wgini/_wgini_sql — identical text both engines); argmins ORDER
+    BY (key, score). Assumes the weak learner is imperfect and better
+    than chance (1 <= e < d — true on any non-separable stream; a
+    perfect tree would make alpha infinite in ANY AdaBoost).
+
+    Scale: zero fact passes beyond the shared tree_cum_table fold —
+    round-2 weighted cums are CLAMP CLOSED FORMS over the ONE
+    checkpointed prefix table: cum weight at t = Σ_regions
+    M_k·(clamp(cp(t), lo_k, hi_k) − lo_k) with the region boundaries
+    carried as scalars on the broadcast round-1 model row (the oracle
+    recomputes them as plain windows — same integers, readable form).
+    Six bounded scans + TakeOrdered(1) each (2 rounds x 3 picks), one
+    accuracy fold; at R rounds the closed form costs R·3 bounded scans
+    and never re-windows. Eager by construction (the checkpointed
+    model chain); the registry eager contract applies."""
+    c = tree_cum_table(scored(spark, sf_dir))
+    cc = c.select(
+        "score",
+        "cnt",
+        "pos",
+        F.col("cum_p").alias("cp"),
+        (F.col("cum_n") - F.col("cum_p")).alias("cn"),
+        F.col("p").alias("tp"),
+        (F.col("n") - F.col("p")).alias("tn"),
+    )
+
+    def _bt2_pick(cands, xp, xn, bp, bn, BP, BN, names):
+        key = _wgini(xp - bp, xn - bn, BP, BN)
+        return (
+            cands.withColumn("key", key)
+            .orderBy("key", "score")
+            .limit(1)
+            .select(
+                F.col("score").alias(names[0]),
+                xp.alias(names[1]),
+                xn.alias(names[2]),
+                *names[3:],
+            )
+            .localCheckpoint()
+        )
+
+    zero = F.lit(0)
+    cp, cn = F.col("cp"), F.col("cn")
+    cands1 = cc.filter(cp + cn < F.col("tp") + F.col("tn"))
+    root1 = _bt2_pick(
+        cands1, cp, cn, zero, zero, F.col("tp"), F.col("tn"),
+        ("t0", "cp0", "cn0"),
+    )
+    b1 = cc.crossJoin(F.broadcast(root1))
+    l1 = _bt2_pick(
+        b1.filter(F.col("score") < F.col("t0")),
+        cp, cn, zero, zero, F.col("cp0"), F.col("cn0"),
+        ("tl", "cpl", "cnl"),
+    )
+    r1 = _bt2_pick(
+        b1.filter(
+            (F.col("score") > F.col("t0"))
+            & (cp + cn < F.col("tp") + F.col("tn"))
+        ),
+        cp, cn, F.col("cp0"), F.col("cn0"),
+        F.col("tp") - F.col("cp0"), F.col("tn") - F.col("cn0"),
+        ("tr", "cpr", "cnr"),
+    )
+    tot = c.select(
+        F.col("p").alias("tp"), (F.col("n") - F.col("p")).alias("tn")
+    ).limit(1)
+
+    def sgn(pk, nk):
+        return F.when(pk > nk, F.lit(1)).otherwise(F.lit(-1))
+
+    def err_term(pk, nk):
+        return F.when(pk > nk, nk).otherwise(pk)
+
+    lv = [
+        (F.col("cpl"), F.col("cnl")),
+        (F.col("cp0") - F.col("cpl"), F.col("cn0") - F.col("cnl")),
+        (F.col("cpr") - F.col("cp0"), F.col("cnr") - F.col("cn0")),
+        (F.col("tp") - F.col("cpr"), F.col("tn") - F.col("cnr")),
+    ]
+    m1 = (
+        root1.crossJoin(F.broadcast(l1))
+        .crossJoin(F.broadcast(r1))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            # tp/tn are NOT carried out: cc already has them, and the
+            # round-2 crossJoin would make the reference ambiguous
+            "t0", "tl", "tr",
+            "cp0", "cn0", "cpl", "cnl", "cpr", "cnr",
+            *[sgn(pk, nk).alias(f"pr{i + 1}") for i, (pk, nk) in enumerate(lv)],
+            (
+                err_term(*lv[0]) + err_term(*lv[1])
+                + err_term(*lv[2]) + err_term(*lv[3])
+            ).cast("bigint").alias("e1"),
+            (F.col("tp") + F.col("tn")).cast("bigint").alias("d1"),
+        )
+        .localCheckpoint()
+    )
+
+    # pre-fold the per-region multipliers and the weighted TOTALS onto
+    # the 1-row model table: they are scalars, and leaving them as
+    # per-row when()/product expressions tripled the c2 expression
+    # tree (measured on the first cut — cold plan compile dominated)
+    dec = "decimal(38,0)"
+    e1c = F.col("e1").cast(dec)
+    rem = (F.col("d1") - F.col("e1")).cast(dec)
+
+    def mp_s(k):
+        return F.when(F.col(f"pr{k + 1}") == 1, e1c).otherwise(rem)
+
+    def mn_s(k):
+        return F.when(F.col(f"pr{k + 1}") == -1, e1c).otherwise(rem)
+
+    loP_m = [F.lit(0), F.col("cpl"), F.col("cp0"), F.col("cpr")]
+    hiP_m = [F.col("cpl"), F.col("cp0"), F.col("cpr"), F.col("tp")]
+    loN_m = [F.lit(0), F.col("cnl"), F.col("cn0"), F.col("cnr")]
+    hiN_m = [F.col("cnl"), F.col("cn0"), F.col("cnr"), F.col("tn")]
+    m1w = m1.crossJoin(F.broadcast(tot)).select(
+        "*",
+        *[mp_s(k).alias(f"mp{k + 1}") for k in range(4)],
+        *[mn_s(k).alias(f"mn{k + 1}") for k in range(4)],
+        sum(
+            mp_s(k) * (hiP_m[k] - loP_m[k]).cast(dec) for k in range(4)
+        ).alias("wpt"),
+        sum(
+            mn_s(k) * (hiN_m[k] - loN_m[k]).cast(dec) for k in range(4)
+        ).alias("wnt"),
+    ).localCheckpoint()
+
+    cand2 = cc.crossJoin(F.broadcast(m1w.drop("wpt", "wnt", "tp", "tn")))
+    loP = [F.lit(0), F.col("cpl"), F.col("cp0"), F.col("cpr")]
+    hiP = [F.col("cpl"), F.col("cp0"), F.col("cpr"), F.col("tp")]
+    loN = [F.lit(0), F.col("cnl"), F.col("cn0"), F.col("cnr")]
+    hiN = [F.col("cnl"), F.col("cn0"), F.col("cnr"), F.col("tn")]
+
+    def clamp(x, lo, hi):
+        return F.least(F.greatest(x, lo), hi)
+
+    cwp = sum(
+        F.col(f"mp{k + 1}") * (clamp(cp, loP[k], hiP[k]) - loP[k]).cast(dec)
+        for k in range(4)
+    )
+    cwn = sum(
+        F.col(f"mn{k + 1}") * (clamp(cn, loN[k], hiN[k]) - loN[k]).cast(dec)
+        for k in range(4)
+    )
+    wtot = m1w.select("wpt", "wnt")
+    # materialize the weighted cum table ONCE: the three round-2 picks
+    # each scan it, and without the checkpoint every pick would
+    # re-evaluate the 8 clamp/DECIMAL products per row (measured ~3x
+    # the wall)
+    c2 = (
+        cand2.filter(cp + cn < F.col("tp") + F.col("tn"))
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            "score",
+            cwp.alias("cwp"),
+            cwn.alias("cwn"),
+            "wpt",
+            "wnt",
+        )
+        .localCheckpoint()
+    )
+    xwp, xwn = F.col("cwp"), F.col("cwn")
+    dzero = F.lit(0).cast(dec)
+    root2 = _bt2_pick(
+        c2, xwp, xwn, dzero, dzero, F.col("wpt"), F.col("wnt"),
+        ("u0", "wp0", "wn0", "wpt", "wnt"),
+    )
+    b2 = c2.drop("wpt", "wnt").crossJoin(F.broadcast(root2))
+    l2 = _bt2_pick(
+        b2.filter(F.col("score") < F.col("u0")),
+        xwp, xwn, dzero, dzero, F.col("wp0"), F.col("wn0"),
+        ("ul", "wpl", "wnl"),
+    )
+    r2 = _bt2_pick(
+        b2.filter(F.col("score") > F.col("u0")),
+        xwp, xwn, F.col("wp0"), F.col("wn0"),
+        F.col("wpt") - F.col("wp0"), F.col("wnt") - F.col("wn0"),
+        ("ur", "wpr", "wnr"),
+    )
+    wv = [
+        (F.col("wpl"), F.col("wnl")),
+        (F.col("wp0") - F.col("wpl"), F.col("wn0") - F.col("wnl")),
+        (F.col("wpr") - F.col("wp0"), F.col("wnr") - F.col("wn0")),
+        (F.col("wpt") - F.col("wpr"), F.col("wnt") - F.col("wnr")),
+    ]
+    m2 = (
+        root2.crossJoin(F.broadcast(l2))
+        .crossJoin(F.broadcast(r2))
+        .select(
+            "u0", "ul", "ur",
+            *[sgn(pk, nk).alias(f"qr{i + 1}") for i, (pk, nk) in enumerate(wv)],
+            (
+                err_term(*wv[0]) + err_term(*wv[1])
+                + err_term(*wv[2]) + err_term(*wv[3])
+            ).cast(dec).alias("e2"),
+            (F.col("wpt") + F.col("wnt")).cast(dec).alias("d2"),
+        )
+        .localCheckpoint()
+    )
+
+    w = cc.crossJoin(F.broadcast(m1)).crossJoin(F.broadcast(m2))
+    h1 = (
+        F.when(F.col("score") <= F.col("tl"), F.col("pr1"))
+        .when(F.col("score") <= F.col("t0"), F.col("pr2"))
+        .when(F.col("score") <= F.col("tr"), F.col("pr3"))
+        .otherwise(F.col("pr4"))
+    )
+    h2 = (
+        F.when(F.col("score") <= F.col("ul"), F.col("qr1"))
+        .when(F.col("score") <= F.col("u0"), F.col("qr2"))
+        .when(F.col("score") <= F.col("ur"), F.col("qr3"))
+        .otherwise(F.col("qr4"))
+    )
+    a1 = F.lit(0.5) * F.log(
+        (F.col("d1") - F.col("e1")).cast("double")
+        / F.col("e1").cast("double")
+    )
+    a2 = F.lit(0.5) * F.log(
+        (F.col("d2") - F.col("e2")).cast("double")
+        / F.col("e2").cast("double")
+    )
+    hit = F.col("pos")
+    miss = F.col("cnt") - F.col("pos")
+    accrow = w.agg(
+        F.sum("cnt").cast("bigint").alias("nn"),
+        F.sum(F.when(a1 * h1 > 0, hit).otherwise(miss))
+        .cast("bigint")
+        .alias("u1"),
+        F.sum(F.when(a1 * h1 + a2 * h2 > 0, hit).otherwise(miss))
+        .cast("bigint")
+        .alias("u2"),
+    )
+    wide = accrow.crossJoin(F.broadcast(m1)).crossJoin(F.broadcast(m2))
+    row1 = wide.select(
+        F.lit(1).cast("int").alias("round"),
+        F.col("t0").alias("t_root"),
+        F.col("tl").alias("t_left"),
+        F.col("tr").alias("t_right"),
+        *[F.col(f"pr{k}").cast("bigint").alias(f"pred_l{k}") for k in (1, 2, 3, 4)],
+        pround(
+            F.col("e1").cast("double") / F.col("d1").cast("double"), 6
+        ).alias("w_err"),
+        pround(a1, 6).alias("alpha"),
+        pround(
+            F.col("u1").cast("double") / F.col("nn").cast("double"), 6
+        ).alias("acc"),
+    )
+    row2 = wide.select(
+        F.lit(2).cast("int").alias("round"),
+        F.col("u0").alias("t_root"),
+        F.col("ul").alias("t_left"),
+        F.col("ur").alias("t_right"),
+        *[F.col(f"qr{k}").cast("bigint").alias(f"pred_l{k}") for k in (1, 2, 3, 4)],
+        pround(
+            F.col("e2").cast("double") / F.col("d2").cast("double"), 6
+        ).alias("w_err"),
+        pround(a2, 6).alias("alpha"),
+        pround(
+            F.col("u2").cast("double") / F.col("nn").cast("double"), 6
+        ).alias("acc"),
+    )
+    return row1.unionAll(row2)

@@ -362,3 +362,148 @@ def test_spiegelhalter_matches_numpy_reference(spark, sf_dir, duck):
         else:
             assert abs(r.z_spieg - num / np.sqrt(var)) < 1e-4
     assert set(got.index) == set(pdf.decile.unique())
+
+
+# ---------------------------------------------------------------------------
+# q_boosted_tree2 (VERDICT r12 #6d): exact-integer python AdaBoost of
+# depth-2 weighted-Gini trees, plus the round-1 == q_tree2 pin.
+
+
+def _w_best_split(rows, lo, hi, base_wp, base_wn, WP, WN):
+    """rows = [(score, cwp, cwn)] absolute weighted cums sorted by
+    score; candidates lo < score < hi (branch-open interval); returns
+    (key, score, wp_at, wn_at) argmin or None."""
+    best = None
+    for s, cwp, cwn in rows:
+        if not (lo < s < hi):
+            continue
+        lp, ln = cwp - base_wp, cwn - base_wn
+        nl = lp + ln
+        nr = (WP + WN) - nl
+        pr = WP - lp
+        if nl <= 0 or nr <= 0:
+            continue
+        key = (nl - (lp * lp + (nl - lp) * (nl - lp)) / nl) + (
+            nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+        )
+        cand = (key, s, cwp, cwn)
+        if best is None or cand[:2] < best[:2]:
+            best = cand
+    return best
+
+
+def _w_tree2(weights):
+    """weights = sorted [(score, wp, wn)] per-score weighted counts.
+    Greedy depth-2 weighted-Gini tree; returns dict with thresholds,
+    leaf preds, e, d."""
+    INF = float("inf")
+    cum, cwp, cwn = [], 0, 0
+    for s, wp, wn in weights:
+        cwp += wp
+        cwn += wn
+        cum.append((s, cwp, cwn))
+    WP, WN = cwp, cwn
+    smax = cum[-1][0]
+    root = _w_best_split(cum, -INF, smax, 0, 0, WP, WN)
+    t0, wp0, wn0 = root[1], root[2], root[3]
+    left = _w_best_split(cum, -INF, t0, 0, 0, wp0, wn0)
+    right = _w_best_split(cum, t0, smax, wp0, wn0, WP - wp0, WN - wn0)
+    tl, wpl, wnl = left[1], left[2], left[3]
+    tr, wpr, wnr = right[1], right[2], right[3]
+    leaves = [
+        (wpl, wnl),
+        (wp0 - wpl, wn0 - wnl),
+        (wpr - wp0, wnr - wn0),
+        (WP - wpr, WN - wnr),
+    ]
+    preds = [1 if p > n else -1 for p, n in leaves]
+    e = sum(n if pr == 1 else p for (p, n), pr in zip(leaves, preds))
+    return {
+        "t": (t0, tl, tr),
+        "preds": preds,
+        "e": e,
+        "d": WP + WN,
+        "bounds": (tl, t0, tr),
+    }
+
+
+def _region(s, bounds):
+    tl, t0, tr = bounds
+    if s <= tl:
+        return 0
+    if s <= t0:
+        return 1
+    if s <= tr:
+        return 2
+    return 3
+
+
+def test_boosted_tree2_matches_python_reference(spark, sf_dir, duck):
+    import math
+
+    got = (
+        REGISTRY["q_boosted_tree2"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("round")
+    )
+    per = duck.execute(
+        "SELECT score, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) "
+        "AS BIGINT) AS pos FROM ("
+        "SELECT l_returnflag, FLOOR((1.0 / (1.0 + EXP(-(-2.0 "
+        "+ 0.03 * l_quantity + 9.0 * l_discount "
+        "+ 0.8 * (l_extendedprice / 100000.0))))) * 1000000 + 0.5) "
+        "/ 1000000 AS score FROM lineitem) GROUP BY score ORDER BY score"
+    ).fetchall()
+    w1 = [(float(s), int(p), int(c - p)) for s, c, p in per]
+
+    m1 = _w_tree2(w1)
+    r1 = got.loc[1]
+    assert (r1.t_root, r1.t_left, r1.t_right) == m1["t"]
+    assert [r1.pred_l1, r1.pred_l2, r1.pred_l3, r1.pred_l4] == m1["preds"]
+    assert abs(r1.w_err - m1["e"] / m1["d"]) < 1e-6
+    a1 = 0.5 * math.log((m1["d"] - m1["e"]) / m1["e"])
+    assert abs(r1.alpha - a1) < 1e-6
+
+    # round 2: exact integer reweighting (the rational AdaBoost trick)
+    w2 = []
+    for s, wp, wn in w1:
+        k = _region(s, m1["bounds"])
+        mp = m1["e"] if m1["preds"][k] == 1 else m1["d"] - m1["e"]
+        mn = m1["e"] if m1["preds"][k] == -1 else m1["d"] - m1["e"]
+        w2.append((s, wp * mp, wn * mn))
+    m2 = _w_tree2(w2)
+    r2 = got.loc[2]
+    assert (r2.t_root, r2.t_left, r2.t_right) == m2["t"]
+    assert [r2.pred_l1, r2.pred_l2, r2.pred_l3, r2.pred_l4] == m2["preds"]
+    assert abs(r2.w_err - m2["e"] / m2["d"]) < 1e-6
+    a2 = 0.5 * math.log((m2["d"] - m2["e"]) / m2["e"])
+    assert abs(r2.alpha - a2) < 1e-6
+
+    # ensemble train accuracies over the margin signs
+    n = sum(p + q for _, p, q in w1)
+    u1 = u2 = 0
+    for s, wp, wn in w1:
+        h1 = m1["preds"][_region(s, m1["bounds"])]
+        h2 = m2["preds"][_region(s, m2["bounds"])]
+        u1 += wp if a1 * h1 > 0 else wn
+        u2 += wp if a1 * h1 + a2 * h2 > 0 else wn
+    assert abs(r1.acc - u1 / n) < 1e-6
+    assert abs(r2.acc - u2 / n) < 1e-6
+
+
+def test_boosted_tree2_round1_equals_tree2(spark, sf_dir):
+    """Round 1 (uniform weights) IS q_tree2's exact tree — the
+    composition claim: thresholds must match node for node."""
+    bt = (
+        REGISTRY["q_boosted_tree2"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("round")
+        .loc[1]
+    )
+    t2 = (
+        REGISTRY["q_tree2"].fn(spark, sf_dir).toPandas().set_index("node")
+    )
+    assert bt.t_root == t2.loc["root", "threshold"]
+    assert bt.t_left == t2.loc["left", "threshold"]
+    assert bt.t_right == t2.loc["right", "threshold"]
