@@ -84,6 +84,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_cox_score",
     "q_spiegelhalter",
     "q_boosted_tree2",
+    "q_brier_decomp",
+    "q_tarone_ware",
 })
 
 

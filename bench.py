@@ -346,6 +346,11 @@ HEADLINE = [
     # reweighting x q_tree2's picks; round-2 weighted cums are clamp
     # closed forms over the one checkpointed prefix table)
     "q_boosted_tree2",
+    # round 13: Murphy decomposition of the decile-binned Brier score
+    # (one fact fold to <=10 decile rows) and Tarone-Ware weighted
+    # log-rank (the sqrt-n member completing the survival-weight trio)
+    "q_brier_decomp",
+    "q_tarone_ware",
 ]
 
 

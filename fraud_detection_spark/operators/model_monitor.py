@@ -1280,3 +1280,122 @@ def q_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(pround(numd / F.sqrt(vard), 6))
         .alias("z_spieg"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_brier_decomp — Murphy decomposition of the Brier score over the
+# q_spiegelhalter deciles (round 13): BS = REL − RES + UNC, the
+# forecast-verification identity that says WHERE a score's badness
+# comes from (miscalibration vs missing discrimination vs base-rate
+# noise). Statistic-only scalars from the same exact decile moments.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_brier_decomp",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), "
+        "g AS (SELECT CAST(FLOOR(score * 10) AS BIGINT) AS decile, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(label) AS BIGINT) AS ev, "
+        "CAST(SUM(CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT)) "
+        "AS HUGEINT) AS su FROM s GROUP BY decile), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, "
+        "CAST(SUM(ev) AS BIGINT) AS tev FROM g), "
+        # per-decile doubles from exact integers, identical text both
+        # engines: pbar_k = su/1e6/n, rate_k = ev/n, rate = tev/nn
+        "d AS (SELECT "
+        "CAST(FLOOR(SUM(n * (CAST(su AS DOUBLE) / 1000000 / n - CAST(ev AS DOUBLE) / n) "
+        "* (CAST(su AS DOUBLE) / 1000000 / n - CAST(ev AS DOUBLE) / n)) * 1000000000 + 0.5) AS BIGINT) "
+        "AS relu, "
+        "CAST(FLOOR(SUM(n * (CAST(ev AS DOUBLE) / n - CAST(tev AS DOUBLE) / nn) "
+        "* (CAST(ev AS DOUBLE) / n - CAST(tev AS DOUBLE) / nn)) * 1000000000 + 0.5) AS BIGINT) "
+        "AS resu FROM g, t) "
+        "SELECT "
+        + sql_round("CAST(relu AS DOUBLE) / 1000000000 / nn", 6)
+        + " AS reliability, "
+        + sql_round("CAST(resu AS DOUBLE) / 1000000000 / nn", 6)
+        + " AS resolution, "
+        + sql_round(
+            "(CAST(tev AS DOUBLE) / nn) * (1.0 - CAST(tev AS DOUBLE) / nn)",
+            6,
+        )
+        + " AS uncertainty, "
+        + sql_round(
+            "CAST(relu AS DOUBLE) / 1000000000 / nn "
+            "- CAST(resu AS DOUBLE) / 1000000000 / nn "
+            "+ (CAST(tev AS DOUBLE) / nn) "
+            "* (1.0 - CAST(tev AS DOUBLE) / nn)",
+            6,
+        )
+        + " AS brier_binned, nn AS n FROM d, t"
+    ),
+    tags=("ml", "monitor", "calibration"),
+)
+def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the (decile-binned) Brier score:
+    reliability Σn_k(p̄_k−r_k)²/N (calibration badness — what
+    recalibration can remove), resolution Σn_k(r_k−r̄)²/N
+    (discrimination — what binning preserves of the model's ranking
+    power), uncertainty r̄(1−r̄) (base-rate noise floor), and their
+    identity brier_binned = REL − RES + UNC. The forecast-verification
+    companion to q_brier (which gives the unbinned total) and
+    q_spiegelhalter (which localizes the decile z's) — together the
+    full story of WHY the score is what it is. Ref: the
+    evaluation-side completion of evaluate_model.py's scalar metrics,
+    Murphy (1973) form.
+
+    Exactness: per-decile means are doubles computed from exact
+    integers by IDENTICAL expression text (the q_jonckheere double
+    discipline); each decile's n·(gap)² term is folded to 1e-9
+    fixed-point units per decile row BEFORE the 10-row sum (fixed_sum
+    rule), so REL/RES are layout-exact and the displayed scalars are
+    6-dp portable-rounded.
+
+    Scale: ONE map-side-combinable fact fold to <=10 decile rows +
+    one 1-row total — strictly cheaper than q_spiegelhalter's
+    per-score fold; no window, no join."""
+    s = scored(spark, sf_dir)
+    g = s.groupBy(
+        F.floor(F.col("score") * 10).cast("bigint").alias("decile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("ev"),
+        F.sum(F.floor(F.col("score") * 1000000 + F.lit(0.5)).cast("bigint"))
+        .cast("decimal(38,0)")
+        .alias("su"),
+    )
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("ev").cast("bigint").alias("tev"),
+    )
+    gt = g.crossJoin(F.broadcast(t))
+    pbar = F.col("su").cast("double") / 1000000 / F.col("n")
+    rate = F.col("ev").cast("double") / F.col("n")
+    gbar = F.col("tev").cast("double") / F.col("nn")
+    d = gt.agg(
+        F.sum(
+            F.floor(
+                F.col("n") * ((pbar - rate) * (pbar - rate)) * 1000000000
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).cast("bigint").alias("relu"),
+        F.sum(
+            F.floor(
+                F.col("n") * ((rate - gbar) * (rate - gbar)) * 1000000000
+                + F.lit(0.5)
+            ).cast("bigint")
+        ).cast("bigint").alias("resu"),
+    )
+    out = d.crossJoin(F.broadcast(t))
+    rel = F.col("relu").cast("double") / 1000000000 / F.col("nn")
+    res = F.col("resu").cast("double") / 1000000000 / F.col("nn")
+    gb = F.col("tev").cast("double") / F.col("nn")
+    unc = gb * (F.lit(1.0) - gb)
+    return out.select(
+        pround(rel, 6).alias("reliability"),
+        pround(res, 6).alias("resolution"),
+        pround(unc, 6).alias("uncertainty"),
+        pround(rel - res + unc, 6).alias("brier_binned"),
+        F.col("nn").alias("n"),
+    )

@@ -1976,3 +1976,173 @@ def q_cox_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(i1, 6).alias("info"),
         pround(uscore / F.sqrt(i1), 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_tarone_ware — Tarone-Ware weighted log-rank (round 13): the third
+# member of the standard survival-weight trio. w_j = sqrt(n_j) sits
+# between q_logrank (w = 1, late-event-sensitive) and q_gehan
+# (w = n, early-event-dominated) — the robustness compromise a
+# survival A/B readout quotes alongside both.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_tarone_ware",
+    oracle=(
+        "WITH u AS (SELECT user_id % 2 AS arm, "
+        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
+        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
+        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
+        "END) AS err_sec FROM events GROUP BY user_id), "
+        "d AS (SELECT arm, CASE WHEN err_sec IS NOT NULL "
+        "THEN (err_sec - first_sec) // 86400 "
+        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
+        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
+        "t AS (SELECT dur, "
+        "CAST(SUM(ev) AS BIGINT) AS de, "
+        "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1, "
+        "CAST(COUNT(*) AS BIGINT) AS tot, "
+        "CAST(SUM(arm) AS BIGINT) AS tot1 FROM d GROUP BY dur), "
+        "r AS (SELECT dur, de, d1, "
+        "CAST(SUM(tot) OVER (ORDER BY dur DESC) AS BIGINT) AS n, "
+        "CAST(SUM(tot1) OVER (ORDER BY dur DESC) AS BIGINT) AS n1 FROM t), "
+        # w = SQRT(n): S and V terms are doubles on exact integers
+        # (identical text both engines) folded to 1e-6 fixed-point
+        # units per duration row — coarser than q_logrank's 1e-9
+        # because the n- and n^2-scaled magnitudes would overflow
+        # BIGINT at 1e-9 units on a 10x-user stream
+        "terms AS (SELECT "
+        "CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) "
+        "* (d1 - de * (n1 * 1.0 / n)) * 1000000 + 0.5) AS BIGINT) AS su, "
+        "CASE WHEN n > 1 THEN CAST(FLOOR("
+        "n * (de * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) "
+        "* (n - de) * 1.0 / (n - 1)) * 1000000 + 0.5) AS BIGINT) "
+        "ELSE 0 END AS vu FROM r WHERE de > 0), "
+        "g AS (SELECT "
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control, "
+        "CAST(SUM(arm) AS BIGINT) AS n_treat, "
+        "CAST(SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT) "
+        "AS events_control, "
+        "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) "
+        "AS events_treat FROM d), "
+        "a AS (SELECT CAST(SUM(su) AS BIGINT) AS su, "
+        "CAST(SUM(vu) AS BIGINT) AS vu FROM terms) "
+        "SELECT n_control, n_treat, events_control, events_treat, "
+        + sql_round("CAST(su AS DOUBLE) / 1000000", 6) + " AS s_tw, "
+        + sql_round("CAST(vu AS DOUBLE) / 1000000", 6) + " AS var_tw, "
+        + sql_round(
+            "(CAST(su AS DOUBLE) / 1000000) "
+            "/ SQRT(CAST(vu AS DOUBLE) / 1000000)",
+            6,
+        )
+        + " AS z FROM g, a"
+    ),
+    tags=("timeseries", "survival", "stats"),
+)
+def q_tarone_ware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tarone-Ware weighted log-rank test of the q_kaplan_meier
+    time-to-first-error durations between user_id-parity arms: the
+    per-duration (O1−E1) and V terms weighted by √n_j — the standard
+    compromise between q_logrank's equal weights (powerful for late
+    proportional-hazards separation) and q_gehan's at-risk weights
+    (dominated by early events). A survival A/B readout quotes all
+    three; agreement is robustness, divergence localizes WHEN the
+    hazards separate. Statistic only (erf exclusion).
+
+    Exactness: the q_logrank discipline with the weight folded in —
+    exact integer suffix-sum risk sets; per-duration S = √n·(d1−de·
+    n1/n) and V = n·V_logrank terms are doubles on exact integers
+    with identical expression text, folded to 1e-6 fixed-point units
+    per row before summation (coarser than q_logrank's 1e-9: the n-
+    and n²-scaled magnitudes would overflow BIGINT at 1e-9 units on a
+    10x-user stream; z needs only ~1e-7 relative precision on V).
+    SQRT is correctly rounded IEEE on both engines (the q_mean_std
+    precedent) — no LN/EXP class risk.
+
+    Scale shape: identical to q_logrank/q_gehan — two event folds,
+    two O(n)-incremental windows over the bounded duration table, a
+    1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    u = ev.groupBy("user_id").agg(
+        F.min(sec).alias("first_sec"),
+        F.max(sec).alias("last_sec"),
+        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(
+            F.col("err_sec").isNotNull(),
+            F.expr("(err_sec - first_sec) div 86400"),
+        )
+        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
+        .alias("dur"),
+        F.col("err_sec").isNotNull().cast("int").alias("ev"),
+    )
+    t = u.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("de"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.count("*").cast("bigint").alias("tot"),
+        F.sum("arm").cast("bigint").alias("tot1"),
+    )
+    w_rev = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = t.select(
+        "de",
+        "d1",
+        F.sum("tot").over(w_rev).cast("bigint").alias("n"),
+        F.sum("tot1").over(w_rev).cast("bigint").alias("n1"),
+    ).filter(F.col("de") > 0)
+    share = F.col("n1") * 1.0 / F.col("n")
+    su = F.floor(
+        F.sqrt(F.col("n").cast("double"))
+        * (F.col("d1") - F.col("de") * share)
+        * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    vu = F.when(
+        F.col("n") > 1,
+        F.floor(
+            F.col("n")
+            * (
+                F.col("de")
+                * share
+                * (F.lit(1) - share)
+                * (F.col("n") - F.col("de"))
+                * 1.0
+                / (F.col("n") - 1)
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    a = r.select(su.alias("su"), vu.alias("vu")).agg(
+        F.sum("su").cast("bigint").alias("su"),
+        F.sum("vu").cast("bigint").alias("vu"),
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum("arm").cast("bigint").alias("n_treat"),
+        F.sum(F.when(F.col("arm") == 0, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("events_control"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("events_treat"),
+    )
+    sd = F.col("su").cast("double") / 1000000
+    vd = F.col("vu").cast("double") / 1000000
+    return g.crossJoin(F.broadcast(a)).select(
+        "n_control",
+        "n_treat",
+        "events_control",
+        "events_treat",
+        pround(sd, 6).alias("s_tw"),
+        pround(vd, 6).alias("var_tw"),
+        pround(sd / F.sqrt(vd), 6).alias("z"),
+    )

@@ -507,3 +507,72 @@ def test_boosted_tree2_round1_equals_tree2(spark, sf_dir):
     assert bt.t_root == t2.loc["root", "threshold"]
     assert bt.t_left == t2.loc["left", "threshold"]
     assert bt.t_right == t2.loc["right", "threshold"]
+
+
+# ---------------------------------------------------------------------------
+# q_brier_decomp + q_tarone_ware (round-13 widenings)
+
+
+def test_brier_decomp_matches_numpy_and_identity(spark, sf_dir, duck):
+    import math
+
+    import numpy as np
+
+    got = REGISTRY["q_brier_decomp"].fn(spark, sf_dir).toPandas().iloc[0]
+    pdf = duck.execute(
+        "SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y, "
+        "FLOOR((1.0 / (1.0 + EXP(-(-2.0 + 0.03 * l_quantity "
+        "+ 9.0 * l_discount + 0.8 * (l_extendedprice / 100000.0))))) "
+        "* 1000000 + 0.5) / 1000000 AS p FROM lineitem"
+    ).df()
+    pdf["k"] = np.floor(pdf.p * 10).astype(int)
+    N = len(pdf)
+    rbar = pdf.y.mean()
+    rel = res = 0.0
+    binned = 0.0
+    for k, g in pdf.groupby("k"):
+        pb, rk = g.p.mean(), g.y.mean()
+        rel += len(g) * (pb - rk) ** 2
+        res += len(g) * (rk - rbar) ** 2
+        binned += ((pb - g.y) ** 2).sum()
+    rel, res = rel / N, res / N
+    unc = rbar * (1 - rbar)
+    assert got.n == N
+    assert abs(got.reliability - rel) < 1e-5
+    assert abs(got.resolution - res) < 1e-5
+    assert abs(got.uncertainty - unc) < 1e-6
+    # the Murphy identity: REL - RES + UNC == the binned Brier score
+    assert abs(got.brier_binned - (rel - res + unc)) < 1e-5
+    assert abs(got.brier_binned - binned / N) < 1e-4
+    # decomposition coherence with the unbinned q_brier: binning can
+    # only LOWER the score (p-bar is the bin-optimal forecast)
+    qb = REGISTRY["q_brier"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert got.brier_binned <= qb.brier + 1e-6
+
+
+def test_tarone_ware_matches_python_reference(spark, sf_dir, duck):
+    import math
+
+    got = REGISTRY["q_tarone_ware"].fn(spark, sf_dir).toPandas().iloc[0]
+    rows = _durations(duck, "user_id % 2")
+    su = vu = 0
+    for dur, de, d1, n, n1 in _risk_sets(rows):
+        if de == 0:
+            continue
+        sh = n1 * 1.0 / n
+        su += math.floor(
+            math.sqrt(float(n)) * (d1 - de * sh) * 1e6 + 0.5
+        )
+        if n > 1:
+            vu += math.floor(
+                n * (de * sh * (1 - sh) * (n - de) * 1.0 / (n - 1)) * 1e6
+                + 0.5
+            )
+    assert abs(got.s_tw - su / 1e6) < 1e-6
+    assert abs(got.var_tw - vu / 1e6) < 1e-6
+    assert abs(got.z - (su / 1e6) / math.sqrt(vu / 1e6)) < 1e-4
+    # trio coherence: TW variance sits between logrank's (w=1) and
+    # gehan's (w=n) by construction (n * V vs V vs n^2 * V per term)
+    lr = REGISTRY["q_logrank"].fn(spark, sf_dir).toPandas().iloc[0]
+    ge = REGISTRY["q_gehan"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert lr.var_treat <= got.var_tw <= ge.var_gehan
