@@ -86,6 +86,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_boosted_tree2",
     "q_brier_decomp",
     "q_tarone_ware",
+    "q_cindex",
 })
 
 

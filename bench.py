@@ -351,6 +351,10 @@ HEADLINE = [
     # log-rank (the sqrt-n member completing the survival-weight trio)
     "q_brier_decomp",
     "q_tarone_ware",
+    # round 13: Harrell's C-index (survival ranking metric — exact
+    # pair counting over the domain-bounded (duration x predictor)
+    # dense grid, the q_kendall_tau machinery with censoring)
+    "q_cindex",
 ]
 
 

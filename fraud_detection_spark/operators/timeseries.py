@@ -2146,3 +2146,213 @@ def q_tarone_ware(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(vd, 6).alias("var_tw"),
         pround(sd / F.sqrt(vd), 6).alias("z"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cindex — Harrell's concordance index (round 13, 8th addition):
+# the survival RANKING metric capping the family (q_kaplan_meier
+# estimate -> q_logrank/q_tarone_ware/q_gehan test trio ->
+# q_cox_score regression screen -> C-index discrimination). Exact
+# pair counting over the dense (duration x predictor) grid — the
+# q_kendall_tau machinery with censoring semantics.
+# ---------------------------------------------------------------------------
+
+_CINDEX_SQL = (
+    "u AS (SELECT user_id % 2 AS _arm, "
+    "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) "
+    "AS pred, "
+    "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
+    "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
+    "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
+    "END) AS err_sec FROM events GROUP BY user_id), "
+    "d AS (SELECT pred, CASE WHEN err_sec IS NOT NULL "
+    "THEN (err_sec - first_sec) // 86400 "
+    "ELSE (last_sec - first_sec) // 86400 END AS dur, "
+    "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
+    "g AS (SELECT dur, pred, "
+    "CAST(SUM(ev) AS BIGINT) AS ne, "
+    "CAST(COUNT(*) - SUM(ev) AS BIGINT) AS nc FROM d GROUP BY dur, pred), "
+    # dense grid: every (distinct dur) x (distinct pred) cell
+    "dense AS (SELECT dx.dur, dy.pred, "
+    "COALESCE(g.ne, 0) AS ne, COALESCE(g.nc, 0) AS nc, "
+    "COALESCE(g.ne, 0) + COALESCE(g.nc, 0) AS nt "
+    "FROM (SELECT DISTINCT dur FROM g) dx "
+    "CROSS JOIN (SELECT DISTINCT pred FROM g) dy "
+    "LEFT JOIN g USING (dur, pred)), "
+    # less(d, r) = # subjects at dur d with pred < r (exclusive
+    # prefix within the dur row); cless the censored twin
+    "p1 AS (SELECT dur, pred, ne, nc, nt, "
+    "CAST(SUM(nt) OVER (PARTITION BY dur ORDER BY pred) - nt AS BIGINT) "
+    "AS less_, "
+    "CAST(SUM(nc) OVER (PARTITION BY dur ORDER BY pred) - nc AS BIGINT) "
+    "AS cless FROM dense), "
+    # suffix over dur (total - running, O(n)-incremental frames):
+    # gafter(d, r) = # subjects with dur > d and pred < r;
+    # geq(d, r) = # subjects with dur > d and pred = r
+    "p2 AS (SELECT dur, pred, ne, nc, cless, "
+    "CAST(SUM(less_) OVER (PARTITION BY pred) "
+    "- SUM(less_) OVER (PARTITION BY pred ORDER BY dur) AS BIGINT) "
+    "AS gafter, "
+    "CAST(SUM(nt) OVER (PARTITION BY pred) "
+    "- SUM(nt) OVER (PARTITION BY pred ORDER BY dur) AS BIGINT) AS geq "
+    "FROM p1), "
+    # per-dur totals: nafter(d) = # subjects with dur > d,
+    # ncat(d) = # censored at dur d
+    "dt AS (SELECT dur, CAST(SUM(ne + nc) AS BIGINT) AS ntot, "
+    "CAST(SUM(nc) AS BIGINT) AS ncat FROM g GROUP BY dur), "
+    "dt2 AS (SELECT dur, ncat, "
+    "CAST(SUM(ntot) OVER () "
+    "- SUM(ntot) OVER (ORDER BY dur) AS BIGINT) AS nafter FROM dt), "
+    "a AS (SELECT "
+    "CAST(SUM(p2.ne * (p2.gafter + p2.cless)) AS HUGEINT) AS conc, "
+    "CAST(SUM(p2.ne * (p2.geq + p2.nc)) AS HUGEINT) AS tied, "
+    "CAST(SUM(p2.ne * (dt2.nafter + dt2.ncat)) AS HUGEINT) "
+    "AS comp FROM p2 JOIN dt2 USING (dur))"
+)
+
+
+@query(
+    "q_cindex",
+    oracle=(
+        "WITH " + _CINDEX_SQL + " "
+        "SELECT CAST(comp AS BIGINT) AS comparable, "
+        "CAST(conc AS BIGINT) AS concordant, "
+        "CAST(tied AS BIGINT) AS tied_pred, "
+        + sql_round(
+            "(2.0 * CAST(conc AS DOUBLE) + CAST(tied AS DOUBLE)) "
+            "/ (2.0 * CAST(comp AS DOUBLE))",
+            6,
+        )
+        + " AS c_index FROM a"
+    ),
+    tags=("timeseries", "survival", "ml", "rank"),
+)
+def q_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harrell's C-index of total user spend (exact 1e-4-unit integer
+    sum) as a risk predictor for the q_kaplan_meier time-to-first-
+    error: among comparable pairs — the earlier subject experienced
+    the EVENT strictly first, or an event ties a CENSORED subject at
+    the same duration — count concordant (higher spend, shorter
+    survival), half-credit prediction ties; C = (conc + tied/2)/comp.
+    Tied EVENT times are not comparable (the textbook Harrell
+    convention). THE discrimination metric a survival model reports
+    next to the q_logrank trio's group tests — q_auc's ordering claim
+    generalized to censored outcomes.
+
+    Exactness: every count is an exact integer from the dense
+    (duration x 1e-4-unit predictor) contingency grid — the
+    q_kendall_tau machinery with censoring split per cell. Pair
+    counts via two O(n)-incremental window passes (exclusive prefix
+    within dur; suffix-as-total-minus-running per pred — never a
+    shrinking frame), so conc/tied/comp are engine-identical BIGINTs
+    and C is one 6-dp-rounded scalar.
+
+    Scale: one fact fold to per-user rows, one fold to the
+    <=|durs|x|preds| DOMAIN-bounded grid (users x ~hundreds of
+    duration days — the q_kendall_tau dense-grid posture), two
+    partitioned window passes over grid cells, a 1-row aggregate.
+    Never an all-pairs join: pair counts are suffix-sum closed
+    forms."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    u = ev.groupBy("user_id").agg(
+        F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
+        .cast("bigint")
+        .alias("pred"),
+        F.min(sec).alias("first_sec"),
+        F.max(sec).alias("last_sec"),
+        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
+    ).select(
+        "pred",
+        F.when(
+            F.col("err_sec").isNotNull(),
+            F.expr("(err_sec - first_sec) div 86400"),
+        )
+        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
+        .alias("dur"),
+        F.col("err_sec").isNotNull().cast("int").alias("ev"),
+    )
+    g = u.groupBy("dur", "pred").agg(
+        F.sum("ev").cast("bigint").alias("ne"),
+        (F.count("*") - F.sum("ev")).cast("bigint").alias("nc"),
+    )
+    dense = (
+        g.select("dur")
+        .distinct()
+        .crossJoin(g.select("pred").distinct())
+        .join(g, ["dur", "pred"], "left")
+        .na.fill({"ne": 0, "nc": 0})
+        .withColumn("nt", F.col("ne") + F.col("nc"))
+    )
+    w_run_p = (
+        Window.partitionBy("dur")
+        .orderBy("pred")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p1 = dense.select(
+        "dur",
+        "pred",
+        "ne",
+        "nc",
+        "nt",
+        (F.sum("nt").over(w_run_p) - F.col("nt"))
+        .cast("bigint")
+        .alias("less_"),
+        (F.sum("nc").over(w_run_p) - F.col("nc"))
+        .cast("bigint")
+        .alias("cless"),
+    )
+    w_tot_d = Window.partitionBy("pred")
+    w_run_d = (
+        Window.partitionBy("pred")
+        .orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p2 = p1.select(
+        "dur",
+        "pred",
+        "ne",
+        "nc",
+        "cless",
+        (F.sum("less_").over(w_tot_d) - F.sum("less_").over(w_run_d))
+        .cast("bigint")
+        .alias("gafter"),
+        (F.sum("nt").over(w_tot_d) - F.sum("nt").over(w_run_d))
+        .cast("bigint")
+        .alias("geq"),
+    )
+    dt = g.groupBy("dur").agg(
+        F.sum(F.col("ne") + F.col("nc")).cast("bigint").alias("ntot"),
+        F.sum("nc").cast("bigint").alias("ncat"),
+    )
+    w_tot = Window.partitionBy()
+    w_run = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    dt2 = dt.select(
+        "dur",
+        "ncat",
+        (F.sum("ntot").over(w_tot) - F.sum("ntot").over(w_run))
+        .cast("bigint")
+        .alias("nafter"),
+    )
+    dec = "decimal(38,0)"
+    a = p2.join(dt2, "dur").agg(
+        F.sum(
+            (F.col("ne") * (F.col("gafter") + F.col("cless"))).cast(dec)
+        ).alias("conc"),
+        F.sum((F.col("ne") * (F.col("geq") + F.col("nc"))).cast(dec)).alias(
+            "tied"
+        ),
+        F.sum(
+            (F.col("ne") * (F.col("nafter") + F.col("ncat"))).cast(dec)
+        ).alias("comp"),
+    )
+    return a.select(
+        F.col("comp").cast("bigint").alias("comparable"),
+        F.col("conc").cast("bigint").alias("concordant"),
+        F.col("tied").cast("bigint").alias("tied_pred"),
+        pround(
+            (2.0 * F.col("conc").cast("double") + F.col("tied").cast("double"))
+            / (2.0 * F.col("comp").cast("double")),
+            6,
+        ).alias("c_index"),
+    )

@@ -576,3 +576,48 @@ def test_tarone_ware_matches_python_reference(spark, sf_dir, duck):
     lr = REGISTRY["q_logrank"].fn(spark, sf_dir).toPandas().iloc[0]
     ge = REGISTRY["q_gehan"].fn(spark, sf_dir).toPandas().iloc[0]
     assert lr.var_treat <= got.var_tw <= ge.var_gehan
+
+
+# ---------------------------------------------------------------------------
+# q_cindex (round-13 8th addition): brute-force O(n^2) pair
+# enumeration under the textbook Harrell convention.
+
+
+def test_cindex_matches_bruteforce_reference(spark, sf_dir, duck):
+    got = REGISTRY["q_cindex"].fn(spark, sf_dir).toPandas().iloc[0]
+    rows = duck.execute(
+        "SELECT CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) "
+        "AS BIGINT) AS pred, "
+        "CASE WHEN MIN(CASE WHEN event_type = 'error' THEN "
+        "epoch_ns(ts) // 1000000000 END) IS NOT NULL "
+        "THEN (MIN(CASE WHEN event_type = 'error' THEN "
+        "epoch_ns(ts) // 1000000000 END) "
+        "- MIN(epoch_ns(ts) // 1000000000)) // 86400 "
+        "ELSE (MAX(epoch_ns(ts) // 1000000000) "
+        "- MIN(epoch_ns(ts) // 1000000000)) // 86400 END AS dur, "
+        "CASE WHEN MIN(CASE WHEN event_type = 'error' THEN 1 END) "
+        "IS NOT NULL THEN 1 ELSE 0 END AS ev "
+        "FROM events GROUP BY user_id"
+    ).fetchall()
+    subs = [(int(p), int(d), int(e)) for p, d, e in rows]
+    comp = conc = tied = 0
+    for i, (pi, di, ei) in enumerate(subs):
+        for j, (pj, dj, ej) in enumerate(subs):
+            if i == j:
+                continue
+            # i is the EVENT anchor of the pair: earlier strict event,
+            # or an event tying a censored subject at the same time
+            if ei != 1:
+                continue
+            if not (di < dj or (di == dj and ej == 0)):
+                continue
+            comp += 1
+            if pi > pj:
+                conc += 1
+            elif pi == pj:
+                tied += 1
+    assert got.comparable == comp
+    assert got.concordant == conc
+    assert got.tied_pred == tied
+    assert abs(got.c_index - (conc + tied / 2) / comp) < 1e-6
+    assert 0.0 <= got.c_index <= 1.0
