@@ -28,6 +28,13 @@ RISKY = [
     "q_split",
     "q_jaccard_topk",
     "q_dedup_cluster",
+    # round 13: checkpointed argmin chains (tie-broken TakeOrdered over
+    # exact integers), multi-feature (key, feat, val) argmins, and the
+    # fixed-point survival/grid folds
+    "q_boosted_tree2",
+    "q_tree_multifeat",
+    "q_cindex",
+    "q_gehan",
 ]
 
 
