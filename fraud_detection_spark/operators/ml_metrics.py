@@ -3145,6 +3145,34 @@ def q_boosted_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
 
+    def _bt2_branch_picks(cands, xp, xn, bp, bn, BP, BN, names):
+        """BOTH branch argmins in ONE job (the q_tree5 per-level
+        struct-argmin: groupBy branch + min(struct(key, score, ...))
+        is the (key, score) order because key/score lead and score is
+        unique per branch) — vs two sequential TakeOrdered jobs."""
+        key = _wgini(xp - bp, xn - bn, BP, BN)
+        payload = F.struct(
+            key.alias("key"),
+            F.col("score"),
+            xp.alias("_xp"),
+            xn.alias("_xn"),
+        )
+        pick = (
+            cands.groupBy("br")
+            .agg(F.min(payload).alias("s"))
+            .select("br", "s.*")
+            .localCheckpoint()
+        )
+
+        def side(b, nm):
+            return pick.filter(F.col("br") == b).select(
+                F.col("score").alias(nm[0]),
+                F.col("_xp").alias(nm[1]),
+                F.col("_xn").alias(nm[2]),
+            )
+
+        return side(0, names[0]), side(1, names[1])
+
     zero = F.lit(0)
     cp, cn = F.col("cp"), F.col("cn")
     cands1 = cc.filter(cp + cn < F.col("tp") + F.col("tn"))
@@ -3152,20 +3180,32 @@ def q_boosted_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
         cands1, cp, cn, zero, zero, F.col("tp"), F.col("tn"),
         ("t0", "cp0", "cn0"),
     )
-    b1 = cc.crossJoin(F.broadcast(root1))
-    l1 = _bt2_pick(
-        b1.filter(F.col("score") < F.col("t0")),
-        cp, cn, zero, zero, F.col("cp0"), F.col("cn0"),
-        ("tl", "cpl", "cnl"),
+    b1 = (
+        cc.crossJoin(F.broadcast(root1))
+        .filter(
+            (F.col("score") < F.col("t0"))
+            | (
+                (F.col("score") > F.col("t0"))
+                & (cp + cn < F.col("tp") + F.col("tn"))
+            )
+        )
+        .withColumn(
+            "br",
+            F.when(F.col("score") < F.col("t0"), F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
     )
-    r1 = _bt2_pick(
-        b1.filter(
-            (F.col("score") > F.col("t0"))
-            & (cp + cn < F.col("tp") + F.col("tn"))
-        ),
-        cp, cn, F.col("cp0"), F.col("cn0"),
-        F.col("tp") - F.col("cp0"), F.col("tn") - F.col("cn0"),
-        ("tr", "cpr", "cnr"),
+    is_l = F.col("br") == 0
+    l1, r1 = _bt2_branch_picks(
+        b1,
+        cp,
+        cn,
+        F.when(is_l, zero).otherwise(F.col("cp0")),
+        F.when(is_l, zero).otherwise(F.col("cn0")),
+        F.when(is_l, F.col("cp0")).otherwise(F.col("tp") - F.col("cp0")),
+        F.when(is_l, F.col("cn0")).otherwise(F.col("tn") - F.col("cn0")),
+        (("tl", "cpl", "cnl"), ("tr", "cpr", "cnr")),
     )
     tot = c.select(
         F.col("p").alias("tp"), (F.col("n") - F.col("p")).alias("tn")
@@ -3199,13 +3239,14 @@ def q_boosted_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("bigint").alias("e1"),
             (F.col("tp") + F.col("tn")).cast("bigint").alias("d1"),
         )
-        .localCheckpoint()
     )
 
     # pre-fold the per-region multipliers and the weighted TOTALS onto
     # the 1-row model table: they are scalars, and leaving them as
     # per-row when()/product expressions tripled the c2 expression
-    # tree (measured on the first cut — cold plan compile dominated)
+    # tree (measured on the first cut — cold plan compile dominated).
+    # m1 is NOT separately checkpointed: m1w chains its select and ONE
+    # materialization covers both — one fewer sequential job.
     dec = "decimal(38,0)"
     e1c = F.col("e1").cast(dec)
     rem = (F.col("d1") - F.col("e1")).cast(dec)
@@ -3272,17 +3313,31 @@ def q_boosted_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
         c2, xwp, xwn, dzero, dzero, F.col("wpt"), F.col("wnt"),
         ("u0", "wp0", "wn0", "wpt", "wnt"),
     )
-    b2 = c2.drop("wpt", "wnt").crossJoin(F.broadcast(root2))
-    l2 = _bt2_pick(
-        b2.filter(F.col("score") < F.col("u0")),
-        xwp, xwn, dzero, dzero, F.col("wp0"), F.col("wn0"),
-        ("ul", "wpl", "wnl"),
+    b2 = (
+        c2.drop("wpt", "wnt")
+        .crossJoin(F.broadcast(root2))
+        .filter(F.col("score") != F.col("u0"))
+        .withColumn(
+            "br",
+            F.when(F.col("score") < F.col("u0"), F.lit(0)).otherwise(
+                F.lit(1)
+            ),
+        )
     )
-    r2 = _bt2_pick(
-        b2.filter(F.col("score") > F.col("u0")),
-        xwp, xwn, F.col("wp0"), F.col("wn0"),
-        F.col("wpt") - F.col("wp0"), F.col("wnt") - F.col("wn0"),
-        ("ur", "wpr", "wnr"),
+    is_l2 = F.col("br") == 0
+    l2, r2 = _bt2_branch_picks(
+        b2,
+        xwp,
+        xwn,
+        F.when(is_l2, dzero).otherwise(F.col("wp0")),
+        F.when(is_l2, dzero).otherwise(F.col("wn0")),
+        F.when(is_l2, F.col("wp0")).otherwise(
+            F.col("wpt") - F.col("wp0")
+        ),
+        F.when(is_l2, F.col("wn0")).otherwise(
+            F.col("wnt") - F.col("wn0")
+        ),
+        (("ul", "wpl", "wnl"), ("ur", "wpr", "wnr")),
     )
     wv = [
         (F.col("wpl"), F.col("wnl")),
@@ -3305,7 +3360,13 @@ def q_boosted_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
 
-    w = cc.crossJoin(F.broadcast(m1)).crossJoin(F.broadcast(m2))
+    # consume the MATERIALIZED m1w (m1's columns ride on it) so the
+    # residual plan references only checkpointed tables
+    m1s = m1w.drop(
+        "tp", "tn", "wpt", "wnt",
+        "mp1", "mp2", "mp3", "mp4", "mn1", "mn2", "mn3", "mn4",
+    )
+    w = cc.crossJoin(F.broadcast(m1s)).crossJoin(F.broadcast(m2))
     h1 = (
         F.when(F.col("score") <= F.col("tl"), F.col("pr1"))
         .when(F.col("score") <= F.col("t0"), F.col("pr2"))
@@ -3337,7 +3398,7 @@ def q_boosted_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("u2"),
     )
-    wide = accrow.crossJoin(F.broadcast(m1)).crossJoin(F.broadcast(m2))
+    wide = accrow.crossJoin(F.broadcast(m1s)).crossJoin(F.broadcast(m2))
     row1 = wide.select(
         F.lit(1).cast("int").alias("round"),
         F.col("t0").alias("t_root"),
