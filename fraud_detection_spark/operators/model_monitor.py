@@ -1304,12 +1304,15 @@ def q_spiegelhalter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(SUM(ev) AS BIGINT) AS tev FROM g), "
         # per-decile doubles from exact integers, identical text both
         # engines: pbar_k = su/1e6/n, rate_k = ev/n, rate = tev/nn
+        # fold per decile row BEFORE the sum (fixed_sum rule), and keep
+        # the multiply association n * (gap*gap) — both exactly as the
+        # Spark side writes it (ADVICE r13 #1)
         "d AS (SELECT "
-        "CAST(FLOOR(SUM(n * (CAST(su AS DOUBLE) / 1000000 / n - CAST(ev AS DOUBLE) / n) "
-        "* (CAST(su AS DOUBLE) / 1000000 / n - CAST(ev AS DOUBLE) / n)) * 1000000000 + 0.5) AS BIGINT) "
+        "CAST(SUM(CAST(FLOOR(n * ((CAST(su AS DOUBLE) / 1000000 / n - CAST(ev AS DOUBLE) / n) "
+        "* (CAST(su AS DOUBLE) / 1000000 / n - CAST(ev AS DOUBLE) / n)) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) "
         "AS relu, "
-        "CAST(FLOOR(SUM(n * (CAST(ev AS DOUBLE) / n - CAST(tev AS DOUBLE) / nn) "
-        "* (CAST(ev AS DOUBLE) / n - CAST(tev AS DOUBLE) / nn)) * 1000000000 + 0.5) AS BIGINT) "
+        "CAST(SUM(CAST(FLOOR(n * ((CAST(ev AS DOUBLE) / n - CAST(tev AS DOUBLE) / nn) "
+        "* (CAST(ev AS DOUBLE) / n - CAST(tev AS DOUBLE) / nn)) * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) "
         "AS resu FROM g, t) "
         "SELECT "
         + sql_round("CAST(relu AS DOUBLE) / 1000000000 / nn", 6)

@@ -1679,10 +1679,14 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "wo AS w_o_treat, we AS w_e_treat, "
         "CAST(wo - we AS BIGINT) AS s_gehan, "
         + sql_round("CAST(vu AS DOUBLE)", 6) + " AS var_gehan, "
+        # V = 0 (degenerate arms / risk sets) -> NULL z, the q_delong
+        # guard (ADVICE r13 #2): inf 6-dp rounding diverges across
+        # engines
+        "CASE WHEN vu = 0 THEN NULL ELSE "
         + sql_round(
             "CAST(wo - we AS DOUBLE) / SQRT(CAST(vu AS DOUBLE))", 6
         )
-        + " AS z FROM g, a"
+        + " END AS z FROM g, a"
     ),
     tags=("timeseries", "survival", "stats"),
 )
@@ -1787,7 +1791,10 @@ def q_gehan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("we").alias("w_e_treat"),
         s_g.alias("s_gehan"),
         pround(vd, 6).alias("var_gehan"),
-        pround(s_g.cast("double") / F.sqrt(vd), 6).alias("z"),
+        # V = 0 -> NULL z (the q_delong degenerate-variance guard)
+        F.when(F.col("vu") == 0, F.lit(None).cast("double"))
+        .otherwise(pround(s_g.cast("double") / F.sqrt(vd), 6))
+        .alias("z"),
     )
 
 
@@ -1856,12 +1863,15 @@ def q_gehan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         + " AS u_score, "
         + sql_round("CAST(iu AS DOUBLE) / 1000000000", 6) + " AS info, "
+        # I = 0 (degenerate covariate / risk sets) -> NULL z, the
+        # q_delong guard (ADVICE r13 #2)
+        "CASE WHEN iu = 0 THEN NULL ELSE "
         + sql_round(
             "(CAST(o1 AS DOUBLE) - CAST(eu AS DOUBLE) / 1000000000) "
             "/ SQRT(CAST(iu AS DOUBLE) / 1000000000)",
             6,
         )
-        + " AS z FROM g, a"
+        + " END AS z FROM g, a"
     ),
     tags=("timeseries", "survival", "stats"),
 )
@@ -1974,7 +1984,10 @@ def q_cox_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(e1, 6).alias("e_z1"),
         pround(uscore, 6).alias("u_score"),
         pround(i1, 6).alias("info"),
-        pround(uscore / F.sqrt(i1), 6).alias("z"),
+        # I = 0 -> NULL z (the q_delong degenerate-variance guard)
+        F.when(F.col("iu") == 0, F.lit(None).cast("double"))
+        .otherwise(pround(uscore / F.sqrt(i1), 6))
+        .alias("z"),
     )
 
 
@@ -2031,12 +2044,15 @@ def q_cox_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT n_control, n_treat, events_control, events_treat, "
         + sql_round("CAST(su AS DOUBLE) / 1000000", 6) + " AS s_tw, "
         + sql_round("CAST(vu AS DOUBLE) / 1000000", 6) + " AS var_tw, "
+        # V = 0 (degenerate arms / risk sets) -> NULL z, the q_delong
+        # guard (ADVICE r13 #2)
+        "CASE WHEN vu = 0 THEN NULL ELSE "
         + sql_round(
             "(CAST(su AS DOUBLE) / 1000000) "
             "/ SQRT(CAST(vu AS DOUBLE) / 1000000)",
             6,
         )
-        + " AS z FROM g, a"
+        + " END AS z FROM g, a"
     ),
     tags=("timeseries", "survival", "stats"),
 )
@@ -2144,7 +2160,10 @@ def q_tarone_ware(spark: SparkSession, sf_dir: str) -> DataFrame:
         "events_treat",
         pround(sd, 6).alias("s_tw"),
         pround(vd, 6).alias("var_tw"),
-        pround(sd / F.sqrt(vd), 6).alias("z"),
+        # V = 0 -> NULL z (the q_delong degenerate-variance guard)
+        F.when(F.col("vu") == 0, F.lit(None).cast("double"))
+        .otherwise(pround(sd / F.sqrt(vd), 6))
+        .alias("z"),
     )
 
 
@@ -2158,9 +2177,18 @@ def q_tarone_ware(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _CINDEX_SQL = (
+    # predictor = per-user MEAN event value quantized to 0.1-unit bins
+    # by EXACT integer division (VERDICT r13 #1 / ADVICE r13 #5): the
+    # r13 form used the exact 1e-4-unit TOTAL spend, whose distinct
+    # count grows ~1:1 with users and made the dense grid below
+    # user-proportional; the mean's quantized domain is bounded by the
+    # value column's range (<= ~10x max(value) bins) no matter how
+    # many users exist, restoring the q_kendall_tau bounded-grid
+    # posture. (tu*10) // (n*10000) = FLOOR(mean_value * 10) with zero
+    # float ops — engine-identical BIGINTs.
     "u AS (SELECT user_id % 2 AS _arm, "
-    "CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) AS BIGINT) "
-    "AS pred, "
+    "CAST((SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) * 10) "
+    "// (COUNT(*) * 10000) AS BIGINT) AS pred, "
     "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
     "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
     "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
@@ -2228,42 +2256,51 @@ _CINDEX_SQL = (
     tags=("timeseries", "survival", "ml", "rank"),
 )
 def q_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Harrell's C-index of total user spend (exact 1e-4-unit integer
-    sum) as a risk predictor for the q_kaplan_meier time-to-first-
-    error: among comparable pairs — the earlier subject experienced
-    the EVENT strictly first, or an event ties a CENSORED subject at
-    the same duration — count concordant (higher spend, shorter
-    survival), half-credit prediction ties; C = (conc + tied/2)/comp.
-    Tied EVENT times are not comparable (the textbook Harrell
-    convention). THE discrimination metric a survival model reports
-    next to the q_logrank trio's group tests — q_auc's ordering claim
-    generalized to censored outcomes.
+    """Harrell's C-index of mean user spend per event (quantized to
+    0.1-unit bins by EXACT integer division — a domain-bounded risk
+    predictor) for the q_kaplan_meier time-to-first-error: among
+    comparable pairs — the earlier subject experienced the EVENT
+    strictly first, or an event ties a CENSORED subject at the same
+    duration — count concordant (higher spend rate, shorter survival),
+    half-credit prediction ties; C = (conc + tied/2)/comp. Tied EVENT
+    times are not comparable (the textbook Harrell convention). THE
+    discrimination metric a survival model reports next to the
+    q_logrank trio's group tests — q_auc's ordering claim generalized
+    to censored outcomes.
 
     Exactness: every count is an exact integer from the dense
-    (duration x 1e-4-unit predictor) contingency grid — the
-    q_kendall_tau machinery with censoring split per cell. Pair
-    counts via two O(n)-incremental window passes (exclusive prefix
-    within dur; suffix-as-total-minus-running per pred — never a
-    shrinking frame), so conc/tied/comp are engine-identical BIGINTs
-    and C is one 6-dp-rounded scalar.
+    (duration x 0.1-unit mean-spend bin) contingency grid — the
+    q_kendall_tau machinery with censoring split per cell. The
+    predictor (tu*10) div (nev*10000) = FLOOR(mean*10) uses zero
+    float ops, so the bins are engine-identical BIGINTs. Pair counts
+    via two O(n)-incremental window passes (exclusive prefix within
+    dur; suffix-as-total-minus-running per pred — never a shrinking
+    frame), so conc/tied/comp are engine-identical and C is one
+    6-dp-rounded scalar.
 
     Scale: one fact fold to per-user rows, one fold to the
-    <=|durs|x|preds| DOMAIN-bounded grid (users x ~hundreds of
-    duration days — the q_kendall_tau dense-grid posture), two
-    partitioned window passes over grid cells, a 1-row aggregate.
-    Never an all-pairs join: pair counts are suffix-sum closed
-    forms."""
+    <=|durs|x|bins| grid where BOTH axes are DOMAIN-bounded — ~hundreds
+    of duration days x <= ~10*max(value) spend bins, independent of
+    user count (the fix for VERDICT r13 #1: the r13 total-spend
+    predictor made the pred axis user-proportional) — two partitioned
+    window passes over grid cells, a 1-row aggregate. Never an
+    all-pairs join: pair counts are suffix-sum closed forms. The
+    user-growth smoke in test_unit_table_scale.py exercises NEW users
+    with NEW spend profiles and asserts the grid bound directly."""
     ev = load_table(spark, sf_dir, "events")
     sec = F.expr("ts div 1000000000")
     u = ev.groupBy("user_id").agg(
         F.sum(F.floor(F.col("value") * 10000 + F.lit(0.5)).cast("bigint"))
         .cast("bigint")
-        .alias("pred"),
+        .alias("tu"),
+        F.count("*").cast("bigint").alias("nev"),
         F.min(sec).alias("first_sec"),
         F.max(sec).alias("last_sec"),
         F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
     ).select(
-        "pred",
+        # FLOOR(mean value * 10) by exact integer division — the
+        # domain-bounded predictor (see the oracle note above)
+        F.expr("(tu * 10) div (nev * 10000)").cast("bigint").alias("pred"),
         F.when(
             F.col("err_sec").isNotNull(),
             F.expr("(err_sec - first_sec) div 86400"),

@@ -167,7 +167,18 @@ PH_OUTPUT = T.StructType(
     ]
 )
 
-# PH accumulators + the open-day partial buffer (parallel arrays)
+# PH accumulators + the open-day partial buffer (parallel arrays).
+#
+# CHECKPOINT COMPATIBILITY (ADVICE r13 #3): round 13 appended two
+# fields (last_closed, late_rows_dropped) to this struct. A streaming
+# query restored from a pre-round-13 checkpoint carries 9-field state:
+# Spark's state-schema compatibility check (on by default,
+# spark.sql.streaming.stateStore.stateSchemaCheck) fails such a resume
+# with StateSchemaNotCompatible — the supported upgrade path is a
+# FRESH checkpoint directory (the monitor is a derived view; its state
+# rebuilds from the source feed). If the schema check is disabled, the
+# tolerant unpack in _ph_updater pads legacy 9-field tuples with
+# (last_closed=None, late_rows_dropped=0) instead of crashing.
 PH_STATE = T.StructType(
     [
         T.StructField("i", T.LongType()),
@@ -205,10 +216,17 @@ def _ph_updater(delta: float, lam: float):
         import pandas as _pd
 
         if state.exists:
+            # tolerate legacy 9-field (pre-round-13) state tuples when
+            # the state-schema check is disabled: pad the two appended
+            # bookkeeping fields with their no-history defaults
+            # (ADVICE r13 #3; see the PH_STATE compatibility note)
+            got = tuple(state.get)
+            if len(got) == 9:
+                got = got + (None, 0)
             (
                 i, sx, mi, mmin, md, mdmin, pd_, pu_, pc_,
                 last_closed, late_dropped,
-            ) = state.get
+            ) = got
             pend = {d: [u, c] for d, u, c in zip(pd_, pu_, pc_)}
         else:
             i, sx, mi, mmin, md, mdmin = 0, 0.0, 0.0, None, 0.0, None

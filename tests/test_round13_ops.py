@@ -586,8 +586,10 @@ def test_tarone_ware_matches_python_reference(spark, sf_dir, duck):
 def test_cindex_matches_bruteforce_reference(spark, sf_dir, duck):
     got = REGISTRY["q_cindex"].fn(spark, sf_dir).toPandas().iloc[0]
     rows = duck.execute(
-        "SELECT CAST(SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) "
-        "AS BIGINT) AS pred, "
+        # domain-bounded predictor (round 14): FLOOR(mean value * 10)
+        # by exact integer division — matches the reworked q_cindex
+        "SELECT CAST((SUM(CAST(FLOOR(value * 10000 + 0.5) AS BIGINT)) "
+        "* 10) // (COUNT(*) * 10000) AS BIGINT) AS pred, "
         "CASE WHEN MIN(CASE WHEN event_type = 'error' THEN "
         "epoch_ns(ts) // 1000000000 END) IS NOT NULL "
         "THEN (MIN(CASE WHEN event_type = 'error' THEN "
