@@ -85,6 +85,8 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_gehan",
     "q_cox_score",
     "q_tarone_ware",
+    # round-14 addition (VERDICT r13 #4 — boosted multi-feature trees):
+    "q_boosted_multifeat",
 })
 
 

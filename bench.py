@@ -355,6 +355,11 @@ HEADLINE = [
     # pair counting over the domain-bounded (duration x predictor)
     # dense grid, the q_kendall_tau machinery with censoring)
     "q_cindex",
+    # round 14: 2-round exact AdaBoost of MULTI-FEATURE depth-1 stumps
+    # — the composition of q_tree_multifeat's per-node search with
+    # q_boosted_tree2's rational reweighting (VERDICT r13 #4); three
+    # fact passes, the honest R+1 shape for multi-feature boosting
+    "q_boosted_multifeat",
 ]
 
 

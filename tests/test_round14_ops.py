@@ -1,0 +1,155 @@
+"""Round-14 operators. Oracle parity is auto-covered by
+test_oracle_parity's registry sweep; these tests pin semantics against
+independent python references and pin the composition claims.
+"""
+
+from __future__ import annotations
+
+import math
+
+from fraud_detection_spark.registry import load_all, sql_round
+
+REGISTRY = load_all()
+
+
+# ---------------------------------------------------------------------------
+# q_boosted_multifeat (VERDICT r13 #4): independent python AdaBoost
+# over multi-feature depth-1 stumps, plus the round-1 ==
+# q_tree_multifeat-root composition pin.
+
+_FEAT_SQL = {
+    "disc": "CAST(l_discount AS DOUBLE)",
+    "price": "(CAST(l_extendedprice AS DOUBLE) / 100000.0)",
+    "qty": "CAST(l_quantity AS DOUBLE)",
+}
+
+
+def _fetch_rows(duck):
+    """(label, {feat: 6-dp value}) per lineitem row — values rounded
+    BY DUCKDB with the registry's exact sql_round text so the python
+    reference sees the identical doubles both engines group on."""
+    sel = ", ".join(f"{sql_round(_FEAT_SQL[f], 6)} AS {f}" for f in
+                    ("disc", "price", "qty"))
+    rows = duck.execute(
+        "SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        f"{sel} FROM lineitem"
+    ).fetchall()
+    return [
+        (int(l), {"disc": float(d), "price": float(p), "qty": float(q)})
+        for l, d, p, q in rows
+    ]
+
+
+def _mf_stump(rows, wpos, wneg):
+    """Best (feat, threshold) across all features by weighted Gini.
+    rows[i] = (label, vals); wpos/wneg give row i's weight when its
+    label is 1 / 0. Returns (feat, t, wpl, wnl, WP, WN)."""
+    best = None
+    WP = sum(wpos[i] for i, (l, _) in enumerate(rows) if l == 1)
+    WN = sum(wneg[i] for i, (l, _) in enumerate(rows) if l == 0)
+    for feat in ("disc", "price", "qty"):
+        agg = {}
+        for i, (l, v) in enumerate(rows):
+            wp, wn = agg.setdefault(v[feat], [0, 0])
+            if l == 1:
+                agg[v[feat]][0] += wpos[i]
+            else:
+                agg[v[feat]][1] += wneg[i]
+        cwp = cwn = 0
+        vals = sorted(agg)
+        for val in vals[:-1]:  # the top value is never a candidate
+            cwp += agg[val][0]
+            cwn += agg[val][1]
+            lp, ln = cwp, cwn
+            nl = float(lp + ln)
+            nr = float((WP + WN) - (lp + ln))
+            pl, pr = float(lp), float(WP - lp)
+            key = (nl - (pl * pl + (nl - pl) * (nl - pl)) / nl) + (
+                nr - (pr * pr + (nr - pr) * (nr - pr)) / nr
+            )
+            cand = (key, feat, val, cwp, cwn)
+            if best is None or cand[:3] < best[:3]:
+                best = cand
+    _, feat, t, wpl, wnl = best
+    return feat, t, wpl, wnl, WP, WN
+
+
+def _leafify(wpl, wnl, WP, WN):
+    leaves = [(wpl, wnl), (WP - wpl, WN - wnl)]
+    preds = [1 if p > n else -1 for p, n in leaves]
+    e = sum(n if pr == 1 else p for (p, n), pr in zip(leaves, preds))
+    return preds, e, WP + WN
+
+
+def test_boosted_multifeat_matches_python_reference(spark, sf_dir, duck):
+    got = (
+        REGISTRY["q_boosted_multifeat"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("round")
+    )
+    rows = _fetch_rows(duck)
+    n = len(rows)
+    ones = [1] * n
+
+    f1, t1, pl, nl, P1, N1 = _mf_stump(rows, ones, ones)
+    preds1, e1, d1 = _leafify(pl, nl, P1, N1)
+    r1 = got.loc[1]
+    assert (r1.feat, r1.threshold) == (f1, t1)
+    assert [r1.pred_left, r1.pred_right] == preds1
+    assert abs(r1.w_err - e1 / d1) < 1e-6
+    a1 = 0.5 * math.log((d1 - e1) / e1)
+    assert abs(r1.alpha - a1) < 1e-6
+
+    # exact integer reweighting: correct rows x e1, misclassified x
+    # (d1 - e1) — the rational AdaBoost trick
+    def br1(v):
+        return 0 if v[f1] <= t1 else 1
+
+    wpos, wneg = [], []
+    for l, v in rows:
+        pr = preds1[br1(v)]
+        wpos.append(e1 if pr == 1 else d1 - e1)
+        wneg.append(e1 if pr == -1 else d1 - e1)
+    f2, t2, wpl, wnl, P2, N2 = _mf_stump(rows, wpos, wneg)
+    preds2, e2, d2 = _leafify(wpl, wnl, P2, N2)
+    r2 = got.loc[2]
+    assert (r2.feat, r2.threshold) == (f2, t2)
+    assert [r2.pred_left, r2.pred_right] == preds2
+    assert abs(r2.w_err - e2 / d2) < 1e-6
+    a2 = 0.5 * math.log((d2 - e2) / e2)
+    assert abs(r2.alpha - a2) < 1e-6
+
+    # ensemble train accuracies over the margin signs
+    def br2(v):
+        return 0 if v[f2] <= t2 else 1
+
+    u1 = u2 = 0
+    for l, v in rows:
+        h1 = preds1[br1(v)]
+        h2 = preds2[br2(v)]
+        m1 = a1 * h1
+        u1 += 1 if (m1 > 0) == (l == 1) else 0
+        u2 += 1 if ((m1 + a2 * h2) > 0) == (l == 1) else 0
+    assert abs(r1.acc - u1 / n) < 1e-6
+    assert abs(r2.acc - u2 / n) < 1e-6
+
+
+def test_boosted_multifeat_round1_equals_tree_multifeat_root(
+    spark, sf_dir
+):
+    """Round 1 (uniform weights) IS q_tree_multifeat's root split —
+    the composition claim, feature AND threshold."""
+    bm = (
+        REGISTRY["q_boosted_multifeat"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("round")
+        .loc[1]
+    )
+    mf = (
+        REGISTRY["q_tree_multifeat"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("node")
+        .loc["root"]
+    )
+    assert bm.feat == mf.feat
+    assert bm.threshold == mf.threshold
