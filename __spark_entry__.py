@@ -87,6 +87,11 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_tarone_ware",
     # round-14 addition (VERDICT r13 #4 — boosted multi-feature trees):
     "q_boosted_multifeat",
+    # round-14 widenings (VERDICT r13 #6a-d):
+    "q_nelson_aalen",
+    "q_rmst",
+    "q_hosmer_lemeshow",
+    "q_calibration_slope",
 })
 
 

@@ -357,9 +357,19 @@ HEADLINE = [
     "q_cindex",
     # round 14: 2-round exact AdaBoost of MULTI-FEATURE depth-1 stumps
     # — the composition of q_tree_multifeat's per-node search with
-    # q_boosted_tree2's rational reweighting (VERDICT r13 #4); three
-    # fact passes, the honest R+1 shape for multi-feature boosting
+    # q_boosted_tree2's rational reweighting (VERDICT r13 #4); two
+    # fact passes, the honest R-pass shape for multi-feature boosting
     "q_boosted_multifeat",
+    # round 14 (VERDICT r13 #6): Nelson-Aalen cumulative hazard +
+    # Greenwood SE (rides the q_kaplan_meier fold verbatim), RMST to a
+    # 30-day horizon (exact step integral of the KM curve), the
+    # Hosmer-Lemeshow decile chi2 (the q_brier_decomp fold shape), and
+    # the calibration slope/intercept (closed-form moment regression
+    # on the logit score over the distinct-score table)
+    "q_nelson_aalen",
+    "q_rmst",
+    "q_hosmer_lemeshow",
+    "q_calibration_slope",
 ]
 
 

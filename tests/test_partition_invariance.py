@@ -35,6 +35,13 @@ RISKY = [
     "q_tree_multifeat",
     "q_cindex",
     "q_gehan",
+    # round 14: the boosted multi-feature composition (DECIMAL
+    # weighted bucket-offset cums + argmin chains) and the widenings
+    # with per-row fixed-point folds / running survival windows
+    "q_boosted_multifeat",
+    "q_nelson_aalen",
+    "q_rmst",
+    "q_calibration_slope",
 ]
 
 
