@@ -92,6 +92,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_rmst",
     "q_hosmer_lemeshow",
     "q_calibration_slope",
+    "q_fleming_harrington",
 })
 
 

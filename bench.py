@@ -370,6 +370,10 @@ HEADLINE = [
     "q_rmst",
     "q_hosmer_lemeshow",
     "q_calibration_slope",
+    # round 14: FH(1,0)/Peto-type weighted log-rank — the
+    # censoring-robust early-difference member completing the
+    # survival-weight family (w = left-continuous pooled KM survival)
+    "q_fleming_harrington",
 ]
 
 

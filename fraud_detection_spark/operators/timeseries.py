@@ -2688,3 +2688,213 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("rmst"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_fleming_harrington — FH(1,0) / Peto-type weighted log-rank (round
+# 14): the fourth member of the survival-weight family, weighting each
+# duration by the LEFT-CONTINUOUS pooled Kaplan-Meier survival S(t-).
+# Between q_logrank (w=1) and q_gehan (w=n) in spirit but
+# CENSORING-ROBUST where Gehan's at-risk weight is not — the member a
+# survival A/B quotes when censoring differs between arms.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fleming_harrington",
+    oracle=(
+        "WITH u AS (SELECT user_id % 2 AS arm, "
+        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
+        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
+        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
+        "END) AS err_sec FROM events GROUP BY user_id), "
+        "d AS (SELECT arm, CASE WHEN err_sec IS NOT NULL "
+        "THEN (err_sec - first_sec) // 86400 "
+        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
+        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
+        "t AS (SELECT dur, "
+        "CAST(SUM(ev) AS BIGINT) AS de, "
+        "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1, "
+        "CAST(COUNT(*) AS BIGINT) AS tot, "
+        "CAST(SUM(arm) AS BIGINT) AS tot1 FROM d GROUP BY dur), "
+        "r AS (SELECT dur, de, d1, "
+        "CAST(SUM(tot) OVER (ORDER BY dur DESC) AS BIGINT) AS n, "
+        "CAST(SUM(tot1) OVER (ORDER BY dur DESC) AS BIGINT) AS n1 FROM t), "
+        # pooled KM at each duration (the q_kaplan_meier text), then
+        # the LEFT-CONTINUOUS weight = survival lagged one duration
+        "s AS (SELECT *, "
+        "MIN(CASE WHEN de = n THEN 0 ELSE 1 END) OVER (ORDER BY dur) "
+        "AS alive, "
+        "SUM(CASE WHEN de < n THEN LN(1 - de * 1.0 / n) ELSE NULL END) "
+        "OVER (ORDER BY dur) AS ln_s FROM r), "
+        "k AS (SELECT dur, de, d1, n, n1, "
+        "COALESCE(LAG(CASE WHEN alive = 0 THEN 0.0 ELSE "
+        + sql_round("EXP(ln_s)", 6)
+        + " END) OVER (ORDER BY dur), 1.0) AS w FROM s), "
+        "terms AS (SELECT "
+        "CAST(FLOOR(w * (d1 - de * (n1 * 1.0 / n)) * 1000000000 + 0.5) "
+        "AS BIGINT) AS su, "
+        "CASE WHEN n > 1 THEN CAST(FLOOR(w * w "
+        "* (de * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) "
+        "* (n - de) * 1.0 / (n - 1)) * 1000000000 + 0.5) AS BIGINT) "
+        "ELSE 0 END AS vu FROM k WHERE de > 0), "
+        "g AS (SELECT "
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control, "
+        "CAST(SUM(arm) AS BIGINT) AS n_treat, "
+        "CAST(SUM(CASE WHEN arm = 0 THEN ev ELSE 0 END) AS BIGINT) "
+        "AS events_control, "
+        "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) "
+        "AS events_treat FROM d), "
+        "a AS (SELECT CAST(SUM(su) AS BIGINT) AS su, "
+        "CAST(SUM(vu) AS BIGINT) AS vu FROM terms) "
+        "SELECT n_control, n_treat, events_control, events_treat, "
+        + sql_round("CAST(su AS DOUBLE) / 1000000000", 6) + " AS s_fh, "
+        + sql_round("CAST(vu AS DOUBLE) / 1000000000", 6) + " AS var_fh, "
+        "CASE WHEN vu = 0 THEN NULL ELSE "
+        + sql_round(
+            "(CAST(su AS DOUBLE) / 1000000000) "
+            "/ SQRT(CAST(vu AS DOUBLE) / 1000000000)",
+            6,
+        )
+        + " END AS z FROM g, a"
+    ),
+    tags=("timeseries", "survival", "stats"),
+)
+def q_fleming_harrington(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fleming-Harrington FH(1,0) (Peto-type) weighted log-rank test of
+    the q_kaplan_meier time-to-first-error durations between
+    user_id-parity arms: each duration's (O1−E1) and V terms weighted
+    by the LEFT-CONTINUOUS pooled KM survival S(t−) — emphasis on
+    early durations like q_gehan, but through the survival scale, so
+    the weight is CENSORING-ROBUST where Gehan's raw at-risk count is
+    not (the recommended early-difference test when censoring patterns
+    differ between arms). Completes the survival-weight family:
+    w = 1 (q_logrank), √n (q_tarone_ware), n (q_gehan), S(t−) (this).
+    Statistic only (erf exclusion); V = 0 → NULL z (q_delong guard).
+
+    Exactness: the q_logrank fold verbatim; the weight is the
+    ALREADY-6-dp-ROUNDED pooled KM survival (identical expression
+    text, extinct tail exact 0.0) lagged one duration with an exact
+    1.0 default — so per-duration S and V terms are doubles on exact
+    integers times a 6-dp weight, folded to 1e-9 fixed-point units
+    per row BEFORE summation (q_logrank's unit scale: w <= 1 keeps
+    magnitudes at or below q_logrank's own, same documented headroom).
+
+    Scale shape: q_logrank + one LAG window over the bounded duration
+    table — two fact folds, O(n)-incremental windows over <=|durs|
+    rows, a 1-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    u = ev.groupBy("user_id").agg(
+        F.min(sec).alias("first_sec"),
+        F.max(sec).alias("last_sec"),
+        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
+    ).select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(
+            F.col("err_sec").isNotNull(),
+            F.expr("(err_sec - first_sec) div 86400"),
+        )
+        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
+        .alias("dur"),
+        F.col("err_sec").isNotNull().cast("int").alias("ev"),
+    )
+    t = u.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("de"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.count("*").cast("bigint").alias("tot"),
+        F.sum("arm").cast("bigint").alias("tot1"),
+    )
+    w_rev = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    w_lag = Window.orderBy("dur")
+    r = t.select(
+        "dur",
+        "de",
+        "d1",
+        F.sum("tot").over(w_rev).cast("bigint").alias("n"),
+        F.sum("tot1").over(w_rev).cast("bigint").alias("n1"),
+    )
+    pooled_ratio = F.col("de") * 1.0 / F.col("n")
+    s = r.withColumn(
+        "alive",
+        F.min(F.when(F.col("de") == F.col("n"), 0).otherwise(1)).over(
+            w_cum
+        ),
+    ).withColumn(
+        "ln_s",
+        F.sum(
+            F.when(
+                F.col("de") < F.col("n"),
+                F.log(F.lit(1.0) - pooled_ratio),
+            )
+        ).over(w_cum),
+    )
+    s6 = F.when(F.col("alive") == 0, F.lit(0.0)).otherwise(
+        pround(F.exp("ln_s"), 6)
+    )
+    k = s.select(
+        "dur",
+        "de",
+        "d1",
+        "n",
+        "n1",
+        F.coalesce(F.lag(s6).over(w_lag), F.lit(1.0)).alias("w"),
+    )
+    share = F.col("n1") * 1.0 / F.col("n")
+    su = F.floor(
+        F.col("w") * (F.col("d1") - F.col("de") * share) * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    vu = F.when(
+        F.col("n") > 1,
+        F.floor(
+            F.col("w")
+            * F.col("w")
+            * (
+                F.col("de")
+                * share
+                * (F.lit(1) - share)
+                * (F.col("n") - F.col("de"))
+                * 1.0
+                / (F.col("n") - 1)
+            )
+            * 1000000000
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    a = k.filter(F.col("de") > 0).select(
+        su.alias("su"), vu.alias("vu")
+    ).agg(
+        F.sum("su").cast("bigint").alias("su"),
+        F.sum("vu").cast("bigint").alias("vu"),
+    )
+    g = u.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum("arm").cast("bigint").alias("n_treat"),
+        F.sum(F.when(F.col("arm") == 0, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("events_control"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("events_treat"),
+    )
+    sd = F.col("su").cast("double") / 1000000000
+    vd = F.col("vu").cast("double") / 1000000000
+    return g.crossJoin(F.broadcast(a)).select(
+        "n_control",
+        "n_treat",
+        "events_control",
+        "events_treat",
+        pround(sd, 6).alias("s_fh"),
+        pround(vd, 6).alias("var_fh"),
+        F.when(F.col("vu") == 0, F.lit(None).cast("double"))
+        .otherwise(pround(sd / F.sqrt(vd), 6))
+        .alias("z"),
+    )

@@ -42,6 +42,7 @@ RISKY = [
     "q_nelson_aalen",
     "q_rmst",
     "q_calibration_slope",
+    "q_fleming_harrington",
 ]
 
 

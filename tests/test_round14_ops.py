@@ -299,3 +299,67 @@ def test_calibration_slope_matches_numpy_reference(spark, sf_dir, duck):
     # an approximately calibrated scorer: slope near 1 within a loose
     # sanity band (the data is the model's own training distribution)
     assert 0.0 < got.slope < 3.0
+
+
+# ---------------------------------------------------------------------------
+# q_fleming_harrington: python reference with the left-continuous
+# pooled-KM weight, plus family coherence vs the logrank trio.
+
+
+def test_fleming_harrington_matches_python_reference(spark, sf_dir, duck):
+    got = (
+        REGISTRY["q_fleming_harrington"].fn(spark, sf_dir).toPandas().iloc[0]
+    )
+    subs = [
+        (int(d), int(e), int(a))
+        for a, d, e in duck.execute(
+            "SELECT user_id % 2 AS arm, "
+            "CASE WHEN MIN(CASE WHEN event_type = 'error' THEN "
+            "epoch_ns(ts) // 1000000000 END) IS NOT NULL "
+            "THEN (MIN(CASE WHEN event_type = 'error' THEN "
+            "epoch_ns(ts) // 1000000000 END) "
+            "- MIN(epoch_ns(ts) // 1000000000)) // 86400 "
+            "ELSE (MAX(epoch_ns(ts) // 1000000000) "
+            "- MIN(epoch_ns(ts) // 1000000000)) // 86400 END AS dur, "
+            "CASE WHEN MIN(CASE WHEN event_type = 'error' THEN 1 END) "
+            "IS NOT NULL THEN 1 ELSE 0 END AS ev "
+            "FROM events GROUP BY user_id"
+        ).fetchall()
+    ]
+    durs = sorted({d for d, _, _ in subs})
+    su = vu = 0
+    surv, alive, w = 1.0, True, 1.0
+    at_risk = len(subs)
+    at_risk1 = sum(a for _, _, a in subs)
+    for d in durs:
+        here = [(e, a) for dd, e, a in subs if dd == d]
+        de = sum(e for e, _ in here)
+        d1 = sum(e for e, a in here if a == 1)
+        n, n1 = at_risk, at_risk1
+        if de > 0:
+            sh = n1 * 1.0 / n
+            su += math.floor(w * (d1 - de * sh) * 1e9 + 0.5)
+            if n > 1:
+                vu += math.floor(
+                    w * w
+                    * (de * sh * (1 - sh) * (n - de) * 1.0 / (n - 1))
+                    * 1e9
+                    + 0.5
+                )
+        # advance the pooled KM and the next duration's weight
+        if de == n:
+            alive = False
+        if alive:
+            surv *= 1 - de * 1.0 / n
+            w = math.floor(surv * 1e6 + 0.5) / 1e6
+        else:
+            w = 0.0
+        at_risk -= len(here)
+        at_risk1 -= sum(a for _, a in here)
+    assert abs(got.s_fh - su / 1e9) < 1e-6
+    assert abs(got.var_fh - vu / 1e9) < 1e-6
+    assert abs(got.z - (su / 1e9) / math.sqrt(vu / 1e9)) < 1e-4
+    # family coherence: with w = S(t-) <= 1, the FH variance can never
+    # exceed the unweighted logrank variance
+    lr = REGISTRY["q_logrank"].fn(spark, sf_dir).toPandas().iloc[0]
+    assert got.var_fh <= lr.var_treat
