@@ -93,6 +93,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_hosmer_lemeshow",
     "q_calibration_slope",
     "q_fleming_harrington",
+    "q_boosted_mf_tree2",
 })
 
 

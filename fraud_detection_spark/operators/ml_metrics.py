@@ -3850,3 +3850,715 @@ def q_boosted_multifeat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acc"),
     )
     return row1.unionAll(row2)
+
+
+# ---------------------------------------------------------------------------
+# q_boosted_mf_tree2 — 2-round exact AdaBoost of DEPTH-2 MULTI-FEATURE
+# Gini trees (round 14): the FULL composition of the trainer ladder —
+# q_tree_multifeat's per-node multi-feature split search at BOTH
+# levels of each weak learner, chained by q_boosted_tree2's rational
+# reweighting. Round 1 IS q_tree_multifeat's exact tree (test-pinned);
+# this is the hash-checkable structural form of the reference's
+# XGBClassifier loop (train_model.py:69-80: boosted rounds over
+# multi-feature depth-5 trees) at the 2-round/depth-2 scale.
+# ---------------------------------------------------------------------------
+
+_MF_PICK_SQL = {
+    "disc": "f.disc",
+    "price": "f.price",
+    "qty": "f.qty",
+}
+
+
+def _mf_val_case(fcol: str) -> str:
+    """CASE <fcol> WHEN 'disc' ... — the branch-routing expression."""
+    return (
+        f"CASE {fcol} WHEN 'disc' THEN f.disc "
+        "WHEN 'price' THEN f.price ELSE f.qty END"
+    )
+
+
+def _bmf2_oracle() -> str:
+    """DuckDB twin of q_boosted_mf_tree2: the same integers through
+    readable CTEs — raw per-(leaf/branch, feat, val) folds, plain
+    per-key cumulative windows, two picks per level, HUGEINT weighted
+    counts mirroring DECIMAL(38,0)."""
+    fsel = ", ".join(
+        sql_round(_MF_VAL_SQL[f], 6) + f" AS {f}" for f in _MF_FEATS
+    )
+    u1 = " UNION ALL ".join(
+        f"SELECT '{f}' AS feat, {f} AS val, label FROM f" for f in _MF_FEATS
+    )
+    u2 = " UNION ALL ".join(
+        f"SELECT br, '{f}' AS feat, {f} AS val, label FROM f2"
+        for f in _MF_FEATS
+    )
+    u3 = " UNION ALL ".join(
+        f"SELECT lf, '{f}' AS feat, {f} AS val, label FROM f3"
+        for f in _MF_FEATS
+    )
+    u4 = " UNION ALL ".join(
+        f"SELECT lf, b2, '{f}' AS feat, {f} AS val, label FROM f4"
+        for f in _MF_FEATS
+    )
+    key1 = _gini_key_sql("0", "0", "n", "p")
+    key1l = _gini_key_sql("0", "0", "bln", "blp")
+    key1r = _gini_key_sql("0", "0", "brn", "brp")
+    key2 = _wgini_sql("cwp", "cwn", "wpt", "wnt")
+    key2l = _wgini_sql("cwp", "cwn", "wp0", "wn0")
+    key2r = _wgini_sql("cwp", "cwn", "(wpt - wp0)", "(wnt - wn0)")
+    a1 = "(0.5 * LN(CAST(d1 - e1 AS DOUBLE) / CAST(e1 AS DOUBLE)))"
+    a2 = "(0.5 * LN(CAST(d2 - e2 AS DOUBLE) / CAST(e2 AS DOUBLE)))"
+    h1 = (
+        "(CASE k1 WHEN 1 THEN pr1 WHEN 2 THEN pr2 "
+        "WHEN 3 THEN pr3 ELSE pr4 END)"
+    )
+    h2 = (
+        "(CASE k2 WHEN 1 THEN qr1 WHEN 2 THEN qr2 "
+        "WHEN 3 THEN qr3 ELSE qr4 END)"
+    )
+    leaf1 = (
+        "CASE WHEN (" + _mf_val_case("rf1") + ") <= rt1 THEN "
+        "(CASE WHEN (" + _mf_val_case("lf1") + ") <= lt1 "
+        "THEN 1 ELSE 2 END) ELSE "
+        "(CASE WHEN (" + _mf_val_case("rf1b") + ") <= rt1b "
+        "THEN 3 ELSE 4 END) END"
+    )
+    # per-leaf AdaBoost multipliers (positive- and negative-label rows)
+    mp = (
+        "(CASE lf WHEN 1 THEN (CASE WHEN pr1 = 1 THEN e1 ELSE d1 - e1 END) "
+        "WHEN 2 THEN (CASE WHEN pr2 = 1 THEN e1 ELSE d1 - e1 END) "
+        "WHEN 3 THEN (CASE WHEN pr3 = 1 THEN e1 ELSE d1 - e1 END) "
+        "ELSE (CASE WHEN pr4 = 1 THEN e1 ELSE d1 - e1 END) END)"
+    )
+    mn = (
+        "(CASE lf WHEN 1 THEN (CASE WHEN pr1 = -1 THEN e1 ELSE d1 - e1 END) "
+        "WHEN 2 THEN (CASE WHEN pr2 = -1 THEN e1 ELSE d1 - e1 END) "
+        "WHEN 3 THEN (CASE WHEN pr3 = -1 THEN e1 ELSE d1 - e1 END) "
+        "ELSE (CASE WHEN pr4 = -1 THEN e1 ELSE d1 - e1 END) END)"
+    )
+    return (
+        "WITH f AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END "
+        f"AS label, {fsel} FROM lineitem), "
+        f"u AS ({u1}), "
+        "g AS (SELECT feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM u GROUP BY feat, val), "
+        "t AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(label) AS BIGINT) AS p FROM f), "
+        "c AS MATERIALIZED (SELECT feat, val, "
+        "CAST(SUM(cnt) OVER (PARTITION BY feat ORDER BY val) AS BIGINT) "
+        "AS cum_n, "
+        "CAST(SUM(pos) OVER (PARTITION BY feat ORDER BY val) AS BIGINT) "
+        "AS cum_p, n, p FROM g, t), "
+        # ---- round 1, level 1: q_tree_multifeat's root
+        "root1 AS MATERIALIZED (SELECT feat AS rf1, val AS rt1, "
+        "CAST(cum_n AS BIGINT) AS bln, CAST(cum_p AS BIGINT) AS blp, "
+        "CAST(n - cum_n AS BIGINT) AS brn, CAST(p - cum_p AS BIGINT) "
+        f"AS brp, n, p FROM c WHERE cum_n < n ORDER BY {key1}, feat, val "
+        "LIMIT 1), "
+        # ---- round 1, level 2: both child picks
+        "f2 AS (SELECT f.*, CASE WHEN (" + _mf_val_case("rf1") + ") <= rt1 "
+        "THEN 0 ELSE 1 END AS br FROM f, root1), "
+        f"u2 AS ({u2}), "
+        "g2 AS (SELECT br, feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM u2 GROUP BY br, feat, val), "
+        "c2 AS MATERIALIZED (SELECT br, feat, val, "
+        "CAST(SUM(cnt) OVER (PARTITION BY br, feat ORDER BY val) AS BIGINT) "
+        "AS cum_n, "
+        "CAST(SUM(pos) OVER (PARTITION BY br, feat ORDER BY val) AS BIGINT) "
+        "AS cum_p FROM g2), "
+        "l1 AS MATERIALIZED (SELECT feat AS lf1, val AS lt1, "
+        "CAST(cum_p AS BIGINT) AS llp, CAST(cum_n - cum_p AS BIGINT) AS llq "
+        "FROM c2, root1 WHERE br = 0 AND cum_n < bln "
+        f"ORDER BY {key1l}, feat, val LIMIT 1), "
+        "r1 AS MATERIALIZED (SELECT feat AS rf1b, val AS rt1b, "
+        "CAST(cum_p AS BIGINT) AS rlp, CAST(cum_n - cum_p AS BIGINT) AS rlq "
+        "FROM c2, root1 WHERE br = 1 AND cum_n < brn "
+        f"ORDER BY {key1r}, feat, val LIMIT 1), "
+        # ---- round-1 model row: leaf stats, preds, error, multipliers
+        "m1 AS MATERIALIZED (SELECT rf1, rt1, lf1, lt1, rf1b, rt1b, "
+        "llp AS p1, llq AS q1, "
+        "blp - llp AS p2, (bln - blp) - llq AS q2, "
+        "rlp AS p3, rlq AS q3, "
+        "brp - rlp AS p4, (brn - brp) - rlq AS q4, "
+        "CASE WHEN llp > llq THEN 1 ELSE -1 END AS pr1, "
+        "CASE WHEN blp - llp > (bln - blp) - llq THEN 1 ELSE -1 END AS pr2, "
+        "CASE WHEN rlp > rlq THEN 1 ELSE -1 END AS pr3, "
+        "CASE WHEN brp - rlp > (brn - brp) - rlq THEN 1 ELSE -1 END AS pr4, "
+        "CAST(CASE WHEN llp > llq THEN llq ELSE llp END "
+        "+ CASE WHEN blp - llp > (bln - blp) - llq "
+        "THEN (bln - blp) - llq ELSE blp - llp END "
+        "+ CASE WHEN rlp > rlq THEN rlq ELSE rlp END "
+        "+ CASE WHEN brp - rlp > (brn - brp) - rlq "
+        "THEN (brn - brp) - rlq ELSE brp - rlp END AS BIGINT) AS e1, "
+        "CAST(n AS BIGINT) AS d1 FROM root1, l1, r1), "
+        "mw AS MATERIALIZED (SELECT m1.*, "
+        "CAST(CASE WHEN pr1 = 1 THEN e1 ELSE d1 - e1 END AS HUGEINT) AS mp1, "
+        "CAST(CASE WHEN pr2 = 1 THEN e1 ELSE d1 - e1 END AS HUGEINT) AS mp2, "
+        "CAST(CASE WHEN pr3 = 1 THEN e1 ELSE d1 - e1 END AS HUGEINT) AS mp3, "
+        "CAST(CASE WHEN pr4 = 1 THEN e1 ELSE d1 - e1 END AS HUGEINT) AS mp4, "
+        "CAST(CASE WHEN pr1 = -1 THEN e1 ELSE d1 - e1 END AS HUGEINT) AS mn1, "
+        "CAST(CASE WHEN pr2 = -1 THEN e1 ELSE d1 - e1 END AS HUGEINT) AS mn2, "
+        "CAST(CASE WHEN pr3 = -1 THEN e1 ELSE d1 - e1 END AS HUGEINT) AS mn3, "
+        "CAST(CASE WHEN pr4 = -1 THEN e1 ELSE d1 - e1 END AS HUGEINT) AS mn4 "
+        "FROM m1), "
+        "mt AS MATERIALIZED (SELECT mw.*, "
+        "CAST(p1 AS HUGEINT) * mp1 + CAST(p2 AS HUGEINT) * mp2 "
+        "+ CAST(p3 AS HUGEINT) * mp3 + CAST(p4 AS HUGEINT) * mp4 AS wpt, "
+        "CAST(q1 AS HUGEINT) * mn1 + CAST(q2 AS HUGEINT) * mn2 "
+        "+ CAST(q3 AS HUGEINT) * mn3 + CAST(q4 AS HUGEINT) * mn4 AS wnt "
+        "FROM mw), "
+        # ---- round 2, level 1: weighted multi-feature root
+        f"f3 AS (SELECT f.*, {leaf1} AS lf FROM f, mt), "
+        f"u3 AS ({u3}), "
+        "g3 AS (SELECT lf, feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM u3 GROUP BY lf, feat, val), "
+        "w3 AS (SELECT feat, val, "
+        f"CAST(SUM(CAST(pos AS HUGEINT) * {mp}) AS HUGEINT) AS wp, "
+        f"CAST(SUM(CAST(cnt - pos AS HUGEINT) * {mn}) AS HUGEINT) AS wn "
+        "FROM g3, mt GROUP BY feat, val), "
+        "c3 AS MATERIALIZED (SELECT feat, val, "
+        "CAST(SUM(wp) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cwp, "
+        "CAST(SUM(wn) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cwn FROM w3), "
+        "root2 AS MATERIALIZED (SELECT feat AS rf2, val AS rt2, "
+        "cwp AS wp0, cwn AS wn0 FROM c3, mt "
+        f"WHERE cwp + cwn < wpt + wnt ORDER BY {key2}, feat, val LIMIT 1), "
+        # ---- round 2, level 2: weighted child picks (fold carries the
+        # round-1 leaf for the weights AND the accuracy joint below)
+        "f4 AS (SELECT f.*, CASE WHEN (" + _mf_val_case("rf2")
+        + ") <= rt2 THEN 0 ELSE 1 END AS b2 FROM f3 f, root2), "
+        f"u4 AS ({u4}), "
+        "g4 AS (SELECT lf, b2, feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM u4 "
+        "GROUP BY lf, b2, feat, val), "
+        "w4 AS (SELECT b2, feat, val, "
+        f"CAST(SUM(CAST(pos AS HUGEINT) * {mp}) AS HUGEINT) AS wp, "
+        f"CAST(SUM(CAST(cnt - pos AS HUGEINT) * {mn}) AS HUGEINT) AS wn "
+        "FROM g4, mt GROUP BY b2, feat, val), "
+        "c4 AS MATERIALIZED (SELECT b2, feat, val, "
+        "CAST(SUM(wp) OVER (PARTITION BY b2, feat ORDER BY val) AS HUGEINT) "
+        "AS cwp, "
+        "CAST(SUM(wn) OVER (PARTITION BY b2, feat ORDER BY val) AS HUGEINT) "
+        "AS cwn FROM w4), "
+        "l2 AS MATERIALIZED (SELECT feat AS lf2, val AS lt2, "
+        "cwp AS wpl, cwn AS wnl FROM c4, root2 "
+        "WHERE b2 = 0 AND cwp + cwn < wp0 + wn0 "
+        f"ORDER BY {key2l}, feat, val LIMIT 1), "
+        "r2 AS MATERIALIZED (SELECT feat AS rf2b, val AS rt2b, "
+        "cwp AS wpr, cwn AS wnr FROM c4, root2, mt "
+        "WHERE b2 = 1 AND cwp + cwn < (wpt - wp0) + (wnt - wn0) "
+        f"ORDER BY {key2r}, feat, val LIMIT 1), "
+        "m2 AS MATERIALIZED (SELECT rf2, rt2, lf2, lt2, rf2b, rt2b, "
+        "CASE WHEN wpl > wnl THEN 1 ELSE -1 END AS qr1, "
+        "CASE WHEN wp0 - wpl > wn0 - wnl THEN 1 ELSE -1 END AS qr2, "
+        "CASE WHEN wpr > wnr THEN 1 ELSE -1 END AS qr3, "
+        "CASE WHEN (wpt - wp0) - wpr > (wnt - wn0) - wnr "
+        "THEN 1 ELSE -1 END AS qr4, "
+        "CAST(CASE WHEN wpl > wnl THEN wnl ELSE wpl END "
+        "+ CASE WHEN wp0 - wpl > wn0 - wnl THEN wn0 - wnl "
+        "ELSE wp0 - wpl END "
+        "+ CASE WHEN wpr > wnr THEN wnr ELSE wpr END "
+        "+ CASE WHEN (wpt - wp0) - wpr > (wnt - wn0) - wnr "
+        "THEN (wnt - wn0) - wnr ELSE (wpt - wp0) - wpr END AS HUGEINT) "
+        "AS e2, "
+        "CAST(wpt + wnt AS HUGEINT) AS d2 FROM root2, l2, r2, mt), "
+        # ---- accuracy: (leaf1, leaf2) joint off the g4 fold restricted
+        # to each branch's winning child feature
+        "cells AS (SELECT lf AS k1, "
+        "CAST(b2 * 2 + CASE WHEN val <= "
+        "(CASE b2 WHEN 0 THEN lt2 ELSE rt2b END) THEN 1 ELSE 2 END "
+        "AS BIGINT) AS k2, "
+        "CAST(SUM(cnt) AS BIGINT) AS cnt, CAST(SUM(pos) AS BIGINT) AS pos "
+        "FROM g4, m2 WHERE feat = (CASE b2 WHEN 0 THEN lf2 ELSE rf2b END) "
+        "GROUP BY k1, k2), "
+        "acc AS MATERIALIZED (SELECT CAST(SUM(cnt) AS BIGINT) AS nn, "
+        f"CAST(SUM(CASE WHEN {a1} * {h1} > 0 THEN pos "
+        "ELSE cnt - pos END) AS BIGINT) AS u1, "
+        f"CAST(SUM(CASE WHEN {a1} * {h1} + {a2} * {h2} > 0 THEN pos "
+        "ELSE cnt - pos END) AS BIGINT) AS u2 "
+        "FROM cells, mt, m2) "
+        "SELECT CAST(1 AS INT) AS round, rf1 AS feat_root, "
+        "rt1 AS t_root, lf1 AS feat_left, lt1 AS t_left, "
+        "rf1b AS feat_right, rt1b AS t_right, "
+        "CAST(pr1 AS BIGINT) AS pred_l1, CAST(pr2 AS BIGINT) AS pred_l2, "
+        "CAST(pr3 AS BIGINT) AS pred_l3, CAST(pr4 AS BIGINT) AS pred_l4, "
+        + sql_round("CAST(e1 AS DOUBLE) / CAST(d1 AS DOUBLE)", 6)
+        + " AS w_err, " + sql_round(a1, 6) + " AS alpha, "
+        + sql_round("CAST(u1 AS DOUBLE) / CAST(nn AS DOUBLE)", 6)
+        + " AS acc FROM mt, acc "
+        "UNION ALL "
+        "SELECT CAST(2 AS INT), rf2, rt2, lf2, lt2, rf2b, rt2b, "
+        "CAST(qr1 AS BIGINT), CAST(qr2 AS BIGINT), "
+        "CAST(qr3 AS BIGINT), CAST(qr4 AS BIGINT), "
+        + sql_round("CAST(e2 AS DOUBLE) / CAST(d2 AS DOUBLE)", 6) + ", "
+        + sql_round(a2, 6) + ", "
+        + sql_round("CAST(u2 AS DOUBLE) / CAST(nn AS DOUBLE)", 6)
+        + " FROM m2, mt, acc"
+    )
+
+
+@query(
+    "q_boosted_mf_tree2",
+    oracle=_bmf2_oracle(),
+    tags=("ml", "train", "boost"),
+    eager=True,
+)
+def q_boosted_mf_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a 2-round AdaBoost ensemble whose weak learner is a
+    DEPTH-2 MULTI-FEATURE greedy Gini tree — the FULL composition of
+    the trainer ladder: every node of every round searches all three
+    published feature columns exactly (q_tree_multifeat's per-node
+    machinery), and rounds chain by q_boosted_tree2's closed-form
+    rational reweighting per round-1 LEAF (correct rows x e1,
+    misclassified x d1−e1). Round 1 IS q_tree_multifeat's exact tree
+    (test-pinned). This is the reference XGBClassifier loop's
+    structure (train_model.py:69-80: boosted rounds over multi-feature
+    trees) at the hash-checkable 2-round/depth-2 scale. Emits one row
+    per round: the three (feature, threshold) splits, four leaf sign
+    predictions, weighted error, alpha, ensemble accuracy.
+
+    Exactness: round-1 counts are raw per-(branch, feat, val) prefix
+    integers; round-2 weights are one of eight per-(leaf, class)
+    integer multipliers, so every weighted cell, cum, total and error
+    is an exact DECIMAL(38,0)/HUGEINT integer (magnitudes <= d1² = n²,
+    headroom to n ~ 1e19). Split keys are the shared
+    _tree_key/_wgini text; argmins ORDER BY (key, feat, val); alphas
+    are the LN house class (q_boosted_tree2 precedent). Assumes
+    1 <= e < d per round (the boosting contract).
+
+    Scale: FOUR fact passes — R·depth for R rounds of depth-d
+    multi-feature learners, the level-synchronous distributed-trainer
+    schedule (each pass one stack-explode map-side-combined fold; no
+    closed form can cross a feature boundary, so every (round, level)
+    pair honestly costs one pass). Prefix cums ride the bucket-offset
+    _mf_cum machinery (DECIMAL-preserving); both child picks per level
+    run in ONE per-branch struct-argmin job (the q_tree5 discipline);
+    model state moves as broadcast 1-row tables; the ensemble-accuracy
+    (leaf1, leaf2) joint reads off the checkpointed pass-4 fold
+    restricted to each branch's winning child feature — no extra fact
+    scan. Off-HEADLINE with a recorded BASELINE floor (the
+    q_dedup_funnel double-charging precedent: its member costs are
+    already benched via q_tree_multifeat / q_boosted_multifeat /
+    q_boosted_tree2). Eager by construction."""
+    base = _mf_base(spark, sf_dir)
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("p"),
+    )
+    dec = "decimal(38,0)"
+    zero = F.lit(0)
+
+    def sgn(pk, nk):
+        return F.when(pk > nk, F.lit(1)).otherwise(F.lit(-1))
+
+    def err_term(pk, nk):
+        return F.when(pk > nk, nk).otherwise(pk)
+
+    def val_of(fcol):
+        return (
+            F.when(fcol == "disc", F.col("disc"))
+            .when(fcol == "price", F.col("price"))
+            .otherwise(F.col("qty"))
+        )
+
+    # ---- round 1, level 1 (fact pass 1): q_tree_multifeat's root
+    g1 = _mf_unpivot(base, []).groupBy("feat", "val").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    c1 = _mf_cum(g1, ["feat"]).crossJoin(F.broadcast(tot))
+    root1 = (
+        c1.filter(F.col("cum_n") < F.col("n"))
+        .withColumn("key", _tree_key(zero, zero, F.col("n"), F.col("p")))
+        .orderBy("key", "feat", "val")
+        .limit(1)
+        .select(
+            F.col("feat").alias("rf1"),
+            F.col("val").alias("rt1"),
+            F.col("cum_n").cast("bigint").alias("bln"),
+            F.col("cum_p").cast("bigint").alias("blp"),
+            (F.col("n") - F.col("cum_n")).cast("bigint").alias("brn"),
+            (F.col("p") - F.col("cum_p")).cast("bigint").alias("brp"),
+            "n",
+            "p",
+        )
+        .localCheckpoint()
+    )
+
+    # ---- round 1, level 2 (fact pass 2): both child picks, one job
+    f2 = base.crossJoin(F.broadcast(root1.select("rf1", "rt1"))).withColumn(
+        "br",
+        F.when(val_of(F.col("rf1")) <= F.col("rt1"), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    g2 = _mf_unpivot(f2, ["br"]).groupBy("br", "feat", "val").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    c2 = _mf_cum(g2, ["br", "feat"]).crossJoin(F.broadcast(root1))
+    is_l = F.col("br") == 0
+    nb1 = F.when(is_l, F.col("bln")).otherwise(F.col("brn"))
+    pb1 = F.when(is_l, F.col("blp")).otherwise(F.col("brp"))
+    cands2 = c2.filter(F.col("cum_n") < nb1).withColumn(
+        "key", _tree_key(zero, zero, nb1, pb1)
+    )
+    picks1 = (
+        cands2.groupBy("br")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("key"),
+                    F.col("feat"),
+                    F.col("val"),
+                    F.col("cum_p").alias("_cp"),
+                    (F.col("cum_n") - F.col("cum_p")).alias("_cq"),
+                )
+            ).alias("s")
+        )
+        .select("br", "s.*")
+        .localCheckpoint()
+    )
+    l1 = picks1.filter(F.col("br") == 0).select(
+        F.col("feat").alias("lf1"),
+        F.col("val").alias("lt1"),
+        F.col("_cp").alias("llp"),
+        F.col("_cq").alias("llq"),
+    )
+    r1 = picks1.filter(F.col("br") == 1).select(
+        F.col("feat").alias("rf1b"),
+        F.col("val").alias("rt1b"),
+        F.col("_cp").alias("rlp"),
+        F.col("_cq").alias("rlq"),
+    )
+
+    # ---- round-1 model row: leaf stats, preds, error, multipliers,
+    # weighted totals — ONE materialization
+    lv = [
+        (F.col("llp"), F.col("llq")),
+        (F.col("blp") - F.col("llp"), (F.col("bln") - F.col("blp")) - F.col("llq")),
+        (F.col("rlp"), F.col("rlq")),
+        (F.col("brp") - F.col("rlp"), (F.col("brn") - F.col("brp")) - F.col("rlq")),
+    ]
+    m1 = (
+        root1.crossJoin(F.broadcast(l1))
+        .crossJoin(F.broadcast(r1))
+        .select(
+            "rf1", "rt1", "lf1", "lt1", "rf1b", "rt1b",
+            *[pk.cast("bigint").alias(f"p{i + 1}") for i, (pk, _) in enumerate(lv)],
+            *[qk.cast("bigint").alias(f"q{i + 1}") for i, (_, qk) in enumerate(lv)],
+            *[sgn(pk, qk).alias(f"pr{i + 1}") for i, (pk, qk) in enumerate(lv)],
+            sum(err_term(pk, qk) for pk, qk in lv)
+            .cast("bigint")
+            .alias("e1"),
+            F.col("n").cast("bigint").alias("d1"),
+        )
+    )
+    e1c = F.col("e1").cast(dec)
+    rem = (F.col("d1") - F.col("e1")).cast(dec)
+
+    def mp_k(k):
+        return F.when(F.col(f"pr{k}") == 1, e1c).otherwise(rem)
+
+    def mn_k(k):
+        return F.when(F.col(f"pr{k}") == -1, e1c).otherwise(rem)
+
+    m1w = m1.select(
+        "*",
+        *[mp_k(k).alias(f"mp{k}") for k in (1, 2, 3, 4)],
+        *[mn_k(k).alias(f"mn{k}") for k in (1, 2, 3, 4)],
+        sum(
+            F.col(f"p{k}").cast(dec) * mp_k(k) for k in (1, 2, 3, 4)
+        ).alias("wpt"),
+        sum(
+            F.col(f"q{k}").cast(dec) * mn_k(k) for k in (1, 2, 3, 4)
+        ).alias("wnt"),
+    ).localCheckpoint()
+
+    splits1 = m1w.select("rf1", "rt1", "lf1", "lt1", "rf1b", "rt1b")
+    leaf1 = F.when(
+        val_of(F.col("rf1")) <= F.col("rt1"),
+        F.when(val_of(F.col("lf1")) <= F.col("lt1"), F.lit(1)).otherwise(
+            F.lit(2)
+        ),
+    ).otherwise(
+        F.when(val_of(F.col("rf1b")) <= F.col("rt1b"), F.lit(3)).otherwise(
+            F.lit(4)
+        )
+    )
+    mults = m1w.select(
+        *[F.col(f"mp{k}") for k in (1, 2, 3, 4)],
+        *[F.col(f"mn{k}") for k in (1, 2, 3, 4)],
+    )
+
+    def mp_of(lf):
+        return (
+            F.when(lf == 1, F.col("mp1"))
+            .when(lf == 2, F.col("mp2"))
+            .when(lf == 3, F.col("mp3"))
+            .otherwise(F.col("mp4"))
+        )
+
+    def mn_of(lf):
+        return (
+            F.when(lf == 1, F.col("mn1"))
+            .when(lf == 2, F.col("mn2"))
+            .when(lf == 3, F.col("mn3"))
+            .otherwise(F.col("mn4"))
+        )
+
+    # ---- round 2, level 1 (fact pass 3): weighted multi-feature root
+    f3 = base.crossJoin(F.broadcast(splits1)).withColumn("lf", leaf1)
+    g3 = _mf_unpivot(f3, ["lf"]).groupBy("lf", "feat", "val").agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    w3 = (
+        g3.crossJoin(F.broadcast(mults))
+        .select(
+            "feat",
+            "val",
+            (F.col("pos").cast(dec) * mp_of(F.col("lf"))).alias("wp"),
+            ((F.col("cnt") - F.col("pos")).cast(dec) * mn_of(F.col("lf"))).alias(
+                "wn"
+            ),
+        )
+        .groupBy("feat", "val")
+        .agg(
+            F.sum("wp").cast(dec).alias("wp"),
+            F.sum("wn").cast(dec).alias("wn"),
+        )
+    )
+    c3 = _mf_cum(
+        w3.select("feat", "val", F.col("wn").alias("cnt"), F.col("wp").alias("pos")),
+        ["feat"],
+        out_cast=dec,
+    ).select(
+        "feat", "val", F.col("cum_p").alias("cwp"), F.col("cum_n").alias("cwn")
+    )
+    wtot = m1w.select("wpt", "wnt")
+    root2 = (
+        c3.crossJoin(F.broadcast(wtot))
+        .filter(F.col("cwp") + F.col("cwn") < F.col("wpt") + F.col("wnt"))
+        .withColumn(
+            "key", _wgini(F.col("cwp"), F.col("cwn"), F.col("wpt"), F.col("wnt"))
+        )
+        .orderBy("key", "feat", "val")
+        .limit(1)
+        .select(
+            F.col("feat").alias("rf2"),
+            F.col("val").alias("rt2"),
+            F.col("cwp").alias("wp0"),
+            F.col("cwn").alias("wn0"),
+        )
+        .localCheckpoint()
+    )
+
+    # ---- round 2, level 2 (fact pass 4): weighted child picks; the
+    # fold carries the round-1 leaf for weights AND the accuracy joint
+    f4 = f3.crossJoin(F.broadcast(root2.select("rf2", "rt2"))).withColumn(
+        "b2",
+        F.when(val_of(F.col("rf2")) <= F.col("rt2"), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    g4 = (
+        _mf_unpivot(f4, ["lf", "b2"])
+        .groupBy("lf", "b2", "feat", "val")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+        .localCheckpoint()
+    )
+    w4 = (
+        g4.crossJoin(F.broadcast(mults))
+        .select(
+            "b2",
+            "feat",
+            "val",
+            (F.col("pos").cast(dec) * mp_of(F.col("lf"))).alias("wp"),
+            ((F.col("cnt") - F.col("pos")).cast(dec) * mn_of(F.col("lf"))).alias(
+                "wn"
+            ),
+        )
+        .groupBy("b2", "feat", "val")
+        .agg(
+            F.sum("wp").cast(dec).alias("wp"),
+            F.sum("wn").cast(dec).alias("wn"),
+        )
+    )
+    c4 = _mf_cum(
+        w4.select(
+            "b2", "feat", "val", F.col("wn").alias("cnt"), F.col("wp").alias("pos")
+        ),
+        ["b2", "feat"],
+        out_cast=dec,
+    ).select(
+        "b2",
+        "feat",
+        "val",
+        F.col("cum_p").alias("cwp"),
+        F.col("cum_n").alias("cwn"),
+    )
+    c4j = c4.crossJoin(F.broadcast(root2.select("wp0", "wn0"))).crossJoin(
+        F.broadcast(wtot)
+    )
+    is_l2 = F.col("b2") == 0
+    WPb = F.when(is_l2, F.col("wp0")).otherwise(F.col("wpt") - F.col("wp0"))
+    WNb = F.when(is_l2, F.col("wn0")).otherwise(F.col("wnt") - F.col("wn0"))
+    cands4 = c4j.filter(F.col("cwp") + F.col("cwn") < WPb + WNb).withColumn(
+        "key", _wgini(F.col("cwp"), F.col("cwn"), WPb, WNb)
+    )
+    picks2 = (
+        cands4.groupBy("b2")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("key"),
+                    F.col("feat"),
+                    F.col("val"),
+                    F.col("cwp").alias("_wp"),
+                    F.col("cwn").alias("_wn"),
+                )
+            ).alias("s")
+        )
+        .select("b2", "s.*")
+        .localCheckpoint()
+    )
+    l2 = picks2.filter(F.col("b2") == 0).select(
+        F.col("feat").alias("lf2"),
+        F.col("val").alias("lt2"),
+        F.col("_wp").alias("wpl"),
+        F.col("_wn").alias("wnl"),
+    )
+    r2 = picks2.filter(F.col("b2") == 1).select(
+        F.col("feat").alias("rf2b"),
+        F.col("val").alias("rt2b"),
+        F.col("_wp").alias("wpr"),
+        F.col("_wn").alias("wnr"),
+    )
+    wv = [
+        (F.col("wpl"), F.col("wnl")),
+        (F.col("wp0") - F.col("wpl"), F.col("wn0") - F.col("wnl")),
+        (F.col("wpr"), F.col("wnr")),
+        (
+            (F.col("wpt") - F.col("wp0")) - F.col("wpr"),
+            (F.col("wnt") - F.col("wn0")) - F.col("wnr"),
+        ),
+    ]
+    m2 = (
+        root2.crossJoin(F.broadcast(l2))
+        .crossJoin(F.broadcast(r2))
+        .crossJoin(F.broadcast(wtot))
+        .select(
+            "rf2", "rt2", "lf2", "lt2", "rf2b", "rt2b",
+            *[sgn(pk, qk).alias(f"qr{i + 1}") for i, (pk, qk) in enumerate(wv)],
+            sum(err_term(pk, qk) for pk, qk in wv).cast(dec).alias("e2"),
+            (F.col("wpt") + F.col("wnt")).cast(dec).alias("d2"),
+        )
+        .localCheckpoint()
+    )
+
+    # ---- accuracy: (leaf1, leaf2) joint off the checkpointed g4 fold
+    childf = F.when(F.col("b2") == 0, F.col("lf2")).otherwise(F.col("rf2b"))
+    childt = F.when(F.col("b2") == 0, F.col("lt2")).otherwise(F.col("rt2b"))
+    cells = (
+        g4.crossJoin(F.broadcast(m2.select("lf2", "lt2", "rf2b", "rt2b")))
+        .filter(F.col("feat") == childf)
+        .groupBy(
+            F.col("lf").alias("k1"),
+            (
+                F.col("b2") * 2
+                + F.when(F.col("val") <= childt, F.lit(1)).otherwise(F.lit(2))
+            )
+            .cast("bigint")
+            .alias("k2"),
+        )
+        .agg(
+            F.sum("cnt").cast("bigint").alias("cnt"),
+            F.sum("pos").cast("bigint").alias("pos"),
+        )
+    )
+    m1s = m1w.select(
+        "rf1", "rt1", "lf1", "lt1", "rf1b", "rt1b",
+        "pr1", "pr2", "pr3", "pr4", "e1", "d1",
+    )
+    a1 = F.lit(0.5) * F.log(
+        (F.col("d1") - F.col("e1")).cast("double")
+        / F.col("e1").cast("double")
+    )
+    a2 = F.lit(0.5) * F.log(
+        (F.col("d2") - F.col("e2")).cast("double")
+        / F.col("e2").cast("double")
+    )
+
+    def pred_case(kcol, names):
+        return (
+            F.when(kcol == 1, F.col(names[0]))
+            .when(kcol == 2, F.col(names[1]))
+            .when(kcol == 3, F.col(names[2]))
+            .otherwise(F.col(names[3]))
+        )
+
+    h1 = pred_case(F.col("k1"), ["pr1", "pr2", "pr3", "pr4"])
+    h2 = pred_case(F.col("k2"), ["qr1", "qr2", "qr3", "qr4"])
+    acc = (
+        cells.crossJoin(F.broadcast(m1s))
+        .crossJoin(F.broadcast(m2))
+        .agg(
+            F.sum("cnt").cast("bigint").alias("nn"),
+            F.sum(
+                F.when(a1 * h1 > 0, F.col("pos")).otherwise(
+                    F.col("cnt") - F.col("pos")
+                )
+            )
+            .cast("bigint")
+            .alias("u1"),
+            F.sum(
+                F.when(a1 * h1 + a2 * h2 > 0, F.col("pos")).otherwise(
+                    F.col("cnt") - F.col("pos")
+                )
+            )
+            .cast("bigint")
+            .alias("u2"),
+        )
+    )
+    wide = acc.crossJoin(F.broadcast(m1s)).crossJoin(F.broadcast(m2))
+    row1 = wide.select(
+        F.lit(1).cast("int").alias("round"),
+        F.col("rf1").alias("feat_root"),
+        F.col("rt1").alias("t_root"),
+        F.col("lf1").alias("feat_left"),
+        F.col("lt1").alias("t_left"),
+        F.col("rf1b").alias("feat_right"),
+        F.col("rt1b").alias("t_right"),
+        *[F.col(f"pr{k}").cast("bigint").alias(f"pred_l{k}") for k in (1, 2, 3, 4)],
+        pround(
+            F.col("e1").cast("double") / F.col("d1").cast("double"), 6
+        ).alias("w_err"),
+        pround(a1, 6).alias("alpha"),
+        pround(
+            F.col("u1").cast("double") / F.col("nn").cast("double"), 6
+        ).alias("acc"),
+    )
+    row2 = wide.select(
+        F.lit(2).cast("int").alias("round"),
+        F.col("rf2").alias("feat_root"),
+        F.col("rt2").alias("t_root"),
+        F.col("lf2").alias("feat_left"),
+        F.col("lt2").alias("t_left"),
+        F.col("rf2b").alias("feat_right"),
+        F.col("rt2b").alias("t_right"),
+        *[F.col(f"qr{k}").cast("bigint").alias(f"pred_l{k}") for k in (1, 2, 3, 4)],
+        pround(
+            F.col("e2").cast("double") / F.col("d2").cast("double"), 6
+        ).alias("w_err"),
+        pround(a2, 6).alias("alpha"),
+        pround(
+            F.col("u2").cast("double") / F.col("nn").cast("double"), 6
+        ).alias("acc"),
+    )
+    return row1.unionAll(row2)

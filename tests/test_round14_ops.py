@@ -363,3 +363,127 @@ def test_fleming_harrington_matches_python_reference(spark, sf_dir, duck):
     # exceed the unweighted logrank variance
     lr = REGISTRY["q_logrank"].fn(spark, sf_dir).toPandas().iloc[0]
     assert got.var_fh <= lr.var_treat
+
+
+# ---------------------------------------------------------------------------
+# q_boosted_mf_tree2: the FULL composition — python AdaBoost of
+# depth-2 multi-feature trees, plus the round-1 == q_tree_multifeat
+# pin (all three splits).
+
+
+def _mf_tree2_ref(rows, wpos, wneg):
+    """Depth-2 multi-feature weighted-Gini tree via _mf_stump at the
+    root and inside both branches. Returns splits, leaf preds, e, d,
+    and a leaf() router."""
+    f0, t0, wpl0, wnl0, WP, WN = _mf_stump(rows, wpos, wneg)
+    li = [i for i, (_, v) in enumerate(rows) if v[f0] <= t0]
+    ri = [i for i, (_, v) in enumerate(rows) if v[f0] > t0]
+
+    def sub(idx):
+        return (
+            [rows[i] for i in idx],
+            [wpos[i] for i in idx],
+            [wneg[i] for i in idx],
+        )
+
+    fL, tL, wplL, wnlL, BPL, BNL = _mf_stump(*sub(li))
+    fR, tR, wplR, wnlR, BPR, BNR = _mf_stump(*sub(ri))
+    assert (BPL, BNL) == (wpl0, wnl0)  # branch totals consistency
+    leaves = [
+        (wplL, wnlL),
+        (wpl0 - wplL, wnl0 - wnlL),
+        (wplR, wnlR),
+        ((WP - wpl0) - wplR, (WN - wnl0) - wnlR),
+    ]
+    preds = [1 if p > n else -1 for p, n in leaves]
+    e = sum(n if pr == 1 else p for (p, n), pr in zip(leaves, preds))
+
+    def leaf(v):
+        if v[f0] <= t0:
+            return 1 if v[fL] <= tL else 2
+        return 3 if v[fR] <= tR else 4
+
+    return {
+        "splits": ((f0, t0), (fL, tL), (fR, tR)),
+        "preds": preds,
+        "e": e,
+        "d": WP + WN,
+        "leaf": leaf,
+    }
+
+
+def test_boosted_mf_tree2_matches_python_reference(spark, sf_dir, duck):
+    got = (
+        REGISTRY["q_boosted_mf_tree2"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("round")
+    )
+    rows = _fetch_rows(duck)
+    n = len(rows)
+    ones = [1] * n
+
+    m1 = _mf_tree2_ref(rows, ones, ones)
+    r1 = got.loc[1]
+    assert (
+        (r1.feat_root, r1.t_root),
+        (r1.feat_left, r1.t_left),
+        (r1.feat_right, r1.t_right),
+    ) == m1["splits"]
+    assert [r1.pred_l1, r1.pred_l2, r1.pred_l3, r1.pred_l4] == m1["preds"]
+    assert abs(r1.w_err - m1["e"] / m1["d"]) < 1e-6
+    a1 = 0.5 * math.log((m1["d"] - m1["e"]) / m1["e"])
+    assert abs(r1.alpha - a1) < 1e-6
+
+    wpos, wneg = [], []
+    for l, v in rows:
+        pr = m1["preds"][m1["leaf"](v) - 1]
+        wpos.append(m1["e"] if pr == 1 else m1["d"] - m1["e"])
+        wneg.append(m1["e"] if pr == -1 else m1["d"] - m1["e"])
+    m2 = _mf_tree2_ref(rows, wpos, wneg)
+    r2 = got.loc[2]
+    assert (
+        (r2.feat_root, r2.t_root),
+        (r2.feat_left, r2.t_left),
+        (r2.feat_right, r2.t_right),
+    ) == m2["splits"]
+    assert [r2.pred_l1, r2.pred_l2, r2.pred_l3, r2.pred_l4] == m2["preds"]
+    assert abs(r2.w_err - m2["e"] / m2["d"]) < 1e-6
+    a2 = 0.5 * math.log((m2["d"] - m2["e"]) / m2["e"])
+    assert abs(r2.alpha - a2) < 1e-6
+
+    u1 = u2 = 0
+    for l, v in rows:
+        h1 = m1["preds"][m1["leaf"](v) - 1]
+        h2 = m2["preds"][m2["leaf"](v) - 1]
+        u1 += 1 if (a1 * h1 > 0) == (l == 1) else 0
+        u2 += 1 if ((a1 * h1 + a2 * h2) > 0) == (l == 1) else 0
+    assert abs(r1.acc - u1 / n) < 1e-6
+    assert abs(r2.acc - u2 / n) < 1e-6
+
+
+def test_boosted_mf_tree2_round1_equals_tree_multifeat(spark, sf_dir):
+    """Round 1 (uniform weights) IS q_tree_multifeat's exact tree —
+    all three (feature, threshold) splits, node for node."""
+    bm = (
+        REGISTRY["q_boosted_mf_tree2"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("round")
+        .loc[1]
+    )
+    mf = (
+        REGISTRY["q_tree_multifeat"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("node")
+    )
+    assert (bm.feat_root, bm.t_root) == (
+        mf.loc["root", "feat"],
+        mf.loc["root", "threshold"],
+    )
+    assert (bm.feat_left, bm.t_left) == (
+        mf.loc["left", "feat"],
+        mf.loc["left", "threshold"],
+    )
+    assert (bm.feat_right, bm.t_right) == (
+        mf.loc["right", "feat"],
+        mf.loc["right", "threshold"],
+    )
