@@ -336,3 +336,42 @@ def test_cindex_grid_bounded_under_user_growth(spark):
         f"bins {p1} -> {p10} (domain {domain_bins}); grid {grid1} -> "
         f"{grid10} cells"
     )
+
+
+def test_mf_trainer_cell_tables_fixed_under_fact_replication(spark):
+    """The multi-feature trainer family's per-(feat, val) fold — the
+    only non-broadcast structure in q_tree_multifeat /
+    q_boosted_multifeat / q_boosted_mf_tree2 — is bounded by the three
+    6-dp feature DOMAINS, not fact rows: 10x value-identical fact
+    replication keeps the cell table exactly fixed while counts scale
+    10x."""
+    from fraud_detection_spark.operators.ml_metrics import (
+        _mf_base,
+        _mf_unpivot,
+    )
+
+    base1 = _mf_base(spark, SCALE_SF_DIR)
+    base10 = _replicate(base1)
+
+    def cells(b):
+        return (
+            _mf_unpivot(b, [])
+            .groupBy("feat", "val")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+
+    c1, c10 = cells(base1), cells(base10)
+    n1, w1 = _timed_count(c1)
+    n10, w10 = _timed_count(c10)
+    assert n1 == n10, (n1, n10)
+    bad = (
+        c1.select("feat", "val", F.col("cnt").alias("c1"))
+        .join(c10, ["feat", "val"], "full")
+        .filter(
+            (F.col("cnt") != REPLICAS * F.col("c1"))
+            | F.col("c1").isNull()
+            | F.col("cnt").isNull()
+        )
+    )
+    assert bad.count() == 0
+    print(f"SCALE mf-trainer cells: {n1} rows @1x {w1:.2f}s @10x {w10:.2f}s")
