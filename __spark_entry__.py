@@ -94,6 +94,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_calibration_slope",
     "q_fleming_harrington",
     "q_boosted_mf_tree2",
+    "q_pseudo_r2",
 })
 
 

@@ -374,6 +374,10 @@ HEADLINE = [
     # censoring-robust early-difference member completing the
     # survival-weight family (w = left-continuous pooled KM survival)
     "q_fleming_harrington",
+    # round 14: McFadden + Nagelkerke pseudo-R2 (one fact fold to the
+    # distinct-score table + a 3-scalar fold — the model-fit summary
+    # completing the calibration house)
+    "q_pseudo_r2",
 ]
 
 

@@ -1645,3 +1645,124 @@ def q_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("intercept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pseudo_r2 — McFadden + Nagelkerke pseudo-R² of the scorer (round
+# 14, 8th widening): the goodness-of-fit summary a logistic scorer
+# reports next to q_logloss (absolute) and q_hosmer_lemeshow (grouped
+# test) — model log-likelihood against the base-rate-only null.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_pseudo_r2",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), "
+        "g AS (SELECT CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS u, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM s "
+        "WHERE score > 0 AND score < 1 GROUP BY u), "
+        # per-DISTINCT-SCORE log-likelihood folded to 1e-9 units before
+        # any accumulation (fixed_sum rule; LN of exact integer ratios)
+        "x AS (SELECT CAST(FLOOR((CAST(pos AS DOUBLE) "
+        "* LN(CAST(u AS DOUBLE) / 1000000) "
+        "+ CAST(cnt - pos AS DOUBLE) "
+        "* LN(CAST(1000000 - u AS DOUBLE) / 1000000)) "
+        "* 1000000000 + 0.5) AS BIGINT) AS llu, cnt, pos FROM g), "
+        "m AS (SELECT CAST(SUM(llu) AS BIGINT) AS llu, "
+        "CAST(SUM(cnt) AS BIGINT) AS n, "
+        "CAST(SUM(pos) AS BIGINT) AS sy FROM x), "
+        "f AS (SELECT n, "
+        "CAST(llu AS DOUBLE) / 1000000000 AS llm, "
+        "CAST(n AS DOUBLE) * ((CAST(sy AS DOUBLE) / n) "
+        "* LN(CAST(sy AS DOUBLE) / n) "
+        "+ (1.0 - CAST(sy AS DOUBLE) / n) "
+        "* LN(1.0 - CAST(sy AS DOUBLE) / n)) AS ll0 FROM m) "
+        "SELECT n, " + sql_round("llm", 6) + " AS ll_model, "
+        + sql_round("ll0", 6) + " AS ll_null, "
+        + sql_round("1.0 - llm / ll0", 6) + " AS mcfadden, "
+        + sql_round(
+            "(1.0 - EXP(2.0 * (ll0 - llm) / n)) "
+            "/ (1.0 - EXP(2.0 * ll0 / n))",
+            6,
+        )
+        + " AS nagelkerke FROM f"
+    ),
+    tags=("ml", "monitor", "calibration"),
+)
+def q_pseudo_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McFadden and Nagelkerke pseudo-R² of the published scorer: the
+    model's Bernoulli log-likelihood Σ y·ln(p) + (1−y)·ln(1−p) against
+    the base-rate-only null LL — McFadden = 1 − LLm/LL0, Nagelkerke =
+    (1 − exp(2(LL0−LLm)/n)) / (1 − exp(2·LL0/n)) (the Cox-Snell form
+    normalized to a [0,1] ceiling). The fit summary a logistic scorer
+    reports next to q_logloss (the same LLm to a constant, absolute
+    scale) and q_hosmer_lemeshow (the grouped test); completes the
+    model-fit house. Rows with score exactly 0 or 1 are excluded by an
+    identical predicate on both engines (ln undefined there — the
+    q_calibration_slope clip, documented).
+
+    Exactness: the fact table folds to the <=1e6-1 distinct-score
+    table (q_delong posture); each distinct score's LL term is LN of
+    exact integer ratios times exact counts (LN house class, KM
+    precedent), folded to 1e-9 fixed-point units per DISTINCT SCORE
+    before any accumulation — LLm is an exact BIGINT sum; LL0 and the
+    two R² scalars are 1-row closed forms on exact integers with
+    identical expression text.
+
+    Scale: ONE map-side-combinable fact fold to the domain-bounded
+    distinct-score table + a 3-scalar fold, zero windows, zero joins —
+    the q_calibration_slope shape exactly."""
+    s = scored(spark, sf_dir)
+    g = (
+        s.filter((F.col("score") > 0) & (F.col("score") < 1))
+        .groupBy(
+            F.floor(F.col("score") * 1000000 + F.lit(0.5))
+            .cast("bigint")
+            .alias("u")
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum("label").cast("bigint").alias("pos"),
+        )
+    )
+    llu = F.floor(
+        (
+            F.col("pos").cast("double")
+            * F.log(F.col("u").cast("double") / 1000000)
+            + (F.col("cnt") - F.col("pos")).cast("double")
+            * F.log((F.lit(1000000) - F.col("u")).cast("double") / 1000000)
+        )
+        * 1000000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    m = g.select(llu.alias("llu"), "cnt", "pos").agg(
+        F.sum("llu").cast("bigint").alias("llu"),
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("sy"),
+    )
+    r = F.col("sy").cast("double") / F.col("n")
+    llm = F.col("llu").cast("double") / 1000000000
+    ll0 = F.col("n").cast("double") * (
+        r * F.log(r) + (F.lit(1.0) - r) * F.log(F.lit(1.0) - r)
+    )
+    f = m.select("n", llm.alias("llm"), ll0.alias("ll0"))
+    return f.select(
+        "n",
+        pround(F.col("llm"), 6).alias("ll_model"),
+        pround(F.col("ll0"), 6).alias("ll_null"),
+        pround(F.lit(1.0) - F.col("llm") / F.col("ll0"), 6).alias(
+            "mcfadden"
+        ),
+        pround(
+            (
+                F.lit(1.0)
+                - F.exp(
+                    F.lit(2.0) * (F.col("ll0") - F.col("llm")) / F.col("n")
+                )
+            )
+            / (F.lit(1.0) - F.exp(F.lit(2.0) * F.col("ll0") / F.col("n"))),
+            6,
+        ).alias("nagelkerke"),
+    )

@@ -487,3 +487,40 @@ def test_boosted_mf_tree2_round1_equals_tree_multifeat(spark, sf_dir):
         mf.loc["right", "feat"],
         mf.loc["right", "threshold"],
     )
+
+
+# ---------------------------------------------------------------------------
+# q_pseudo_r2: numpy log-likelihood reference.
+
+
+def test_pseudo_r2_matches_numpy_reference(spark, sf_dir, duck):
+    import numpy as np
+
+    got = REGISTRY["q_pseudo_r2"].fn(spark, sf_dir).toPandas().iloc[0]
+    rows = [
+        (int(l), float(s))
+        for l, s in duck.execute(_SCORED_ROWS).fetchall()
+        if 0.0 < s < 1.0
+    ]
+    y = np.array([l for l, _ in rows], dtype=float)
+    p = np.array([s for _, s in rows])
+    n = len(rows)
+    llm = float(np.sum(y * np.log(p) + (1 - y) * np.log(1 - p)))
+    r = y.mean()
+    ll0 = n * (r * math.log(r) + (1 - r) * math.log(1 - r))
+    assert got.n == n
+    assert abs(got.ll_model - llm) < 1e-3  # 1e-9-unit folds vs naive sum
+    assert abs(got.ll_null - ll0) < 1e-5
+    assert abs(got.mcfadden - (1 - llm / ll0)) < 1e-6
+    nag = (1 - math.exp(2 * (ll0 - llm) / n)) / (
+        1 - math.exp(2 * ll0 / n)
+    )
+    assert abs(got.nagelkerke - nag) < 1e-6
+    # log-likelihoods are non-positive; McFadden/Nagelkerke < 1 and
+    # NEGATIVE when the scorer's raw probabilities fit worse than the
+    # base rate (true of this deliberately miscalibrated published
+    # scorer — it ranks well, q_auc >> 0.5, but over-confidently), and
+    # both agree in sign by construction
+    assert got.ll_model < 0 and got.ll_null < 0
+    assert got.mcfadden < 1.0 and got.nagelkerke < 1.0
+    assert (got.mcfadden < 0) == (got.nagelkerke < 0)
