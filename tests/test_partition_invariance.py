@@ -43,6 +43,7 @@ RISKY = [
     "q_rmst",
     "q_calibration_slope",
     "q_fleming_harrington",
+    "q_pseudo_r2",
 ]
 
 
