@@ -1604,8 +1604,11 @@ def q_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = x.agg(
         F.sum("cnt").cast("bigint").alias("n"),
         F.sum("pos").cast("bigint").alias("sy"),
-        F.sum(F.col("cnt") * F.col("xu")).cast(dec).alias("sx"),
-        F.sum(F.col("pos") * F.col("xu")).cast(dec).alias("sxy"),
+        # sx/sxy accumulate in DECIMAL(38,0) like sxx — a bare BIGINT
+        # sum would wrap silently (non-ANSI) at ~6.6e8 fact rows where
+        # the DuckDB HUGEINT twin stays exact (round-14 review fix)
+        F.sum(F.col("cnt").cast(dec) * F.col("xu")).cast(dec).alias("sx"),
+        F.sum(F.col("pos").cast(dec) * F.col("xu")).cast(dec).alias("sxy"),
         F.sum(F.col("cnt").cast(dec) * F.col("xu") * F.col("xu"))
         .cast(dec)
         .alias("sxx"),
@@ -1707,7 +1710,7 @@ def q_pseudo_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
     table (q_delong posture); each distinct score's LL term is LN of
     exact integer ratios times exact counts (LN house class, KM
     precedent), folded to 1e-9 fixed-point units per DISTINCT SCORE
-    before any accumulation — LLm is an exact BIGINT sum; LL0 and the
+    before any accumulation — LLm is an exact DECIMAL(38,0) sum; LL0 and the
     two R² scalars are 1-row closed forms on exact integers with
     identical expression text.
 
@@ -1738,7 +1741,12 @@ def q_pseudo_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("bigint")
     m = g.select(llu.alias("llu"), "cnt", "pos").agg(
-        F.sum("llu").cast("bigint").alias("llu"),
+        # accumulate in DECIMAL(38,0): a bare BIGINT sum of ~2.1e9-per-
+        # fact-row LL units would wrap silently at ~4e9 rows where the
+        # DuckDB HUGEINT sum stays exact (round-14 review fix)
+        F.sum(F.col("llu").cast("decimal(38,0)"))
+        .cast("decimal(38,0)")
+        .alias("llu"),
         F.sum("cnt").cast("bigint").alias("n"),
         F.sum("pos").cast("bigint").alias("sy"),
     )

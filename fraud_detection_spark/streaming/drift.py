@@ -174,11 +174,15 @@ PH_OUTPUT = T.StructType(
 # query restored from a pre-round-13 checkpoint carries 9-field state:
 # Spark's state-schema compatibility check (on by default,
 # spark.sql.streaming.stateStore.stateSchemaCheck) fails such a resume
-# with StateSchemaNotCompatible — the supported upgrade path is a
+# with StateSchemaNotCompatible — the ONLY supported upgrade path is a
 # FRESH checkpoint directory (the monitor is a derived view; its state
-# rebuilds from the source feed). If the schema check is disabled, the
-# tolerant unpack in _ph_updater pads legacy 9-field tuples with
-# (last_closed=None, late_rows_dropped=0) instead of crashing.
+# rebuilds from the source feed). Disabling the schema check does NOT
+# make the old checkpoint readable: the stored 9-field UnsafeRow bytes
+# would be reinterpreted JVM-side against the 11-field schema
+# (misaligned offsets — garbage or a JVM error before Python sees the
+# tuple). The 9-field pad in _ph_updater below is defense-in-depth for
+# state handed over as a clean tuple (e.g. a replayed/migrated store),
+# not a supported resume path.
 PH_STATE = T.StructType(
     [
         T.StructField("i", T.LongType()),
@@ -216,10 +220,11 @@ def _ph_updater(delta: float, lam: float):
         import pandas as _pd
 
         if state.exists:
-            # tolerate legacy 9-field (pre-round-13) state tuples when
-            # the state-schema check is disabled: pad the two appended
-            # bookkeeping fields with their no-history defaults
-            # (ADVICE r13 #3; see the PH_STATE compatibility note)
+            # defense-in-depth for legacy 9-field (pre-round-13) state
+            # tuples delivered intact (a replayed/migrated store): pad
+            # the two appended bookkeeping fields with their no-history
+            # defaults. NOT a checkpoint-resume path — see the PH_STATE
+            # compatibility note (ADVICE r13 #3)
             got = tuple(state.get)
             if len(got) == 9:
                 got = got + (None, 0)

@@ -44,6 +44,10 @@ RISKY = [
     "q_calibration_slope",
     "q_fleming_harrington",
     "q_pseudo_r2",
+    # the depth-2 composition has MORE argmin/cum exposure than
+    # q_boosted_multifeat (4 DECIMAL cum passes, 2 per-branch struct
+    # argmins) — worth its ~2x17s here
+    "q_boosted_mf_tree2",
 ]
 
 

@@ -50,11 +50,11 @@ def _mf_stump(rows, wpos, wneg):
     for feat in ("disc", "price", "qty"):
         agg = {}
         for i, (l, v) in enumerate(rows):
-            wp, wn = agg.setdefault(v[feat], [0, 0])
+            cur = agg.setdefault(v[feat], [0, 0])
             if l == 1:
-                agg[v[feat]][0] += wpos[i]
+                cur[0] += wpos[i]
             else:
-                agg[v[feat]][1] += wneg[i]
+                cur[1] += wneg[i]
         cwp = cwn = 0
         vals = sorted(agg)
         for val in vals[:-1]:  # the top value is never a candidate

@@ -330,7 +330,10 @@ def test_cindex_grid_bounded_under_user_growth(spark):
     assert p10 <= domain_bins
     assert p10 < users10 / 5  # 10x users did NOT drag the axis along
     grid1, grid10 = p1 * u1.select("dur").distinct().count(), p10 * durs10
-    assert grid10 < 3 * grid1 * 2  # sublinear vs the 10x user growth
+    # measured 1.36x (3,892 -> 5,278 cells) under 10x users; 2x is the
+    # pinned slack — a reintroduced user-proportional axis component
+    # would blow well past it
+    assert grid10 < 2 * grid1
     print(
         f"SCALE cindex user-growth: users {users1} -> {users10}; pred "
         f"bins {p1} -> {p10} (domain {domain_bins}); grid {grid1} -> "
