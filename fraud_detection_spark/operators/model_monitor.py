@@ -1438,9 +1438,14 @@ def q_brier_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(COUNT(CASE WHEN su = 0 OR su = n * 1000000 THEN NULL "
         "ELSE 1 END) AS BIGINT) AS n_bins, "
         "CAST(SUM(n) AS BIGINT) AS nn FROM g) "
-        "SELECT n_bins, CAST(n_bins - 2 AS BIGINT) AS df, nn AS n, "
+        # < 3 usable bins -> df <= 0 and a statistic no chi-square
+        # consumer can use: NULL out both, identical predicate on both
+        # engines (ADVICE r14 #4, the q_delong degenerate discipline)
+        "SELECT n_bins, CASE WHEN n_bins < 3 THEN NULL "
+        "ELSE CAST(n_bins - 2 AS BIGINT) END AS df, nn AS n, "
+        "CASE WHEN n_bins < 3 THEN NULL ELSE "
         + sql_round("CAST(hu AS DOUBLE) / 1000000000", 6)
-        + " AS hl_stat FROM d"
+        + " END AS hl_stat FROM d"
     ),
     tags=("ml", "monitor", "calibration"),
 )
@@ -1462,7 +1467,9 @@ def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixed-point units per decile row BEFORE the <=10-row sum
     (fixed_sum rule). Degenerate deciles (E = 0 or E = n) emit NULL
     and drop out of SUM and the bin COUNT identically on both
-    engines.
+    engines; if fewer than 3 usable bins survive, df and hl_stat are
+    NULLed on both engines (df <= 0 is unusable by any chi-square
+    consumer — ADVICE r14 #4, the q_delong degenerate discipline).
 
     Scale: ONE map-side-combinable fact fold to <=10 decile rows +
     a 1-row fold — the q_brier_decomp shape exactly."""
@@ -1498,11 +1505,15 @@ def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "n_bins",
-        (F.col("n_bins") - 2).cast("bigint").alias("df"),
+        F.when(F.col("n_bins") < 3, F.lit(None).cast("bigint"))
+        .otherwise((F.col("n_bins") - 2).cast("bigint"))
+        .alias("df"),
         F.col("nn").alias("n"),
-        pround(F.col("hu").cast("double") / 1000000000, 6).alias(
-            "hl_stat"
-        ),
+        F.when(F.col("n_bins") < 3, F.lit(None).cast("double"))
+        .otherwise(
+            pround(F.col("hu").cast("double") / 1000000000, 6)
+        )
+        .alias("hl_stat"),
     )
 
 
@@ -1530,10 +1541,14 @@ def q_hosmer_lemeshow(spark: SparkSession, sf_dir: str) -> DataFrame:
         "x AS (SELECT cnt, pos, "
         "CAST(FLOOR(LN(CAST(u AS DOUBLE) / (1000000 - u)) "
         "* 1000000000 + 0.5) AS BIGINT) AS xu FROM g), "
+        # the per-row products promote to HUGEINT BEFORE the SUM (the
+        # sxx association): |xu| reaches ~1.39e10, so a BIGINT product
+        # would overflow at cnt >~6.6e8 per distinct score — exactly
+        # the scale the Spark DECIMAL(38,0) side targets (ADVICE r14 #1)
         "m AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, "
         "CAST(SUM(pos) AS BIGINT) AS sy, "
-        "CAST(SUM(cnt * xu) AS HUGEINT) AS sx, "
-        "CAST(SUM(pos * xu) AS HUGEINT) AS sxy, "
+        "CAST(SUM(CAST(cnt AS HUGEINT) * xu) AS HUGEINT) AS sx, "
+        "CAST(SUM(CAST(pos AS HUGEINT) * xu) AS HUGEINT) AS sxy, "
         "CAST(SUM(CAST(cnt AS HUGEINT) * xu * xu) AS HUGEINT) AS sxx "
         "FROM x), "
         "f AS (SELECT n, sy, sx, "
@@ -1673,7 +1688,10 @@ def q_calibration_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "+ CAST(cnt - pos AS DOUBLE) "
         "* LN(CAST(1000000 - u AS DOUBLE) / 1000000)) "
         "* 1000000000 + 0.5) AS BIGINT) AS llu, cnt, pos FROM g), "
-        "m AS (SELECT CAST(SUM(llu) AS BIGINT) AS llu, "
+        # SUM stays HUGEINT (not narrowed to BIGINT): the 1e-9-unit LL
+        # sum wraps BIGINT at ~4e9 rows — the very scale the Spark
+        # DECIMAL(38,0) accumulation targets (ADVICE r14 #2)
+        "m AS (SELECT CAST(SUM(llu) AS HUGEINT) AS llu, "
         "CAST(SUM(cnt) AS BIGINT) AS n, "
         "CAST(SUM(pos) AS BIGINT) AS sy FROM x), "
         "f AS (SELECT n, "

@@ -1513,12 +1513,16 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o1 AS o_treat, "
         + sql_round("CAST(eu AS DOUBLE) / 1000000000", 6) + " AS e_treat, "
         + sql_round("CAST(vu AS DOUBLE) / 1000000000", 6) + " AS var_treat, "
+        # V = 0 (degenerate stream / empty parity arm) -> NULL z, the
+        # q_delong guard the rest of the family carries (ADVICE r14 #3):
+        # inf 6-dp rounding diverges across engines
+        "CASE WHEN vu = 0 THEN NULL ELSE "
         + sql_round(
             "(CAST(o1 AS DOUBLE) - CAST(eu AS DOUBLE) / 1000000000) "
             "/ SQRT(CAST(vu AS DOUBLE) / 1000000000)",
             6,
         )
-        + " AS z FROM g, a"
+        + " END AS z FROM g, a"
     ),
     tags=("timeseries", "survival", "stats"),
 )
@@ -1541,7 +1545,9 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDENTICAL double expressions on exact integers folded to 1e-9
     fixed-point units per row BEFORE summation (the engine-wide
     fixed_sum audit rule — a raw double SUM would be partial-order
-    dependent), so O1/E1/V and z are engine-identical.
+    dependent), so O1/E1/V and z are engine-identical. V = 0
+    (degenerate stream / empty parity arm) emits NULL z on both
+    engines — the family-wide q_delong guard (ADVICE r14 #3).
 
     Scale shape: one conditional-MIN/MAX fold of the event stream to
     per-user rows, one fold to the bounded duration table, two
@@ -1622,7 +1628,11 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o1").alias("o_treat"),
         pround(e1, 6).alias("e_treat"),
         pround(v1, 6).alias("var_treat"),
-        pround((F.col("o1").cast("double") - e1) / F.sqrt(v1), 6).alias("z"),
+        F.when(F.col("vu") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            pround((F.col("o1").cast("double") - e1) / F.sqrt(v1), 6)
+        )
+        .alias("z"),
     )
 
 
