@@ -69,32 +69,22 @@ def entry(spark: SparkSession) -> DataFrame:
 _PINNED_HEAD = ()
 
 _TOUCHED_THIS_ROUND = frozenset({
-    # round 14 edits. VERDICT r13 #3: keep this set small so the
-    # rotation's stale-first ordering drains the r07-evidence block
-    # (q_scan, q_countmin, q_cusum, q_ewma, q_kaplan_meier, ...) into
-    # the 50-slot sample.
+    # round 15 edits. VERDICT r14 #3: keep this set small so the
+    # rotation's stale-first ordering drains the r08-evidence block
+    # (q_abtest, q_auc, q_bm25, q_cast, q_cell_balance, q_count, ...)
+    # into the 50-slot sample.
     #
-    # VERDICT r13 #1 / ADVICE r13 #5: q_cindex reworked to the
-    # domain-bounded mean-spend predictor (dense grid no longer
-    # user-proportional):
-    "q_cindex",
-    # ADVICE r13 #1: oracle FLOOR folded per decile row inside the
-    # SUM with Spark's multiply association:
-    "q_brier_decomp",
-    # ADVICE r13 #2: V = 0 -> NULL z guard on both engines:
-    "q_gehan",
-    "q_cox_score",
-    "q_tarone_ware",
-    # round-14 addition (VERDICT r13 #4 — boosted multi-feature trees):
-    "q_boosted_multifeat",
-    # round-14 widenings (VERDICT r13 #6a-d):
-    "q_nelson_aalen",
-    "q_rmst",
-    "q_hosmer_lemeshow",
+    # ADVICE r14 #1/#2: oracle-side HUGEINT promotion (per-row product
+    # / sum no longer narrows at the DECIMAL(38,0) target scale):
     "q_calibration_slope",
-    "q_fleming_harrington",
-    "q_boosted_mf_tree2",
     "q_pseudo_r2",
+    # ADVICE r14 #3: V = 0 -> NULL z guard (both engines):
+    "q_logrank",
+    # ADVICE r14 #4: n_bins < 3 -> NULL df/hl_stat (both engines):
+    "q_hosmer_lemeshow",
+    # round-15 addition (VERDICT r14 #1 — one exact Newton boosting
+    # round on the logistic objective):
+    "q_xgb_round",
 })
 
 

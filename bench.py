@@ -378,6 +378,12 @@ HEADLINE = [
     # distinct-score table + a 3-scalar fold — the model-fit summary
     # completing the calibration house)
     "q_pseudo_r2",
+    # round 15 (VERDICT r14 #1): one exact Newton boosting round on
+    # the logistic objective — integer g/h sufficient statistics from
+    # the 6-dp score, XGBoost gain argmin over the q_tree_multifeat
+    # candidate grid, shrunken Newton leaf weights; one stack-explode
+    # fact pass + a 3-scalar totals fold
+    "q_xgb_round",
 ]
 
 

@@ -2668,27 +2668,36 @@ def _mf_unpivot(base: DataFrame, extra: list[str]) -> DataFrame:
 
 
 def _mf_cum(
-    grouped: DataFrame, keys: list[str], out_cast: str = "bigint"
+    grouped: DataFrame,
+    keys: list[str],
+    out_cast: str = "bigint",
+    measures: tuple[tuple[str, str], ...] = (
+        ("cnt", "cum_n"),
+        ("pos", "cum_p"),
+    ),
 ) -> DataFrame:
-    """Per-key prefix counts over the bounded distinct-(feat,val)
+    """Per-key prefix sums over the bounded distinct-(feat,val)
     table — the _tree_cum_table bucket-offset machinery generalized to
     composite keys: coarse floor(val*1000) buckets, offsets via a
     broadcast self-join of the <=~1.5k-row bucket-total table,
     PARTITIONED within-bucket windows; never a global single-partition
     sort even when one feature (price) has ~1e5 distinct values.
     ``out_cast`` lets q_boosted_multifeat's DECIMAL(38,0) weighted
-    counts ride the same machinery without narrowing to bigint."""
+    counts ride the same machinery without narrowing to bigint;
+    ``measures`` generalizes the (cnt, pos) pair so q_xgb_round's
+    Newton (cnt, g, h) sufficient statistics ride it too — the
+    generated plan is measure-count-parametric but node-shape
+    identical (same groupBys, same broadcast joins, same window)."""
     b = grouped.withColumn(
         "bucket", F.floor(F.col("val") * 1000).cast("bigint")
     )
     btot = b.groupBy(*keys, "bucket").agg(
-        F.sum("cnt").alias("bcnt"), F.sum("pos").alias("bpos")
+        *[F.sum(src).alias(f"b_{src}") for src, _ in measures]
     )
     lower = btot.select(
         *[F.col(k).alias(f"l_{k}") for k in keys],
         F.col("bucket").alias("lb"),
-        F.col("bcnt").alias("lcnt"),
-        F.col("bpos").alias("lpos"),
+        *[F.col(f"b_{src}").alias(f"lo_{src}") for src, _ in measures],
     )
     cond = F.col("lb") < F.col("bucket")
     for k in keys:
@@ -2697,8 +2706,10 @@ def _mf_cum(
         btot.join(F.broadcast(lower), cond, "left")
         .groupBy(*keys, "bucket")
         .agg(
-            F.coalesce(F.sum("lcnt"), F.lit(0)).alias("off_n"),
-            F.coalesce(F.sum("lpos"), F.lit(0)).alias("off_p"),
+            *[
+                F.coalesce(F.sum(f"lo_{src}"), F.lit(0)).alias(f"off_{src}")
+                for src, _ in measures
+            ]
         )
     )
     w_in = (
@@ -2709,12 +2720,12 @@ def _mf_cum(
     return b.join(F.broadcast(offs), [*keys, "bucket"]).select(
         *keys,
         "val",
-        (F.col("off_n") + F.sum("cnt").over(w_in))
-        .cast(out_cast)
-        .alias("cum_n"),
-        (F.col("off_p") + F.sum("pos").over(w_in))
-        .cast(out_cast)
-        .alias("cum_p"),
+        *[
+            (F.col(f"off_{src}") + F.sum(src).over(w_in))
+            .cast(out_cast)
+            .alias(out)
+            for src, out in measures
+        ],
     )
 
 
@@ -4562,3 +4573,214 @@ def q_boosted_mf_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("acc"),
     )
     return row1.unionAll(row2)
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_round — ONE exact second-order (Newton) boosting round on the
+# logistic objective (round 15, VERDICT r14 #1): the last algorithmic
+# piece of the reference XGBClassifier loop (train_model.py:69-80,
+# objective='binary:logistic', learning_rate=0.1, reg_lambda=1) not
+# mirrored by the AdaBoost ladder. Starting from the published
+# scorer's logit as the base margin (so p_i IS the 6-dp score), one
+# round computes per-row gradients g = p - y and hessians h = p(1-p),
+# searches all three features for the split maximizing the XGBoost
+# gain G_L^2/(H_L+lambda) + G_R^2/(H_R+lambda) - G^2/(H+lambda), and
+# emits the Newton leaf weights w = -G/(H+lambda) with shrinkage eta.
+# ---------------------------------------------------------------------------
+
+# XGBoost defaults mirrored from the reference config: reg_lambda = 1.0,
+# learning_rate = 0.1 (train_model.py:69-80). Literals on both engines.
+_XGB_SIG_SQL = (
+    "1.0 / (1.0 + EXP(-(-2.0 + 0.03 * l_quantity + 9.0 * l_discount "
+    "+ 0.8 * (l_extendedprice / 100000.0))))"
+)
+
+
+def _xgb_round_oracle() -> str:
+    """DuckDB twin: same 6-dp feature/score grid, same exact integer
+    g/h sufficient statistics, same gain argmin text."""
+    fsel = ", ".join(
+        sql_round(_MF_VAL_SQL[f], 6) + f" AS {f}" for f in _MF_FEATS
+    )
+    u1 = " UNION ALL ".join(
+        f"SELECT '{f}' AS feat, {f} AS val, gu, hu FROM r" for f in _MF_FEATS
+    )
+    gl = "CAST(cum_g AS DOUBLE) / 1000000"
+    hl = "CAST(cum_h AS DOUBLE) / 1000000000000"
+    gr = "CAST(gt - cum_g AS DOUBLE) / 1000000"
+    hr = "CAST(ht - cum_h AS DOUBLE) / 1000000000000"
+    gt = "CAST(gt AS DOUBLE) / 1000000"
+    ht = "CAST(ht AS DOUBLE) / 1000000000000"
+    kl = f"(({gl}) * ({gl}) / (({hl}) + 1.0))"
+    kr = f"(({gr}) * ({gr}) / (({hr}) + 1.0))"
+    key = f"(0.0 - ({kl} + {kr}))"
+    return (
+        "WITH f AS (SELECT "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        f"{fsel}, "
+        "CAST(FLOOR((" + sql_round(_XGB_SIG_SQL, 6) + ") "
+        "* 1000000 + 0.5) AS BIGINT) AS u FROM lineitem), "
+        # g_i = p_i - y_i in exact 1e-6 units; h_i = p_i(1-p_i) in
+        # exact 1e-12 units — NO rounding anywhere: both are integer
+        # functions of the 6-dp score integer u
+        "r AS (SELECT f.*, u - label * 1000000 AS gu, "
+        "u * (1000000 - u) AS hu FROM f), "
+        f"u AS ({u1}), "
+        "g AS (SELECT feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(gu) AS HUGEINT) AS g, "
+        "CAST(SUM(hu) AS HUGEINT) AS h FROM u GROUP BY feat, val), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(gu) AS HUGEINT) AS gt, "
+        "CAST(SUM(hu) AS HUGEINT) AS ht FROM r), "
+        "c AS (SELECT feat, val, "
+        "CAST(SUM(cnt) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_n, "
+        "CAST(SUM(g) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_g, "
+        "CAST(SUM(h) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_h, n, gt, ht FROM g, t) "
+        "SELECT feat, val AS threshold, "
+        "CAST(cum_n AS BIGINT) AS n_left, "
+        "CAST(n - cum_n AS BIGINT) AS n_right, "
+        + sql_round(gl, 6) + " AS g_left, "
+        + sql_round(hl, 6) + " AS h_left, "
+        + sql_round(gr, 6) + " AS g_right, "
+        + sql_round(hr, 6) + " AS h_right, "
+        + sql_round(
+            f"0.5 * (({kl} + {kr}) - ({gt}) * ({gt}) / (({ht}) + 1.0))", 6
+        )
+        + " AS gain, "
+        + sql_round(f"0.0 - 0.1 * ({gl}) / (({hl}) + 1.0)", 6)
+        + " AS w_left, "
+        + sql_round(f"0.0 - 0.1 * ({gr}) / (({hr}) + 1.0)", 6)
+        + " AS w_right "
+        f"FROM c WHERE cum_n < n ORDER BY {key}, feat, val LIMIT 1"
+    )
+
+
+@query(
+    "q_xgb_round",
+    oracle=_xgb_round_oracle(),
+    tags=("ml", "train", "boosting"),
+)
+def q_xgb_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One exact Newton (second-order) boosting round on the logistic
+    objective — the algorithmic core of the reference's
+    XGBClassifier(objective='binary:logistic', learning_rate=0.1)
+    (train_model.py:69-80) that AdaBoost reweighting does not express.
+    The published scorer's logit is the base margin, so p_i is exactly
+    the 6-dp score: per-row gradient g_i = p_i - y_i and hessian
+    h_i = p_i(1-p_i) are INTEGER functions of the score integer
+    u = round(score*1e6) — g in 1e-6 units (u - y*1e6), h in 1e-12
+    units (u*(1e6-u)) — with no rounding anywhere. The split search
+    maximizes the XGBoost structure-score gain
+    G_L^2/(H_L+lambda) + G_R^2/(H_R+lambda) - G^2/(H+lambda) over all
+    three published feature columns (the q_tree_multifeat candidate
+    grid), lambda = 1 (the library default the reference inherits);
+    leaf weights are the Newton step w = -G/(H+lambda) scaled by the
+    reference's learning_rate 0.1. One row out: winning (feat,
+    threshold), exact branch counts, the G/H sums, gain, and both
+    shrunken leaf weights.
+
+    Exactness: all sufficient statistics (per-(feat,val) counts and
+    g/h sums, their prefix cums, and the totals) are EXACT integers —
+    DECIMAL(38,0) on Spark, HUGEINT on DuckDB (per-row |gu| <= 1e6 and
+    hu <= 2.5e11, so sums stay exact past 1e12 rows on both engines);
+    the gain key and all emitted doubles are computed from those
+    integers with IDENTICAL expression text, and the argmin ORDER BY
+    (key, feat, val) is the q_tree_multifeat tie-break. Feature values
+    and the score are 6-dp pround-ed BEFORE grouping so distinct/tie
+    structure matches DuckDB's.
+
+    Scale: ONE stack-explode fact pass (3x rows, map-side-combined
+    before the only shuffle on (feat, val)) + one 3-scalar fact fold
+    for the totals; prefix cums ride the bucket-offset _mf_cum
+    machinery (broadcast <=~1.5k-row offset tables + partitioned
+    windows, never a global sort); the pick is TakeOrdered(1) over the
+    bounded distinct-value table. Adding rounds costs one such pass
+    each with the margin updated by the compiled leaf CASE — the exact
+    distributed-XGBoost histogram shape at 100 TB."""
+    li = load_table(spark, sf_dir, "lineitem")
+    dec = "decimal(38,0)"
+    logit = (
+        F.lit(B0)
+        + F.lit(W_QTY) * F.col("l_quantity")
+        + F.lit(W_DISC) * F.col("l_discount")
+        + F.lit(W_PRICE) * (F.col("l_extendedprice") / 100000.0)
+    )
+    u_int = F.floor(
+        pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    base = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        pround(F.col("l_discount").cast("double"), 6).alias("disc"),
+        pround(F.col("l_extendedprice").cast("double") / 100000.0, 6).alias(
+            "price"
+        ),
+        pround(F.col("l_quantity").cast("double"), 6).alias("qty"),
+        u_int.alias("u"),
+    ).select(
+        "label",
+        "disc",
+        "price",
+        "qty",
+        (F.col("u") - F.col("label") * 1000000).alias("gu"),
+        (F.col("u") * (F.lit(1000000) - F.col("u"))).alias("hu"),
+    )
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("gu").cast(dec)).cast(dec).alias("gt"),
+        F.sum(F.col("hu").cast(dec)).cast(dec).alias("ht"),
+    )
+    g1 = (
+        _mf_unpivot(base, ["gu", "hu"])
+        .groupBy("feat", "val")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
+            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+        )
+    )
+    c = _mf_cum(
+        g1,
+        ["feat"],
+        out_cast=dec,
+        measures=(("cnt", "cum_n"), ("g", "cum_g"), ("h", "cum_h")),
+    ).crossJoin(F.broadcast(tot))
+    gl = F.col("cum_g").cast("double") / 1000000
+    hl = F.col("cum_h").cast("double") / 1000000000000
+    gr = (F.col("gt") - F.col("cum_g")).cast("double") / 1000000
+    hr = (F.col("ht") - F.col("cum_h")).cast("double") / 1000000000000
+    gtd = F.col("gt").cast("double") / 1000000
+    htd = F.col("ht").cast("double") / 1000000000000
+    kl = (gl * gl) / (hl + F.lit(1.0))
+    kr = (gr * gr) / (hr + F.lit(1.0))
+    key = F.lit(0.0) - (kl + kr)
+    return (
+        c.filter(F.col("cum_n") < F.col("n"))
+        .withColumn("key", key)
+        .orderBy("key", "feat", "val")
+        .limit(1)
+        .select(
+            "feat",
+            F.col("val").alias("threshold"),
+            F.col("cum_n").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("cum_n")).cast("bigint").alias("n_right"),
+            pround(gl, 6).alias("g_left"),
+            pround(hl, 6).alias("h_left"),
+            pround(gr, 6).alias("g_right"),
+            pround(hr, 6).alias("h_right"),
+            pround(
+                F.lit(0.5)
+                * ((kl + kr) - (gtd * gtd) / (htd + F.lit(1.0))),
+                6,
+            ).alias("gain"),
+            pround(F.lit(0.0) - F.lit(0.1) * gl / (hl + F.lit(1.0)), 6).alias(
+                "w_left"
+            ),
+            pround(F.lit(0.0) - F.lit(0.1) * gr / (hr + F.lit(1.0)), 6).alias(
+                "w_right"
+            ),
+        )
+    )

@@ -331,19 +331,71 @@ def q_asof_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_kaplan_meier",
-    oracle=(
-        "WITH u AS (SELECT user_id, "
+# ---------------------------------------------------------------------------
+# Shared KM duration fold (round 15, VERDICT r14 #5): the 7 survival
+# queries (q_kaplan_meier, q_logrank, q_gehan, q_tarone_ware,
+# q_nelson_aalen, q_rmst, q_fleming_harrington) all start from the
+# SAME per-user time-to-first-error fold — one conditional MIN/MAX
+# aggregate of the event stream to per-user rows, then (dur, ev)
+# with right-censoring at last activity. Both engine texts are
+# generated from these two helpers so the identical-expression-text
+# discipline is mechanical, not 7-way copy-editing; the generated SQL
+# is byte-identical to the pre-refactor per-query texts (pinned by
+# tests/test_round15_ops.py::test_km_fold_sql_generation).
+# ---------------------------------------------------------------------------
+
+
+def _km_dur_sql(arm: bool = False) -> str:
+    """DuckDB CTE prefix (u + d) of the shared survival duration fold;
+    ``arm=True`` adds the user_id-parity A/B arm (q_abtest's
+    deterministic assignment) carried by the test-family members."""
+    head = "user_id % 2 AS arm, " if arm else "user_id, "
+    dsel = "arm, " if arm else ""
+    return (
+        f"WITH u AS (SELECT {head}"
         "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
         "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
         "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
         "END) AS err_sec FROM events GROUP BY user_id), "
-        "d AS (SELECT CASE WHEN err_sec IS NOT NULL "
+        f"d AS (SELECT {dsel}CASE WHEN err_sec IS NOT NULL "
         "THEN (err_sec - first_sec) // 86400 "
         "ELSE (last_sec - first_sec) // 86400 END AS dur, "
         "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
-        "t AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_event, "
+    )
+
+
+def _km_durations(
+    spark: SparkSession, sf_dir: str, arm: bool = False
+) -> DataFrame:
+    """Spark twin of _km_dur_sql: events -> ([arm,] dur, ev). One
+    conditional-MIN/MAX fold of the 100 TB event stream to per-user
+    rows; everything downstream operates on the bounded
+    distinct-duration table."""
+    ev = load_table(spark, sf_dir, "events")
+    sec = F.expr("ts div 1000000000")
+    u = ev.groupBy("user_id").agg(
+        F.min(sec).alias("first_sec"),
+        F.max(sec).alias("last_sec"),
+        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
+    )
+    cols = [(F.col("user_id") % 2).alias("arm")] if arm else []
+    return u.select(
+        *cols,
+        F.when(
+            F.col("err_sec").isNotNull(),
+            F.expr("(err_sec - first_sec) div 86400"),
+        )
+        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
+        .alias("dur"),
+        F.col("err_sec").isNotNull().cast("int").alias("ev"),
+    )
+
+
+@query(
+    "q_kaplan_meier",
+    oracle=(
+        _km_dur_sql()
+        + "t AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_event, "
         "CAST(COUNT(*) - SUM(ev) AS BIGINT) AS n_censored FROM d GROUP BY dur), "
         "r AS (SELECT *, CAST(SUM(n_event + n_censored) OVER "
         "(ORDER BY dur DESC) AS BIGINT) AS n_risk FROM t), "
@@ -377,22 +429,7 @@ def q_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor (d_i=n_i) handled by an explicit extinction flag, because
     Spark's ln(0) is NULL while DuckDB's is -inf - the flag makes both
     engines emit exact 0 from there on."""
-    ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("ts div 1000000000")
-    u = ev.groupBy("user_id").agg(
-        F.min(sec).alias("first_sec"),
-        F.max(sec).alias("last_sec"),
-        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
-    )
-    d = u.select(
-        F.when(
-            F.col("err_sec").isNotNull(),
-            F.expr("(err_sec - first_sec) div 86400"),
-        )
-        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
-        .alias("dur"),
-        F.col("err_sec").isNotNull().cast("int").alias("ev"),
-    )
+    d = _km_durations(spark, sf_dir)
     t = d.groupBy("dur").agg(
         F.sum("ev").cast("bigint").alias("n_event"),
         (F.count("*") - F.sum("ev")).cast("bigint").alias("n_censored"),
@@ -1476,16 +1513,8 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_logrank",
     oracle=(
-        "WITH u AS (SELECT user_id % 2 AS arm, "
-        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
-        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
-        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
-        "END) AS err_sec FROM events GROUP BY user_id), "
-        "d AS (SELECT arm, CASE WHEN err_sec IS NOT NULL "
-        "THEN (err_sec - first_sec) // 86400 "
-        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
-        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
-        "t AS (SELECT dur, "
+        _km_dur_sql(arm=True)
+        +        "t AS (SELECT dur, "
         "CAST(SUM(ev) AS BIGINT) AS de, "
         "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1, "
         "CAST(COUNT(*) AS BIGINT) AS tot, "
@@ -1553,22 +1582,7 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-user rows, one fold to the bounded duration table, two
     windows over that table only, a 1-row aggregate. No fact-scale
     window, no collect."""
-    ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("ts div 1000000000")
-    u = ev.groupBy("user_id").agg(
-        F.min(sec).alias("first_sec"),
-        F.max(sec).alias("last_sec"),
-        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
-    ).select(
-        (F.col("user_id") % 2).alias("arm"),
-        F.when(
-            F.col("err_sec").isNotNull(),
-            F.expr("(err_sec - first_sec) div 86400"),
-        )
-        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
-        .alias("dur"),
-        F.col("err_sec").isNotNull().cast("int").alias("ev"),
-    )
+    u = _km_durations(spark, sf_dir, arm=True)
     t = u.groupBy("dur").agg(
         F.sum("ev").cast("bigint").alias("de"),
         F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
@@ -1649,16 +1663,8 @@ def q_logrank(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_gehan",
     oracle=(
-        "WITH u AS (SELECT user_id % 2 AS arm, "
-        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
-        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
-        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
-        "END) AS err_sec FROM events GROUP BY user_id), "
-        "d AS (SELECT arm, CASE WHEN err_sec IS NOT NULL "
-        "THEN (err_sec - first_sec) // 86400 "
-        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
-        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
-        "t AS (SELECT dur, "
+        _km_dur_sql(arm=True)
+        +        "t AS (SELECT dur, "
         "CAST(SUM(ev) AS BIGINT) AS de, "
         "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1, "
         "CAST(COUNT(*) AS BIGINT) AS tot, "
@@ -1725,22 +1731,7 @@ def q_gehan(spark: SparkSession, sf_dir: str) -> DataFrame:
     duration table, two O(n)-incremental windows over that table only,
     a 1-row aggregate. Ref: the survival A/B completion of
     evaluate_model.py's single-model evaluation, Gehan-Breslow form."""
-    ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("ts div 1000000000")
-    u = ev.groupBy("user_id").agg(
-        F.min(sec).alias("first_sec"),
-        F.max(sec).alias("last_sec"),
-        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
-    ).select(
-        (F.col("user_id") % 2).alias("arm"),
-        F.when(
-            F.col("err_sec").isNotNull(),
-            F.expr("(err_sec - first_sec) div 86400"),
-        )
-        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
-        .alias("dur"),
-        F.col("err_sec").isNotNull().cast("int").alias("ev"),
-    )
+    u = _km_durations(spark, sf_dir, arm=True)
     t = u.groupBy("dur").agg(
         F.sum("ev").cast("bigint").alias("de"),
         F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
@@ -2013,16 +2004,8 @@ def q_cox_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_tarone_ware",
     oracle=(
-        "WITH u AS (SELECT user_id % 2 AS arm, "
-        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
-        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
-        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
-        "END) AS err_sec FROM events GROUP BY user_id), "
-        "d AS (SELECT arm, CASE WHEN err_sec IS NOT NULL "
-        "THEN (err_sec - first_sec) // 86400 "
-        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
-        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
-        "t AS (SELECT dur, "
+        _km_dur_sql(arm=True)
+        +        "t AS (SELECT dur, "
         "CAST(SUM(ev) AS BIGINT) AS de, "
         "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1, "
         "CAST(COUNT(*) AS BIGINT) AS tot, "
@@ -2089,22 +2072,7 @@ def q_tarone_ware(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to q_logrank/q_gehan — two event folds,
     two O(n)-incremental windows over the bounded duration table, a
     1-row aggregate."""
-    ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("ts div 1000000000")
-    u = ev.groupBy("user_id").agg(
-        F.min(sec).alias("first_sec"),
-        F.max(sec).alias("last_sec"),
-        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
-    ).select(
-        (F.col("user_id") % 2).alias("arm"),
-        F.when(
-            F.col("err_sec").isNotNull(),
-            F.expr("(err_sec - first_sec) div 86400"),
-        )
-        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
-        .alias("dur"),
-        F.col("err_sec").isNotNull().cast("int").alias("ev"),
-    )
+    u = _km_durations(spark, sf_dir, arm=True)
     t = u.groupBy("dur").agg(
         F.sum("ev").cast("bigint").alias("de"),
         F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
@@ -2418,16 +2386,8 @@ def q_cindex(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_nelson_aalen",
     oracle=(
-        "WITH u AS (SELECT user_id, "
-        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
-        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
-        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
-        "END) AS err_sec FROM events GROUP BY user_id), "
-        "d AS (SELECT CASE WHEN err_sec IS NOT NULL "
-        "THEN (err_sec - first_sec) // 86400 "
-        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
-        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
-        "t AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_event, "
+        _km_dur_sql()
+        +        "t AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_event, "
         "CAST(COUNT(*) - SUM(ev) AS BIGINT) AS n_censored FROM d GROUP BY dur), "
         "r AS (SELECT *, CAST(SUM(n_event + n_censored) OVER "
         "(ORDER BY dur DESC) AS BIGINT) AS n_risk FROM t), "
@@ -2470,22 +2430,7 @@ def q_nelson_aalen(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: q_kaplan_meier verbatim — one conditional-MIN/MAX
     fact fold to per-user rows, one fold to the bounded duration
     table, O(n)-incremental windows over that table only."""
-    ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("ts div 1000000000")
-    u = ev.groupBy("user_id").agg(
-        F.min(sec).alias("first_sec"),
-        F.max(sec).alias("last_sec"),
-        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
-    )
-    d = u.select(
-        F.when(
-            F.col("err_sec").isNotNull(),
-            F.expr("(err_sec - first_sec) div 86400"),
-        )
-        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
-        .alias("dur"),
-        F.col("err_sec").isNotNull().cast("int").alias("ev"),
-    )
+    d = _km_durations(spark, sf_dir)
     t = d.groupBy("dur").agg(
         F.sum("ev").cast("bigint").alias("n_event"),
         (F.count("*") - F.sum("ev")).cast("bigint").alias("n_censored"),
@@ -2553,16 +2498,8 @@ _RMST_H = 30  # days
 @query(
     "q_rmst",
     oracle=(
-        "WITH u AS (SELECT user_id, "
-        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
-        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
-        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
-        "END) AS err_sec FROM events GROUP BY user_id), "
-        "d AS (SELECT CASE WHEN err_sec IS NOT NULL "
-        "THEN (err_sec - first_sec) // 86400 "
-        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
-        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
-        "t AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_event, "
+        _km_dur_sql()
+        +        "t AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_event, "
         "CAST(COUNT(*) - SUM(ev) AS BIGINT) AS n_censored FROM d GROUP BY dur), "
         "r AS (SELECT *, CAST(SUM(n_event + n_censored) OVER "
         "(ORDER BY dur DESC) AS BIGINT) AS n_risk FROM t), "
@@ -2615,22 +2552,7 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: q_kaplan_meier verbatim plus one LEAD window over the
     bounded duration table and a 1-row fold."""
-    ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("ts div 1000000000")
-    u = ev.groupBy("user_id").agg(
-        F.min(sec).alias("first_sec"),
-        F.max(sec).alias("last_sec"),
-        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
-    )
-    d = u.select(
-        F.when(
-            F.col("err_sec").isNotNull(),
-            F.expr("(err_sec - first_sec) div 86400"),
-        )
-        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
-        .alias("dur"),
-        F.col("err_sec").isNotNull().cast("int").alias("ev"),
-    )
+    d = _km_durations(spark, sf_dir)
     t = d.groupBy("dur").agg(
         F.sum("ev").cast("bigint").alias("n_event"),
         (F.count("*") - F.sum("ev")).cast("bigint").alias("n_censored"),
@@ -2713,16 +2635,8 @@ def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_fleming_harrington",
     oracle=(
-        "WITH u AS (SELECT user_id % 2 AS arm, "
-        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
-        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
-        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
-        "END) AS err_sec FROM events GROUP BY user_id), "
-        "d AS (SELECT arm, CASE WHEN err_sec IS NOT NULL "
-        "THEN (err_sec - first_sec) // 86400 "
-        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
-        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u), "
-        "t AS (SELECT dur, "
+        _km_dur_sql(arm=True)
+        +        "t AS (SELECT dur, "
         "CAST(SUM(ev) AS BIGINT) AS de, "
         "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1, "
         "CAST(COUNT(*) AS BIGINT) AS tot, "
@@ -2793,22 +2707,7 @@ def q_fleming_harrington(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: q_logrank + one LAG window over the bounded duration
     table — two fact folds, O(n)-incremental windows over <=|durs|
     rows, a 1-row aggregate."""
-    ev = load_table(spark, sf_dir, "events")
-    sec = F.expr("ts div 1000000000")
-    u = ev.groupBy("user_id").agg(
-        F.min(sec).alias("first_sec"),
-        F.max(sec).alias("last_sec"),
-        F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
-    ).select(
-        (F.col("user_id") % 2).alias("arm"),
-        F.when(
-            F.col("err_sec").isNotNull(),
-            F.expr("(err_sec - first_sec) div 86400"),
-        )
-        .otherwise(F.expr("(last_sec - first_sec) div 86400"))
-        .alias("dur"),
-        F.col("err_sec").isNotNull().cast("int").alias("ev"),
-    )
+    u = _km_durations(spark, sf_dir, arm=True)
     t = u.groupBy("dur").agg(
         F.sum("ev").cast("bigint").alias("de"),
         F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
