@@ -384,6 +384,15 @@ HEADLINE = [
     # candidate grid, shrunken Newton leaf weights; one stack-explode
     # fact pass + a 3-scalar totals fold
     "q_xgb_round",
+    # round 15 (VERDICT r14 #7a-c): stratified log-rank (per-stratum
+    # risk sets, PARTITIONed windows over the bounded (stratum x dur)
+    # table), cumulative gains/lift at score deciles (the
+    # q_hosmer_lemeshow fold + a 10-row window), and the
+    # Schoenfeld-style PH trend correlation (q_logrank residuals x
+    # time, 1-row moment fold)
+    "q_logrank_strat",
+    "q_lift_gain",
+    "q_schoenfeld_trend",
 ]
 
 

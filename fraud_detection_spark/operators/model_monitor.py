@@ -1792,3 +1792,108 @@ def q_pseudo_r2(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("nagelkerke"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_lift_gain — cumulative gains / lift table at score deciles (round
+# 15, VERDICT r14 #7b): the campaign-targeting readout of the scorer —
+# "contact the top k deciles, capture what fraction of the positives
+# at what lift over random" — riding the exact decile moments the
+# calibration house (q_hosmer_lemeshow / q_brier_decomp) already
+# folds to.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_lift_gain",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), "
+        "g AS (SELECT CAST(FLOOR(score * 10) AS BIGINT) AS decile, "
+        "CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(label) AS BIGINT) AS ev FROM s GROUP BY decile), "
+        "t AS (SELECT CAST(SUM(n) AS BIGINT) AS nn, "
+        "CAST(SUM(ev) AS BIGINT) AS tev FROM g), "
+        # cumulate from the TOP decile down (targeting order); the
+        # window runs over <=10 rows — the KM bounded-window precedent
+        "r AS (SELECT decile, n, ev, "
+        "CAST(SUM(n) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_n, "
+        "CAST(SUM(ev) OVER (ORDER BY decile DESC) AS BIGINT) AS cum_ev "
+        "FROM g) "
+        "SELECT decile, n, ev, cum_n, cum_ev, "
+        # no-positives stream -> NULL capture/lift on both engines
+        # (the q_delong degenerate guard)
+        "CASE WHEN tev = 0 THEN NULL ELSE "
+        + sql_round("CAST(cum_ev AS DOUBLE) / tev", 6)
+        + " END AS capture, "
+        "CASE WHEN tev = 0 THEN NULL ELSE "
+        + sql_round(
+            "(CAST(cum_ev AS DOUBLE) / cum_n) "
+            "/ (CAST(tev AS DOUBLE) / nn)",
+            6,
+        )
+        + " END AS lift FROM r, t"
+    ),
+    tags=("ml", "monitor", "targeting"),
+)
+def q_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative gains and lift at score deciles, top decile first:
+    for each decile d (descending), cum_n / cum_ev are the exact
+    counts of rows / positives captured by targeting every row scored
+    in decile d or higher; capture = cum_ev / total positives (the
+    gains curve) and lift = precision-so-far over base rate (how many
+    times better than random the cut is). THE standard
+    campaign-targeting table a fraud desk reads next to the ROC
+    (q_roc_points ranks; this one prices a top-k intervention
+    budget). Ref: the evaluation-side completion of
+    evaluate_model.py's threshold metrics at targeting cuts.
+
+    Exactness: decile counts are exact integers (the q_brier_decomp /
+    q_hosmer_lemeshow moments); the cumulative sums run over the <=10
+    decile rows (bounded single-partition window — the KM precedent);
+    capture and lift are doubles computed from exact integers with
+    IDENTICAL expression text, 6-dp portable-rounded; an all-negative
+    stream emits NULL capture/lift on both engines (the q_delong
+    degenerate guard).
+
+    Scale: ONE map-side-combinable fact fold to <=10 decile rows, a
+    1-row total, one bounded window — strictly the q_hosmer_lemeshow
+    shape plus a 10-row window."""
+    s = scored(spark, sf_dir)
+    g = s.groupBy(
+        F.floor(F.col("score") * 10).cast("bigint").alias("decile")
+    ).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("ev"),
+    )
+    t = g.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("ev").cast("bigint").alias("tev"),
+    )
+    w_desc = Window.orderBy(F.desc("decile")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = g.select(
+        "decile",
+        "n",
+        "ev",
+        F.sum("n").over(w_desc).cast("bigint").alias("cum_n"),
+        F.sum("ev").over(w_desc).cast("bigint").alias("cum_ev"),
+    )
+    out = r.crossJoin(F.broadcast(t))
+    capture = F.col("cum_ev").cast("double") / F.col("tev")
+    lift = (F.col("cum_ev").cast("double") / F.col("cum_n")) / (
+        F.col("tev").cast("double") / F.col("nn")
+    )
+    return out.select(
+        "decile",
+        "n",
+        "ev",
+        "cum_n",
+        "cum_ev",
+        F.when(F.col("tev") == 0, F.lit(None).cast("double"))
+        .otherwise(pround(capture, 6))
+        .alias("capture"),
+        F.when(F.col("tev") == 0, F.lit(None).cast("double"))
+        .otherwise(pround(lift, 6))
+        .alias("lift"),
+    )

@@ -345,12 +345,18 @@ def q_asof_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _km_dur_sql(arm: bool = False) -> str:
+def _km_dur_sql(arm: bool = False, strat: bool = False) -> str:
     """DuckDB CTE prefix (u + d) of the shared survival duration fold;
     ``arm=True`` adds the user_id-parity A/B arm (q_abtest's
-    deterministic assignment) carried by the test-family members."""
+    deterministic assignment) carried by the test-family members;
+    ``strat=True`` additionally carries a 3-way stratum (user_id//2)%3
+    — deterministic and independent of the parity arm — for the
+    stratified test members (q_logrank_strat)."""
     head = "user_id % 2 AS arm, " if arm else "user_id, "
     dsel = "arm, " if arm else ""
+    if strat:
+        head += "(user_id // 2) % 3 AS stratum, "
+        dsel += "stratum, "
     return (
         f"WITH u AS (SELECT {head}"
         "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
@@ -365,11 +371,11 @@ def _km_dur_sql(arm: bool = False) -> str:
 
 
 def _km_durations(
-    spark: SparkSession, sf_dir: str, arm: bool = False
+    spark: SparkSession, sf_dir: str, arm: bool = False, strat: bool = False
 ) -> DataFrame:
-    """Spark twin of _km_dur_sql: events -> ([arm,] dur, ev). One
-    conditional-MIN/MAX fold of the 100 TB event stream to per-user
-    rows; everything downstream operates on the bounded
+    """Spark twin of _km_dur_sql: events -> ([arm,] [stratum,] dur,
+    ev). One conditional-MIN/MAX fold of the 100 TB event stream to
+    per-user rows; everything downstream operates on the bounded
     distinct-duration table."""
     ev = load_table(spark, sf_dir, "events")
     sec = F.expr("ts div 1000000000")
@@ -379,6 +385,8 @@ def _km_durations(
         F.min(F.when(F.col("event_type") == "error", sec)).alias("err_sec"),
     )
     cols = [(F.col("user_id") % 2).alias("arm")] if arm else []
+    if strat:
+        cols.append(F.expr("(user_id div 2) % 3").alias("stratum"))
     return u.select(
         *cols,
         F.when(
@@ -2806,4 +2814,275 @@ def q_fleming_harrington(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vu") == 0, F.lit(None).cast("double"))
         .otherwise(pround(sd / F.sqrt(vd), 6))
         .alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_logrank_strat — STRATIFIED two-group log-rank test (round 15,
+# VERDICT r14 #7a): q_logrank's per-duration hypergeometric O/E/V
+# terms computed WITHIN each stratum (risk sets never cross strata),
+# then summed across strata — the standard confounder-adjusted form
+# (Mantel-Haenszel over strata) when arms are imbalanced on a
+# covariate. Strata = (user_id // 2) % 3, deterministic and
+# independent of the parity arm.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_logrank_strat",
+    oracle=(
+        _km_dur_sql(arm=True, strat=True)
+        + "t AS (SELECT stratum, dur, "
+        "CAST(SUM(ev) AS BIGINT) AS de, "
+        "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1, "
+        "CAST(COUNT(*) AS BIGINT) AS tot, "
+        "CAST(SUM(arm) AS BIGINT) AS tot1 FROM d GROUP BY stratum, dur), "
+        "r AS (SELECT stratum, dur, de, d1, "
+        "CAST(SUM(tot) OVER (PARTITION BY stratum ORDER BY dur DESC) "
+        "AS BIGINT) AS n, "
+        "CAST(SUM(tot1) OVER (PARTITION BY stratum ORDER BY dur DESC) "
+        "AS BIGINT) AS n1 FROM t), "
+        "terms AS (SELECT de, d1, "
+        "CAST(FLOOR(de * (n1 * 1.0 / n) * 1000000000 + 0.5) AS BIGINT) AS eu, "
+        "CASE WHEN n > 1 THEN CAST(FLOOR("
+        "de * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n) "
+        "* (n - de) * 1.0 / (n - 1) * 1000000000 + 0.5) AS BIGINT) "
+        "ELSE 0 END AS vu FROM r WHERE de > 0), "
+        "g AS (SELECT "
+        "CAST(COUNT(DISTINCT stratum) AS BIGINT) AS n_strata, "
+        "CAST(SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_control, "
+        "CAST(SUM(arm) AS BIGINT) AS n_treat FROM d), "
+        "a AS (SELECT CAST(SUM(d1) AS BIGINT) AS o1, "
+        "CAST(SUM(eu) AS BIGINT) AS eu, CAST(SUM(vu) AS BIGINT) AS vu "
+        "FROM terms) "
+        "SELECT n_strata, n_control, n_treat, o1 AS o_treat, "
+        + sql_round("CAST(eu AS DOUBLE) / 1000000000", 6) + " AS e_treat, "
+        + sql_round("CAST(vu AS DOUBLE) / 1000000000", 6) + " AS var_treat, "
+        "CASE WHEN vu = 0 THEN NULL ELSE "
+        + sql_round(
+            "(CAST(o1 AS DOUBLE) - CAST(eu AS DOUBLE) / 1000000000) "
+            "/ SQRT(CAST(vu AS DOUBLE) / 1000000000)",
+            6,
+        )
+        + " END AS z FROM g, a"
+    ),
+    tags=("timeseries", "survival", "stats"),
+)
+def q_logrank_strat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified (Mantel-Haenszel) two-group log-rank test: the
+    q_logrank hypergeometric terms computed WITHIN each of 3
+    deterministic strata ((user_id//2)%3 — independent of the parity
+    arm by construction), O1/E1/V summed ACROSS strata, z =
+    (ΣO−ΣE)/√ΣV. The confounder-adjusted survival A/B test: when arms
+    are imbalanced on a covariate, the unstratified q_logrank mixes
+    the covariate's own hazard into the arm effect; stratifying
+    removes exactly that term (risk sets never cross strata). Emits
+    the stratum count so a consumer can see the adjustment dimension.
+    Statistic only (the family erf exclusion).
+
+    Exactness: per-stratum at-risk counts are exact integer suffix
+    sums over the bounded (stratum x duration) table (<=3x the
+    q_logrank duration table — PARTITIONed windows, the family's
+    O(n)-incremental frame); each (stratum, day) E and V term is the
+    IDENTICAL double expression on exact integers folded to 1e-9
+    fixed-point units per row BEFORE the cross-strata sum (fixed_sum
+    rule); V=0 -> NULL z (family guard).
+
+    Scale shape: one conditional-MIN/MAX fold of the event stream to
+    per-user rows (the shared _km_durations fold), one fold to the
+    bounded (stratum, duration) table, two PARTITIONed windows over
+    that table only, a 1-row aggregate. No fact-scale window, no
+    collect."""
+    u = _km_durations(spark, sf_dir, arm=True, strat=True)
+    t = u.groupBy("stratum", "dur").agg(
+        F.sum("ev").cast("bigint").alias("de"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.count("*").cast("bigint").alias("tot"),
+        F.sum("arm").cast("bigint").alias("tot1"),
+    )
+    w_rev = (
+        Window.partitionBy("stratum")
+        .orderBy(F.desc("dur"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    r = t.select(
+        "de",
+        "d1",
+        F.sum("tot").over(w_rev).cast("bigint").alias("n"),
+        F.sum("tot1").over(w_rev).cast("bigint").alias("n1"),
+    ).filter(F.col("de") > 0)
+    share = F.col("n1") * 1.0 / F.col("n")
+    eu = F.floor(F.col("de") * share * 1000000000 + F.lit(0.5)).cast("bigint")
+    vu = F.when(
+        F.col("n") > 1,
+        F.floor(
+            F.col("de")
+            * share
+            * (F.lit(1) - share)
+            * (F.col("n") - F.col("de"))
+            * 1.0
+            / (F.col("n") - 1)
+            * 1000000000
+            + F.lit(0.5)
+        ).cast("bigint"),
+    ).otherwise(F.lit(0))
+    a = r.select("d1", eu.alias("eu"), vu.alias("vu")).agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.sum("eu").cast("bigint").alias("eu"),
+        F.sum("vu").cast("bigint").alias("vu"),
+    )
+    g = u.agg(
+        F.countDistinct("stratum").cast("bigint").alias("n_strata"),
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum("arm").cast("bigint").alias("n_treat"),
+    )
+    e1 = F.col("eu").cast("double") / 1000000000
+    v1 = F.col("vu").cast("double") / 1000000000
+    return g.crossJoin(F.broadcast(a)).select(
+        "n_strata",
+        "n_control",
+        "n_treat",
+        F.col("o1").alias("o_treat"),
+        pround(e1, 6).alias("e_treat"),
+        pround(v1, 6).alias("var_treat"),
+        F.when(F.col("vu") == 0, F.lit(None).cast("double"))
+        .otherwise(
+            pround((F.col("o1").cast("double") - e1) / F.sqrt(v1), 6)
+        )
+        .alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_schoenfeld_trend — proportional-hazards trend check (round 15,
+# VERDICT r14 #7c): Pearson correlation of the per-duration log-rank
+# residuals s_t = d1 - de*n1/n with event time over the bounded
+# duration table — the Schoenfeld-residual-style diagnostic for
+# whether the arm effect DRIFTS with time (PH violation), i.e.
+# whether q_logrank's single z is even the right summary.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_schoenfeld_trend",
+    oracle=(
+        _km_dur_sql(arm=True)
+        + "t AS (SELECT dur, "
+        "CAST(SUM(ev) AS BIGINT) AS de, "
+        "CAST(SUM(CASE WHEN arm = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1, "
+        "CAST(COUNT(*) AS BIGINT) AS tot, "
+        "CAST(SUM(arm) AS BIGINT) AS tot1 FROM d GROUP BY dur), "
+        "r AS (SELECT dur, de, d1, "
+        "CAST(SUM(tot) OVER (ORDER BY dur DESC) AS BIGINT) AS n, "
+        "CAST(SUM(tot1) OVER (ORDER BY dur DESC) AS BIGINT) AS n1 FROM t), "
+        # s_t in exact 1e-9 units: d1*1e9 - round(de*n1/n*1e9) — the
+        # q_logrank eu integer reused as the expectation term
+        "terms AS (SELECT dur, "
+        "d1 * 1000000000 - CAST(FLOOR(de * (n1 * 1.0 / n) * 1000000000 "
+        "+ 0.5) AS BIGINT) AS su FROM r WHERE de > 0), "
+        "m AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, "
+        "CAST(SUM(dur) AS HUGEINT) AS sx, "
+        "CAST(SUM(CAST(dur AS HUGEINT) * dur) AS HUGEINT) AS sxx, "
+        "CAST(SUM(su) AS HUGEINT) AS sy, "
+        "CAST(SUM(CAST(su AS HUGEINT) * su) AS HUGEINT) AS syy, "
+        "CAST(SUM(CAST(dur AS HUGEINT) * su) AS HUGEINT) AS sxy FROM terms), "
+        "f AS (SELECT k, "
+        "CAST(k AS DOUBLE) * (CAST(sxy AS DOUBLE) / 1000000000) "
+        "- CAST(sx AS DOUBLE) * (CAST(sy AS DOUBLE) / 1000000000) AS num, "
+        "CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE) "
+        "- CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS denx, "
+        "CAST(k AS DOUBLE) * (CAST(syy AS DOUBLE) / 1000000000000000000) "
+        "- (CAST(sy AS DOUBLE) / 1000000000) "
+        "* (CAST(sy AS DOUBLE) / 1000000000) AS deny FROM m) "
+        "SELECT k AS n_event_days, "
+        "CASE WHEN denx * deny <= 0 THEN NULL ELSE "
+        + sql_round("num / SQRT(denx * deny)", 6)
+        + " END AS trend_corr FROM f"
+    ),
+    tags=("timeseries", "survival", "stats"),
+)
+def q_schoenfeld_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schoenfeld-style proportional-hazards trend diagnostic: the
+    Pearson correlation of the per-duration log-rank residual
+    s_t = d1 - de*n1/n (observed minus expected arm-1 events, exactly
+    q_logrank's per-day numerator) with the event time t, over event
+    days only. Under proportional hazards the residuals have no time
+    trend; |corr| far from 0 says the arm effect drifts (e.g. crosses)
+    and q_logrank's single z under-reports — the moment-closed-form
+    reading of the Grambsch-Therneau Schoenfeld test, kept hash-exact
+    (no chi-square, the family erf exclusion).
+
+    Exactness: s_t reuses q_logrank's exact 1e-9-unit expectation
+    integer (d1·1e9 − eu — an exact integer difference); all five
+    correlation moments are exact DECIMAL(38,0)/HUGEINT sums over the
+    bounded duration table (dur ≤ ~1e5 days, su ≤ 1e9·de: products
+    stay inside 38 digits past 1e12 users); the correlation is a
+    1-row closed form on exact integers with identical text. Zero
+    variance on either axis -> NULL (the q_delong guard).
+
+    Scale shape: the shared _km_durations per-user fold, one fold to
+    the bounded duration table, ONE O(n)-incremental window over that
+    table, a 1-row moment fold. No fact-scale window, no collect."""
+    u = _km_durations(spark, sf_dir, arm=True)
+    dec = "decimal(38,0)"
+    t = u.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("de"),
+        F.sum(F.when(F.col("arm") == 1, F.col("ev")).otherwise(0))
+        .cast("bigint")
+        .alias("d1"),
+        F.count("*").cast("bigint").alias("tot"),
+        F.sum("arm").cast("bigint").alias("tot1"),
+    )
+    w_rev = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    r = t.select(
+        "dur",
+        "de",
+        "d1",
+        F.sum("tot").over(w_rev).cast("bigint").alias("n"),
+        F.sum("tot1").over(w_rev).cast("bigint").alias("n1"),
+    ).filter(F.col("de") > 0)
+    share = F.col("n1") * 1.0 / F.col("n")
+    eu = F.floor(F.col("de") * share * 1000000000 + F.lit(0.5)).cast("bigint")
+    terms = r.select(
+        "dur", (F.col("d1") * 1000000000 - eu).alias("su")
+    )
+    m = terms.agg(
+        F.count("*").cast("bigint").alias("k"),
+        F.sum(F.col("dur").cast(dec)).cast(dec).alias("sx"),
+        F.sum(F.col("dur").cast(dec) * F.col("dur")).cast(dec).alias("sxx"),
+        F.sum(F.col("su").cast(dec)).cast(dec).alias("sy"),
+        F.sum(F.col("su").cast(dec) * F.col("su")).cast(dec).alias("syy"),
+        F.sum(F.col("dur").cast(dec) * F.col("su")).cast(dec).alias("sxy"),
+    )
+    num = F.col("k").cast("double") * (
+        F.col("sxy").cast("double") / 1000000000
+    ) - F.col("sx").cast("double") * (
+        F.col("sy").cast("double") / 1000000000
+    )
+    denx = F.col("k").cast("double") * F.col("sxx").cast("double") - F.col(
+        "sx"
+    ).cast("double") * F.col("sx").cast("double")
+    deny = F.col("k").cast("double") * (
+        F.col("syy").cast("double") / 1000000000000000000
+    ) - (F.col("sy").cast("double") / 1000000000) * (
+        F.col("sy").cast("double") / 1000000000
+    )
+    f = m.select(
+        "k", num.alias("num"), denx.alias("denx"), deny.alias("deny")
+    )
+    return f.select(
+        F.col("k").alias("n_event_days"),
+        F.when(
+            F.col("denx") * F.col("deny") <= 0, F.lit(None).cast("double")
+        )
+        .otherwise(
+            pround(F.col("num") / F.sqrt(F.col("denx") * F.col("deny")), 6)
+        )
+        .alias("trend_corr"),
     )

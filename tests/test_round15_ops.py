@@ -195,3 +195,158 @@ def test_km_fold_spark_columns(spark, sf_dir):
     tot = d.groupBy().count().collect()[0][0]
     tot_a = a.groupBy().count().collect()[0][0]
     assert tot == tot_a
+
+
+# ---------------------------------------------------------------------------
+# Round-15 widenings (VERDICT r14 #7): python references for
+# q_lift_gain, q_logrank_strat, q_schoenfeld_trend.
+
+
+def _fetch_durations(duck, arm=False, strat=False):
+    from fraud_detection_spark.operators.timeseries import _km_dur_sql
+
+    sql = _km_dur_sql(arm=arm, strat=strat) + "x AS (SELECT 1) SELECT * FROM d"
+    return duck.execute(sql).fetchall()
+
+
+def _logrank_terms(rows, key=lambda r: None):
+    """Per-(stratum, duration) hypergeometric O/E/V in exact 1e-9
+    units, risk sets within stratum. rows = (arm, [stratum,] dur, ev);
+    key extracts the stratum (None = unstratified)."""
+    import math
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in rows:
+        groups[key(r)].append(r)
+    o1 = eu = vu = 0
+    for _, g in groups.items():
+        durs = defaultdict(lambda: [0, 0, 0, 0])  # de, d1, tot, tot1
+        for r in g:
+            arm, dur, ev = r[0], r[-2], r[-1]
+            c = durs[dur]
+            c[0] += ev
+            c[1] += ev if arm == 1 else 0
+            c[2] += 1
+            c[3] += arm
+        n = n1 = 0
+        for dur in sorted(durs, reverse=True):
+            de, d1, tot, tot1 = durs[dur]
+            n += tot
+            n1 += tot1
+            if de == 0:
+                continue
+            share = n1 * 1.0 / n
+            o1 += d1
+            eu += math.floor(de * share * 1e9 + 0.5)
+            if n > 1:
+                vu += math.floor(
+                    de * share * (1 - share) * (n - de) * 1.0 / (n - 1) * 1e9
+                    + 0.5
+                )
+    return o1, eu, vu
+
+
+def test_logrank_strat_matches_python_reference(spark, duck, sf_dir):
+    rows = _fetch_durations(duck, arm=True, strat=True)
+    o1, eu, vu = _logrank_terms(rows, key=lambda r: r[1])
+    got = REGISTRY["q_logrank_strat"].fn(spark, sf_dir).collect()[0].asDict()
+    assert got["o_treat"] == o1
+    assert got["e_treat"] == _r6(eu / 1e9)
+    assert got["var_treat"] == _r6(vu / 1e9)
+    assert got["n_strata"] == len({r[1] for r in rows})
+    if vu:
+        import math
+
+        assert got["z"] == _r6((o1 - eu / 1e9) / math.sqrt(vu / 1e9))
+
+
+def test_logrank_strat_reduces_to_logrank_on_one_stratum(spark, duck, sf_dir):
+    """Coherence: pooling all strata into one reproduces q_logrank's
+    O/E/V exactly (the stratified machinery is the plain machinery
+    when the stratum is constant)."""
+    rows = _fetch_durations(duck, arm=True)
+    o1, eu, vu = _logrank_terms(rows)
+    lr = REGISTRY["q_logrank"].fn(spark, sf_dir).collect()[0].asDict()
+    assert lr["o_treat"] == o1
+    assert lr["e_treat"] == _r6(eu / 1e9)
+    assert lr["var_treat"] == _r6(vu / 1e9)
+
+
+def test_schoenfeld_trend_matches_python_reference(spark, duck, sf_dir):
+    import math
+    from collections import defaultdict
+
+    rows = _fetch_durations(duck, arm=True)
+    durs = defaultdict(lambda: [0, 0, 0, 0])
+    for arm, dur, ev in rows:
+        c = durs[dur]
+        c[0] += ev
+        c[1] += ev if arm == 1 else 0
+        c[2] += 1
+        c[3] += arm
+    n = n1 = 0
+    pts = []
+    for dur in sorted(durs, reverse=True):
+        de, d1, tot, tot1 = durs[dur]
+        n += tot
+        n1 += tot1
+        if de == 0:
+            continue
+        su = d1 * 10**9 - math.floor(de * (n1 * 1.0 / n) * 1e9 + 0.5)
+        pts.append((dur, su))
+    k = len(pts)
+    sx = sum(x for x, _ in pts)
+    sxx = sum(x * x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    syy = sum(y * y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    num = k * (sxy / 1e9) - sx * (sy / 1e9)
+    denx = float(k) * sxx - float(sx) * sx
+    deny = k * (syy / 1e18) - (sy / 1e9) * (sy / 1e9)
+    got = (
+        REGISTRY["q_schoenfeld_trend"].fn(spark, sf_dir).collect()[0].asDict()
+    )
+    assert got["n_event_days"] == k
+    if denx * deny <= 0:
+        assert got["trend_corr"] is None
+    else:
+        assert got["trend_corr"] == _r6(num / math.sqrt(denx * deny))
+
+
+def test_lift_gain_matches_python_reference(spark, duck, sf_dir):
+    import math
+    from collections import defaultdict
+
+    rows = duck.execute(
+        "SELECT CAST(FLOOR((" + sql_round(_SIG_SQL, 6) + ") * 10) AS BIGINT)"
+        " AS decile, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END"
+        " FROM lineitem"
+    ).fetchall()
+    dec = defaultdict(lambda: [0, 0])
+    for d, l in rows:
+        dec[d][0] += 1
+        dec[d][1] += l
+    nn = sum(c[0] for c in dec.values())
+    tev = sum(c[1] for c in dec.values())
+    got = {
+        r["decile"]: r
+        for r in REGISTRY["q_lift_gain"].fn(spark, sf_dir).collect()
+    }
+    assert len(got) == len(dec)
+    cum_n = cum_ev = 0
+    for d in sorted(dec, reverse=True):
+        cum_n += dec[d][0]
+        cum_ev += dec[d][1]
+        r = got[d].asDict()
+        assert (r["n"], r["ev"], r["cum_n"], r["cum_ev"]) == (
+            dec[d][0],
+            dec[d][1],
+            cum_n,
+            cum_ev,
+        )
+        assert r["capture"] == _r6(cum_ev / tev)
+        assert r["lift"] == _r6((cum_ev / cum_n) / (tev / nn))
+    # identities: the bottom cut captures everything at lift exactly 1
+    bottom = got[min(dec)].asDict()
+    assert bottom["capture"] == 1.0 and bottom["lift"] == 1.0
