@@ -85,10 +85,11 @@ _TOUCHED_THIS_ROUND = frozenset({
     # round-15 addition (VERDICT r14 #1 — one exact Newton boosting
     # round on the logistic objective):
     "q_xgb_round",
-    # round-15 widenings (VERDICT r14 #7a-c):
+    # round-15 widenings (VERDICT r14 #7a-d):
     "q_logrank_strat",
     "q_lift_gain",
     "q_schoenfeld_trend",
+    "q_xgb_round2",
 })
 
 

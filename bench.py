@@ -393,6 +393,11 @@ HEADLINE = [
     "q_logrank_strat",
     "q_lift_gain",
     "q_schoenfeld_trend",
+    # round 15 (VERDICT r14 #7d): the shrinkage-chained SECOND Newton
+    # round — margins chain via the compiled leaf CASE, round 2
+    # re-derives g/h off the new 6-dp margin integer; TWO fact passes
+    # (one histogram pass per round, the honest R-pass boosting cost)
+    "q_xgb_round2",
 ]
 
 

@@ -4658,6 +4658,112 @@ def _xgb_round_oracle() -> str:
     )
 
 
+def _xgb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem -> (label, disc, price, qty, u): the _mf_base feature
+    grid plus the 6-dp published-score integer u = round(score*1e6) —
+    the shared input of the Newton boosting rounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    logit = (
+        F.lit(B0)
+        + F.lit(W_QTY) * F.col("l_quantity")
+        + F.lit(W_DISC) * F.col("l_discount")
+        + F.lit(W_PRICE) * (F.col("l_extendedprice") / 100000.0)
+    )
+    u_int = F.floor(
+        pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    return li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
+        pround(F.col("l_discount").cast("double"), 6).alias("disc"),
+        pround(F.col("l_extendedprice").cast("double") / 100000.0, 6).alias(
+            "price"
+        ),
+        pround(F.col("l_quantity").cast("double"), 6).alias("qty"),
+        u_int.alias("u"),
+    )
+
+
+def _xgb_gh(base: DataFrame, ucol: str = "u") -> DataFrame:
+    """(label, feats, u*) -> (label, feats, gu, hu): the exact integer
+    gradient/hessian encodings off the 6-dp margin integer."""
+    return base.select(
+        "label",
+        "disc",
+        "price",
+        "qty",
+        (F.col(ucol) - F.col("label") * 1000000).alias("gu"),
+        (F.col(ucol) * (F.lit(1000000) - F.col(ucol))).alias("hu"),
+    )
+
+
+def _xgb_newton_pick(base: DataFrame, rnd: int | None = None) -> DataFrame:
+    """One exact Newton split pick over (label, feats, gu, hu): totals
+    fold + stack-explode (feat,val) g/h histogram + _mf_cum prefix
+    sums + the gain-key TakeOrdered(1). ``rnd`` prepends a round
+    column (q_xgb_round2's 2-row output); None emits q_xgb_round's
+    1-row shape."""
+    dec = "decimal(38,0)"
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("gu").cast(dec)).cast(dec).alias("gt"),
+        F.sum(F.col("hu").cast(dec)).cast(dec).alias("ht"),
+    )
+    g1 = (
+        _mf_unpivot(base, ["gu", "hu"])
+        .groupBy("feat", "val")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
+            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+        )
+    )
+    c = _mf_cum(
+        g1,
+        ["feat"],
+        out_cast=dec,
+        measures=(("cnt", "cum_n"), ("g", "cum_g"), ("h", "cum_h")),
+    ).crossJoin(F.broadcast(tot))
+    gl = F.col("cum_g").cast("double") / 1000000
+    hl = F.col("cum_h").cast("double") / 1000000000000
+    gr = (F.col("gt") - F.col("cum_g")).cast("double") / 1000000
+    hr = (F.col("ht") - F.col("cum_h")).cast("double") / 1000000000000
+    gtd = F.col("gt").cast("double") / 1000000
+    htd = F.col("ht").cast("double") / 1000000000000
+    kl = (gl * gl) / (hl + F.lit(1.0))
+    kr = (gr * gr) / (hr + F.lit(1.0))
+    key = F.lit(0.0) - (kl + kr)
+    head = [] if rnd is None else [F.lit(rnd).cast("int").alias("round")]
+    return (
+        c.filter(F.col("cum_n") < F.col("n"))
+        .withColumn("key", key)
+        .orderBy("key", "feat", "val")
+        .limit(1)
+        .select(
+            *head,
+            "feat",
+            F.col("val").alias("threshold"),
+            F.col("cum_n").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("cum_n")).cast("bigint").alias("n_right"),
+            pround(gl, 6).alias("g_left"),
+            pround(hl, 6).alias("h_left"),
+            pround(gr, 6).alias("g_right"),
+            pround(hr, 6).alias("h_right"),
+            pround(
+                F.lit(0.5)
+                * ((kl + kr) - (gtd * gtd) / (htd + F.lit(1.0))),
+                6,
+            ).alias("gain"),
+            pround(F.lit(0.0) - F.lit(0.1) * gl / (hl + F.lit(1.0)), 6).alias(
+                "w_left"
+            ),
+            pround(F.lit(0.0) - F.lit(0.1) * gr / (hr + F.lit(1.0)), 6).alias(
+                "w_right"
+            ),
+        )
+    )
+
+
 @query(
     "q_xgb_round",
     oracle=_xgb_round_oracle(),
@@ -4700,87 +4806,192 @@ def q_xgb_round(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded distinct-value table. Adding rounds costs one such pass
     each with the margin updated by the compiled leaf CASE — the exact
     distributed-XGBoost histogram shape at 100 TB."""
-    li = load_table(spark, sf_dir, "lineitem")
-    dec = "decimal(38,0)"
-    logit = (
-        F.lit(B0)
-        + F.lit(W_QTY) * F.col("l_quantity")
-        + F.lit(W_DISC) * F.col("l_discount")
-        + F.lit(W_PRICE) * (F.col("l_extendedprice") / 100000.0)
-    )
-    u_int = F.floor(
-        pround(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6) * 1000000
-        + F.lit(0.5)
-    ).cast("bigint")
-    base = li.select(
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("label"),
-        pround(F.col("l_discount").cast("double"), 6).alias("disc"),
-        pround(F.col("l_extendedprice").cast("double") / 100000.0, 6).alias(
-            "price"
-        ),
-        pround(F.col("l_quantity").cast("double"), 6).alias("qty"),
-        u_int.alias("u"),
-    ).select(
-        "label",
-        "disc",
-        "price",
-        "qty",
-        (F.col("u") - F.col("label") * 1000000).alias("gu"),
-        (F.col("u") * (F.lit(1000000) - F.col("u"))).alias("hu"),
-    )
-    tot = base.agg(
-        F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("gu").cast(dec)).cast(dec).alias("gt"),
-        F.sum(F.col("hu").cast(dec)).cast(dec).alias("ht"),
-    )
-    g1 = (
-        _mf_unpivot(base, ["gu", "hu"])
-        .groupBy("feat", "val")
-        .agg(
-            F.count("*").cast("bigint").alias("cnt"),
-            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
-            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
-        )
-    )
-    c = _mf_cum(
-        g1,
-        ["feat"],
-        out_cast=dec,
-        measures=(("cnt", "cum_n"), ("g", "cum_g"), ("h", "cum_h")),
-    ).crossJoin(F.broadcast(tot))
-    gl = F.col("cum_g").cast("double") / 1000000
-    hl = F.col("cum_h").cast("double") / 1000000000000
-    gr = (F.col("gt") - F.col("cum_g")).cast("double") / 1000000
-    hr = (F.col("ht") - F.col("cum_h")).cast("double") / 1000000000000
-    gtd = F.col("gt").cast("double") / 1000000
-    htd = F.col("ht").cast("double") / 1000000000000
-    kl = (gl * gl) / (hl + F.lit(1.0))
-    kr = (gr * gr) / (hr + F.lit(1.0))
-    key = F.lit(0.0) - (kl + kr)
+    return _xgb_newton_pick(_xgb_gh(_xgb_base(spark, sf_dir)))
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_round2 — TWO shrinkage-chained Newton rounds (round 15,
+# VERDICT r14 #7d): round 1 is exactly q_xgb_round's pick
+# (test-pinned); the margin is then updated by the compiled leaf CASE
+# (logit(p) + the picked 6-dp leaf weight) and round 2 re-derives
+# g/h off the new 6-dp margin integer and searches again — the
+# reference XGBoost loop's actual iteration, one level-synchronous
+# histogram pass per round.
+# ---------------------------------------------------------------------------
+
+
+def _xgb_pick_sql(rnd: int, src: str, extra_cols: str = "") -> str:
+    """One Newton pick as SQL over a cum CTE ``src`` carrying
+    (feat, val, cum_n, cum_g, cum_h, n, gt, ht)."""
+    gl = "CAST(cum_g AS DOUBLE) / 1000000"
+    hl = "CAST(cum_h AS DOUBLE) / 1000000000000"
+    gr = "CAST(gt - cum_g AS DOUBLE) / 1000000"
+    hr = "CAST(ht - cum_h AS DOUBLE) / 1000000000000"
+    gt = "CAST(gt AS DOUBLE) / 1000000"
+    ht = "CAST(ht AS DOUBLE) / 1000000000000"
+    kl = f"(({gl}) * ({gl}) / (({hl}) + 1.0))"
+    kr = f"(({gr}) * ({gr}) / (({hr}) + 1.0))"
+    key = f"(0.0 - ({kl} + {kr}))"
     return (
-        c.filter(F.col("cum_n") < F.col("n"))
-        .withColumn("key", key)
-        .orderBy("key", "feat", "val")
-        .limit(1)
-        .select(
-            "feat",
-            F.col("val").alias("threshold"),
-            F.col("cum_n").cast("bigint").alias("n_left"),
-            (F.col("n") - F.col("cum_n")).cast("bigint").alias("n_right"),
-            pround(gl, 6).alias("g_left"),
-            pround(hl, 6).alias("h_left"),
-            pround(gr, 6).alias("g_right"),
-            pround(hr, 6).alias("h_right"),
-            pround(
-                F.lit(0.5)
-                * ((kl + kr) - (gtd * gtd) / (htd + F.lit(1.0))),
-                6,
-            ).alias("gain"),
-            pround(F.lit(0.0) - F.lit(0.1) * gl / (hl + F.lit(1.0)), 6).alias(
-                "w_left"
-            ),
-            pround(F.lit(0.0) - F.lit(0.1) * gr / (hr + F.lit(1.0)), 6).alias(
-                "w_right"
-            ),
+        f"SELECT {extra_cols}CAST({rnd} AS INT) AS round, feat, "
+        "val AS threshold, "
+        "CAST(cum_n AS BIGINT) AS n_left, "
+        "CAST(n - cum_n AS BIGINT) AS n_right, "
+        + sql_round(gl, 6) + " AS g_left, "
+        + sql_round(hl, 6) + " AS h_left, "
+        + sql_round(gr, 6) + " AS g_right, "
+        + sql_round(hr, 6) + " AS h_right, "
+        + sql_round(
+            f"0.5 * (({kl} + {kr}) - ({gt}) * ({gt}) / (({ht}) + 1.0))", 6
         )
+        + " AS gain, "
+        + sql_round(f"0.0 - 0.1 * ({gl}) / (({hl}) + 1.0)", 6)
+        + " AS w_left, "
+        + sql_round(f"0.0 - 0.1 * ({gr}) / (({hr}) + 1.0)", 6)
+        + " AS w_right "
+        f"FROM {src} WHERE cum_n < n ORDER BY {key}, feat, val LIMIT 1"
     )
+
+
+def _xgb_round2_oracle() -> str:
+    """DuckDB twin of the 2-round chain: round-1 CTEs are the
+    q_xgb_round oracle's verbatim; the MATERIALIZED pick drives the
+    margin update; round-2 repeats the fold on u2."""
+    fsel = ", ".join(
+        sql_round(_MF_VAL_SQL[f], 6) + f" AS {f}" for f in _MF_FEATS
+    )
+
+    def unpivot(src):
+        return " UNION ALL ".join(
+            f"SELECT '{f}' AS feat, {f} AS val, gu, hu FROM {src}"
+            for f in _MF_FEATS
+        )
+
+    def fold(src, up, g, t, c):
+        return (
+            f"{up} AS ({unpivot(src)}), "
+            f"{g} AS (SELECT feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+            "CAST(SUM(gu) AS HUGEINT) AS g, "
+            f"CAST(SUM(hu) AS HUGEINT) AS h FROM {up} GROUP BY feat, val), "
+            f"{t} AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(gu) AS HUGEINT) AS gt, "
+            f"CAST(SUM(hu) AS HUGEINT) AS ht FROM {src}), "
+            f"{c} AS (SELECT feat, val, "
+            "CAST(SUM(cnt) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+            "AS cum_n, "
+            "CAST(SUM(g) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+            "AS cum_g, "
+            "CAST(SUM(h) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+            f"AS cum_h, n, gt, ht FROM {g}, {t}) "
+        )
+
+    # the new 6-dp margin integer: sigmoid(logit(u/1e6) + picked leaf
+    # weight), saturated rows (u = 0 or 1e6) stay saturated
+    leaf_w = (
+        "CASE WHEN (CASE p1.feat WHEN 'disc' THEN f.disc "
+        "WHEN 'price' THEN f.price ELSE f.qty END) <= p1.threshold "
+        "THEN p1.w_left ELSE p1.w_right END"
+    )
+    u2 = (
+        "CASE WHEN u = 0 OR u = 1000000 THEN u ELSE "
+        "CAST(FLOOR((1.0 / (1.0 + EXP(-(LN(CAST(u AS DOUBLE) "
+        f"/ (1000000 - u)) + ({leaf_w}))))) * 1000000 + 0.5) AS BIGINT) "
+        "END"
+    )
+    return (
+        "WITH f AS (SELECT "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        f"{fsel}, "
+        "CAST(FLOOR((" + sql_round(_XGB_SIG_SQL, 6) + ") "
+        "* 1000000 + 0.5) AS BIGINT) AS u FROM lineitem), "
+        "r1 AS (SELECT f.*, u - label * 1000000 AS gu, "
+        "u * (1000000 - u) AS hu FROM f), "
+        + fold("r1", "up1", "g1", "t1", "c1")
+        + ", p1 AS MATERIALIZED (" + _xgb_pick_sql(1, "c1") + "), "
+        f"f2 AS (SELECT f.label, f.disc, f.price, f.qty, {u2} AS u2 "
+        "FROM f, p1), "
+        "r2 AS (SELECT label, disc, price, qty, "
+        "u2 - label * 1000000 AS gu, u2 * (1000000 - u2) AS hu FROM f2), "
+        + fold("r2", "up2", "g2", "t2", "c2")
+        + ", p2 AS (" + _xgb_pick_sql(2, "c2") + ") "
+        "SELECT * FROM p1 UNION ALL SELECT * FROM p2"
+    )
+
+
+@query(
+    "q_xgb_round2",
+    oracle=_xgb_round2_oracle(),
+    tags=("ml", "train", "boosting"),
+    eager=True,
+)
+def q_xgb_round2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO shrinkage-chained exact Newton boosting rounds — the
+    reference XGBoost loop's actual iteration
+    (train_model.py:69-80: each tree fits g/h of the CURRENT margin,
+    margins chain with learning_rate 0.1). Round 1 is exactly
+    q_xgb_round's pick (test-pinned equal); the margin then updates by
+    the compiled leaf CASE — logit(p) + the picked 6-dp leaf weight,
+    i.e. m2 = LN(u/(1e6-u)) + w with the score integer u — and round 2
+    re-derives the g/h integers off the new 6-dp margin integer
+    u2 = round(sigmoid(m2)*1e6) and searches all three features again.
+    Two rows out (round, feat, threshold, counts, G/H, gain, both leaf
+    weights).
+
+    Exactness: the round-1 machinery is q_xgb_round's verbatim
+    (shared _xgb_newton_pick); the margin update uses LN/EXP of exact
+    integer ratios plus the 6-dp picked weight with IDENTICAL
+    expression text on both engines (the documented LN/EXP house
+    class — mitigated by the 6-dp re-rounding of u2 and swept at
+    sf0.001/0.01/0.1); saturated rows (u = 0 or 1e6, impossible for
+    the published scorer whose logit spans ±2 but guarded anyway)
+    stay saturated on both engines. All round-2 sufficient statistics
+    are again exact DECIMAL(38,0)/HUGEINT integers.
+
+    Scale: TWO stack-explode fact passes + two 3-scalar totals folds —
+    one level-synchronous histogram pass per round, the honest R-pass
+    boosting cost (the q_boosted_multifeat precedent); the round-1
+    pick is a localCheckpoint'd 1-row broadcast (eager by
+    construction, the registry eager contract). R more rounds cost
+    one pass each."""
+    base = _xgb_base(spark, sf_dir)
+    p1 = _xgb_newton_pick(_xgb_gh(base), rnd=1).localCheckpoint()
+    pick = p1.select(
+        F.col("feat").alias("bfeat"),
+        F.col("threshold").alias("bt"),
+        F.col("w_left").alias("bwl"),
+        F.col("w_right").alias("bwr"),
+    )
+    fv = (
+        F.when(F.col("bfeat") == "disc", F.col("disc"))
+        .when(F.col("bfeat") == "price", F.col("price"))
+        .otherwise(F.col("qty"))
+    )
+    leaf_w = F.when(fv <= F.col("bt"), F.col("bwl")).otherwise(F.col("bwr"))
+    u2 = F.when(
+        (F.col("u") == 0) | (F.col("u") == 1000000), F.col("u")
+    ).otherwise(
+        F.floor(
+            (
+                F.lit(1.0)
+                / (
+                    F.lit(1.0)
+                    + F.exp(
+                        -(
+                            F.log(
+                                F.col("u").cast("double")
+                                / (F.lit(1000000) - F.col("u"))
+                            )
+                            + leaf_w
+                        )
+                    )
+                )
+            )
+            * 1000000
+            + F.lit(0.5)
+        ).cast("bigint")
+    )
+    f2 = base.crossJoin(F.broadcast(pick)).select(
+        "label", "disc", "price", "qty", u2.alias("u2")
+    )
+    p2 = _xgb_newton_pick(_xgb_gh(f2, ucol="u2"), rnd=2)
+    return p1.unionAll(p2)

@@ -350,3 +350,57 @@ def test_lift_gain_matches_python_reference(spark, duck, sf_dir):
     # identities: the bottom cut captures everything at lift exactly 1
     bottom = got[min(dec)].asDict()
     assert bottom["capture"] == 1.0 and bottom["lift"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_round2 (VERDICT r14 #7d): the shrinkage-chained second Newton
+# round — round-1 pin, python round-2 reference, sign coherence.
+
+
+def test_xgb_round2_round1_is_q_xgb_round(spark, sf_dir):
+    """Round 1 of the chain IS q_xgb_round's pick (shared
+    _xgb_newton_pick machinery — the q_boosted_mf_tree2 pin style)."""
+    one = REGISTRY["q_xgb_round"].fn(spark, sf_dir).collect()[0].asDict()
+    two = REGISTRY["q_xgb_round2"].fn(spark, sf_dir).collect()
+    r1 = next(r.asDict() for r in two if r["round"] == 1)
+    r1.pop("round")
+    assert r1 == one
+
+
+def test_xgb_round2_round2_matches_python_reference(spark, duck, sf_dir):
+    """Round 2 re-derives g/h off the updated margin integer u2. The
+    reference fetches u2 BY DUCKDB with the oracle's own margin-update
+    text (so the LN/EXP house class cannot skew the python fold) and
+    runs the pure-python Newton pick on it."""
+    from fraud_detection_spark.operators.ml_metrics import (
+        _xgb_round2_oracle,
+    )
+
+    head = _xgb_round2_oracle().split(", r2 AS (")[0]
+    rows = duck.execute(
+        head + " SELECT label, disc, price, qty, u2 FROM f2"
+    ).fetchall()
+    gh_rows = [
+        (int(l), {"disc": float(d), "price": float(p), "qty": float(q)}, int(u))
+        for l, d, p, q, u in rows
+    ]
+    want = _newton_round_reference(gh_rows)
+    two = REGISTRY["q_xgb_round2"].fn(spark, sf_dir).collect()
+    r2 = next(r.asDict() for r in two if r["round"] == 2)
+    assert r2["feat"] == want["feat"]
+    assert r2["threshold"] == want["threshold"]
+    assert r2["n_left"] == want["n_left"]
+    assert r2["n_right"] == want["n_right"]
+    assert r2["gain"] == _r6(want["gain"])
+    assert r2["w_left"] == _r6(want["w_left"])
+    assert r2["w_right"] == _r6(want["w_right"])
+
+
+def test_xgb_round2_coherence(spark, sf_dir):
+    """Both rounds find positive structure gain; each leaf weight
+    carries the Newton correction sign of its branch gradient."""
+    for r in REGISTRY["q_xgb_round2"].fn(spark, sf_dir).collect():
+        d = r.asDict()
+        assert d["gain"] > 0
+        assert (d["w_left"] < 0) == (d["g_left"] > 0)
+        assert (d["w_right"] < 0) == (d["g_right"] > 0)

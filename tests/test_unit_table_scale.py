@@ -443,3 +443,55 @@ def test_mf_trainer_cell_tables_bounded_under_domain_growth(spark):
         f"{w1:.2f}s -> {w10:.2f}s; per-feat "
         + ", ".join(f"{r['feat']}={r['d']}<=bound {r['bound']}" for r in bounds)
     )
+
+
+def test_xgb_gh_histogram_fixed_under_fact_replication(spark):
+    """q_xgb_round's per-(feat, val) g/h histogram — the structure a
+    distributed XGBoost builds per round — is bounded by the feature
+    domains: 10x value-identical fact replication keeps the cell table
+    exactly fixed while cnt and the exact integer g/h sums all scale
+    exactly 10x (they are per-row-additive integers)."""
+    from fraud_detection_spark.operators.ml_metrics import (
+        _mf_unpivot,
+        _xgb_base,
+        _xgb_gh,
+    )
+
+    dec = "decimal(38,0)"
+    base1 = _xgb_gh(_xgb_base(spark, SCALE_SF_DIR))
+    base10 = _replicate(base1)
+
+    def cells(b):
+        return (
+            _mf_unpivot(b, ["gu", "hu"])
+            .groupBy("feat", "val")
+            .agg(
+                F.count("*").cast("bigint").alias("cnt"),
+                F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
+                F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+            )
+        )
+
+    c1, c10 = cells(base1), cells(base10)
+    n1, w1 = _timed_count(c1)
+    n10, w10 = _timed_count(c10)
+    assert n1 == n10, (n1, n10)
+    bad = (
+        c1.select(
+            "feat",
+            "val",
+            F.col("cnt").alias("c1"),
+            F.col("g").alias("g1"),
+            F.col("h").alias("h1"),
+        )
+        .join(c10, ["feat", "val"], "full")
+        .filter(
+            (F.col("cnt") != REPLICAS * F.col("c1"))
+            | (F.col("g") != REPLICAS * F.col("g1"))
+            | (F.col("h") != REPLICAS * F.col("h1"))
+            | F.col("c1").isNull()
+            | F.col("cnt").isNull()
+        )
+    )
+    assert bad.count() == 0
+    print(f"SCALE xgb g/h cells: {n1} rows @1x {w1:.2f}s @10x {w10:.2f}s")
