@@ -90,6 +90,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_lift_gain",
     "q_schoenfeld_trend",
     "q_xgb_round2",
+    "q_xgb_fit",
 })
 
 

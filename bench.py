@@ -398,6 +398,11 @@ HEADLINE = [
     # re-derives g/h off the new 6-dp margin integer; TWO fact passes
     # (one histogram pass per round, the honest R-pass boosting cost)
     "q_xgb_round2",
+    # round 15: q_xgb_fit (the Newton rounds' LL improvement) is
+    # declared but OFF-HEADLINE by the q_dedup_funnel /
+    # q_boosted_mf_tree2 double-charging precedent — it re-runs the
+    # q_xgb_round2 pick chain already benched above; isolated floor
+    # recorded in BASELINE.md
 ]
 
 

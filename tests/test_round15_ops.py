@@ -404,3 +404,58 @@ def test_xgb_round2_coherence(spark, sf_dir):
         assert d["gain"] > 0
         assert (d["w_left"] < 0) == (d["g_left"] > 0)
         assert (d["w_right"] < 0) == (d["g_right"] > 0)
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_fit: the Newton rounds' LL improvement — fold reference +
+# coherence pins against q_pseudo_r2 and the Newton objective.
+
+
+def test_xgb_fit_matches_python_fold_reference(spark, duck, sf_dir):
+    """Recompute the three LLs in python from the oracle's own s3v
+    cell table (so the chain machinery — already pinned by the
+    q_xgb_round2 tests — is held fixed and the FOLD is what's
+    checked)."""
+    import math
+
+    from fraud_detection_spark.operators.ml_metrics import _xgb_fit_oracle
+
+    head = _xgb_fit_oracle().split(", m AS ")[0]
+    cells = duck.execute(
+        head + " SELECT u, u2, u3, cnt, pos FROM s3v"
+    ).fetchall()
+    n = sum(c[3] for c in cells)
+
+    def ll(cells, idx):
+        return sum(
+            math.floor(
+                (
+                    pos * math.log(c[idx] / 1e6)
+                    + (cnt - pos) * math.log((1e6 - c[idx]) / 1e6)
+                )
+                * 1e9
+                + 0.5
+            )
+            for c in cells
+            for cnt, pos in [(c[3], c[4])]
+        )
+
+    got = REGISTRY["q_xgb_fit"].fn(spark, sf_dir).collect()[0].asDict()
+    assert got["n"] == n
+    assert got["ll_base"] == _r6(ll(cells, 0) / 1e9)
+    assert got["ll_round1"] == _r6(ll(cells, 1) / 1e9)
+    assert got["ll_round2"] == _r6(ll(cells, 2) / 1e9)
+
+
+def test_xgb_fit_coherence(spark, sf_dir):
+    """Each Newton round steps the SAME objective it is fit on, so LL
+    must strictly improve per round; and with no saturated margins
+    (the published scorer's logit spans ~±2) ll_base equals
+    q_pseudo_r2's ll_model exactly — the cross-query pin tying the
+    r14 metric finding to the r15 fix."""
+    got = REGISTRY["q_xgb_fit"].fn(spark, sf_dir).collect()[0].asDict()
+    assert got["delta_round1"] > 0
+    assert got["delta_round2"] > 0
+    pr2 = REGISTRY["q_pseudo_r2"].fn(spark, sf_dir).collect()[0].asDict()
+    assert got["n"] == pr2["n"]
+    assert got["ll_base"] == pr2["ll_model"]
