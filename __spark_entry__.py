@@ -91,6 +91,7 @@ _TOUCHED_THIS_ROUND = frozenset({
     "q_schoenfeld_trend",
     "q_xgb_round2",
     "q_xgb_fit",
+    "q_xgb_tree2",
 })
 
 

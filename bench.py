@@ -403,6 +403,11 @@ HEADLINE = [
     # q_boosted_mf_tree2 double-charging precedent — it re-runs the
     # q_xgb_round2 pick chain already benched above; isolated floor
     # recorded in BASELINE.md
+    # round 15: exact Newton DEPTH-2 tree — the reference's tree
+    # growth rule (max second-order gain per node) at checkable
+    # depth; 2 fact passes, the q_tree_multifeat schedule with Newton
+    # statistics (the q_boosted_multifeat root-overlap precedent)
+    "q_xgb_tree2",
 ]
 
 

@@ -4820,9 +4820,15 @@ def q_xgb_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _xgb_pick_sql(rnd: int, src: str, extra_cols: str = "") -> str:
+def _xgb_pick_sql(
+    rnd: int | None, src: str, extra_cols: str = "", node: str | None = None
+) -> str:
     """One Newton pick as SQL over a cum CTE ``src`` carrying
-    (feat, val, cum_n, cum_g, cum_h, n, gt, ht)."""
+    (feat, val, cum_n, cum_g, cum_h, n, gt, ht). ``rnd`` labels the
+    boosting-round outputs (q_xgb_round2/q_xgb_fit); ``node`` labels
+    the tree-node outputs (q_xgb_tree2) instead."""
+    if node is not None:
+        extra_cols = f"'{node}' AS node, " + extra_cols
     gl = "CAST(cum_g AS DOUBLE) / 1000000"
     hl = "CAST(cum_h AS DOUBLE) / 1000000000000"
     gr = "CAST(gt - cum_g AS DOUBLE) / 1000000"
@@ -4833,7 +4839,9 @@ def _xgb_pick_sql(rnd: int, src: str, extra_cols: str = "") -> str:
     kr = f"(({gr}) * ({gr}) / (({hr}) + 1.0))"
     key = f"(0.0 - ({kl} + {kr}))"
     return (
-        f"SELECT {extra_cols}CAST({rnd} AS INT) AS round, feat, "
+        f"SELECT {extra_cols}"
+        + (f"CAST({rnd} AS INT) AS round, " if rnd is not None else "")
+        + "feat, "
         "val AS threshold, "
         "CAST(cum_n AS BIGINT) AS n_left, "
         "CAST(n - cum_n AS BIGINT) AS n_right, "
@@ -5296,3 +5304,233 @@ def q_xgb_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(ll1 - llb, 6).alias("delta_round1"),
         pround(ll2 - ll1, 6).alias("delta_round2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_tree2 — exact Newton DEPTH-2 tree (round 15, 8th widening):
+# q_tree_multifeat grows a depth-2 tree by GINI; the reference's
+# XGBClassifier grows its depth-5 trees by the second-order GAIN.
+# This is that growth rule at hash-checkable depth: the q_xgb_round
+# root pick, then per-branch gain searches over all three features,
+# four Newton leaf weights.
+# ---------------------------------------------------------------------------
+
+
+def _xgb_tree2_oracle() -> str:
+    """DuckDB twin: root fold + pick (the q_xgb_round text), branch
+    assignment on the original features, per-(branch, feature) fold,
+    per-branch picks with branch totals recomputed exactly from the
+    cell table (feat='disc' slice — same closed form as Spark)."""
+    fsel = ", ".join(
+        sql_round(_MF_VAL_SQL[f], 6) + f" AS {f}" for f in _MF_FEATS
+    )
+    u1 = " UNION ALL ".join(
+        f"SELECT '{f}' AS feat, {f} AS val, gu, hu FROM r1"
+        for f in _MF_FEATS
+    )
+    u2 = " UNION ALL ".join(
+        f"SELECT br, '{f}' AS feat, {f} AS val, gu, hu FROM r2"
+        for f in _MF_FEATS
+    )
+    return (
+        "WITH f AS (SELECT "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        f"{fsel}, "
+        "CAST(FLOOR((" + sql_round(_XGB_SIG_SQL, 6) + ") "
+        "* 1000000 + 0.5) AS BIGINT) AS u FROM lineitem), "
+        "r1 AS (SELECT f.*, u - label * 1000000 AS gu, "
+        "u * (1000000 - u) AS hu FROM f), "
+        f"up1 AS ({u1}), "
+        "g1 AS (SELECT feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(gu) AS HUGEINT) AS g, "
+        "CAST(SUM(hu) AS HUGEINT) AS h FROM up1 GROUP BY feat, val), "
+        "t1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(gu) AS HUGEINT) AS gt, "
+        "CAST(SUM(hu) AS HUGEINT) AS ht FROM r1), "
+        "c1 AS (SELECT feat, val, "
+        "CAST(SUM(cnt) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_n, "
+        "CAST(SUM(g) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_g, "
+        "CAST(SUM(h) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_h, n, gt, ht FROM g1, t1), "
+        "p1 AS MATERIALIZED (" + _xgb_pick_sql(None, "c1", node="root") + "), "
+        "r2 AS (SELECT r1.*, CASE WHEN (CASE p1.feat "
+        "WHEN 'disc' THEN r1.disc WHEN 'price' THEN r1.price "
+        "ELSE r1.qty END) <= p1.threshold THEN 0 ELSE 1 END AS br "
+        "FROM r1, p1), "
+        f"up2 AS ({u2}), "
+        "g2 AS (SELECT br, feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(gu) AS HUGEINT) AS g, "
+        "CAST(SUM(hu) AS HUGEINT) AS h FROM up2 GROUP BY br, feat, val), "
+        # exact branch totals off the cell table's 'disc' slice — the
+        # same closed form the Spark side uses (no rounded carry-over)
+        "bt AS (SELECT br, CAST(SUM(cnt) AS BIGINT) AS n, "
+        "CAST(SUM(g) AS HUGEINT) AS gt, "
+        "CAST(SUM(h) AS HUGEINT) AS ht FROM g2 WHERE feat = 'disc' "
+        "GROUP BY br), "
+        "c2 AS (SELECT g2.br, feat, val, "
+        "CAST(SUM(cnt) OVER (PARTITION BY g2.br, feat ORDER BY val) "
+        "AS HUGEINT) AS cum_n, "
+        "CAST(SUM(g) OVER (PARTITION BY g2.br, feat ORDER BY val) "
+        "AS HUGEINT) AS cum_g, "
+        "CAST(SUM(h) OVER (PARTITION BY g2.br, feat ORDER BY val) "
+        "AS HUGEINT) AS cum_h, bt.n, bt.gt, bt.ht "
+        "FROM g2 JOIN bt ON g2.br = bt.br), "
+        "lc AS (SELECT * FROM c2 WHERE br = 0), "
+        "rc AS (SELECT * FROM c2 WHERE br = 1), "
+        "lp AS MATERIALIZED ("
+        + _xgb_pick_sql(None, "lc", node="left")
+        + "), "
+        "rp AS MATERIALIZED ("
+        + _xgb_pick_sql(None, "rc", node="right")
+        + ") "
+        "SELECT * FROM p1 UNION ALL SELECT * FROM lp "
+        "UNION ALL SELECT * FROM rp"
+    )
+
+
+@query(
+    "q_xgb_tree2",
+    oracle=_xgb_tree2_oracle(),
+    tags=("ml", "train", "boosting", "split"),
+    eager=True,
+)
+def q_xgb_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Newton DEPTH-2 tree — the reference XGBClassifier's tree
+    GROWTH RULE (max gain of GL²/(HL+λ)+GR²/(HR+λ)−GB²/(HB+λ) at every
+    node, leaf weights −G/(H+λ)·η) at hash-checkable depth, closing
+    the Gini-vs-gain delta q_tree_multifeat left: same two-pass
+    level-synchronous schedule, second-order split criterion. Root =
+    exactly q_xgb_round's pick (test-pinned); both children search all
+    three features WITHIN their branch with branch totals as the
+    parent terms. Up to 3 rows (root/left/right), each with exact
+    branch counts, rounded G/H sums, the node's structure gain, and
+    both shrunken Newton leaf weights (the children's four w's are the
+    depth-2 tree's leaf values).
+
+    Exactness: all sufficient statistics are exact DECIMAL(38,0)/
+    HUGEINT integers; branch totals are recomputed from the
+    per-(branch, feature) cell table's 'disc' slice (an exact closed
+    form — never the rounded root-row doubles); gain keys and emitted
+    doubles use IDENTICAL expression text; per-branch argmins are the
+    (key, feat, val) tie-break; a branch with no splittable candidate
+    emits no row on both engines.
+
+    Scale: TWO stack-explode fact passes (root + children — the
+    q_tree_multifeat d+1 schedule with Newton statistics) + one
+    3-scalar totals fold; per-(branch, feature) prefix cums on the
+    bucket-offset machinery; both child picks ride ONE per-branch
+    struct-argmin job (the q_boosted_mf_tree2 pattern). Depth d costs
+    d+1 passes — the distributed XGBoost histogram schedule."""
+    base = _xgb_base(spark, sf_dir)
+    gh = _xgb_gh(base)
+    dec = "decimal(38,0)"
+    root = _xgb_newton_pick(gh, ).localCheckpoint()
+    root_row = root.select(F.lit("root").alias("node"), "*")
+    rinfo = root.select(
+        F.col("feat").alias("rfeat"), F.col("threshold").alias("rt")
+    )
+    rootval = (
+        F.when(F.col("rfeat") == "disc", F.col("disc"))
+        .when(F.col("rfeat") == "price", F.col("price"))
+        .otherwise(F.col("qty"))
+    )
+    f2 = (
+        base.crossJoin(F.broadcast(rinfo))
+        .withColumn(
+            "br", F.when(rootval <= F.col("rt"), F.lit(0)).otherwise(F.lit(1))
+        )
+        .select(
+            "label",
+            "disc",
+            "price",
+            "qty",
+            "br",
+            (F.col("u") - F.col("label") * 1000000).alias("gu"),
+            (F.col("u") * (F.lit(1000000) - F.col("u"))).alias("hu"),
+        )
+    )
+    g2 = (
+        _mf_unpivot(f2, ["br", "gu", "hu"])
+        .groupBy("br", "feat", "val")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
+            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+        )
+    )
+    bt = (
+        g2.filter(F.col("feat") == "disc")
+        .groupBy("br")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n"),
+            F.sum("g").cast(dec).alias("gt"),
+            F.sum("h").cast(dec).alias("ht"),
+        )
+    )
+    c2 = _mf_cum(
+        g2,
+        ["br", "feat"],
+        out_cast=dec,
+        measures=(("cnt", "cum_n"), ("g", "cum_g"), ("h", "cum_h")),
+    ).join(F.broadcast(bt), "br")
+    gl = F.col("cum_g").cast("double") / 1000000
+    hl = F.col("cum_h").cast("double") / 1000000000000
+    gr = (F.col("gt") - F.col("cum_g")).cast("double") / 1000000
+    hr = (F.col("ht") - F.col("cum_h")).cast("double") / 1000000000000
+    kl = (gl * gl) / (hl + F.lit(1.0))
+    kr = (gr * gr) / (hr + F.lit(1.0))
+    key = F.lit(0.0) - (kl + kr)
+    picks = (
+        c2.filter(F.col("cum_n") < F.col("n"))
+        .groupBy("br")
+        .agg(
+            F.min(
+                F.struct(
+                    key.alias("key"),
+                    F.col("feat"),
+                    F.col("val"),
+                    F.col("cum_n").alias("cn"),
+                    F.col("cum_g").alias("cg"),
+                    F.col("cum_h").alias("ch"),
+                    F.col("n").alias("nb"),
+                    F.col("gt").alias("gb"),
+                    F.col("ht").alias("hb"),
+                )
+            ).alias("s")
+        )
+        .select("br", "s.*")
+    )
+    pgl = F.col("cg").cast("double") / 1000000
+    phl = F.col("ch").cast("double") / 1000000000000
+    pgr = (F.col("gb") - F.col("cg")).cast("double") / 1000000
+    phr = (F.col("hb") - F.col("ch")).cast("double") / 1000000000000
+    pgb = F.col("gb").cast("double") / 1000000
+    phb = F.col("hb").cast("double") / 1000000000000
+    pkl = (pgl * pgl) / (phl + F.lit(1.0))
+    pkr = (pgr * pgr) / (phr + F.lit(1.0))
+    children = picks.select(
+        F.when(F.col("br") == 0, F.lit("left"))
+        .otherwise(F.lit("right"))
+        .alias("node"),
+        "feat",
+        F.col("val").alias("threshold"),
+        F.col("cn").cast("bigint").alias("n_left"),
+        (F.col("nb") - F.col("cn")).cast("bigint").alias("n_right"),
+        pround(pgl, 6).alias("g_left"),
+        pround(phl, 6).alias("h_left"),
+        pround(pgr, 6).alias("g_right"),
+        pround(phr, 6).alias("h_right"),
+        pround(
+            F.lit(0.5) * ((pkl + pkr) - (pgb * pgb) / (phb + F.lit(1.0))),
+            6,
+        ).alias("gain"),
+        pround(F.lit(0.0) - F.lit(0.1) * pgl / (phl + F.lit(1.0)), 6).alias(
+            "w_left"
+        ),
+        pround(F.lit(0.0) - F.lit(0.1) * pgr / (phr + F.lit(1.0)), 6).alias(
+            "w_right"
+        ),
+    )
+    return root_row.unionAll(children)

@@ -459,3 +459,59 @@ def test_xgb_fit_coherence(spark, sf_dir):
     pr2 = REGISTRY["q_pseudo_r2"].fn(spark, sf_dir).collect()[0].asDict()
     assert got["n"] == pr2["n"]
     assert got["ll_base"] == pr2["ll_model"]
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_tree2: exact Newton depth-2 tree — root pin, python per-branch
+# reference, gain/weight coherence.
+
+
+def test_xgb_tree2_root_is_q_xgb_round(spark, sf_dir):
+    one = REGISTRY["q_xgb_round"].fn(spark, sf_dir).collect()[0].asDict()
+    rows = REGISTRY["q_xgb_tree2"].fn(spark, sf_dir).collect()
+    root = next(r.asDict() for r in rows if r["node"] == "root")
+    root.pop("node")
+    assert root == one
+
+
+def test_xgb_tree2_children_match_python_reference(spark, duck, sf_dir):
+    """Per-branch Newton picks recomputed in pure python: assign each
+    row to the root branch, run the reference pick within each branch
+    with branch totals as parent terms."""
+    rows = _fetch_gh_rows(duck)
+    root = _newton_round_reference(rows)
+    got = {
+        r["node"]: r.asDict()
+        for r in REGISTRY["q_xgb_tree2"].fn(spark, sf_dir).collect()
+    }
+    for b, node in ((0, "left"), (1, "right")):
+        sub = [
+            r
+            for r in rows
+            if (r[1][root["feat"]] <= root["threshold"]) == (b == 0)
+        ]
+        want = _newton_round_reference(sub)
+        r = got[node]
+        assert r["feat"] == want["feat"]
+        assert r["threshold"] == want["threshold"]
+        assert r["n_left"] == want["n_left"]
+        assert r["n_right"] == want["n_right"]
+        assert r["gain"] == _r6(want["gain"])
+        assert r["w_left"] == _r6(want["w_left"])
+        assert r["w_right"] == _r6(want["w_right"])
+
+
+def test_xgb_tree2_coherence(spark, sf_dir):
+    rows = REGISTRY["q_xgb_tree2"].fn(spark, sf_dir).collect()
+    assert {r["node"] for r in rows} == {"root", "left", "right"}
+    for r in rows:
+        d = r.asDict()
+        assert d["gain"] > 0
+        assert (d["w_left"] < 0) == (d["g_left"] > 0)
+        assert (d["w_right"] < 0) == (d["g_right"] > 0)
+    # the two children partition the root's branch counts exactly
+    root = next(r.asDict() for r in rows if r["node"] == "root")
+    left = next(r.asDict() for r in rows if r["node"] == "left")
+    right = next(r.asDict() for r in rows if r["node"] == "right")
+    assert left["n_left"] + left["n_right"] == root["n_left"]
+    assert right["n_left"] + right["n_right"] == root["n_right"]
