@@ -69,29 +69,18 @@ def entry(spark: SparkSession) -> DataFrame:
 _PINNED_HEAD = ()
 
 _TOUCHED_THIS_ROUND = frozenset({
-    # round 15 edits. VERDICT r14 #3: keep this set small so the
-    # rotation's stale-first ordering drains the r08-evidence block
-    # (q_abtest, q_auc, q_bm25, q_cast, q_cell_balance, q_count, ...)
-    # into the 50-slot sample.
-    #
-    # ADVICE r14 #1/#2: oracle-side HUGEINT promotion (per-row product
-    # / sum no longer narrows at the DECIMAL(38,0) target scale):
-    "q_calibration_slope",
-    "q_pseudo_r2",
-    # ADVICE r14 #3: V = 0 -> NULL z guard (both engines):
-    "q_logrank",
-    # ADVICE r14 #4: n_bins < 3 -> NULL df/hl_stat (both engines):
-    "q_hosmer_lemeshow",
-    # round-15 addition (VERDICT r14 #1 — one exact Newton boosting
-    # round on the logistic objective):
-    "q_xgb_round",
-    # round-15 widenings (VERDICT r14 #7a-d):
-    "q_logrank_strat",
-    "q_lift_gain",
-    "q_schoenfeld_trend",
-    "q_xgb_round2",
-    "q_xgb_fit",
-    "q_xgb_tree2",
+    # round 16 edits. VERDICT r15 #4: keep this set to exactly the
+    # round's new/changed queries so the rotation's stale-first
+    # ordering drains the r09-evidence block (q_confusion,
+    # q_lr_predict, q_lr_proba, q_standard_scale, q_shap_linear,
+    # q_linear_attr, q_kendall_tau, q_mmr, q_ndcg, q_kruskal_wallis,
+    # ...) into the 50-slot sample.
+    # round-16 additions (VERDICT r15 #1 + #6a-d):
+    "q_xgb_boosted_tree2",
+    "q_xgb_gamma",
+    "q_km_bands",
+    "q_xgb_monotone",
+    "q_cal_in_large",
 })
 
 
