@@ -288,7 +288,10 @@ HEADLINE = [
     # near-dup contamination matrix (q_dedup_jaccard's pairs folded
     # to source cells)
     "q_map",
-    "q_tree2",
+    # round 16: q_tree2 moved OFF-HEADLINE (VERDICT r15 #3 — a strict
+    # prefix of q_tree5's level-synchronous schedule; the q_xgb_fit
+    # double-charging precedent). Driver r15 reading 3.32 s; floor
+    # recorded in BASELINE.md.
     "q_cochran_armitage",
     "q_neardup_sources",
     # round-11 batch 2: recall@10 / precision@10 (shared
@@ -304,10 +307,10 @@ HEADLINE = [
     # hash aggregates + constant-size per-user rank expressions,
     # exact fraction comparisons — no window at all)
     "q_friedman",
-    # round 12: depth-3 exact Gini tree (VERDICT r11 #4 — q_tree2's
-    # one fact fold + checkpointed prefix pass, then SEVEN bounded
-    # scans; no new fact passes)
-    "q_tree3",
+    # round 16: q_tree3 moved OFF-HEADLINE (VERDICT r15 #3 — a strict
+    # prefix of q_tree5's level-synchronous schedule; the q_xgb_fit
+    # double-charging precedent). Driver r15 reading 4.44 s; floor
+    # recorded in BASELINE.md.
     # round 12: paired DeLong AUC comparison (VERDICT r11 #6a — two
     # bounded distinct-score unit tables BROADCAST into the fact scan,
     # zero fact shuffles, one 12-expression exact-integer aggregate)
@@ -378,12 +381,12 @@ HEADLINE = [
     # distinct-score table + a 3-scalar fold — the model-fit summary
     # completing the calibration house)
     "q_pseudo_r2",
-    # round 15 (VERDICT r14 #1): one exact Newton boosting round on
-    # the logistic objective — integer g/h sufficient statistics from
-    # the 6-dp score, XGBoost gain argmin over the q_tree_multifeat
-    # candidate grid, shrunken Newton leaf weights; one stack-explode
-    # fact pass + a 3-scalar totals fold
-    "q_xgb_round",
+    # round 16: q_xgb_round moved OFF-HEADLINE (VERDICT r15 #3 — its
+    # one pass is the exact round-1 prefix of q_xgb_round2's chain
+    # below AND the root of q_xgb_tree2, both still benched; the
+    # q_xgb_fit double-charging precedent). Driver r15 reading
+    # 5.44 s; isolated floor 3.4-3.5 warm on a 1.5-1.8x box
+    # (deflated ~2.1-2.2 s) recorded in BASELINE.md.
     # round 15 (VERDICT r14 #7a-c): stratified log-rank (per-stratum
     # risk sets, PARTITIONed windows over the bounded (stratum x dur)
     # table), cumulative gains/lift at score deciles (the
