@@ -411,6 +411,12 @@ HEADLINE = [
     # depth; 2 fact passes, the q_tree_multifeat schedule with Newton
     # statistics (the q_boosted_multifeat root-overlap precedent)
     "q_xgb_tree2",
+    # round 16: q_xgb_boosted_tree2 (2 shrinkage-chained Newton rounds
+    # of depth-2 trees — VERDICT r15 #1) is declared but OFF-HEADLINE
+    # by the q_xgb_fit double-charging precedent — its round 1 IS
+    # q_xgb_tree2's chain (benched above) and its round 2 repeats the
+    # same two passes on the updated margin; isolated floor recorded
+    # in BASELINE.md.
 ]
 
 

@@ -1,0 +1,242 @@
+"""Round-16 operators. Oracle parity is auto-covered by
+test_oracle_parity's registry sweep; these tests pin semantics against
+independent python references and pin the composition claims
+(VERDICT r15 #1 + #6).
+"""
+
+from __future__ import annotations
+
+from fraud_detection_spark.registry import load_all, sql_round
+
+REGISTRY = load_all()
+
+
+# ---------------------------------------------------------------------------
+# Shared python Newton reference (the test_round15_ops helpers,
+# restated — per-round test files are self-contained by house style).
+
+_FEAT_SQL = {
+    "disc": "CAST(l_discount AS DOUBLE)",
+    "price": "(CAST(l_extendedprice AS DOUBLE) / 100000.0)",
+    "qty": "CAST(l_quantity AS DOUBLE)",
+}
+
+_SIG_SQL = (
+    "1.0 / (1.0 + EXP(-(-2.0 + 0.03 * l_quantity + 9.0 * l_discount "
+    "+ 0.8 * (l_extendedprice / 100000.0))))"
+)
+
+
+def _fetch_gh_rows(duck):
+    sel = ", ".join(
+        f"{sql_round(_FEAT_SQL[f], 6)} AS {f}" for f in ("disc", "price", "qty")
+    )
+    rows = duck.execute(
+        "SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        f"{sel}, CAST(FLOOR(({sql_round(_SIG_SQL, 6)}) * 1000000 + 0.5) "
+        "AS BIGINT) AS u FROM lineitem"
+    ).fetchall()
+    return [
+        (int(l), {"disc": float(d), "price": float(p), "qty": float(q)}, int(u))
+        for l, d, p, q, u in rows
+    ]
+
+
+def _newton_round_reference(rows, lam=1.0, eta=0.1):
+    """Pure-python single Newton pick: exact integer g/h sufficient
+    statistics per distinct (feat, val), prefix sums in sorted-value
+    order, gain key argmin with the (key, feat, val) tie-break."""
+    n = len(rows)
+    gt_u = sum(u - l * 1000000 for l, _, u in rows)
+    ht_u = sum(u * (1000000 - u) for _, _, u in rows)
+    GT, HT = gt_u / 1e6, ht_u / 1e12
+    best = None
+    for feat in ("disc", "price", "qty"):
+        agg = {}
+        for l, v, u in rows:
+            cur = agg.setdefault(v[feat], [0, 0, 0])
+            cur[0] += 1
+            cur[1] += u - l * 1000000
+            cur[2] += u * (1000000 - u)
+        cn = cg = ch = 0
+        vals = sorted(agg)
+        for val in vals[:-1]:  # the top value is never a candidate
+            cn += agg[val][0]
+            cg += agg[val][1]
+            ch += agg[val][2]
+            GL, HL = cg / 1e6, ch / 1e12
+            GR, HR = (gt_u - cg) / 1e6, (ht_u - ch) / 1e12
+            kl = GL * GL / (HL + lam)
+            kr = GR * GR / (HR + lam)
+            cand = (-(kl + kr), feat, val, cn, GL, HL, GR, HR, kl, kr)
+            if best is None or cand[:3] < best[:3]:
+                best = cand
+    if best is None:
+        return None
+    key, feat, val, cn, GL, HL, GR, HR, kl, kr = best
+    gain = 0.5 * ((kl + kr) - GT * GT / (HT + lam))
+    return {
+        "feat": feat,
+        "threshold": val,
+        "n_left": cn,
+        "n_right": n - cn,
+        "gain": gain,
+        "w_left": -eta * GL / (HL + lam),
+        "w_right": -eta * GR / (HR + lam),
+    }
+
+
+def _tree_reference(rows):
+    """Depth-2 Newton tree: root pick + per-branch picks with branch
+    totals as parent terms (the test_round15_ops per-branch form)."""
+    root = _newton_round_reference(rows)
+    out = {"root": root}
+    for b, node in ((0, "left"), (1, "right")):
+        sub = [
+            r
+            for r in rows
+            if (r[1][root["feat"]] <= root["threshold"]) == (b == 0)
+        ]
+        out[node] = _newton_round_reference(sub)
+    return out
+
+
+def _r6(x: float) -> float:
+    import math
+
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
+def _assert_pick(got: dict, want: dict):
+    assert got["feat"] == want["feat"]
+    assert got["threshold"] == want["threshold"]
+    assert got["n_left"] == want["n_left"]
+    assert got["n_right"] == want["n_right"]
+    assert got["gain"] == _r6(want["gain"])
+    assert got["w_left"] == _r6(want["w_left"])
+    assert got["w_right"] == _r6(want["w_right"])
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_boosted_tree2 (VERDICT r15 #1): 2 shrinkage-chained Newton
+# rounds of depth-2 trees — round-1 pin, python tree-2 reference on
+# the oracle's own u2, coherence.
+
+
+def test_xgb_boosted_tree2_round1_is_q_xgb_tree2(spark, sf_dir):
+    """Round 1 of the chain IS q_xgb_tree2's exact tree (the
+    q_boosted_mf_tree2 / q_xgb_round2 pin style)."""
+    tree = {
+        r["node"]: r.asDict()
+        for r in REGISTRY["q_xgb_tree2"].fn(spark, sf_dir).collect()
+    }
+    rows = REGISTRY["q_xgb_boosted_tree2"].fn(spark, sf_dir).collect()
+    r1 = {r["node"]: r.asDict() for r in rows if r["round"] == 1}
+    assert set(r1) == set(tree)
+    for node, d in r1.items():
+        d.pop("round")
+        assert d == tree[node]
+
+
+def test_xgb_boosted_tree2_tree2_matches_python_reference(spark, duck, sf_dir):
+    """Tree 2 grows off the updated margin integer u2. The reference
+    fetches u2 BY DUCKDB with the oracle's own margin-update text (so
+    the LN/EXP house class cannot skew the python fold) and runs the
+    pure-python depth-2 tree reference on it."""
+    from fraud_detection_spark.operators.ml_metrics import (
+        _xgb_boosted_tree2_oracle,
+    )
+
+    head = _xgb_boosted_tree2_oracle().split(", r2 AS (")[0]
+    rows = duck.execute(
+        head + " SELECT label, disc, price, qty, u2 FROM f2"
+    ).fetchall()
+    gh_rows = [
+        (int(l), {"disc": float(d), "price": float(p), "qty": float(q)}, int(u))
+        for l, d, p, q, u in rows
+    ]
+    want = _tree_reference(gh_rows)
+    got = {
+        r["node"]: r.asDict()
+        for r in REGISTRY["q_xgb_boosted_tree2"].fn(spark, sf_dir).collect()
+        if r["round"] == 2
+    }
+    for node in ("root", "left", "right"):
+        _assert_pick(got[node], want[node])
+
+
+def test_xgb_boosted_tree2_margin_update_is_4leaf_case(duck, sf_dir):
+    """Pin the compiled 4-leaf CASE: recompute u2 in python from the
+    oracle's OWN published tree-1 rows (root split -> branch ->
+    child split -> 6-dp leaf weight -> saturation-guarded sigmoid
+    step) and compare to the oracle's f2 margin column row-for-row
+    on the (u, disc, price, qty) histogram."""
+    import math
+
+    from fraud_detection_spark.operators.ml_metrics import (
+        _xgb_boosted_tree2_oracle,
+    )
+
+    sql = _xgb_boosted_tree2_oracle()
+    head = sql.split(", cpa AS ")[0]
+    t1 = {
+        r[0]: r
+        for r in duck.execute(
+            head + " SELECT * FROM pra UNION ALL SELECT * FROM lpa "
+            "UNION ALL SELECT * FROM rpa"
+        ).fetchall()
+    }
+    # columns: node, round, feat, threshold, n_left, n_right, g_left,
+    # h_left, g_right, h_right, gain, w_left, w_right
+    cols = (
+        "node round feat threshold n_left n_right g_left h_left "
+        "g_right h_right gain w_left w_right"
+    ).split()
+    t1 = {k: dict(zip(cols, v)) for k, v in t1.items()}
+    fhead = sql.split(", r1 AS (")[0]
+    fact = duck.execute(
+        fhead + " SELECT label, disc, price, qty, u FROM f"
+    ).fetchall()
+    u2head = sql.split(", r2 AS (")[0]
+    got_u2 = [
+        r[0] for r in duck.execute(u2head + " SELECT u2 FROM f2").fetchall()
+    ]
+
+    def leaf_w(disc, price, qty):
+        fv = {"disc": disc, "price": price, "qty": qty}
+        br = "left" if fv[t1["root"]["feat"]] <= t1["root"]["threshold"] else "right"
+        c = t1[br]
+        return c["w_left"] if fv[c["feat"]] <= c["threshold"] else c["w_right"]
+
+    for (label, disc, price, qty, u), u2 in zip(fact, got_u2):
+        if u in (0, 1000000):
+            assert u2 == u
+            continue
+        w = leaf_w(disc, price, qty)
+        p = 1.0 / (1.0 + math.exp(-(math.log(u / (1000000 - u)) + w)))
+        assert u2 == math.floor(p * 1000000 + 0.5)
+
+
+def test_xgb_boosted_tree2_coherence(spark, sf_dir):
+    rows = REGISTRY["q_xgb_boosted_tree2"].fn(spark, sf_dir).collect()
+    assert len(rows) == 6
+    assert {(r["round"], r["node"]) for r in rows} == {
+        (rnd, node)
+        for rnd in (1, 2)
+        for node in ("root", "left", "right")
+    }
+    for r in rows:
+        d = r.asDict()
+        assert d["gain"] > 0
+        assert (d["w_left"] < 0) == (d["g_left"] > 0)
+        assert (d["w_right"] < 0) == (d["g_right"] > 0)
+    for rnd in (1, 2):
+        byn = {r["node"]: r.asDict() for r in rows if r["round"] == rnd}
+        root, left, right = byn["root"], byn["left"], byn["right"]
+        assert left["n_left"] + left["n_right"] == root["n_left"]
+        assert right["n_left"] + right["n_right"] == root["n_right"]
+    # every round sees the full fact table (margins chain, rows never
+    # drop out)
+    n1 = next(r for r in rows if r["round"] == 1 and r["node"] == "root")
+    n2 = next(r for r in rows if r["round"] == 2 and r["node"] == "root")
+    assert n1["n_left"] + n1["n_right"] == n2["n_left"] + n2["n_right"]
