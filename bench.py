@@ -417,6 +417,23 @@ HEADLINE = [
     # q_xgb_tree2's chain (benched above) and its round 2 repeats the
     # same two passes on the updated margin; isolated floor recorded
     # in BASELINE.md.
+    #
+    # round 16 widenings (VERDICT r15 #6a-d):
+    # gamma/min_child_weight gates on the Newton pick — the q_xgb_round
+    # fold + integer cover WHERE + one 2-scalar fold over the bounded
+    # candidate table
+    "q_xgb_gamma",
+    # monotone-constraint Newton pick — same fold, the cross-multiplied
+    # exact-integer admissibility WHERE (the gate moves the argmin off
+    # the unconstrained winner on this data)
+    "q_xgb_monotone",
+    # KM Greenwood log-log 95% bands — the q_kaplan_meier fold +
+    # per-row band math over the bounded duration table
+    "q_km_bands",
+    # calibration-in-the-large + overall Spiegelhalter z — ONE fact
+    # fold to the distinct-score table (the q_pseudo_r2 shape) + a
+    # 1-row moment fold
+    "q_cal_in_large",
 ]
 
 

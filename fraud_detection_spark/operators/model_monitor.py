@@ -1897,3 +1897,149 @@ def q_lift_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(pround(lift, 6))
         .alias("lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_cal_in_large — calibration-in-the-large + the OVERALL Spiegelhalter
+# z (round 16, VERDICT r15 #6d): the one-row companions to the
+# q_spiegelhalter decile table and q_calibration_slope. Mean observed
+# vs mean predicted, their exact gap, the O−E z on the exact Bernoulli
+# null variance, and Spiegelhalter's overall calibration z — the
+# whole-population summary the decile table localizes.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cal_in_large",
+    oracle=(
+        f"WITH s AS ({SCORED_SQL}), "
+        "g AS (SELECT CAST(FLOOR(score * 1000000 + 0.5) AS BIGINT) AS u, "
+        "CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(label) AS BIGINT) AS pos FROM s GROUP BY u), "
+        "m AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n, "
+        "CAST(SUM(pos) AS BIGINT) AS pos_t, "
+        "CAST(SUM(CAST(cnt AS HUGEINT) * u) AS HUGEINT) AS su, "
+        # O−E null variance in 1e-12 units: cnt·u·(1e6−u)
+        "CAST(SUM(CAST(cnt AS HUGEINT) * u * (1000000 - u)) AS HUGEINT) "
+        "AS var0, "
+        # Spiegelhalter numerator in 1e-12 units (the q_spiegelhalter
+        # text): (pos·1e6 − cnt·u)·(1e6 − 2u)
+        "CAST(SUM(CAST(pos * 1000000 - cnt * u AS HUGEINT) "
+        "* (1000000 - 2 * u)) AS HUGEINT) AS num, "
+        # Spiegelhalter variance in 1e-24 units: cnt·(1e6−2u)²·u·(1e6−u)
+        "CAST(SUM(CAST(cnt AS HUGEINT) * (1000000 - 2 * u) "
+        "* (1000000 - 2 * u) * u * (1000000 - u)) AS HUGEINT) AS var "
+        "FROM g) "
+        "SELECT n, "
+        + sql_round("CAST(pos_t AS DOUBLE) / n", 6) + " AS mean_obs, "
+        + sql_round("CAST(su AS DOUBLE) / 1000000 / n", 6)
+        + " AS mean_pred, "
+        + sql_round(
+            "CAST(CAST(pos_t AS HUGEINT) * 1000000 - su AS DOUBLE) "
+            "/ 1000000 / n",
+            6,
+        )
+        + " AS cal_gap, "
+        "CASE WHEN var0 = 0 THEN NULL ELSE "
+        + sql_round(
+            "(CAST(CAST(pos_t AS HUGEINT) * 1000000 - su AS DOUBLE) "
+            "/ 1000000) / SQRT(CAST(var0 AS DOUBLE) / 1000000000000)",
+            6,
+        )
+        + " END AS z_oe, "
+        + sql_round("CAST(num AS DOUBLE) / 1000000000000", 6)
+        + " AS num_spieg, "
+        "CASE WHEN var = 0 THEN NULL ELSE "
+        + sql_round(
+            "(CAST(num AS DOUBLE) / 1000000000000) "
+            "/ SQRT(CAST(var AS DOUBLE) / "
+            "1000000000000000000000000.0)",
+            6,
+        )
+        + " END AS z_spieg FROM m"
+    ),
+    tags=("ml", "monitor", "calibration"),
+)
+def q_cal_in_large(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration-in-the-large + the overall Spiegelhalter z — the
+    one-row whole-population companions to the q_spiegelhalter decile
+    table (which localizes them) and q_calibration_slope (the weak/
+    strong recalibration axis). One row: n, mean observed rate, mean
+    predicted rate, their exact gap (the in-the-large intercept at
+    slope 1), the O−E z on the exact Bernoulli null variance
+    Σp(1−p) (NULL when the variance degenerates — every score exactly
+    0/1), Spiegelhalter's numerator Σ(y−p)(1−2p), and his overall
+    z = num/√Σ(1−2p)²p(1−p) (same NULL guard). Together with
+    q_pseudo_r2/q_xgb_fit this pins WHAT the Newton rounds fix:
+    the published scorer ranks well but is globally over-confident.
+
+    Exactness: with 6-dp scores every moment is an EXACT fixed-point
+    integer off the (u, cnt, pos) cell table — su in 1e-6, var0/num in
+    1e-12, var in 1e-24 units, all DECIMAL(38,0)/HUGEINT (per-cell
+    var ≤ ~2.5e23·cnt — ≥1e13-row headroom); cal_gap promotes
+    pos_t·1e6 − su BEFORE the double cast (the ADVICE r14 #1
+    discipline); doubles appear only in the final 6-dp-rounded
+    scalars with IDENTICAL expression text. Statistic only, erf
+    exclusion holds (the q_spiegelhalter precedent).
+
+    Scale: ONE map-side-combinable fact fold to the bounded distinct-
+    6-dp-score table (the q_pseudo_r2 shape) + one 1-row fold. Zero
+    windows, zero joins. Ref: evaluate_model.py's scalar metrics
+    family; Spiegelhalter (1986); calibration-in-the-large per
+    Steyerberg's model-validation battery."""
+    s = scored(spark, sf_dir)
+    dec = "decimal(38,0)"
+    g = s.groupBy(
+        F.floor(F.col("score") * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("u")
+    ).agg(
+        F.count("*").cast("bigint").alias("cnt"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    one_m_2u = F.lit(1000000) - 2 * F.col("u")
+    m = g.agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.sum("pos").cast("bigint").alias("pos_t"),
+        F.sum(F.col("cnt").cast(dec) * F.col("u")).alias("su"),
+        F.sum(
+            F.col("cnt").cast(dec)
+            * F.col("u")
+            * (F.lit(1000000) - F.col("u"))
+        ).alias("var0"),
+        F.sum(
+            (F.col("pos") * 1000000 - F.col("cnt") * F.col("u")).cast(dec)
+            * one_m_2u
+        ).alias("num"),
+        F.sum(
+            F.col("cnt").cast(dec)
+            * one_m_2u
+            * one_m_2u
+            * F.col("u")
+            * (F.lit(1000000) - F.col("u"))
+        ).alias("var"),
+    )
+    oe = (
+        (F.col("pos_t").cast(dec) * 1000000 - F.col("su")).cast("double")
+        / 1000000
+    )
+    numd = F.col("num").cast("double") / 1000000000000
+    vard = F.col("var").cast("double") / 1e24
+    var0d = F.col("var0").cast("double") / 1000000000000
+    return m.select(
+        "n",
+        pround(F.col("pos_t").cast("double") / F.col("n"), 6).alias(
+            "mean_obs"
+        ),
+        pround(F.col("su").cast("double") / 1000000 / F.col("n"), 6).alias(
+            "mean_pred"
+        ),
+        pround(oe / F.col("n"), 6).alias("cal_gap"),
+        F.when(F.col("var0") == 0, F.lit(None).cast("double"))
+        .otherwise(pround(oe / F.sqrt(var0d), 6))
+        .alias("z_oe"),
+        pround(numd, 6).alias("num_spieg"),
+        F.when(F.col("var") == 0, F.lit(None).cast("double"))
+        .otherwise(pround(numd / F.sqrt(vard), 6))
+        .alias("z_spieg"),
+    )

@@ -240,3 +240,264 @@ def test_xgb_boosted_tree2_coherence(spark, sf_dir):
     n1 = next(r for r in rows if r["round"] == 1 and r["node"] == "root")
     n2 = next(r for r in rows if r["round"] == 2 and r["node"] == "root")
     assert n1["n_left"] + n1["n_right"] == n2["n_left"] + n2["n_right"]
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_gamma (VERDICT r15 #6a): cover-gated python reference + the
+# gates visibly bind.
+
+
+def _newton_pick_gated(rows, lam=1.0, eta=0.1, cover_units=None, mono=None):
+    """_newton_round_reference with the r16 gates: ``cover_units``
+    drops candidates whose either side carries Σhu < cover (1e-12
+    integer units); ``mono`` maps feat -> +1/-1/0 and drops candidates
+    whose Newton weights violate the sign (exact cross-multiplied
+    integer comparison, mirroring the engine)."""
+    n = len(rows)
+    gt_u = sum(u - l * 1000000 for l, _, u in rows)
+    ht_u = sum(u * (1000000 - u) for _, _, u in rows)
+    GT, HT = gt_u / 1e6, ht_u / 1e12
+    best = None
+    total = kept = 0
+    for feat in ("disc", "price", "qty"):
+        agg = {}
+        for l, v, u in rows:
+            cur = agg.setdefault(v[feat], [0, 0, 0])
+            cur[0] += 1
+            cur[1] += u - l * 1000000
+            cur[2] += u * (1000000 - u)
+        cn = cg = ch = 0
+        vals = sorted(agg)
+        for val in vals[:-1]:
+            cn += agg[val][0]
+            cg += agg[val][1]
+            ch += agg[val][2]
+            total += 1
+            if cover_units is not None and (
+                ch < cover_units or ht_u - ch < cover_units
+            ):
+                continue
+            if mono is not None and mono.get(feat, 0):
+                lhs = cg * (ht_u - ch + 10**12)
+                rhs = (gt_u - cg) * (ch + 10**12)
+                if mono[feat] > 0 and not lhs >= rhs:
+                    continue
+                if mono[feat] < 0 and not lhs <= rhs:
+                    continue
+            kept += 1
+            GL, HL = cg / 1e6, ch / 1e12
+            GR, HR = (gt_u - cg) / 1e6, (ht_u - ch) / 1e12
+            kl = GL * GL / (HL + lam)
+            kr = GR * GR / (HR + lam)
+            cand = (-(kl + kr), feat, val, cn, GL, HL, GR, HR, kl, kr)
+            if best is None or cand[:3] < best[:3]:
+                best = cand
+    if best is None:
+        return None, total, kept
+    key, feat, val, cn, GL, HL, GR, HR, kl, kr = best
+    gain = 0.5 * ((kl + kr) - GT * GT / (HT + lam))
+    return (
+        {
+            "feat": feat,
+            "threshold": val,
+            "n_left": cn,
+            "n_right": n - cn,
+            "gain": gain,
+            "w_left": -eta * GL / (HL + lam),
+            "w_right": -eta * GR / (HR + lam),
+        },
+        total,
+        kept,
+    )
+
+
+def test_xgb_gamma_matches_python_reference(spark, duck, sf_dir):
+    rows = _fetch_gh_rows(duck)
+    want, total, kept = _newton_pick_gated(
+        rows, cover_units=100 * 10**12
+    )
+    got = REGISTRY["q_xgb_gamma"].fn(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    _assert_pick(r, want)
+    assert r["cand_total"] == total
+    assert r["cand_cover"] == kept
+    assert r["gamma_pass"] == (1 if _r6(want["gain"]) > 50.0 else 0)
+
+
+def test_xgb_gamma_gates_bind(spark, sf_dir):
+    """min_child_weight = 100.0 must actually exclude candidates on
+    the shipped data (a non-binding literal would be the inert
+    library default the VERDICT warned against)."""
+    r = REGISTRY["q_xgb_gamma"].fn(spark, sf_dir).collect()[0].asDict()
+    assert 0 < r["cand_cover"] < r["cand_total"]
+    # both children clear the cover by construction
+    assert r["h_left"] >= 100.0 and r["h_right"] >= 100.0
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_monotone (VERDICT r15 #6c): constrained python reference + the
+# constraint visibly binds (the unconstrained winner is excluded).
+
+_MONO = {"qty": 1, "disc": -1, "price": 0}
+
+
+def test_xgb_monotone_matches_python_reference(spark, duck, sf_dir):
+    rows = _fetch_gh_rows(duck)
+    want, total, kept = _newton_pick_gated(rows, mono=_MONO)
+    got = REGISTRY["q_xgb_monotone"].fn(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    _assert_pick(r, want)
+    assert r["cand_total"] == total
+    assert r["cand_allowed"] == kept
+
+
+def test_xgb_monotone_binds_and_respects_signs(spark, sf_dir):
+    """The gate excludes candidates AND moves the argmin off the
+    unconstrained q_xgb_round winner (the shipped data's best qty
+    split is decreasing, banned under qty:+1); the emitted pick obeys
+    its own constraint sign."""
+    r = REGISTRY["q_xgb_monotone"].fn(spark, sf_dir).collect()[0].asDict()
+    unc = REGISTRY["q_xgb_round"].fn(spark, sf_dir).collect()[0].asDict()
+    assert r["cand_allowed"] < r["cand_total"]
+    assert (r["feat"], r["threshold"]) != (unc["feat"], unc["threshold"])
+    sign = _MONO[r["feat"]]
+    if sign > 0:
+        assert r["w_left"] <= r["w_right"]
+    elif sign < 0:
+        assert r["w_left"] >= r["w_right"]
+
+
+# ---------------------------------------------------------------------------
+# q_cal_in_large (VERDICT r15 #6d): exact-moment python reference +
+# decile-table consistency.
+
+
+def test_cal_in_large_matches_python_reference(spark, duck, sf_dir):
+    import math
+
+    rows = duck.execute(
+        "SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        f"CAST(FLOOR(({sql_round(_SIG_SQL, 6)}) * 1000000 + 0.5) AS BIGINT) "
+        "AS u FROM lineitem"
+    ).fetchall()
+    n = len(rows)
+    pos = sum(l for l, _ in rows)
+    su = sum(u for _, u in rows)
+    var0 = sum(u * (1000000 - u) for _, u in rows)
+    num = sum((l * 10**6 - u) * (10**6 - 2 * u) for l, u in rows)
+    var = sum((10**6 - 2 * u) ** 2 * u * (10**6 - u) for _, u in rows)
+    got = REGISTRY["q_cal_in_large"].fn(spark, sf_dir).collect()[0].asDict()
+    assert got["n"] == n
+    assert got["mean_obs"] == _r6(pos / n)
+    assert got["mean_pred"] == _r6(su / 1e6 / n)
+    assert got["cal_gap"] == _r6((pos * 10**6 - su) / 1e6 / n)
+    assert got["z_oe"] == _r6(
+        ((pos * 10**6 - su) / 1e6) / math.sqrt(var0 / 1e12)
+    )
+    assert got["num_spieg"] == _r6(num / 1e12)
+    assert got["z_spieg"] == _r6((num / 1e12) / math.sqrt(var / 1e24))
+
+
+def test_cal_in_large_consistent_with_decile_table(spark, sf_dir):
+    """The one-row summary must aggregate the q_spiegelhalter decile
+    table exactly: n and events sum, and the overall Spiegelhalter
+    numerator equals the decile numerators' sum (same 1e-12 units)."""
+    overall = (
+        REGISTRY["q_cal_in_large"].fn(spark, sf_dir).collect()[0].asDict()
+    )
+    deciles = [
+        r.asDict()
+        for r in REGISTRY["q_spiegelhalter"].fn(spark, sf_dir).collect()
+    ]
+    assert overall["n"] == sum(d["n"] for d in deciles)
+    assert overall["mean_obs"] == _r6(
+        sum(d["events"] for d in deciles) / overall["n"]
+    )
+    assert abs(
+        overall["num_spieg"] - sum(d["num_spieg"] for d in deciles)
+    ) < 1e-3
+    # the published scorer is globally over-confident (the
+    # q_pseudo_r2 finding): it over-predicts events
+    assert overall["cal_gap"] < 0
+    assert overall["z_spieg"] > 2
+
+
+# ---------------------------------------------------------------------------
+# q_km_bands (VERDICT r15 #6b): python band reference + KM-curve
+# consistency pins.
+
+
+def test_km_bands_matches_python_reference(spark, duck, sf_dir):
+    import math
+
+    rows = duck.execute(
+        "WITH u AS (SELECT user_id, "
+        "MIN(epoch_ns(ts) // 1000000000) AS first_sec, "
+        "MAX(epoch_ns(ts) // 1000000000) AS last_sec, "
+        "MIN(CASE WHEN event_type = 'error' THEN epoch_ns(ts) // 1000000000 "
+        "END) AS err_sec FROM events GROUP BY user_id) "
+        "SELECT CASE WHEN err_sec IS NOT NULL "
+        "THEN (err_sec - first_sec) // 86400 "
+        "ELSE (last_sec - first_sec) // 86400 END AS dur, "
+        "CASE WHEN err_sec IS NOT NULL THEN 1 ELSE 0 END AS ev FROM u"
+    ).fetchall()
+    from collections import defaultdict
+
+    cell = defaultdict(lambda: [0, 0])
+    for dur, ev in rows:
+        cell[dur][0] += 1
+        cell[dur][1] += ev
+    durs = sorted(cell)
+    at_risk = len(rows)
+    z = 1.959964
+    ln_s, gw, alive = 0.0, 0.0, True
+    want = {}
+    for dur in durs:
+        cnt, ev = cell[dur]
+        if ev == at_risk:
+            alive = False
+        if alive:
+            ln_s += math.log(1 - ev / at_risk)
+            gw += (ev / at_risk) / (at_risk - ev)
+        if not alive:
+            surv = lo = hi = 0.0
+        elif ln_s == 0 or gw == 0:
+            surv = _r6(math.exp(ln_s))
+            lo = hi = None
+        else:
+            surv = _r6(math.exp(ln_s))
+            th = z * math.sqrt(gw) / (0.0 - ln_s)
+            c = math.log(0.0 - ln_s)
+            lo = _r6(math.exp(0.0 - math.exp(c + th)))
+            hi = _r6(math.exp(0.0 - math.exp(c - th)))
+        want[dur] = (at_risk, ev, surv, lo, hi)
+        at_risk -= cnt
+    got = REGISTRY["q_km_bands"].fn(spark, sf_dir).collect()
+    assert len(got) == len(durs)
+    for r in got:
+        n_risk, ev, surv, lo, hi = want[r["dur_days"]]
+        assert r["n_risk"] == n_risk
+        assert r["n_event"] == ev
+        assert r["survival"] == surv
+        assert r["ci_lo"] == lo
+        assert r["ci_hi"] == hi
+
+
+def test_km_bands_consistent_with_km_curve(spark, sf_dir):
+    """survival ≡ q_kaplan_meier's column per duration; non-null bands
+    bracket the estimate inside [0,1] and are strictly ordered."""
+    km = {
+        r["dur_days"]: r["survival"]
+        for r in REGISTRY["q_kaplan_meier"].fn(spark, sf_dir).collect()
+    }
+    rows = REGISTRY["q_km_bands"].fn(spark, sf_dir).collect()
+    assert {r["dur_days"] for r in rows} == set(km)
+    saw_band = False
+    for r in rows:
+        assert r["survival"] == km[r["dur_days"]]
+        if r["ci_lo"] is not None:
+            saw_band = True
+            assert 0.0 <= r["ci_lo"] <= r["survival"] <= r["ci_hi"] <= 1.0
+    assert saw_band
