@@ -75,12 +75,15 @@ _TOUCHED_THIS_ROUND = frozenset({
     # q_lr_predict, q_lr_proba, q_standard_scale, q_shap_linear,
     # q_linear_attr, q_kendall_tau, q_mmr, q_ndcg, q_kruskal_wallis,
     # ...) into the 50-slot sample.
-    # round-16 additions (VERDICT r15 #1 + #6a-d):
+    # round-16 additions (VERDICT r15 #1 + #6a-d + batch-2 widenings):
     "q_xgb_boosted_tree2",
     "q_xgb_gamma",
     "q_km_bands",
     "q_xgb_monotone",
     "q_cal_in_large",
+    "q_xgb_alpha",
+    "q_xgb_hist",
+    "q_km_median",
 })
 
 

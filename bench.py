@@ -434,6 +434,20 @@ HEADLINE = [
     # fold to the distinct-score table (the q_pseudo_r2 shape) + a
     # 1-row moment fold
     "q_cal_in_large",
+    # round 16 widenings, batch 2:
+    # L1 (reg_alpha) soft-thresholded Newton pick — the last XGBoost
+    # split regularizer; q_xgb_round's one pass with exact integer
+    # CASE thresholding on the candidate table
+    "q_xgb_alpha",
+    # histogram (tree_method='hist') split finding — 256 exact
+    # count-quantile boundaries per feature; one pass + one bounded
+    # group-by to the <=768-row boundary table
+    "q_xgb_hist",
+    # q_km_median (median survival + band-inversion CI) is declared
+    # but OFF-HEADLINE by the q_xgb_fit double-charging precedent —
+    # it re-runs q_km_bands' exact chain (benched above) plus a 1-row
+    # inversion aggregate; isolated floor ~1.0-1.2 s warm (at
+    # q_km_bands' own level) recorded in BASELINE.md
 ]
 
 

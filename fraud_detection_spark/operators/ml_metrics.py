@@ -6323,3 +6323,418 @@ def q_xgb_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return p.crossJoin(F.broadcast(cnts))
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_alpha — L1 (reg_alpha) soft-thresholded Newton pick (round 16,
+# widening #6): the LAST of XGBoost's three split regularizers
+# (lambda=1 has been in the house gain since q_xgb_round; gamma +
+# min_child_weight landed as q_xgb_gamma) — reg_alpha soft-thresholds
+# every branch gradient before both the structure score and the leaf
+# weight: T(G) = G−α if G>α, G+α if G<−α, else 0;
+# w = −T(G)/(H+λ)·η; gain terms T(G)²/(H+λ). Literal non-default
+# α = 20.0 (library default 0 is inert): it ZEROES the left leaf at
+# sf0.001 (|G_L| = 8.99 < α) and strictly shrinks every weight at all
+# SFs — the gate binds on values (the pick itself is α-stable on this
+# data, pinned by tests).
+# ---------------------------------------------------------------------------
+
+_XGB_ALPHA_UNITS = 20 * 1000000  # alpha = 20.0 in 1e-6 gradient units
+
+
+def _xgb_alpha_oracle() -> str:
+    """DuckDB twin: the q_xgb_round fold with both branch gradients
+    soft-thresholded by the EXACT integer alpha before the gain key,
+    the emitted weights, and the gain."""
+    A = _XGB_ALPHA_UNITS
+    fsel = ", ".join(
+        sql_round(_MF_VAL_SQL[f], 6) + f" AS {f}" for f in _MF_FEATS
+    )
+    u1 = " UNION ALL ".join(
+        f"SELECT '{f}' AS feat, {f} AS val, gu, hu FROM r" for f in _MF_FEATS
+    )
+    tgl = (
+        f"(CASE WHEN cum_g > {A} THEN cum_g - {A} "
+        f"WHEN cum_g < -{A} THEN cum_g + {A} ELSE 0 END)"
+    )
+    tgr = (
+        f"(CASE WHEN gt - cum_g > {A} THEN gt - cum_g - {A} "
+        f"WHEN gt - cum_g < -{A} THEN gt - cum_g + {A} ELSE 0 END)"
+    )
+    tgt = (
+        f"(CASE WHEN gt > {A} THEN gt - {A} "
+        f"WHEN gt < -{A} THEN gt + {A} ELSE 0 END)"
+    )
+    gl = f"CAST({tgl} AS DOUBLE) / 1000000"
+    gr = f"CAST({tgr} AS DOUBLE) / 1000000"
+    gt = f"CAST({tgt} AS DOUBLE) / 1000000"
+    hl = "CAST(cum_h AS DOUBLE) / 1000000000000"
+    hr = "CAST(ht - cum_h AS DOUBLE) / 1000000000000"
+    ht = "CAST(ht AS DOUBLE) / 1000000000000"
+    kl = f"(({gl}) * ({gl}) / (({hl}) + 1.0))"
+    kr = f"(({gr}) * ({gr}) / (({hr}) + 1.0))"
+    key = f"(0.0 - ({kl} + {kr}))"
+    return (
+        "WITH f AS (SELECT "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        f"{fsel}, "
+        "CAST(FLOOR((" + sql_round(_XGB_SIG_SQL, 6) + ") "
+        "* 1000000 + 0.5) AS BIGINT) AS u FROM lineitem), "
+        "r AS (SELECT f.*, u - label * 1000000 AS gu, "
+        "u * (1000000 - u) AS hu FROM f), "
+        f"u AS ({u1}), "
+        "g AS (SELECT feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(gu) AS HUGEINT) AS g, "
+        "CAST(SUM(hu) AS HUGEINT) AS h FROM u GROUP BY feat, val), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(gu) AS HUGEINT) AS gt, "
+        "CAST(SUM(hu) AS HUGEINT) AS ht FROM r), "
+        "c AS (SELECT feat, val, "
+        "CAST(SUM(cnt) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_n, "
+        "CAST(SUM(g) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_g, "
+        "CAST(SUM(h) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_h, n, gt, ht FROM g, t) "
+        "SELECT feat, val AS threshold, "
+        "CAST(cum_n AS BIGINT) AS n_left, "
+        "CAST(n - cum_n AS BIGINT) AS n_right, "
+        + sql_round(gl, 6) + " AS tg_left, "
+        + sql_round("CAST(cum_h AS DOUBLE) / 1000000000000", 6)
+        + " AS h_left, "
+        + sql_round(gr, 6) + " AS tg_right, "
+        + sql_round("CAST(ht - cum_h AS DOUBLE) / 1000000000000", 6)
+        + " AS h_right, "
+        + sql_round(
+            f"0.5 * (({kl} + {kr}) - ({gt}) * ({gt}) / (({ht}) + 1.0))", 6
+        )
+        + " AS gain, "
+        + sql_round(f"0.0 - 0.1 * ({gl}) / (({hl}) + 1.0)", 6)
+        + " AS w_left, "
+        + sql_round(f"0.0 - 0.1 * ({gr}) / (({hr}) + 1.0)", 6)
+        + " AS w_right "
+        f"FROM c WHERE cum_n < n ORDER BY {key}, feat, val LIMIT 1"
+    )
+
+
+@query(
+    "q_xgb_alpha",
+    oracle=_xgb_alpha_oracle(),
+    tags=("ml", "train", "boosting", "regularization"),
+)
+def q_xgb_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1-regularized (reg_alpha) exact Newton split pick — the last
+    of the three XGBoost split regularizers (λ has been in the house
+    gain since q_xgb_round; γ/min_child_weight are q_xgb_gamma):
+    every branch gradient is soft-thresholded BEFORE the structure
+    score and the leaf weight — T(G) = G∓α inside the |G| > α cone,
+    else 0 — so w = −T(G)/(H+λ)·η and the gain terms are T(G)²/(H+λ),
+    exactly the xgboost CalcWeight/CalcGain closed forms with
+    reg_alpha set. Literal non-default α = 20.0: it ZEROES the left
+    leaf at sf0.001 (|G_L| = 8.99 < α → w_left = 0 exactly — the L1
+    sparsity effect) and strictly shrinks every weight toward 0 at
+    all SFs (pinned by tests); the argmin itself is α-stable on this
+    data (also pinned). One row, q_xgb_round's schema with the
+    THRESHOLDED gradients (tg_left/tg_right) published.
+
+    Exactness: the soft-threshold is EXACT integer CASE arithmetic on
+    the DECIMAL(38,0)/HUGEINT gradient sums (α in 1e-6 units =
+    20000000 — no doubles in the threshold), so T(G) is bit-identical
+    across engines; the gain key and emitted doubles are computed
+    from those integers with IDENTICAL expression text; argmin
+    tie-break (key, feat, val) as always.
+
+    Scale: identical to q_xgb_round — ONE stack-explode fact pass +
+    one 3-scalar totals fold; the soft-threshold is per-candidate
+    column math on the bounded cell table. α at 100 TB costs
+    nothing — it is a CASE on already-exact histogram sums, exactly
+    where distributed XGBoost applies it."""
+    A = _XGB_ALPHA_UNITS
+    base = _xgb_gh(_xgb_base(spark, sf_dir))
+    dec = "decimal(38,0)"
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("gu").cast(dec)).cast(dec).alias("gt"),
+        F.sum(F.col("hu").cast(dec)).cast(dec).alias("ht"),
+    )
+    g1 = (
+        _mf_unpivot(base, ["gu", "hu"])
+        .groupBy("feat", "val")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
+            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+        )
+    )
+    c = _mf_cum(
+        g1,
+        ["feat"],
+        out_cast=dec,
+        measures=(("cnt", "cum_n"), ("g", "cum_g"), ("h", "cum_h")),
+    ).crossJoin(F.broadcast(tot))
+
+    def soft(col):
+        return (
+            F.when(col > A, col - A)
+            .when(col < -A, col + A)
+            .otherwise(F.lit(0).cast("decimal(38,0)"))
+        )
+
+    tgl = soft(F.col("cum_g"))
+    tgr = soft(F.col("gt") - F.col("cum_g"))
+    tgt = soft(F.col("gt"))
+    gl = tgl.cast("double") / 1000000
+    gr = tgr.cast("double") / 1000000
+    gtd = tgt.cast("double") / 1000000
+    hl = F.col("cum_h").cast("double") / 1000000000000
+    hr = (F.col("ht") - F.col("cum_h")).cast("double") / 1000000000000
+    htd = F.col("ht").cast("double") / 1000000000000
+    kl = (gl * gl) / (hl + F.lit(1.0))
+    kr = (gr * gr) / (hr + F.lit(1.0))
+    key = F.lit(0.0) - (kl + kr)
+    return (
+        c.filter(F.col("cum_n") < F.col("n"))
+        .withColumn("key", key)
+        .orderBy("key", "feat", "val")
+        .limit(1)
+        .select(
+            "feat",
+            F.col("val").alias("threshold"),
+            F.col("cum_n").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("cum_n")).cast("bigint").alias("n_right"),
+            pround(gl, 6).alias("tg_left"),
+            pround(F.col("cum_h").cast("double") / 1000000000000, 6).alias(
+                "h_left"
+            ),
+            pround(gr, 6).alias("tg_right"),
+            pround(
+                (F.col("ht") - F.col("cum_h")).cast("double")
+                / 1000000000000,
+                6,
+            ).alias("h_right"),
+            pround(
+                F.lit(0.5)
+                * ((kl + kr) - (gtd * gtd) / (htd + F.lit(1.0))),
+                6,
+            ).alias("gain"),
+            pround(F.lit(0.0) - F.lit(0.1) * gl / (hl + F.lit(1.0)), 6).alias(
+                "w_left"
+            ),
+            pround(F.lit(0.0) - F.lit(0.1) * gr / (hr + F.lit(1.0)), 6).alias(
+                "w_right"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_hist — histogram (binned) Newton split finding (round 16,
+# widening #8): the reference trainer's ACTUAL split algorithm at
+# scale — tree_method='hist' (XGBoost paper §3.3 approximate/quantile
+# split finding; also LightGBM's core): candidate thresholds are
+# restricted to ~256 equal-mass quantile boundaries per feature and
+# g/h histograms are accumulated per bin. Here the binning is the
+# deterministic count-quantile rule bin = ((cum_n−1)·256) div n over
+# the exact per-(feat,val) cum table — a bin's boundary row IS its
+# last distinct value, carrying exact inclusive cums, so the binned
+# search is a restriction of the exact q_xgb_round candidate set to
+# the 256-quantile boundary subset. No RNG, no sketch approximation
+# to pin: the quantile sketch is EXACT count quantiles.
+# ---------------------------------------------------------------------------
+
+_XGB_HIST_BINS = 256
+
+
+def _xgb_hist_oracle() -> str:
+    """DuckDB twin: q_xgb_round's fold + the integer bin assignment,
+    per-(feat, bin) boundary rows via MAX(val) + self-join on the
+    bounded cum table, candidate count, and the gain argmin."""
+    B = _XGB_HIST_BINS
+    fsel = ", ".join(
+        sql_round(_MF_VAL_SQL[f], 6) + f" AS {f}" for f in _MF_FEATS
+    )
+    u1 = " UNION ALL ".join(
+        f"SELECT '{f}' AS feat, {f} AS val, gu, hu FROM r" for f in _MF_FEATS
+    )
+    gl = "CAST(cum_g AS DOUBLE) / 1000000"
+    hl = "CAST(cum_h AS DOUBLE) / 1000000000000"
+    gr = "CAST(gt - cum_g AS DOUBLE) / 1000000"
+    hr = "CAST(ht - cum_h AS DOUBLE) / 1000000000000"
+    gt = "CAST(gt AS DOUBLE) / 1000000"
+    ht = "CAST(ht AS DOUBLE) / 1000000000000"
+    kl = f"(({gl}) * ({gl}) / (({hl}) + 1.0))"
+    kr = f"(({gr}) * ({gr}) / (({hr}) + 1.0))"
+    key = f"(0.0 - ({kl} + {kr}))"
+    return (
+        "WITH f AS (SELECT "
+        "CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS label, "
+        f"{fsel}, "
+        "CAST(FLOOR((" + sql_round(_XGB_SIG_SQL, 6) + ") "
+        "* 1000000 + 0.5) AS BIGINT) AS u FROM lineitem), "
+        "r AS (SELECT f.*, u - label * 1000000 AS gu, "
+        "u * (1000000 - u) AS hu FROM f), "
+        f"u AS ({u1}), "
+        "g AS (SELECT feat, val, CAST(COUNT(*) AS BIGINT) AS cnt, "
+        "CAST(SUM(gu) AS HUGEINT) AS g, "
+        "CAST(SUM(hu) AS HUGEINT) AS h FROM u GROUP BY feat, val), "
+        "t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, "
+        "CAST(SUM(gu) AS HUGEINT) AS gt, "
+        "CAST(SUM(hu) AS HUGEINT) AS ht FROM r), "
+        "c AS (SELECT feat, val, "
+        "CAST(SUM(cnt) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_n, "
+        "CAST(SUM(g) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_g, "
+        "CAST(SUM(h) OVER (PARTITION BY feat ORDER BY val) AS HUGEINT) "
+        "AS cum_h, n, gt, ht FROM g, t), "
+        "cb AS (SELECT feat, val, cum_n, cum_g, cum_h, n, gt, ht, "
+        f"((CAST(cum_n AS BIGINT) - 1) * {B}) // n AS bin FROM c), "
+        "bb AS (SELECT feat, bin, MAX(val) AS bval FROM cb "
+        "GROUP BY feat, bin), "
+        "cand AS (SELECT cb.* , cb.bin AS bin_id FROM cb JOIN bb "
+        "ON cb.feat = bb.feat AND cb.bin = bb.bin AND cb.val = bb.bval "
+        "WHERE cb.cum_n < cb.n), "
+        "cnts AS (SELECT CAST(COUNT(*) AS BIGINT) AS cand_bins FROM cand), "
+        "p AS (SELECT feat, CAST(bin_id AS BIGINT) AS bin, "
+        "val AS threshold, "
+        "CAST(cum_n AS BIGINT) AS n_left, "
+        "CAST(n - cum_n AS BIGINT) AS n_right, "
+        + sql_round(gl, 6) + " AS g_left, "
+        + sql_round(hl, 6) + " AS h_left, "
+        + sql_round(gr, 6) + " AS g_right, "
+        + sql_round(hr, 6) + " AS h_right, "
+        + sql_round(
+            f"0.5 * (({kl} + {kr}) - ({gt}) * ({gt}) / (({ht}) + 1.0))", 6
+        )
+        + " AS gain, "
+        + sql_round(f"0.0 - 0.1 * ({gl}) / (({hl}) + 1.0)", 6)
+        + " AS w_left, "
+        + sql_round(f"0.0 - 0.1 * ({gr}) / (({hr}) + 1.0)", 6)
+        + " AS w_right "
+        f"FROM cand ORDER BY {key}, feat, val LIMIT 1) "
+        "SELECT p.*, cand_bins FROM p, cnts"
+    )
+
+
+@query(
+    "q_xgb_hist",
+    oracle=_xgb_hist_oracle(),
+    tags=("ml", "train", "boosting", "split"),
+)
+def q_xgb_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram (binned) Newton split finding — the split algorithm
+    the reference's XGBClassifier actually runs at scale
+    (tree_method='hist'; XGBoost paper §3.3 approximate split finding
+    with a quantile sketch; the LightGBM core): candidate thresholds
+    restricted to 256 equal-mass count-quantile boundaries per
+    feature, g/h accumulated per bin. The binning is the DETERMINISTIC
+    integer rule bin = ((cum_n−1)·256) div n over the exact
+    per-(feat,val) cum table; a bin's candidate row is its LAST
+    distinct value, which carries exact inclusive cum statistics — so
+    the binned search is exactly the q_xgb_round argmin restricted to
+    the ≤256·|feats| boundary subset (no RNG, no approximation to
+    hand-wave: the quantile sketch is exact count quantiles). One
+    row: the binned pick (feat, bin id, boundary threshold,
+    q_xgb_round's stat columns) + the candidate-boundary count.
+
+    The q_xgb_round/q_xgb_hist PAIR is the exact-vs-approx
+    split-finding comparison of the XGBoost paper: on this data the
+    256-bin pick recovers the exact pick's split (or a neighbor with
+    near-identical gain — pinned by tests: binned gain is within the
+    exact pick's, and equals it when the exact threshold lands on a
+    boundary).
+
+    Exactness: the bin id is pure BIGINT arithmetic ((cum_n−1)·256
+    fits BIGINT past 3.6e16 rows); the boundary row per (feat, bin)
+    is MAX(val) over identical 6-dp doubles (struct-max on Spark,
+    MAX+equi-join on DuckDB — same row, values are distinct within a
+    feature); all stats are the exact DECIMAL(38,0)/HUGEINT cums;
+    gain text identical; tie-break (key, feat, val).
+
+    Scale: q_xgb_round's ONE stack-explode fact pass + totals fold,
+    plus one bounded group-by over the cell table (≤ distinct values)
+    to the ≤768-row boundary table. At 100 TB this is the WHOLE
+    point of hist: the pick runs on 768 rows no matter how many
+    distinct feature values the data carries — the exact shape
+    distributed XGBoost/LightGBM ship."""
+    B = _XGB_HIST_BINS
+    base = _xgb_gh(_xgb_base(spark, sf_dir))
+    dec = "decimal(38,0)"
+    tot = base.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("gu").cast(dec)).cast(dec).alias("gt"),
+        F.sum(F.col("hu").cast(dec)).cast(dec).alias("ht"),
+    )
+    g1 = (
+        _mf_unpivot(base, ["gu", "hu"])
+        .groupBy("feat", "val")
+        .agg(
+            F.count("*").cast("bigint").alias("cnt"),
+            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
+            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+        )
+    )
+    c = _mf_cum(
+        g1,
+        ["feat"],
+        out_cast=dec,
+        measures=(("cnt", "cum_n"), ("g", "cum_g"), ("h", "cum_h")),
+    ).crossJoin(F.broadcast(tot))
+    cb = c.withColumn(
+        "bin",
+        F.expr(f"((CAST(cum_n AS BIGINT) - 1) * {B}) DIV n"),
+    )
+    cand = (
+        cb.groupBy("feat", "bin")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("val"),
+                    F.col("cum_n"),
+                    F.col("cum_g"),
+                    F.col("cum_h"),
+                )
+            ).alias("s")
+        )
+        .select("feat", "bin", "s.*")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cum_n") < F.col("n"))
+    )
+    cnts = cand.agg(F.count("*").cast("bigint").alias("cand_bins"))
+    gl = F.col("cum_g").cast("double") / 1000000
+    hl = F.col("cum_h").cast("double") / 1000000000000
+    gr = (F.col("gt") - F.col("cum_g")).cast("double") / 1000000
+    hr = (F.col("ht") - F.col("cum_h")).cast("double") / 1000000000000
+    gtd = F.col("gt").cast("double") / 1000000
+    htd = F.col("ht").cast("double") / 1000000000000
+    kl = (gl * gl) / (hl + F.lit(1.0))
+    kr = (gr * gr) / (hr + F.lit(1.0))
+    key = F.lit(0.0) - (kl + kr)
+    p = (
+        cand.withColumn("key", key)
+        .orderBy("key", "feat", "val")
+        .limit(1)
+        .select(
+            "feat",
+            F.col("bin").cast("bigint").alias("bin"),
+            F.col("val").alias("threshold"),
+            F.col("cum_n").cast("bigint").alias("n_left"),
+            (F.col("n") - F.col("cum_n")).cast("bigint").alias("n_right"),
+            pround(gl, 6).alias("g_left"),
+            pround(hl, 6).alias("h_left"),
+            pround(gr, 6).alias("g_right"),
+            pround(hr, 6).alias("h_right"),
+            pround(
+                F.lit(0.5)
+                * ((kl + kr) - (gtd * gtd) / (htd + F.lit(1.0))),
+                6,
+            ).alias("gain"),
+            pround(F.lit(0.0) - F.lit(0.1) * gl / (hl + F.lit(1.0)), 6).alias(
+                "w_left"
+            ),
+            pround(F.lit(0.0) - F.lit(0.1) * gr / (hr + F.lit(1.0)), 6).alias(
+                "w_right"
+            ),
+        )
+    )
+    return p.crossJoin(F.broadcast(cnts))

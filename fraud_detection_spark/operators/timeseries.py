@@ -3232,3 +3232,164 @@ def q_km_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(pround(F.exp(F.lit(0.0) - F.exp(c - th)), 6))
         .alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q_km_median — median survival time with its 95% CI by band
+# inversion (round 16, widening #7): THE quotable number off a KM
+# curve — the first duration where S(t) <= 0.5 — with the
+# Brookmeyer-Crowley-style interval read off the q_km_bands log-log
+# limits (lower end: first t with ci_lo <= 0.5; upper end: first t
+# with ci_hi <= 0.5). One row, closed form over the bounded duration
+# table.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_km_median",
+    oracle=(
+        _km_dur_sql()
+        + "t AS (SELECT dur, CAST(SUM(ev) AS BIGINT) AS n_event, "
+        "CAST(COUNT(*) - SUM(ev) AS BIGINT) AS n_censored FROM d GROUP BY dur), "
+        "r AS (SELECT *, CAST(SUM(n_event + n_censored) OVER "
+        "(ORDER BY dur DESC) AS BIGINT) AS n_risk FROM t), "
+        "s AS (SELECT *, "
+        "MIN(CASE WHEN n_event = n_risk THEN 0 ELSE 1 END) OVER (ORDER BY dur)"
+        " AS alive, "
+        "SUM(CASE WHEN n_event < n_risk THEN LN(1 - n_event * 1.0 / n_risk) "
+        "ELSE NULL END) OVER (ORDER BY dur) AS ln_s, "
+        "SUM(CASE WHEN n_event < n_risk THEN "
+        "(n_event * 1.0 / n_risk) / (n_risk - n_event) "
+        "ELSE NULL END) OVER (ORDER BY dur) AS gw FROM r), "
+        "b AS (SELECT dur, n_event, n_censored, "
+        "CASE WHEN alive = 0 THEN 0.0 ELSE "
+        + sql_round("EXP(ln_s)", 6) + " END AS s6, "
+        "CASE WHEN alive = 0 THEN 0.0 "
+        "WHEN ln_s = 0 OR gw = 0 THEN NULL ELSE "
+        + sql_round(
+            "EXP(0.0 - EXP(LN(0.0 - ln_s) "
+            "+ 1.959964 * SQRT(gw) / (0.0 - ln_s)))",
+            6,
+        )
+        + " END AS lo6, "
+        "CASE WHEN alive = 0 THEN 0.0 "
+        "WHEN ln_s = 0 OR gw = 0 THEN NULL ELSE "
+        + sql_round(
+            "EXP(0.0 - EXP(LN(0.0 - ln_s) "
+            "- 1.959964 * SQRT(gw) / (0.0 - ln_s)))",
+            6,
+        )
+        + " END AS hi6 FROM s) "
+        "SELECT CAST(SUM(n_event + n_censored) AS BIGINT) AS n, "
+        "CAST(MIN(CASE WHEN s6 <= 0.5 THEN dur END) AS BIGINT) "
+        "AS median_days, "
+        "CAST(MIN(CASE WHEN lo6 <= 0.5 THEN dur END) AS BIGINT) "
+        "AS ci_lo_days, "
+        "CAST(MIN(CASE WHEN hi6 <= 0.5 THEN dur END) AS BIGINT) "
+        "AS ci_hi_days FROM b"
+    ),
+    tags=("timeseries", "survival", "agg"),
+)
+def q_km_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median survival time with its 95% CI — the single number every
+    KM deliverable is quoted by: the first duration where the KM
+    estimate drops to or below 0.5 (the step-function convention),
+    bracketed by inverting the q_km_bands log-log limits in the
+    Brookmeyer-Crowley style — lower end the first duration where
+    ci_lo <= 0.5 (the band admits a median this early), upper end the
+    first duration where ci_hi <= 0.5 (beyond which the band rules
+    0.5 out). Any endpoint that never crosses is NULL (median not
+    reached — the honest answer on a mostly-censored cohort). One
+    row: cohort size, median, both CI endpoints, in days.
+
+    Exactness: the crossing comparisons run against the SAME
+    6-dp-rounded survival/band values q_km_bands emits (byte-identical
+    window + band expression text), so the crossing SET — and hence
+    each MIN — is bit-identical across engines; the conditional MINs
+    ignore NULL band rows (pre-first-event) identically. The CI
+    endpoints bracket the median by construction (ci_lo <= S <= ci_hi
+    pointwise); pinned by tests.
+
+    Scale: q_kaplan_meier verbatim — one conditional-MIN/MAX fact
+    fold, one fold to the bounded duration table, the shared
+    O(n)-incremental windows over it, then ONE 4-scalar aggregate.
+    Nothing touches fact rows twice."""
+    d = _km_durations(spark, sf_dir)
+    t = d.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("n_event"),
+        (F.count("*") - F.sum("ev")).cast("bigint").alias("n_censored"),
+    )
+    w_rev = Window.orderBy(F.desc("dur")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_cum = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    r = t.withColumn(
+        "n_risk",
+        F.sum(F.col("n_event") + F.col("n_censored")).over(w_rev).cast(
+            "bigint"
+        ),
+    )
+    ratio = F.col("n_event") * 1.0 / F.col("n_risk")
+    s = (
+        r.withColumn(
+            "alive",
+            F.min(
+                F.when(F.col("n_event") == F.col("n_risk"), 0).otherwise(1)
+            ).over(w_cum),
+        )
+        .withColumn(
+            "ln_s",
+            F.sum(
+                F.when(
+                    F.col("n_event") < F.col("n_risk"),
+                    F.log(F.lit(1.0) - ratio),
+                )
+            ).over(w_cum),
+        )
+        .withColumn(
+            "gw",
+            F.sum(
+                F.when(
+                    F.col("n_event") < F.col("n_risk"),
+                    ratio / (F.col("n_risk") - F.col("n_event")),
+                )
+            ).over(w_cum),
+        )
+    )
+    th = (
+        F.lit(1.959964)
+        * F.sqrt(F.col("gw"))
+        / (F.lit(0.0) - F.col("ln_s"))
+    )
+    c = F.log(F.lit(0.0) - F.col("ln_s"))
+    degenerate = (F.col("ln_s") == 0) | (F.col("gw") == 0)
+    b = s.select(
+        "dur",
+        "n_event",
+        "n_censored",
+        F.when(F.col("alive") == 0, F.lit(0.0))
+        .otherwise(pround(F.exp("ln_s"), 6))
+        .alias("s6"),
+        F.when(F.col("alive") == 0, F.lit(0.0))
+        .when(degenerate, F.lit(None).cast("double"))
+        .otherwise(pround(F.exp(F.lit(0.0) - F.exp(c + th)), 6))
+        .alias("lo6"),
+        F.when(F.col("alive") == 0, F.lit(0.0))
+        .when(degenerate, F.lit(None).cast("double"))
+        .otherwise(pround(F.exp(F.lit(0.0) - F.exp(c - th)), 6))
+        .alias("hi6"),
+    )
+    return b.agg(
+        F.sum(F.col("n_event") + F.col("n_censored"))
+        .cast("bigint")
+        .alias("n"),
+        F.min(F.when(F.col("s6") <= 0.5, F.col("dur")))
+        .cast("bigint")
+        .alias("median_days"),
+        F.min(F.when(F.col("lo6") <= 0.5, F.col("dur")))
+        .cast("bigint")
+        .alias("ci_lo_days"),
+        F.min(F.when(F.col("hi6") <= 0.5, F.col("dur")))
+        .cast("bigint")
+        .alias("ci_hi_days"),
+    )

@@ -501,3 +501,228 @@ def test_km_bands_consistent_with_km_curve(spark, sf_dir):
             saw_band = True
             assert 0.0 <= r["ci_lo"] <= r["survival"] <= r["ci_hi"] <= 1.0
     assert saw_band
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_alpha (r16 widening): L1 soft-threshold python reference +
+# sparsity/shrinkage pins.
+
+_ALPHA_U = 20 * 10**6
+
+
+def _newton_pick_alpha(rows, lam=1.0, eta=0.1, alpha_u=_ALPHA_U):
+    """Newton pick with reg_alpha: every branch gradient (in exact
+    1e-6 integer units) soft-thresholded before score and weight."""
+    n = len(rows)
+    gt_u = sum(u - l * 1000000 for l, _, u in rows)
+    ht_u = sum(u * (1000000 - u) for _, _, u in rows)
+
+    def T(g):
+        if g > alpha_u:
+            return g - alpha_u
+        if g < -alpha_u:
+            return g + alpha_u
+        return 0
+
+    GT, HT = T(gt_u) / 1e6, ht_u / 1e12
+    best = None
+    for feat in ("disc", "price", "qty"):
+        agg = {}
+        for l, v, u in rows:
+            cur = agg.setdefault(v[feat], [0, 0, 0])
+            cur[0] += 1
+            cur[1] += u - l * 1000000
+            cur[2] += u * (1000000 - u)
+        cn = cg = ch = 0
+        vals = sorted(agg)
+        for val in vals[:-1]:
+            cn += agg[val][0]
+            cg += agg[val][1]
+            ch += agg[val][2]
+            GL, HL = T(cg) / 1e6, ch / 1e12
+            GR, HR = T(gt_u - cg) / 1e6, (ht_u - ch) / 1e12
+            kl = GL * GL / (HL + lam)
+            kr = GR * GR / (HR + lam)
+            cand = (-(kl + kr), feat, val, cn, GL, HL, GR, HR, kl, kr)
+            if best is None or cand[:3] < best[:3]:
+                best = cand
+    key, feat, val, cn, GL, HL, GR, HR, kl, kr = best
+    gain = 0.5 * ((kl + kr) - GT * GT / (HT + lam))
+    return {
+        "feat": feat,
+        "threshold": val,
+        "n_left": cn,
+        "n_right": n - cn,
+        "tg_left": GL,
+        "h_left": HL,
+        "tg_right": GR,
+        "h_right": HR,
+        "gain": gain,
+        "w_left": -eta * GL / (HL + lam),
+        "w_right": -eta * GR / (HR + lam),
+    }
+
+
+def test_xgb_alpha_matches_python_reference(spark, duck, sf_dir):
+    rows = _fetch_gh_rows(duck)
+    want = _newton_pick_alpha(rows)
+    got = REGISTRY["q_xgb_alpha"].fn(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert r["feat"] == want["feat"]
+    assert r["threshold"] == want["threshold"]
+    assert r["n_left"] == want["n_left"]
+    assert r["n_right"] == want["n_right"]
+    assert r["tg_left"] == _r6(want["tg_left"])
+    assert r["tg_right"] == _r6(want["tg_right"])
+    assert r["gain"] == _r6(want["gain"])
+    assert r["w_left"] == _r6(want["w_left"])
+    assert r["w_right"] == _r6(want["w_right"])
+
+
+def test_xgb_alpha_binds_shrinkage_and_stability(spark, sf_dir):
+    """alpha strictly shrinks both leaf weights toward 0 relative to
+    the unregularized q_xgb_round pick (|w_alpha| <= |w|, equality
+    only at 0), reduces the gain, and keeps the same argmin split on
+    this data (the alpha-stability pin; the sf0.001 left leaf hits
+    EXACT 0 — covered by the reference test's value equality)."""
+    a = REGISTRY["q_xgb_alpha"].fn(spark, sf_dir).collect()[0].asDict()
+    u = REGISTRY["q_xgb_round"].fn(spark, sf_dir).collect()[0].asDict()
+    assert (a["feat"], a["threshold"]) == (u["feat"], u["threshold"])
+    assert abs(a["w_left"]) <= abs(u["w_left"])
+    assert abs(a["w_right"]) <= abs(u["w_right"])
+    assert a["gain"] <= u["gain"]
+    # soft-threshold direction: thresholded gradients move toward 0
+    # by at most alpha/1e6 = 20.0
+    assert abs(a["tg_left"]) <= abs(u["g_left"]) + 1e-9
+    assert abs(u["g_left"]) - abs(a["tg_left"]) <= 20.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# q_km_median (r16 widening): python crossing reference + bracket pins.
+
+
+def test_km_median_matches_python_reference(spark, sf_dir):
+    """Recompute the three crossings in python from q_km_bands' OWN
+    rows (already pinned against an independent reference above), so
+    this pins the inversion logic."""
+    bands = sorted(
+        (r.asDict() for r in REGISTRY["q_km_bands"].fn(spark, sf_dir).collect()),
+        key=lambda r: r["dur_days"],
+    )
+    def first(key):
+        for r in bands:
+            if r[key] is not None and r[key] <= 0.5:
+                return r["dur_days"]
+        return None
+
+    got = REGISTRY["q_km_median"].fn(spark, sf_dir).collect()[0].asDict()
+    assert got["median_days"] == first("survival")
+    assert got["ci_lo_days"] == first("ci_lo")
+    assert got["ci_hi_days"] == first("ci_hi")
+    # n is the whole cohort: the first duration's risk set
+    assert got["n"] == bands[0]["n_risk"]
+
+
+def test_km_median_bracket_order(spark, sf_dir):
+    """ci_lo_days <= median_days <= ci_hi_days wherever defined (the
+    band-inversion bracket), and the median is real on this data."""
+    got = REGISTRY["q_km_median"].fn(spark, sf_dir).collect()[0].asDict()
+    assert got["median_days"] is not None
+    if got["ci_lo_days"] is not None:
+        assert got["ci_lo_days"] <= got["median_days"]
+    if got["ci_hi_days"] is not None:
+        assert got["median_days"] <= got["ci_hi_days"]
+
+
+# ---------------------------------------------------------------------------
+# q_xgb_hist (r16 widening): python binned reference + the
+# exact-vs-approx comparison pin.
+
+
+def _hist_pick_reference(rows, bins=256, lam=1.0, eta=0.1):
+    """Count-quantile binned Newton pick: per feature, distinct values
+    in order, bin = ((cum_n-1)*bins)//n, candidates = last value of
+    each bin (inclusive cums), argmin by the same gain key."""
+    n = len(rows)
+    gt_u = sum(u - l * 1000000 for l, _, u in rows)
+    ht_u = sum(u * (1000000 - u) for _, _, u in rows)
+    GT, HT = gt_u / 1e6, ht_u / 1e12
+    best = None
+    n_cand = 0
+    for feat in ("disc", "price", "qty"):
+        agg = {}
+        for l, v, u in rows:
+            cur = agg.setdefault(v[feat], [0, 0, 0])
+            cur[0] += 1
+            cur[1] += u - l * 1000000
+            cur[2] += u * (1000000 - u)
+        vals = sorted(agg)
+        cn = cg = ch = 0
+        cums = []
+        for val in vals:
+            cn += agg[val][0]
+            cg += agg[val][1]
+            ch += agg[val][2]
+            cums.append((val, cn, cg, ch, ((cn - 1) * bins) // n))
+        # last value per bin, excluding the full-mass boundary
+        by_bin = {}
+        for val, cn, cg, ch, b in cums:
+            by_bin[b] = (val, cn, cg, ch)
+        for b, (val, cn, cg, ch) in by_bin.items():
+            if cn >= n:
+                continue
+            n_cand += 1
+            GL, HL = cg / 1e6, ch / 1e12
+            GR, HR = (gt_u - cg) / 1e6, (ht_u - ch) / 1e12
+            kl = GL * GL / (HL + lam)
+            kr = GR * GR / (HR + lam)
+            cand = (-(kl + kr), feat, val, b, cn, GL, HL, GR, HR, kl, kr)
+            if best is None or cand[:3] < best[:3]:
+                best = cand
+    key, feat, val, b, cn, GL, HL, GR, HR, kl, kr = best
+    gain = 0.5 * ((kl + kr) - GT * GT / (HT + lam))
+    return {
+        "feat": feat,
+        "threshold": val,
+        "bin": b,
+        "n_left": cn,
+        "n_right": n - cn,
+        "gain": gain,
+        "w_left": -eta * GL / (HL + lam),
+        "w_right": -eta * GR / (HR + lam),
+        "cand_bins": n_cand,
+    }
+
+
+def test_xgb_hist_matches_python_reference(spark, duck, sf_dir):
+    rows = _fetch_gh_rows(duck)
+    want = _hist_pick_reference(rows)
+    got = REGISTRY["q_xgb_hist"].fn(spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0].asDict()
+    assert r["feat"] == want["feat"]
+    assert r["threshold"] == want["threshold"]
+    assert r["bin"] == want["bin"]
+    assert r["n_left"] == want["n_left"]
+    assert r["n_right"] == want["n_right"]
+    assert r["gain"] == _r6(want["gain"])
+    assert r["w_left"] == _r6(want["w_left"])
+    assert r["w_right"] == _r6(want["w_right"])
+    assert r["cand_bins"] == want["cand_bins"]
+
+
+def test_xgb_hist_vs_exact_pick(spark, sf_dir):
+    """The exact-vs-approx comparison of the XGBoost paper on this
+    data: the binned candidate set is a subset of the exact one, so
+    binned gain <= exact gain; with 256 equal-mass bins the binned
+    pick RECOVERS the exact split here (the exact threshold is a bin
+    boundary at every SF — qty's distinct-value count is far below
+    256, so qty candidates survive binning unchanged)."""
+    h = REGISTRY["q_xgb_hist"].fn(spark, sf_dir).collect()[0].asDict()
+    e = REGISTRY["q_xgb_round"].fn(spark, sf_dir).collect()[0].asDict()
+    assert h["gain"] <= e["gain"] + 1e-9
+    assert (h["feat"], h["threshold"]) == (e["feat"], e["threshold"])
+    assert h["gain"] == e["gain"]
+    # the whole point of hist: bounded candidate table
+    assert h["cand_bins"] <= 3 * 256
