@@ -495,3 +495,75 @@ def test_xgb_gh_histogram_fixed_under_fact_replication(spark):
     )
     assert bad.count() == 0
     print(f"SCALE xgb g/h cells: {n1} rows @1x {w1:.2f}s @10x {w10:.2f}s")
+
+
+def test_xgb_hist_boundaries_bounded_under_domain_growth(spark):
+    """q_xgb_hist's 100 TB claim: the candidate-boundary table is
+    bounded by the BIN count (<= 256 per feature), not by distinct
+    feature values. 10x replicas jittered onto NEW 6-dp domain points
+    grow the per-(feat, val) cell table severalfold, but the
+    count-quantile boundary table stays <= 3*256 rows at both scales —
+    the argmin's input is fixed-size no matter how wide the domains
+    get (exactly why hist is the shipped distributed default)."""
+    from fraud_detection_spark.functions import pround
+    from fraud_detection_spark.operators.ml_metrics import (
+        _XGB_HIST_BINS,
+        _mf_unpivot,
+        _xgb_base,
+        _xgb_gh,
+    )
+
+    base1 = _xgb_gh(_xgb_base(spark, SCALE_SF_DIR))
+    base10 = _replicate_jittered(
+        base1,
+        [
+            ("disc", 1e-6 * 97, 1.0),
+            ("price", 1e-6 * 97, None),
+            ("qty", 1e-6 * 97, None),
+        ],
+    ).select(
+        "label",
+        *[pround(F.col(c), 6).alias(c) for c in ("disc", "price", "qty")],
+        "gu",
+        "hu",
+    )
+
+    def boundaries(b):
+        cells = (
+            _mf_unpivot(b, ["gu", "hu"])
+            .groupBy("feat", "val")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+        )
+        n_cells = cells.count()
+        tot = b.count()
+        from pyspark.sql.window import Window
+
+        w = (
+            Window.partitionBy("feat")
+            .orderBy("val")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        cum = cells.withColumn("cum_n", F.sum("cnt").over(w))
+        binned = cum.withColumn(
+            "bin",
+            F.expr(
+                f"((CAST(cum_n AS BIGINT) - 1) * {_XGB_HIST_BINS}) "
+                f"DIV {tot}"
+            ),
+        )
+        nb = binned.groupBy("feat", "bin").count().count()
+        return n_cells, nb
+
+    c1, b1 = boundaries(base1)
+    t0 = time.time()
+    c10, b10 = boundaries(base10)
+    w10 = time.time() - t0
+    # domains actually grew severalfold...
+    assert c10 > 2 * c1, (c1, c10)
+    # ...but the boundary table stays under the bin bound at both
+    assert b1 <= 3 * _XGB_HIST_BINS
+    assert b10 <= 3 * _XGB_HIST_BINS
+    print(
+        f"SCALE xgb hist boundaries: cells {c1}->{c10}, "
+        f"boundaries {b1}->{b10} (cap {3 * _XGB_HIST_BINS}) @10x {w10:.2f}s"
+    )
