@@ -193,14 +193,22 @@ def test_xgb_boosted_tree2_margin_update_is_4leaf_case(duck, sf_dir):
         "g_right h_right gain w_left w_right"
     ).split()
     t1 = {k: dict(zip(cols, v)) for k, v in t1.items()}
+    # order-free comparison: the margin update is a deterministic
+    # function of (disc, price, qty, u), so the (cell -> count)
+    # histogram of f maps exactly onto the histogram of f2 — no
+    # reliance on DuckDB preserving row order across queries
     fhead = sql.split(", r1 AS (")[0]
     fact = duck.execute(
-        fhead + " SELECT label, disc, price, qty, u FROM f"
+        fhead + " SELECT disc, price, qty, u, COUNT(*) FROM f "
+        "GROUP BY disc, price, qty, u"
     ).fetchall()
     u2head = sql.split(", r2 AS (")[0]
-    got_u2 = [
-        r[0] for r in duck.execute(u2head + " SELECT u2 FROM f2").fetchall()
-    ]
+    got = {}
+    for d, p, q, u2, cnt in duck.execute(
+        u2head + " SELECT disc, price, qty, u2, COUNT(*) FROM f2 "
+        "GROUP BY disc, price, qty, u2"
+    ).fetchall():
+        got[(d, p, q, u2)] = got.get((d, p, q, u2), 0) + cnt
 
     def leaf_w(disc, price, qty):
         fv = {"disc": disc, "price": price, "qty": qty}
@@ -208,13 +216,16 @@ def test_xgb_boosted_tree2_margin_update_is_4leaf_case(duck, sf_dir):
         c = t1[br]
         return c["w_left"] if fv[c["feat"]] <= c["threshold"] else c["w_right"]
 
-    for (label, disc, price, qty, u), u2 in zip(fact, got_u2):
+    want = {}
+    for d, p, q, u, cnt in fact:
         if u in (0, 1000000):
-            assert u2 == u
-            continue
-        w = leaf_w(disc, price, qty)
-        p = 1.0 / (1.0 + math.exp(-(math.log(u / (1000000 - u)) + w)))
-        assert u2 == math.floor(p * 1000000 + 0.5)
+            u2 = u
+        else:
+            w = leaf_w(d, p, q)
+            pr = 1.0 / (1.0 + math.exp(-(math.log(u / (1000000 - u)) + w)))
+            u2 = math.floor(pr * 1000000 + 0.5)
+        want[(d, p, q, u2)] = want.get((d, p, q, u2), 0) + cnt
+    assert want == got
 
 
 def test_xgb_boosted_tree2_coherence(spark, sf_dir):
@@ -726,3 +737,99 @@ def test_xgb_hist_vs_exact_pick(spark, sf_dir):
     assert h["gain"] == e["gain"]
     # the whole point of hist: bounded candidate table
     assert h["cand_bins"] <= 3 * 256
+
+def test_xgb_boosted_tree2_improves_objective(duck, sf_dir):
+    """Objective-level pin for the chain: each depth-2 Newton round
+    must strictly increase the Bernoulli log-likelihood it
+    Newton-steps (the q_xgb_fit argument applied to trees), and the
+    depth-2 round-1 improvement must be at least the stump round-1
+    improvement (a tree's leaf partition refines the stump's, with
+    every leaf weight chosen by the same second-order rule). All
+    margins derived in python from the oracles' OWN pick rows applied
+    to the order-free (label, feats, u) cell histogram — the margin
+    chain is a deterministic per-cell function (its engine agreement
+    is pinned by the 4-leaf-CASE test above), so this pins the
+    SEMANTICS without relying on any cross-query row order."""
+    import math
+
+    from fraud_detection_spark.operators.ml_metrics import (
+        _xgb_boosted_tree2_oracle,
+        _xgb_round2_oracle,
+    )
+
+    sql = _xgb_boosted_tree2_oracle()
+    cols = (
+        "node round feat threshold n_left n_right g_left h_left "
+        "g_right h_right gain w_left w_right"
+    ).split()
+
+    def tree(head_sql, names):
+        return {
+            r[0]: dict(zip(cols, r))
+            for r in duck.execute(head_sql + " " + names).fetchall()
+        }
+
+    t1 = tree(
+        sql.split(", cpa AS ")[0],
+        "SELECT * FROM pra UNION ALL SELECT * FROM lpa "
+        "UNION ALL SELECT * FROM rpa",
+    )
+    t2 = tree(
+        sql.split(" SELECT * FROM pra UNION ALL")[0],
+        "SELECT * FROM prb UNION ALL SELECT * FROM lpb "
+        "UNION ALL SELECT * FROM rpb",
+    )
+    cells = duck.execute(
+        sql.split(", r1 AS (")[0]
+        + " SELECT label, disc, price, qty, u, COUNT(*) FROM f "
+        "GROUP BY label, disc, price, qty, u"
+    ).fetchall()
+
+    def leaf_w(t, disc, price, qty):
+        fv = {"disc": disc, "price": price, "qty": qty}
+        root = t["root"]
+        br = "left" if fv[root["feat"]] <= root["threshold"] else "right"
+        c = t[br]
+        return c["w_left"] if fv[c["feat"]] <= c["threshold"] else c["w_right"]
+
+    def step(u, w):
+        if u in (0, 1000000):
+            return u
+        p = 1.0 / (1.0 + math.exp(-(math.log(u / (1000000 - u)) + w)))
+        return math.floor(p * 1000000 + 0.5)
+
+    def ll(margin_of_cell):
+        return sum(
+            cnt * (math.log(u / 1e6) if y else math.log((1e6 - u) / 1e6))
+            for (y, d, p, q, u0, cnt) in cells
+            for u in [margin_of_cell(d, p, q, u0)]
+            if 0 < u < 1000000
+        )
+
+    ll0 = ll(lambda d, p, q, u: u)
+    ll1 = ll(lambda d, p, q, u: step(u, leaf_w(t1, d, p, q)))
+    ll2 = ll(
+        lambda d, p, q, u: step(
+            step(u, leaf_w(t1, d, p, q)), leaf_w(t2, d, p, q)
+        )
+    )
+    assert ll1 > ll0
+    assert ll2 > ll1
+    # the tree refines the stump: round-1 LL gain at least the stump
+    # chain's round-1 gain (q_xgb_round2's own p1 row applied to the
+    # same cells)
+    s_sql = _xgb_round2_oracle()
+    p1 = duck.execute(
+        s_sql.split(", f2 AS (")[0].replace(
+            "p1 AS MATERIALIZED", "p1 AS"
+        )
+        + " SELECT * FROM p1"
+    ).fetchall()[0]
+    sp = dict(zip(["round"] + cols[2:], p1))
+
+    def stump_w(d, p, q):
+        v = {"disc": d, "price": p, "qty": q}[sp["feat"]]
+        return sp["w_left"] if v <= sp["threshold"] else sp["w_right"]
+
+    ll1_stump = ll(lambda d, p, q, u: step(u, stump_w(d, p, q)))
+    assert ll1 - ll0 >= ll1_stump - ll0 - 1e-6
