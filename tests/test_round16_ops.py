@@ -833,3 +833,87 @@ def test_xgb_boosted_tree2_improves_objective(duck, sf_dir):
 
     ll1_stump = ll(lambda d, p, q, u: step(u, stump_w(d, p, q)))
     assert ll1 - ll0 >= ll1_stump - ll0 - 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Hypothesis pins for the round-16 exact-integer gate algebra (the
+# test_portable_round_hypothesis style): the engine claims the float
+# comparisons were replaced by EQUIVALENT integer arithmetic — prove
+# the equivalence on random sufficient statistics, not just the
+# shipped data.
+
+
+def test_monotone_gate_cross_multiplication_identity():
+    """The q_xgb_monotone admissibility rule: for any branch stats,
+    w_l <= w_r (in exact rational arithmetic) iff
+    G_L*(H_R+lam) >= G_R*(H_L+lam) — the cross-multiplied integer
+    predicate the engines evaluate. Checked against the FRACTION
+    comparison (exact), so float rounding can't vote."""
+    from fractions import Fraction
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    g = st.integers(min_value=-10**14, max_value=10**14)
+    h = st.integers(min_value=0, max_value=10**16)
+    LAM = 10**12
+
+    @settings(max_examples=300, deadline=None)
+    @given(gl=g, gr=g, hl=h, hr=h)
+    def run(gl, gr, hl, hr):
+        # w = -(G/1e6) / ((H/1e12) + 1), denominators > 0
+        wl = -Fraction(gl, 10**6) / (Fraction(hl, 10**12) + 1)
+        wr = -Fraction(gr, 10**6) / (Fraction(hr, 10**12) + 1)
+        pred = gl * (hr + LAM) >= gr * (hl + LAM)
+        assert (wl <= wr) == pred
+
+    run()
+
+
+def test_alpha_soft_threshold_matches_rational_form():
+    """q_xgb_alpha's integer CASE is the textbook soft-threshold:
+    T(G) = sign(G)*max(|G|-alpha, 0) in the same 1e-6 units, for any
+    integer gradient sum."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    A = 20 * 10**6
+
+    @settings(max_examples=300, deadline=None)
+    @given(gu=st.integers(min_value=-10**15, max_value=10**15))
+    def run(gu):
+        case = gu - A if gu > A else (gu + A if gu < -A else 0)
+        textbook = (1 if gu > 0 else -1) * max(abs(gu) - A, 0)
+        assert case == textbook
+
+    run()
+
+
+def test_hist_bin_rule_is_quantile_partition():
+    """q_xgb_hist's bin = ((cum_n-1)*B) div n maps every prefix count
+    1..n into 0..B-1, is monotone in cum_n, and the resulting
+    partition is equal-mass within one bin-width — the exact
+    count-quantile property the 100 TB boundedness claim rides on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    B = 256
+
+    @settings(max_examples=200, deadline=None)
+    @given(n=st.integers(min_value=1, max_value=10**12))
+    def run(n):
+        # endpoints and monotone sample points (clamped to 1..n)
+        pts = sorted(
+            {c for c in (1, 2, n // 3 + 1, n // 2 + 1, n - 1, n) if 1 <= c <= n}
+        )
+        bins = [((c - 1) * B) // n for c in pts]
+        assert all(0 <= b <= B - 1 for b in bins)
+        assert bins == sorted(bins)
+        # a bin holds at most ceil(n/B) distinct prefix positions:
+        # positions c, c' in one bin satisfy |c-c'| < n/B + 1
+        for c, b in zip(pts, bins):
+            lo = (b * n) // B + 1  # first count that can land in b
+            hi = ((b + 1) * n + B - 1) // B  # last count in b
+            assert lo <= c <= hi
+
+    run()
