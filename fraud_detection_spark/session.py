@@ -37,6 +37,19 @@ def get_spark(app_name: str = "fraud_detection_spark") -> SparkSession:
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Python-client call-site capture (DataFrame debugging context,
+        # Spark 4 default ON) wraps EVERY DataFrame/Column op in ~3
+        # extra py4j round trips (conf.get + origin set/clear) plus a
+        # stack inspection. At ~1 ms per round trip that tax dominates
+        # plan CONSTRUCTION for expression-heavy operators (measured
+        # r16: interleaved A/B halves q_friedman/q_autocorrelation/
+        # q_delong construction; the 178-query suite spends ~50% of
+        # wall-clock in construction). Client-side only: plans,
+        # results and scale posture are bit-identical — the flag only
+        # drops the py4j chatter that attaches Python call sites to
+        # JVM error messages (guide §1.2 "per-task work" applied to
+        # the driver's own hot loop).
+        .config("spark.python.sql.dataFrameDebugging.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
