@@ -31,6 +31,21 @@ TABLES = (
 )
 
 
+# Lazy-PLAN memo: (applicationId, sf_dir, table) -> unexecuted scan
+# DataFrame. Each spark.read.parquet call costs ~110-160 ms (events
+# ~435 ms with its ts normalization) in file listing, footer read,
+# schema analysis and py4j round trips, and the 178-query bench
+# re-loads the same handful of tables ~220 times — ~30 s of pure
+# re-planning per suite (measured r16). The memo reuses the immutable
+# logical plan OBJECT; no data, no results, no intermediates are ever
+# cached or persisted — every action on the returned DataFrame scans
+# the parquet inputs exactly as before (plans are bit-identical, so
+# fingerprints and results are unchanged). Keyed by applicationId so a
+# stopped/restarted session can never serve another session's JVM
+# handles.
+_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one testdata table (parquet scan, lazily planned).
 
@@ -50,6 +65,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown, but every event-time operator filters on derived
     second/minute columns anyway (never pushable).
     """
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
@@ -67,19 +86,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(dt, T.TimestampType):
             # instant-typed: unix_micros is timezone-independent
             df = df.withColumn("ts", (F.unix_micros("ts") * F.lit(1000)).cast("long"))
+    _PLAN_CACHE[key] = df
     return df
 
 
 def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events + derived time columns: ``ts_sec`` (epoch seconds, long)
     and ``ts_m`` (microsecond-precision timestamp — same truncation
-    DuckDB applies reading ns parquet into its µs TIMESTAMP)."""
+    DuckDB applies reading ns parquet into its µs TIMESTAMP).
+
+    Rides the load_table lazy-plan memo (same key scheme, same
+    plan-object-only caveat): the two derived-column expressions are
+    re-parsed identically on every call otherwise."""
     from pyspark.sql import functions as F
 
+    key = (spark.sparkContext.applicationId, sf_dir, "__events_with_time__")
+    cached = _PLAN_CACHE.get(key)
+    if cached is not None:
+        return cached
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumn("ts_sec", F.expr("ts div 1000000000")).withColumn(
+    df = ev.withColumn("ts_sec", F.expr("ts div 1000000000")).withColumn(
         "ts_m", F.timestamp_micros(F.expr("ts div 1000"))
     )
+    _PLAN_CACHE[key] = df
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES) -> None:
