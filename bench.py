@@ -7,13 +7,18 @@ local[$SPARK_GRAFT_CPUS] and prints the result JSON:
      "queries": {"q_...": sec, ...}, "sf": 0.1}
 
 Truncation-proofing (round 8 — BENCH_r07 lost its headline total when
-the 101-query one-line JSON outgrew the driver's tail capture): the
-SHORT summary line (metric/value/unit/n_queries/sf, no per-query dict)
-is printed BEFORE and AFTER the full line, so whatever window of the
-output the driver keeps — head, tail, or last-parseable-line — always
-contains one complete, parseable JSON object carrying the suite total.
-The full payload is additionally written to BENCH_SUMMARY.json next to
-this script, which no capture window can truncate.
+the 101-query one-line JSON outgrew the driver's tail capture; line
+ORDER fixed round 17 — VERDICT r16 #2): the SHORT summary line
+(metric/value/unit/n_queries/sf, no per-query dict) is printed FIRST
+and SECOND-TO-LAST, and the full per-query payload is the FINAL line.
+A last-complete-JSON-line parser therefore gets the per-query dict
+(PERF_r16.per_query was empty for two rounds because the short line
+used to come last); if the long final line is truncated by a tail
+window, the penultimate short line still carries the suite total; a
+head window sees the leading short line — strictly better than the
+old order under any capture window. The full payload is additionally
+written to BENCH_SUMMARY.json next to this script, which no capture
+window can truncate.
 
 Each query is fully materialized via the noop sink (no driver collect,
 no result-size bias). Use BENCH_EXPLAIN=1 to dump formatted physical
@@ -499,11 +504,12 @@ def main() -> None:
     }
     summary = {k: payload[k] for k in ("metric", "value", "unit", "sf")}
     summary["n_queries"] = len(timings)
-    # short line first AND last (see module docstring: survives any
-    # head/tail capture window); full per-query line in the middle
+    # short line first and second-to-last, full per-query payload LAST
+    # (see module docstring: a last-line parser gets per-query data,
+    # any truncation still leaves a short line carrying the total)
+    print(json.dumps(summary))
     print(json.dumps(summary))
     print(json.dumps(payload))
-    print(json.dumps(summary))
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_SUMMARY.json"),

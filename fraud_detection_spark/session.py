@@ -53,6 +53,20 @@ def get_spark(app_name: str = "fraud_detection_spark") -> SparkSession:
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # ADVICE r16: PySpark latches is_debugging_enabled process-globally
+    # (pyspark/errors/utils.py: _enable_debugging_cache) at the FIRST
+    # DataFrame op against the then-active session. If a session
+    # existed (or any DataFrame op ran) before this factory applied the
+    # flag, the disable would silently not take effect for the process.
+    # Make it deterministic: ensure the runtime conf is false even on a
+    # reused pre-existing session, and reset the latch so the next op
+    # re-reads the (now false) conf.
+    if spark.conf.get("spark.python.sql.dataFrameDebugging.enabled") != "false":
+        spark.conf.set("spark.python.sql.dataFrameDebugging.enabled", "false")
+    import pyspark.errors.utils as _pyspark_errors_utils
+
+    if getattr(_pyspark_errors_utils, "_enable_debugging_cache", None) is not False:
+        _pyspark_errors_utils._enable_debugging_cache = None
     return spark
 
 

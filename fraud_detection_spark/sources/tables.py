@@ -31,19 +31,55 @@ TABLES = (
 )
 
 
-# Lazy-PLAN memo: (applicationId, sf_dir, table) -> unexecuted scan
-# DataFrame. Each spark.read.parquet call costs ~110-160 ms (events
-# ~435 ms with its ts normalization) in file listing, footer read,
-# schema analysis and py4j round trips, and the 178-query bench
-# re-loads the same handful of tables ~220 times — ~30 s of pure
-# re-planning per suite (measured r16). The memo reuses the immutable
-# logical plan OBJECT; no data, no results, no intermediates are ever
-# cached or persisted — every action on the returned DataFrame scans
-# the parquet inputs exactly as before (plans are bit-identical, so
-# fingerprints and results are unchanged). Keyed by applicationId so a
-# stopped/restarted session can never serve another session's JVM
-# handles.
-_PLAN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
+# Lazy-PLAN memo, stored ON the SparkSession object itself:
+# session-attribute dict {(sf_dir, table) -> unexecuted scan DataFrame}.
+# Each spark.read.parquet call costs ~110-160 ms (events ~435 ms with
+# its ts normalization) in file listing, footer read, schema analysis
+# and py4j round trips, and the 178-query bench re-loads the same
+# handful of tables ~220 times — ~30 s of pure re-planning per suite
+# (measured r16). The memo reuses the immutable logical plan OBJECT;
+# no data, no results, no intermediates are ever cached or persisted —
+# every action on the returned DataFrame scans the parquet inputs
+# exactly as before (plans are bit-identical, so fingerprints and
+# results are unchanged).
+#
+# Why an attribute on the session and not a module-level dict keyed by
+# applicationId (the round-16 scheme, replaced on ADVICE r16):
+# - sibling sessions from spark.newSession() SHARE an applicationId
+#   while having separate confs/catalogs — the old key could hand a
+#   sibling a DataFrame bound to the wrong session (defeating e.g. the
+#   hostile-timezone probe in tests/test_partition_invariance.py).
+#   Distinct session objects now get distinct caches by construction,
+#   and a cache hit is always bound to the session argument.
+# - lifetime: the cache dies with the session object — a long-lived
+#   process that creates/stops many sessions no longer accumulates
+#   DataFrame/py4j handles referencing dead sessions.
+# Two Python wrappers of the same JVM session get separate caches —
+# only a miss (one extra re-plan), never a wrong-session hit.
+#
+# IMMUTABLE-INPUT ASSUMPTION: the memo captures the first read's file
+# listing and schema for (sf_dir, name). If the parquet data at that
+# path is regenerated/overwritten WITHIN one session's lifetime,
+# cached plans would silently read stale file lists — call
+# clear_plan_cache(spark) after rewriting data in-session (the
+# driver's testdata is generated once and never rewritten, so the
+# engine itself never needs to).
+_CACHE_ATTR = "_fds_plan_cache"
+
+
+def _plan_cache(spark: SparkSession) -> dict:
+    cache = getattr(spark, _CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(spark, _CACHE_ATTR, cache)
+    return cache
+
+
+def clear_plan_cache(spark: SparkSession) -> None:
+    """Invalidate the session's lazy-plan memo (see the immutable-input
+    assumption above: required only if parquet inputs are rewritten
+    in-place during the session's lifetime)."""
+    getattr(spark, _CACHE_ATTR, {}).clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -65,8 +101,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     pushdown, but every event-time operator filters on derived
     second/minute columns anyway (never pushable).
     """
-    key = (spark.sparkContext.applicationId, sf_dir, name)
-    cached = _PLAN_CACHE.get(key)
+    cache = _plan_cache(spark)
+    key = (sf_dir, name)
+    cached = cache.get(key)
     if cached is not None:
         return cached
     if name == "events":
@@ -86,7 +123,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif isinstance(dt, T.TimestampType):
             # instant-typed: unix_micros is timezone-independent
             df = df.withColumn("ts", (F.unix_micros("ts") * F.lit(1000)).cast("long"))
-    _PLAN_CACHE[key] = df
+    cache[key] = df
     return df
 
 
@@ -100,15 +137,16 @@ def events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-parsed identically on every call otherwise."""
     from pyspark.sql import functions as F
 
-    key = (spark.sparkContext.applicationId, sf_dir, "__events_with_time__")
-    cached = _PLAN_CACHE.get(key)
+    cache = _plan_cache(spark)
+    key = (sf_dir, "__events_with_time__")
+    cached = cache.get(key)
     if cached is not None:
         return cached
     ev = load_table(spark, sf_dir, "events")
     df = ev.withColumn("ts_sec", F.expr("ts div 1000000000")).withColumn(
         "ts_m", F.timestamp_micros(F.expr("ts div 1000"))
     )
-    _PLAN_CACHE[key] = df
+    cache[key] = df
     return df
 
 
