@@ -4658,6 +4658,53 @@ def _xgb_round_oracle() -> str:
     )
 
 
+# Exact integer g/h sums WITHOUT Decimal aggregation (round 17,
+# VERDICT r16 #6 — the bounded-width integer encoding, with the
+# overflow-safety proof at the 100 TB row count N <= 1e12):
+#
+# * gu = u - label*1e6, so |gu| <= 1e6 per row and |SUM(gu)| <=
+#   1e6 * N = 1e18 < 2^63-1 = 9.22e18 — BIGINT-safe through
+#   N = 9.2e12 rows with >9x headroom at 1e12. The bound holds for
+#   every partial sum too (a partial sums a subset), so it is
+#   task-layout independent.
+# * hu = u*(1e6-u) <= 2.5e11 per row — BIGINT sums overflow past
+#   3.7e7 rows, which is why round 15 used DECIMAL(38,0). Instead,
+#   split per ROW: hi = hu div 2^18 (<= 953675), lo = hu mod 2^18
+#   (< 262144). SUM(hi) <= 9.54e17 and SUM(lo) <= 2.62e17 at
+#   N = 1e12 — both BIGINT-safe with >9x headroom, every partial
+#   included — and SUM(hu) = SUM(hi)*2^18 + SUM(lo) EXACTLY
+#   (per-row integer identity, summed). The recombination runs in
+#   DECIMAL(38,0) on the bounded aggregate table (one multiply-add
+#   per group), so the emitted column is the same DECIMAL(38,0)
+#   value and type as before — every downstream consumer
+#   (prefix cums, the integer cover/monotone gates, the oracle
+#   comparison) is bit-identical.
+#
+# Measured (r17, interleaved A/B at sf0.1): the (feat,val) histogram
+# pass drops ~25-30% (1.4-1.8 s -> 1.0-1.3 s warm) because the hash
+# aggregate runs on BIGINT instead of Decimal128 buffers; the shuffle
+# also narrows (3 BIGINTs = 24 B vs 2 Decimals = 32 B per cell).
+# The DuckDB oracles are untouched (they always summed in HUGEINT).
+
+_HU_SPLIT = 262144  # 2^18
+
+
+def _sum_gu_dec(col: str) -> F.Column:
+    """Exact SUM of the 1e-6-unit gradient integers as DECIMAL(38,0),
+    aggregated in BIGINT (proof above: safe through 9.2e12 rows)."""
+    return F.sum(col).cast("decimal(38,0)")
+
+
+def _sum_hu_dec(col: str) -> F.Column:
+    """Exact SUM of the 1e-12-unit hessian integers as DECIMAL(38,0),
+    via the two-column BIGINT hi/lo split (proof above)."""
+    return (
+        F.sum(F.expr(f"{col} div {_HU_SPLIT}")).cast("decimal(38,0)")
+        * _HU_SPLIT
+        + F.sum(F.expr(f"{col} % {_HU_SPLIT}"))
+    ).cast("decimal(38,0)")
+
+
 def _xgb_base(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lineitem -> (label, disc, price, qty, u): the _mf_base feature
     grid plus the 6-dp published-score integer u = round(score*1e6) —
@@ -4706,16 +4753,16 @@ def _xgb_newton_pick(base: DataFrame, rnd: int | None = None) -> DataFrame:
     dec = "decimal(38,0)"
     tot = base.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("gu").cast(dec)).cast(dec).alias("gt"),
-        F.sum(F.col("hu").cast(dec)).cast(dec).alias("ht"),
+        _sum_gu_dec("gu").alias("gt"),
+        _sum_hu_dec("hu").alias("ht"),
     )
     g1 = (
         _mf_unpivot(base, ["gu", "hu"])
         .groupBy("feat", "val")
         .agg(
             F.count("*").cast("bigint").alias("cnt"),
-            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
-            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+            _sum_gu_dec("gu").alias("g"),
+            _sum_hu_dec("hu").alias("h"),
         )
     )
     c = _mf_cum(
@@ -5456,8 +5503,8 @@ def q_xgb_tree2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("br", "feat", "val")
         .agg(
             F.count("*").cast("bigint").alias("cnt"),
-            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
-            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+            _sum_gu_dec("gu").alias("g"),
+            _sum_hu_dec("hu").alias("h"),
         )
     )
     bt = (
@@ -5595,8 +5642,8 @@ def _xgbt_tree(base: DataFrame, ucol: str, rnd: int):
         .groupBy("br", "feat", "val")
         .agg(
             F.count("*").cast("bigint").alias("cnt"),
-            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
-            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+            _sum_gu_dec("gu").alias("g"),
+            _sum_hu_dec("hu").alias("h"),
         )
     )
     bt = (
@@ -6039,16 +6086,16 @@ def q_xgb_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     tot = base.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("gu").cast(dec)).cast(dec).alias("gt"),
-        F.sum(F.col("hu").cast(dec)).cast(dec).alias("ht"),
+        _sum_gu_dec("gu").alias("gt"),
+        _sum_hu_dec("hu").alias("ht"),
     )
     g1 = (
         _mf_unpivot(base, ["gu", "hu"])
         .groupBy("feat", "val")
         .agg(
             F.count("*").cast("bigint").alias("cnt"),
-            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
-            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+            _sum_gu_dec("gu").alias("g"),
+            _sum_hu_dec("hu").alias("h"),
         )
     )
     c = _mf_cum(
@@ -6253,16 +6300,16 @@ def q_xgb_monotone(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     tot = base.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("gu").cast(dec)).cast(dec).alias("gt"),
-        F.sum(F.col("hu").cast(dec)).cast(dec).alias("ht"),
+        _sum_gu_dec("gu").alias("gt"),
+        _sum_hu_dec("hu").alias("ht"),
     )
     g1 = (
         _mf_unpivot(base, ["gu", "hu"])
         .groupBy("feat", "val")
         .agg(
             F.count("*").cast("bigint").alias("cnt"),
-            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
-            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+            _sum_gu_dec("gu").alias("g"),
+            _sum_hu_dec("hu").alias("h"),
         )
     )
     c = _mf_cum(
@@ -6454,16 +6501,16 @@ def q_xgb_alpha(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     tot = base.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("gu").cast(dec)).cast(dec).alias("gt"),
-        F.sum(F.col("hu").cast(dec)).cast(dec).alias("ht"),
+        _sum_gu_dec("gu").alias("gt"),
+        _sum_hu_dec("hu").alias("ht"),
     )
     g1 = (
         _mf_unpivot(base, ["gu", "hu"])
         .groupBy("feat", "val")
         .agg(
             F.count("*").cast("bigint").alias("cnt"),
-            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
-            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+            _sum_gu_dec("gu").alias("g"),
+            _sum_hu_dec("hu").alias("h"),
         )
     )
     c = _mf_cum(
@@ -6662,16 +6709,16 @@ def q_xgb_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     dec = "decimal(38,0)"
     tot = base.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(F.col("gu").cast(dec)).cast(dec).alias("gt"),
-        F.sum(F.col("hu").cast(dec)).cast(dec).alias("ht"),
+        _sum_gu_dec("gu").alias("gt"),
+        _sum_hu_dec("hu").alias("ht"),
     )
     g1 = (
         _mf_unpivot(base, ["gu", "hu"])
         .groupBy("feat", "val")
         .agg(
             F.count("*").cast("bigint").alias("cnt"),
-            F.sum(F.col("gu").cast(dec)).cast(dec).alias("g"),
-            F.sum(F.col("hu").cast(dec)).cast(dec).alias("h"),
+            _sum_gu_dec("gu").alias("g"),
+            _sum_hu_dec("hu").alias("h"),
         )
     )
     c = _mf_cum(
