@@ -609,44 +609,53 @@ def q_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     window and the single one-row aggregate run on that bounded table
     (unpartitioned by construction, ≤31 rows); the 7 output rows
     project from the one aggregate row."""
+    # Construction (round 17, VERDICT r16 #1): composed SQL-text blocks
+    # instead of Column-object chains — identical Catalyst tree (rows,
+    # schema, fingerprint pinned equal in
+    # tests/test_round17_constructors.py), ~700 -> ~230 py4j commands,
+    # construct wall 0.23-0.30 -> 0.14-0.18 s interleaved at sf0.1.
+    # Double literals carry the D suffix (bare 0.5 is DECIMAL(1,1)).
     ev = load_table(spark, sf_dir, "events")
     d = (
-        ev.select(F.expr("ts div 1000000000 div 86400").alias("day"))
+        ev.selectExpr("ts div 1000000000 div 86400 AS day")
         .groupBy("day")
-        .agg(F.count("*").alias("x"))
+        .agg(F.expr("COUNT(*)").alias("x"))
     )
-    w = Window.orderBy("day")  # bounded: ≤|days| rows by construction
+    # LEAD window bounded: ≤|days| rows by construction
     ks = list(range(1, _ACF_MAX_LAG + 1))
-    o = d.select("x", *[F.lead("x", k).over(w).alias(f"y{k}") for k in ks])
+    o = d.selectExpr(
+        "x", *[f"LEAD(x, {k}) OVER (ORDER BY day) AS y{k}" for k in ks]
+    )
     aggs = [
-        F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+        F.expr("CAST(SUM(x) AS BIGINT)").alias("sx"),
+        F.expr("CAST(SUM(x * x) AS BIGINT)").alias("sxx"),
     ]
     for k in ks:
-        yk = F.col(f"y{k}")
         aggs += [
-            F.count(yk).cast("bigint").alias(f"n{k}"),
-            F.sum(F.col("x") * yk).cast("bigint").alias(f"sxy{k}"),
-            F.sum(F.when(yk.isNotNull(), F.col("x"))).cast("bigint").alias(f"sa{k}"),
-            F.sum(yk).cast("bigint").alias(f"sb{k}"),
+            F.expr(f"CAST(COUNT(y{k}) AS BIGINT)").alias(f"n{k}"),
+            F.expr(f"CAST(SUM(x * y{k}) AS BIGINT)").alias(f"sxy{k}"),
+            F.expr(
+                f"CAST(SUM(CASE WHEN y{k} IS NOT NULL THEN x END) AS BIGINT)"
+            ).alias(f"sa{k}"),
+            F.expr(f"CAST(SUM(y{k}) AS BIGINT)").alias(f"sb{k}"),
         ]
     a = o.agg(*aggs)
-    xbar = F.col("sx") * 1.0 / F.col("n")
-    denom = F.col("sxx") - F.col("n") * xbar * xbar
+    xbar = "(sx * 1.0D / n)"
+    denom = f"(sxx - n * {xbar} * {xbar})"
     # one stack() over the single aggregate row — a unionAll of 7
     # per-lag selects would re-execute the whole scan+aggregate DAG
     # once per lag (measured 1.5 s vs ~0.6 s at sf0.1)
     acf_cols = []
     for k in ks:
         num = (
-            F.col(f"sxy{k}")
-            - xbar * F.col(f"sa{k}")
-            - xbar * F.col(f"sb{k}")
-            + F.col(f"n{k}") * xbar * xbar
+            f"(sxy{k} - {xbar} * sa{k} - {xbar} * sb{k} "
+            f"+ n{k} * {xbar} * {xbar})"
         )
-        acf_cols.append(pround(num / denom, 6).alias(f"acf{k}"))
-    wide = a.select(*[F.col(f"n{k}") for k in ks], *acf_cols)
+        acf_cols.append(
+            f"FLOOR(({num} / {denom}) * 1000000 + 0.5D) / 1000000 AS acf{k}"
+        )
+    wide = a.selectExpr(*[f"n{k}" for k in ks], *acf_cols)
     stack_args = ", ".join(
         f"cast({k} as int), n{k}, acf{k}" for k in ks
     )
