@@ -22,6 +22,9 @@ from fraud_detection_spark.registry import load_all
 BOUNDS = {
     "q_friedman": (900, "1069-1946 before r17"),
     "q_autocorrelation": (450, "696-726 before r17"),
+    # _coarse_cell + ADC SQL-text rewrites (similarity.py)
+    "q_cell_balance": (700, "1516 before r17"),
+    "q_knn_ivf_pq": (2500, "8237-9766 before r17"),
 }
 
 
