@@ -69,21 +69,26 @@ def entry(spark: SparkSession) -> DataFrame:
 _PINNED_HEAD = ()
 
 _TOUCHED_THIS_ROUND = frozenset({
-    # round 16 edits. VERDICT r15 #4: keep this set to exactly the
-    # round's new/changed queries so the rotation's stale-first
-    # ordering drains the r09-evidence block (q_confusion,
-    # q_lr_predict, q_lr_proba, q_standard_scale, q_shap_linear,
-    # q_linear_attr, q_kendall_tau, q_mmr, q_ndcg, q_kruskal_wallis,
-    # ...) into the 50-slot sample.
-    # round-16 additions (VERDICT r15 #1 + #6a-d + batch-2 widenings):
+    # round 17 (optimization round 2/2) — queries whose IMPLEMENTATION
+    # changed this round (results proven identical, but fresh driver
+    # hash evidence wanted soonest):
+    # BIGINT hi/lo split of the Newton g/h histogram sums
+    # (_sum_gu_dec/_sum_hu_dec in ml_metrics.py):
+    "q_xgb_round",
+    "q_xgb_round2",
+    "q_xgb_tree2",
     "q_xgb_boosted_tree2",
+    "q_xgb_fit",
     "q_xgb_gamma",
-    "q_km_bands",
     "q_xgb_monotone",
-    "q_cal_in_large",
     "q_xgb_alpha",
     "q_xgb_hist",
-    "q_km_median",
+    # SQL-text constructor recompositions (identical Catalyst trees):
+    "q_friedman",
+    "q_autocorrelation",
+    "q_knn_ivf_pq",
+    "q_cell_balance",
+    "q_ivfpq_probe_curve",
 })
 
 
